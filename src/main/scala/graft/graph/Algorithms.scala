@@ -1,0 +1,199 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.{PropertyGraph, TableResolver}
+
+/** Whole-graph algorithms with the semantics of the reference's scalar
+  * kernels + table-function sugar (`pagerank`, `weakly_connected_component`,
+  * `local_clustering_coefficient` — reference
+  * `src/core/functions/scalar/{pagerank,weakly_connected_component,
+  * local_clustering_coefficient}.cpp` and the table functions under
+  * `src/core/functions/table/`).
+  *
+  * All DataFrame-native iterative jobs: partial aggregation (map-side
+  * combine) on every step, `localCheckpoint` to cut lineage, no driver-side
+  * materialization beyond scalar convergence stats — the shape that scales
+  * to a real cluster.
+  */
+object Algorithms {
+
+  /** PageRank with the reference's constants (damping 0.85, ε = 1e-6,
+    * dangling-mass redistribution — `pagerank.cpp:30-82`).
+    *
+    * Reference-compat quirk: the reference iterates over the CSR *offsets
+    * array*, which is allocated with 2 padding slots (`pagerank.cpp:52-56`
+    * loops `i < v_size` where v_size is the padded array length;
+    * `csr_creation.cpp:14-41`). The padding slots behave as 2 phantom
+    * dangling vertices, so effective N = |V| + 2 — verified numerically
+    * against the goldens in `test/sql/scalar/pagerank.test:23-30`.
+    * `phantomNodes = 0` gives textbook PageRank. Phantom ranks are identical
+    * scalars (no in-edges), so they are tracked driver-side — zero extra
+    * distributed work.
+    *
+    * @param vertices (id: long)
+    * @param edges (src, dst) — directed
+    * @param fixedIter if set, run exactly this many iterations (no ε test);
+    *                  used by the deterministic verification queries
+    * @return (id, pagerank: double)
+    */
+  def pageRank(vertices: DataFrame, edges: DataFrame,
+      damping: Double = 0.85, tol: Double = 1e-6,
+      maxIter: Int = 100, fixedIter: Option[Int] = None,
+      phantomNodes: Int = 2): DataFrame = {
+    val v = vertices.select(col("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = v.count().toDouble + phantomNodes
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    // vertex, outdeg (0 for dangling)
+    val vd = v.join(outDeg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vd.count()
+
+    var ranks = vd.select(col("id"), col("outdeg"),
+      lit(1.0 / n).as("rank")).localCheckpoint()
+    var phantomRank = 1.0 / n
+    var iter = 0
+    var delta = Double.MaxValue
+    val iters = fixedIter.getOrElse(maxIter)
+    while (iter < iters && (fixedIter.isDefined || delta > tol)) {
+      iter += 1
+      // dangling mass redistributed uniformly (reference pagerank.cpp:50-71)
+      val danglingReal = ranks.filter(col("outdeg") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
+      val corr = (danglingReal + phantomNodes * phantomRank) / n
+      val contribs = ranks.filter(col("outdeg") > 0)
+        .join(e, ranks("id") === e("src"))
+        .select(e("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("id").agg(sum("c").as("inflow"))
+      val next = ranks.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"), col("outdeg"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
+              lit(corr))).as("rank"),
+          col("rank").as("prev"))
+        .localCheckpoint()
+      val phantomNext = (1.0 - damping) / n + damping * corr
+      if (fixedIter.isEmpty) {
+        delta = math.max(
+          next.agg(max(abs(col("rank") - col("prev")))).first().getDouble(0),
+          math.abs(phantomNext - phantomRank))
+      }
+      phantomRank = phantomNext
+      ranks = next.drop("prev")
+    }
+    v.unpersist(); e.unpersist(); vd.unpersist()
+    ranks.select(col("id"), col("rank").as("pagerank"))
+  }
+
+  /** Weakly connected components. The reference uses sequential union-find
+    * (`weakly_connected_component.cpp:15-104`) whose root ids are
+    * arbitrary; tests compare *grouping equivalence*. We use distributed
+    * min-id label propagation over the undirected edge set, so the
+    * component id is the canonical **minimum member id** — deterministic
+    * and directly SQL-oracle-able.
+    *
+    * @return (id, component: long)
+    */
+  def weaklyConnectedComponents(vertices: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var comp = vertices.select(col("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var changed = true
+    while (changed) {
+      val nbrMin = comp.join(und, comp("id") === und("src"))
+        .select(und("dst").as("id"), col("component"))
+        .groupBy("id").agg(min("component").as("nbc"))
+      val next = comp.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbc"), col("component")))
+            .as("component"),
+          col("component").as("prev"))
+        .localCheckpoint()
+      changed = !next.filter(col("component") < col("prev")).isEmpty
+      comp = next.drop("prev")
+    }
+    und.unpersist()
+    comp
+  }
+
+  /** Local clustering coefficient — reference semantics
+    * (`local_clustering_coefficient.cpp:11-72`): over the *deduplicated
+    * undirected* neighbor relation, count directed neighbor→neighbor links
+    * and divide by d·(d−1); degree < 2 ⇒ 0.0.
+    *
+    * @return (id, lcc: double)
+    */
+  def localClusteringCoefficient(vertices: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val nbr = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")) // self-loops never count as links
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = nbr.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // ordered neighbor pairs (a,b) of v with an undirected edge a—b
+    val tri = nbr.as("x").join(nbr.as("y"), col("x.src") === col("y.src"))
+      .filter(col("x.dst") =!= col("y.dst"))
+      .join(nbr.as("z"),
+        col("x.dst") === col("z.src") && col("y.dst") === col("z.dst"))
+      .groupBy(col("x.src").as("id")).agg(count(lit(1)).as("links"))
+    val out = vertices.select(col("id")).distinct()
+      .join(deg, Seq("id"), "left_outer")
+      .join(tri, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(coalesce(col("deg"), lit(0L)) < 2, lit(0.0))
+          .otherwise(coalesce(col("links"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .as("lcc"))
+    out
+  }
+
+  // ---- table-function sugar over a registered property graph (reference
+  // `src/core/functions/table/{pagerank,weakly_connected_component,
+  // local_clustering_coefficient}.cpp` scaffold) ----
+
+  private def graphOf(spark: SparkSession, pg: PropertyGraph,
+      resolver: TableResolver, vLabel: String, eLabel: String)
+      : (DataFrame, DataFrame, String) = {
+    val vt = pg.vertexLabel(vLabel)
+    val et = pg.edgeLabel(eLabel)
+    val key = vt.keyCols.head
+    val v = resolver(spark, vt.tableName)
+      .select(col(key).cast("long").as("id"))
+    val e = resolver(spark, et.tableName).select(
+      col(et.srcKeys.head).cast("long").as("src"),
+      col(et.dstKeys.head).cast("long").as("dst"))
+    (v, e, key)
+  }
+
+  def pagerank(spark: SparkSession, pg: PropertyGraph, resolver: TableResolver,
+      vLabel: String, eLabel: String, fixedIter: Option[Int] = None)
+      : DataFrame = {
+    val (v, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
+    pageRank(v, e, fixedIter = fixedIter)
+      .select(col("id").as(key), col("pagerank"))
+  }
+
+  def wcc(spark: SparkSession, pg: PropertyGraph, resolver: TableResolver,
+      vLabel: String, eLabel: String): DataFrame = {
+    val (v, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
+    weaklyConnectedComponents(v, e)
+      .select(col("id").as(key), col("component").as("componentId"))
+  }
+
+  def lcc(spark: SparkSession, pg: PropertyGraph, resolver: TableResolver,
+      vLabel: String, eLabel: String): DataFrame = {
+    val (v, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
+    localClusteringCoefficient(v, e)
+      .select(col("id").as(key), col("lcc"))
+  }
+}

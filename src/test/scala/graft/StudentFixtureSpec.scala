@@ -1,0 +1,277 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.pgq._
+import graft.compiler.GraphTableCompiler
+import graft.graph.{Algorithms, PathFinder}
+
+/** Replays the reference's canonical Student/know fixture and golden outputs
+  * (reference `test/sql/pattern_matching/basic_match.test:10-35,86-181`,
+  * `test/sql/path_finding/shortest_path.test`, `test/sql/scalar/...`). */
+object Fixture {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def init(): SparkSession = {
+    val s = spark
+    s.sparkContext.setLogLevel("ERROR")
+    import s.implicits._
+    Seq((0L, "Daniel"), (1L, "Tavneet"), (2L, "Gabor"), (3L, "Peter"),
+      (4L, "David")).toDF("id", "name").createOrReplaceTempView("student")
+    Seq((0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L), (3L, 0L, 13L),
+      (1L, 2L, 14L), (1L, 3L, 15L), (2L, 3L, 16L), (4L, 3L, 17L))
+      .toDF("src", "dst", "createdate").createOrReplaceTempView("know")
+    Seq(("VU", 0L, "University"), ("UVA", 1L, "University"))
+      .toDF("name", "id", "kind").createOrReplaceTempView("school")
+    Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("personid", "schoolid").createOrReplaceTempView("studyat")
+    s
+  }
+
+  val pg: PropertyGraph = PropertyGraph("pg",
+    vertexTables = Seq(
+      VertexTable("student", "Person", Seq("id"), Seq("id", "name")),
+      VertexTable("school", "School", Seq("id"))),
+    edgeTables = Seq(
+      EdgeTable("know", "Knows", Seq("src"), Seq("id"), "Person",
+        Seq("dst"), Seq("id"), "Person"),
+      EdgeTable("studyat", "StudyAt", Seq("personid"), Seq("id"), "Person",
+        Seq("schoolid"), Seq("id"), "School")))
+
+  def matchDF(spec: MatchSpec): DataFrame =
+    GraphTableCompiler.compile(init(), spec, pg, TableResolver.catalog)
+}
+
+class StudentFixtureSpec extends AnyFunSuite {
+  import Fixture._
+
+  private def names(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(i =>
+      String.valueOf(r.get(i)))).sorted(
+      Ordering.Implicits.seqOrdering[Seq, String])
+
+  test("directed match (a)-[k]->(b) with filter — basic_match.test:86-97") {
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(None, None, PathMode.Walk, Seq(
+        VertexPattern(Some("a"), Some("Person")),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("b"), Some("Person"))))),
+      where = Some("a.name = 'Daniel'"),
+      columns = Seq(ColumnSpec("a.name", Some("a_name")),
+        ColumnSpec("b.name", Some("b_name")))))
+    assert(names(df) == Seq(
+      Seq("Daniel", "Gabor"), Seq("Daniel", "Peter"), Seq("Daniel", "Tavneet")))
+  }
+
+  test("reverse match (a)<-[k]-(b) — basic_match.test:112-124") {
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(None, None, PathMode.Walk, Seq(
+        VertexPattern(Some("a"), Some("Person")),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Left),
+        VertexPattern(Some("b"), Some("Person"))))),
+      where = Some("a.name = 'Peter'"),
+      columns = Seq(ColumnSpec("b.name", Some("b_name")))))
+    assert(names(df).flatten ==
+      Seq("Daniel", "David", "Gabor", "Tavneet"))
+  }
+
+  test("undirected match (a)-[k]-(b) — basic_match.test:126-139") {
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(None, None, PathMode.Walk, Seq(
+        VertexPattern(Some("a"), Some("Person")),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Undirected),
+        VertexPattern(Some("b"), Some("Person"))))),
+      where = Some("a.name = 'Peter'"),
+      columns = Seq(ColumnSpec("b.name", Some("b_name")))))
+    assert(names(df).flatten ==
+      Seq("Daniel", "Daniel", "David", "Gabor", "Tavneet"))
+  }
+
+  test("bidirectional match (a)<-[k]->(b) — basic_match.test:141-149") {
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(None, None, PathMode.Walk, Seq(
+        VertexPattern(Some("a"), Some("Person")),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Both),
+        VertexPattern(Some("b"), Some("Person"))))),
+      where = Some("a.name = 'Peter'"),
+      columns = Seq(ColumnSpec("b.name", Some("b_name")))))
+    assert(names(df).flatten == Seq("Daniel"))
+  }
+
+  test("3-hop cycle with repeated variable — basic_match.test:167-181") {
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(None, None, PathMode.Walk, Seq(
+        VertexPattern(Some("a"), Some("Person")),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("b"), Some("Person")),
+        EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("c"), Some("Person")),
+        EdgePattern(Some("k3"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("a"), Some("Person"))))),
+      columns = Seq(ColumnSpec("a.name", Some("a_name")),
+        ColumnSpec("b.name", Some("b_name")),
+        ColumnSpec("c.name", Some("c_name")))))
+    // NOTE: the reference golden lists 5 rows, omitting the valid rotation
+    // Tavneet→Peter→Daniel (edges (1,3),(3,0),(0,1) all exist) — a
+    // repeated-binding quirk in DuckPGQ. Relational semantics (and a DuckDB
+    // oracle over the equivalent join SQL) give all 6 rotations; we
+    // implement the correct semantics.
+    assert(names(df) == Seq(
+      Seq("Daniel", "Gabor", "Peter"), Seq("Daniel", "Tavneet", "Peter"),
+      Seq("Gabor", "Peter", "Daniel"), Seq("Peter", "Daniel", "Gabor"),
+      Seq("Peter", "Daniel", "Tavneet"), Seq("Tavneet", "Peter", "Daniel")))
+  }
+
+  test("two-edge-table hop Person->School — basic_match.test:60-77") {
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(None, None, PathMode.Walk, Seq(
+        VertexPattern(Some("a"), Some("Person")),
+        EdgePattern(Some("s"), Some("StudyAt"), EdgeDirection.Right),
+        VertexPattern(Some("b"), Some("School"))))),
+      where = Some("a.name = 'Daniel'"),
+      columns = Seq(ColumnSpec("b.name", Some("school")))))
+    assert(names(df).flatten == Seq("VU"))
+  }
+
+  test("aggregate inside COLUMNS — basic_match.test:246-254") {
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(None, None, PathMode.Walk, Seq(
+        VertexPattern(Some("a"), Some("Person")),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("count(*)", Some("n")))))
+    assert(df.collect().head.getLong(0) == 8L)
+  }
+
+  test("variable-length {1,3} — shortest_path.test:61-82 pairs+lengths") {
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(Some("p"), Some(SearchPrefix.AnyShortest),
+        PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("Person")),
+          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right,
+            Some(Quantifier(1, Some(3)))),
+          VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("path_length(p)", Some("len")),
+        ColumnSpec("a.name", Some("name")),
+        ColumnSpec("b.name", Some("b_name")))))
+    val got = df.collect().toSeq
+      .map(r => (r.getString(1), r.getString(2), r.getLong(0))).sorted
+    val expect = Seq(
+      ("Daniel", "Gabor", 1L), ("Daniel", "Peter", 1L), ("Daniel", "Tavneet", 1L),
+      ("David", "Daniel", 2L), ("David", "Gabor", 3L), ("David", "Peter", 1L),
+      ("David", "Tavneet", 3L),
+      ("Gabor", "Daniel", 2L), ("Gabor", "Peter", 1L), ("Gabor", "Tavneet", 3L),
+      ("Peter", "Daniel", 1L), ("Peter", "Gabor", 2L), ("Peter", "Tavneet", 2L),
+      ("Tavneet", "Daniel", 2L), ("Tavneet", "Gabor", 1L), ("Tavneet", "Peter", 1L))
+    assert(got == expect)
+  }
+
+  test("element_id(p) endpoints are vertex ids — shortest_path.test:47-59") {
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(Some("p"), Some(SearchPrefix.AnyShortest),
+        PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("Person"),
+            where = Some("a.name = 'Daniel'")),
+          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right,
+            Some(Quantifier(1, Some(3)))),
+          VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("element_id(p)", Some("p")),
+        ColumnSpec("a.id", Some("aid")), ColumnSpec("b.id", Some("bid")))))
+    df.collect().foreach { r =>
+      val path = r.getSeq[Long](0)
+      assert(path.head == r.getLong(1) && path.last == r.getLong(2))
+      assert(path.length % 2 == 1)
+    }
+    assert(df.count() == 3)
+  }
+
+  test("pagerank matches reference goldens — scalar/pagerank.test:23-30") {
+    val s = init()
+    val got = Algorithms.pagerank(s, pg, TableResolver.catalog,
+      "Person", "Knows").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = Map(0L -> 0.30722555839452875, 1L -> 0.11534940106637968,
+      2L -> 0.16437299553018173, 3L -> 0.32814638463154105,
+      4L -> 0.028301886792456276)
+    expect.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-5, s"node $k: ${got(k)} vs $v")
+    }
+  }
+
+  test("wcc grouping equivalence — scalar/weakly_connected_component.test") {
+    val s = init()
+    val got = Algorithms.wcc(s, pg, TableResolver.catalog, "Person", "Knows")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all five connected (golden: single component)
+    assert(got.values.toSet.size == 1)
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("lcc matches reference goldens — scalar/local_clustering_coefficient.test") {
+    val s = init()
+    val got = Algorithms.lcc(s, pg, TableResolver.catalog, "Person", "Knows")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = Map(0L -> 1.0, 1L -> 1.0, 2L -> 1.0, 3L -> 0.5, 4L -> 0.0)
+    expect.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9) }
+  }
+
+  test("kleene-star on empty edges yields self-paths — kleene_star.test:6-24") {
+    val s = init()
+    import s.implicits._
+    Seq(1L, 2L, 3L).toDF("id").createOrReplaceTempView("nodes")
+    Seq.empty[(Long, Long)].toDF("src", "dst")
+      .createOrReplaceTempView("edges")
+    val tpg = PropertyGraph("testgraph",
+      Seq(VertexTable("nodes", "N", Seq("id"))),
+      Seq(EdgeTable("edges", "E", Seq("src"), Seq("id"), "N",
+        Seq("dst"), Seq("id"), "N")))
+    val df = GraphTableCompiler.compile(s, MatchSpec("testgraph",
+      Seq(PathPattern(Some("p"), Some(SearchPrefix.AnyShortest),
+        PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("N")),
+          EdgePattern(Some("e"), Some("E"), EdgeDirection.Right,
+            Some(Quantifier(0, None))),
+          VertexPattern(Some("b"), Some("N"))))),
+      columns = Seq(ColumnSpec("a.id", Some("aid")),
+        ColumnSpec("b.id", Some("bid")),
+        ColumnSpec("path_length(p)", Some("len")))),
+      tpg, TableResolver.catalog)
+    val rows = df.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(rows == Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L)))
+  }
+
+  test("unsupported path modes raise — path_modes.test / top_k.test") {
+    intercept[GraphAnalysisException] {
+      matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"),
+        Some(SearchPrefix.ShortestK(3)), PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("Person")),
+          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right,
+            Some(Quantifier(1, Some(3)))),
+          VertexPattern(Some("b"), Some("Person")))))))
+    }
+    intercept[GraphAnalysisException] {
+      matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"), None, PathMode.Trail,
+        Seq(VertexPattern(Some("a"), Some("Person")),
+          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right,
+            Some(Quantifier(1, Some(3)))),
+          VertexPattern(Some("b"), Some("Person")))))))
+    }
+  }
+
+  test("label suggestion errors — create_property_graph_info.hpp:146-212") {
+    val e = intercept[GraphAnalysisException] {
+      matchDF(MatchSpec("pg", Seq(PathPattern(None, None, PathMode.Walk,
+        Seq(VertexPattern(Some("a"), Some("Persn")))))))
+    }
+    assert(e.msg.contains("Did you mean 'person'?"))
+  }
+}
