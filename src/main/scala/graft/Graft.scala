@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model._
+import graft.pgq._
+import graft.compiler.GraphTableCompiler
+
+/** User-facing facade — the Spark-native equivalent of loading the DuckPGQ
+  * extension: DDL execution, `GRAPH_TABLE` queries from SQL/PGQ text or from
+  * the Scala AST, and algorithm table-functions.
+  *
+  * {{{
+  * val g = Graft(spark, TableResolver.parquetDir("/data/sf1"))
+  * g.sql("CREATE PROPERTY GRAPH pg VERTEX TABLES (...) EDGE TABLES (...)")
+  * val df = g.graphTable("pg MATCH (a:Person)-[k:Knows]->(b:Person) COLUMNS (a.name, b.name)")
+  * }}}
+  */
+final case class Graft(spark: SparkSession, resolver: TableResolver) {
+  val registry: PropertyGraphRegistry = PropertyGraphRegistry.forSession(spark)
+
+  /** Executes a PGQ statement (CREATE/DROP PROPERTY GRAPH, or a
+    * GRAPH_TABLE query — reference entry points
+    * `duckpgq_parser.cpp:223-268`). Returns a DataFrame for queries,
+    * empty DataFrame for DDL. */
+  def sql(text: String): DataFrame = PgqParser.statement(text) match {
+    case c: CreatePropertyGraphSpec =>
+      registry.create(spark, materialize(c), resolver,
+        orReplace = c.orReplace, ifNotExists = c.ifNotExists)
+      spark.emptyDataFrame
+    case d: DropPropertyGraphSpec =>
+      registry.drop(d.name, d.ifExists)
+      spark.emptyDataFrame
+    case GraphTableStatement(spec) => compile(spec)
+  }
+
+  /** `GRAPH_TABLE( … )` (or its bare body) → DataFrame. */
+  def graphTable(text: String): DataFrame =
+    compile(PgqParser.graphTable(text))
+
+  def compile(spec: MatchSpec): DataFrame =
+    GraphTableCompiler.compile(spark, spec, registry.get(spec.graphName),
+      resolver)
+
+  /** DDL spec → registered model; expands `PROPERTIES ARE ALL COLUMNS
+    * EXCEPT (…)` against the live schema (reference
+    * `create_property_graph.cpp:75-96` set difference at bind time). */
+  private def materialize(c: CreatePropertyGraphSpec): PropertyGraph = {
+    // `list` = declared property list for PROPERTIES(...), or the EXCEPT
+    // list for ALL COLUMNS EXCEPT(...)
+    def expandProps(table: String, mode: PropsMode,
+        list: Seq[String]): Seq[String] = mode match {
+      case PropsMode.All => Nil // empty = all columns
+      case PropsMode.Some_ => list
+      case PropsMode.None_ => Seq.empty
+      case PropsMode.AllExcept =>
+        val ex = list.map(_.toLowerCase).toSet
+        resolver(spark, table).columns.toSeq
+          .filterNot(col => ex.contains(col.toLowerCase))
+    }
+    // vertex key inference: single-column key named `id`-like or the
+    // declared source-ref key of any edge referencing the table; the
+    // reference infers PK/FK from real constraints
+    // (create_property_graph.cpp:106-154) — parquet has none, so we take
+    // the union of declared edge reference keys, falling back to the
+    // first column.
+    val refKeys: Map[String, Seq[String]] =
+      (c.edgeTables.map(e => e.srcRefTable.toLowerCase -> e.srcRefKeys) ++
+        c.edgeTables.map(e => e.dstRefTable.toLowerCase -> e.dstRefKeys)).toMap
+
+    val labelByTable: Map[String, String] =
+      c.vertexTables.map(v => v.table.toLowerCase -> v.effectiveLabel).toMap
+
+    val vts = c.vertexTables.map { v =>
+      val keys = refKeys.getOrElse(v.table.toLowerCase,
+        Seq(resolver(spark, v.table).columns.head))
+      VertexTable(v.table, v.effectiveLabel, keys,
+        expandProps(v.table, v.propsMode, v.props),
+        v.discriminator, v.subLabels)
+    }
+    val ets = c.edgeTables.map { e =>
+      val srcLabel = labelByTable.getOrElse(e.srcRefTable.toLowerCase,
+        throw GraphAnalysisException(
+          s"Referenced vertex table '${e.srcRefTable}' of edge '${e.table}' is not registered!"))
+      val dstLabel = labelByTable.getOrElse(e.dstRefTable.toLowerCase,
+        throw GraphAnalysisException(
+          s"Referenced vertex table '${e.dstRefTable}' of edge '${e.table}' is not registered!"))
+      EdgeTable(e.table, e.effectiveLabel, e.srcKeys, e.srcRefKeys, srcLabel,
+        e.dstKeys, e.dstRefKeys, dstLabel,
+        expandProps(e.table, e.propsMode, e.props))
+    }
+    PropertyGraph(c.name, vts, ets)
+  }
+}

@@ -24,6 +24,7 @@ object Demo {
 
     val resolver = TableResolver.parquetDir(sf)
     val registry = PropertyGraphRegistry.forSession(spark)
+    registry.clear()
     val pg = PropertyGraph("trade",
       vertexTables = Seq(
         VertexTable("customer", "Customer", Seq("c_custkey")),
@@ -55,6 +56,23 @@ object Demo {
     // algorithm over the nation->region membership graph
     Algorithms.wcc(spark, pg, resolver, "Nation", "InRegion")
       .orderBy("n_nationkey").show(30)
+
+    // text front-end: full SQL/PGQ DDL + GRAPH_TABLE round trip
+    val g = graft.Graft(spark, resolver)
+    g.sql("""CREATE OR REPLACE PROPERTY GRAPH trade2
+      VERTEX TABLES (
+        supplier LABEL Supplier,
+        nation LABEL Nation2
+      )
+      EDGE TABLES (
+        supplier AS supnat SOURCE KEY (s_suppkey) REFERENCES supplier (s_suppkey)
+          DESTINATION KEY (s_nationkey) REFERENCES nation (n_nationkey) LABEL InNation2
+      )""")
+    g.sql("""GRAPH_TABLE (trade2
+        MATCH (s:Supplier)-[e:InNation2]->(n:Nation2)
+        WHERE n.n_name = 'NATION_3'
+        COLUMNS (s.s_name AS supplier, n.n_name AS nation))""")
+      .show(5, truncate = false)
 
     // probe: bad label should raise with suggestion
     try {
