@@ -1,13 +1,594 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.graph.{Algorithms, PathFinder}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the beyond-reference pipeline operators), each with an
+  * equivalent DuckDB-ANSI-SQL oracle in `oracleSql` where expressible.
+  * Column names/aliases match the oracle exactly (driver hash-compares
+  * after sorting columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full SQL/PGQ text round trip (DDL registration happens in
+    * TradeGraph.graft) — 2-hop MATCH compiled to DataFrame joins. */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = TradeGraph.graft(spark, "/root/testdata/sf0.001")
+    g.graphTable(
+      """trade MATCH (c:Customer)-[e1:InNation]->(n:Nation)-[e2:InRegion]->(r:Region)
+         WHERE r.r_name = 'ASIA'
+         COLUMNS (c.c_custkey AS custkey, n.n_name AS nation, r.r_name AS region)""")
+  }
+
+  // ---------- helpers ----------
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
+    * read it as raw nanosecond longs and do exact integer time arithmetic
+    * (double math would lose precision above 2^53). */
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  // =========================================================================
+  // Relational core (reference generated-SQL operator coverage, SURVEY §2.F)
+  // =========================================================================
+
+  private def q1_agg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n"))
+
+  private def q2_join_agg(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer"); val o = t(s, d, "orders")
+    val n = t(s, d, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("total_price"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  private def q3_window(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_value",
+        round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .select("event_id", "user_id", "rn", "running_value")
+  }
+
+  private def q4_setop(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("key"))
+      .unionByName(t(s, d, "supplier").select(col("s_nationkey").as("key")))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+
+  private def q5_antijoin(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers_no_orders"))
+  }
+
+  // =========================================================================
+  // Pattern matching (SURVEY §2.A — MATCH compiler through the text parser)
+  // =========================================================================
+
+  private def q6_match_1hop(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH (c:Customer)-[e:InNation]->(n:Nation)
+         COLUMNS (c.c_custkey AS custkey, n.n_name AS nation)""")
+
+  private def q7_match_2hop(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH (c:Customer)-[e1:InNation]->(n:Nation)-[e2:InRegion]->(r:Region)
+         WHERE r.r_name = 'ASIA'
+         COLUMNS (c.c_custkey AS custkey, n.n_name AS nation)""")
+
+  private def q8_match_reverse(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH (n:Nation)<-[e:SuppNation]-(sup:Supplier)
+         COLUMNS (n.n_name AS nation, sup.s_name AS supplier)""")
+
+  private def q9_match_undirected(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH (a:Nation)-[e:NationNext]-(b:Nation)
+         COLUMNS (a.n_nationkey AS a_key, b.n_nationkey AS b_key)""")
+
+  private def q10_match_sublabel(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH (p:OddSizePart)
+         COLUMNS (p.p_partkey AS partkey, p.p_size AS size)""")
+
+  // =========================================================================
+  // Path finding (SURVEY §2.A13-A15, §2.B kernels)
+  // =========================================================================
+
+  private def q11_varlen(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ANY SHORTEST (a:Nation)-[e:NationNext]->{1,3}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
+                  path_length(p) AS dist)""")
+
+  private def q12_shortest_path(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ANY SHORTEST (a:Nation)-[e:NationNext]->{1,}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
+                  path_length(p) AS dist, vertices(p) AS vpath)""")
+
+  private def q13_reachability(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH (a:Nation)-[e:NationNext]->+(b:Nation)
+         WHERE a.n_regionkey = 0
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst)""")
+
+  /** Weighted cheapest path (reference `cheapest_path_length` semantics) on
+    * the region ring, weight = destination nation key. */
+  private def q14_cheapest(s: SparkSession, d: String): DataFrame = {
+    val edges = TradeGraph.nationNext(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col("dst").cast("double").as("w"))
+    val seeds = t(s, d, "nation")
+      .select(col("n_nationkey").cast("long").as("id"))
+    PathFinder.cheapestPaths(s, edges, seeds)
+      .select(col("src"), col("dst"), round(col("cost"), 2).as("cost"))
+  }
+
+  // =========================================================================
+  // Graph algorithms (SURVEY §2.B/§2.C)
+  // =========================================================================
+
+  private def q15_pagerank(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("id"))
+    val e = TradeGraph.nationAdj(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    // fixed 30 iterations, no phantom padding: exactly SQL-expressible
+    Algorithms.pageRank(v, e, fixedIter = Some(30), phantomNodes = 0)
+      .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+  }
+
+  private def q16_wcc(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("id"))
+    val e = TradeGraph.nationNext(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    Algorithms.weaklyConnectedComponents(v, e)
+  }
+
+  private def q17_lcc(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("id"))
+    val e = TradeGraph.nationNear(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    Algorithms.localClusteringCoefficient(v, e)
+      .select(col("id"), round(col("lcc"), 6).as("lcc"))
+  }
+
+  // =========================================================================
+  // Deduplication (beyond-reference pipeline ops)
+  // =========================================================================
+
+  private def q18_dedup_exact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("canonical_id"), col("is_duplicate"))
+
+  /** Exact unigram-Jaccard near-dup pairs on a bounded id range (the
+    * O(n²)-verifiable slice; MinHash-LSH below is the scale path). */
+  private def q19_dedup_jaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      t(s, d, "documents").filter(col("doc_id") < 200),
+      "doc_id", "text", k = 1, threshold = 0.8)
+
+  private def q20_dedup_minhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleK = 3, numHashes = 16, bands = 4, threshold = 0.7)
+
+  private def q21_dedup_simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 8)
+
+  // =========================================================================
+  // Text analysis
+  // =========================================================================
+
+  private def q22_text_stats(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    t(s, d, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(txt).as("n_tokens"),
+      round(TextAnalysis.punctRatio(txt), 6).as("punct_ratio"),
+      round(TextAnalysis.stopwordRatio(txt), 6).as("stopword_ratio"),
+      TextAnalysis.langId(txt).as("lang_guess"))
+  }
+
+  private def q23_fingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+
+  /** Order-sensitive rolling-hash fingerprint (xxhash64-based — no SQL
+    * oracle; rows-only check). */
+  private def q24_fingerprint_rolling(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprintRolling(col("text")).as("fp_roll"))
+
+  // =========================================================================
+  // Similarity search
+  // =========================================================================
+
+  private def q25_sim_topk(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 5)
+  }
+
+  private def q26_sim_pairs(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
+      .withColumn("cosine", Similarity.cosine(col("x.v"), col("y.v")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** LSH-bucketed near-pairs (approximate; scale path — rows-only check). */
+  private def q27_sim_lsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshNearPairs(t(s, d, "embeddings"), threshold = 0.3)
+
+  // =========================================================================
+  // Multimodal plumbing
+  // =========================================================================
+
+  private def q28_multimodal(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .withColumn("media", Multimodal.packMedia(
+        to_binary(col("text"), lit("utf-8")), lit("raw"),
+        pmod(col("doc_id"), lit(100)) + 20,
+        pmod(col("doc_id") * 7, lit(80)) + 20, lit(0L)))
+    docs.withColumn("resized", Multimodal.resizeMeta(col("media"), 64))
+      .select(col("doc_id"),
+        length(col("media.content")).cast("long").as("byte_len"),
+        col("resized.meta.width").as("width"),
+        col("resized.meta.height").as("height"))
+  }
+
+  // =========================================================================
+  // Events / time windows
+  // =========================================================================
+
+  private def q29_events_window(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      // ts is ns since epoch; hour bucket via exact integer division
+      .groupBy((expr("ts DIV 3600000000000") * lit(3600000L)).as("hour_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"))
+
+  private def q30_sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+      .withColumn("gap_ms", col("ts_ms") - lag("ts_ms", 1).over(w))
+      .groupBy("user_id")
+      .agg((lit(1L) + sum(when(col("gap_ms") > 1800000L, 1L).otherwise(0L)))
+        .as("n_sessions"))
+  }
+
+  // =========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1_agg _),
+    "q2_join_agg" -> (q2_join_agg _),
+    "q3_window" -> (q3_window _),
+    "q4_setop" -> (q4_setop _),
+    "q5_antijoin" -> (q5_antijoin _),
+    "q6_match_1hop" -> (q6_match_1hop _),
+    "q7_match_2hop" -> (q7_match_2hop _),
+    "q8_match_reverse" -> (q8_match_reverse _),
+    "q9_match_undirected" -> (q9_match_undirected _),
+    "q10_match_sublabel" -> (q10_match_sublabel _),
+    "q11_varlen" -> (q11_varlen _),
+    "q12_shortest_path" -> (q12_shortest_path _),
+    "q13_reachability" -> (q13_reachability _),
+    "q14_cheapest" -> (q14_cheapest _),
+    "q15_pagerank" -> (q15_pagerank _),
+    "q16_wcc" -> (q16_wcc _),
+    "q17_lcc" -> (q17_lcc _),
+    "q18_dedup_exact" -> (q18_dedup_exact _),
+    "q19_dedup_jaccard" -> (q19_dedup_jaccard _),
+    "q20_dedup_minhash" -> (q20_dedup_minhash _),
+    "q21_dedup_simhash" -> (q21_dedup_simhash _),
+    "q22_text_stats" -> (q22_text_stats _),
+    "q23_fingerprint" -> (q23_fingerprint _),
+    "q24_fingerprint_rolling" -> (q24_fingerprint_rolling _),
+    "q25_sim_topk" -> (q25_sim_topk _),
+    "q26_sim_pairs" -> (q26_sim_pairs _),
+    "q27_sim_lsh" -> (q27_sim_lsh _),
+    "q28_multimodal" -> (q28_multimodal _),
+    "q29_events_window" -> (q29_events_window _),
+    "q30_sessionize" -> (q30_sessionize _))
+
+  // =========================================================================
+  // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
+  // =========================================================================
+
+  import TradeGraph.{sqlNationAdj, sqlNationNear, sqlNationNext}
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q2_join_agg" ->
+      """SELECT n_name,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "q3_window" ->
+      """SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_value
+         FROM events""",
+
+    "q4_setop" ->
+      """SELECT key, count(*) AS n FROM (
+           SELECT c_nationkey AS key FROM customer
+           UNION ALL
+           SELECT s_nationkey AS key FROM supplier) GROUP BY key""",
+
+    "q5_antijoin" ->
+      """SELECT c_nationkey AS nationkey, count(*) AS n_customers_no_orders
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 300000.0)
+         GROUP BY c_nationkey""",
+
+    "q6_match_1hop" ->
+      """SELECT c_custkey AS custkey, n_name AS nation
+         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+
+    "q7_match_2hop" ->
+      """SELECT c_custkey AS custkey, n_name AS nation
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'""",
+
+    "q8_match_reverse" ->
+      """SELECT n_name AS nation, s_name AS supplier
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+
+    "q9_match_undirected" ->
+      s"""WITH $sqlNationNext,
+         und AS (SELECT src, dst FROM nation_next
+                 UNION ALL SELECT dst AS src, src AS dst FROM nation_next)
+         SELECT und.src AS a_key, und.dst AS b_key FROM und""",
+
+    "q10_match_sublabel" ->
+      """SELECT p_partkey AS partkey, p_size AS size
+         FROM part WHERE (p_size & 1) = 1""",
+
+    "q11_varlen" ->
+      s"""WITH RECURSIVE $sqlNationNext,
+         b(src, dst, dist) AS (
+           SELECT n_nationkey, n_nationkey, 0 FROM nation
+           UNION
+           SELECT b.src, e.dst, b.dist + 1
+           FROM b JOIN nation_next e ON b.dst = e.src WHERE b.dist < 6),
+         sp AS (SELECT src, dst, min(dist) AS dist FROM b GROUP BY src, dst)
+         SELECT src, dst, CAST(dist AS BIGINT) AS dist
+         FROM sp WHERE dist BETWEEN 1 AND 3""",
+
+    "q12_shortest_path" ->
+      s"""WITH RECURSIVE $sqlNationNext,
+         b(src, dst, dist, vpath) AS (
+           SELECT n_nationkey, n_nationkey, 0, [CAST(n_nationkey AS BIGINT)]
+           FROM nation
+           UNION
+           SELECT b.src, e.dst, b.dist + 1,
+                  list_append(b.vpath, CAST(e.dst AS BIGINT))
+           FROM b JOIN nation_next e ON b.dst = e.src WHERE b.dist < 6),
+         sp AS (SELECT src, dst, min(dist) AS d,
+                       arg_min(vpath, dist) AS vpath
+                FROM b GROUP BY src, dst)
+         SELECT src, dst, CAST(d AS BIGINT) AS dist, vpath
+         FROM sp WHERE d >= 1""",
+
+    "q13_reachability" ->
+      s"""WITH RECURSIVE $sqlNationNext,
+         b(src, dst, dist) AS (
+           SELECT n_nationkey, n_nationkey, 0 FROM nation WHERE n_regionkey = 0
+           UNION
+           SELECT b.src, e.dst, b.dist + 1
+           FROM b JOIN nation_next e ON b.dst = e.src WHERE b.dist < 6)
+         -- shortest-distance semantics: self only reachable at dist 0
+         SELECT src, dst FROM (
+           SELECT src, dst, min(dist) AS d FROM b GROUP BY src, dst)
+         WHERE d >= 1""",
+
+    "q14_cheapest" ->
+      s"""WITH RECURSIVE $sqlNationNext,
+         b(src, dst, cost) AS (
+           SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+                  CAST(0 AS DOUBLE) FROM nation
+           UNION
+           SELECT b.src, CAST(e.dst AS BIGINT), b.cost + CAST(e.dst AS DOUBLE)
+           FROM b JOIN nation_next e ON b.dst = e.src WHERE b.cost < 200)
+         SELECT src, dst, round(min(cost), 2) AS cost
+         FROM b GROUP BY src, dst""",
+
+    "q15_pagerank" ->
+      s"""WITH RECURSIVE $sqlNationAdj,
+         deg AS (SELECT src, count(*) AS d FROM nation_adj GROUP BY src),
+         pr(iter, id, rank) AS (
+           SELECT 0, CAST(n_nationkey AS BIGINT),
+                  CAST(1.0 AS DOUBLE) / 25 FROM nation
+           UNION ALL
+           SELECT p.iter + 1, CAST(e.dst AS BIGINT),
+                  CAST(0.15 AS DOUBLE) / 25 +
+                  0.85 * sum(p.rank / deg.d)
+           FROM pr p
+           JOIN nation_adj e ON p.id = e.src
+           JOIN deg ON deg.src = e.src
+           WHERE p.iter < 30
+           GROUP BY p.iter, e.dst)
+         SELECT id, round(rank, 6) AS pagerank FROM pr WHERE iter = 30""",
+
+    "q16_wcc" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+           CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT)
+             AS component
+         FROM nation""",
+
+    "q17_lcc" ->
+      s"""WITH $sqlNationNear,
+         und AS (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM nation_near
+           UNION ALL SELECT dst, src FROM nation_near)),
+         deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src),
+         tri AS (SELECT x.src AS id, count(*) AS links
+                 FROM und x JOIN und y ON x.src = y.src AND x.dst <> y.dst
+                 JOIN und z ON z.src = x.dst AND z.dst = y.dst
+                 GROUP BY x.src)
+         SELECT CAST(n.n_nationkey AS BIGINT) AS id,
+           round(CASE WHEN coalesce(deg.d, 0) < 2 THEN 0.0
+                 ELSE CAST(coalesce(tri.links, 0) AS DOUBLE) /
+                      (deg.d * (deg.d - 1)) END, 6) AS lcc
+         FROM nation n
+         LEFT JOIN deg ON deg.id = n.n_nationkey
+         LEFT JOIN tri ON tri.id = n.n_nationkey""",
+
+    "q18_dedup_exact" ->
+      """SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+             AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+             AS is_duplicate
+         FROM documents""",
+
+    "q19_dedup_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS sh
+           FROM documents WHERE doc_id < 200)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               len(list_distinct(a.sh || b.sh)), 6) >= 0.8""",
+
+    "q22_text_stats" ->
+      """SELECT doc_id,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END
+             AS n_tokens,
+           round(CASE WHEN len(text) = 0 THEN 0.0 ELSE
+             CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))
+               AS DOUBLE) / len(text) END, 6) AS punct_ratio,
+           round(CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0
+             THEN 0.0 ELSE
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> list_contains(['and','das','de5','der','des','die','ein',
+                 'el','es','et','he2','is','ist','la','las','le','le5','les',
+                 'los','of','shi4','the','to','un','una','und','with','y',
+                 'you3','zai4'], x))) AS DOUBLE) /
+             len(string_split_regex(trim(lower(text)), '\s+')) END, 6)
+             AS stopword_ratio,
+           (SELECT CASE WHEN max(hits) = 0 THEN 'und'
+                   ELSE first(lang ORDER BY hits DESC, lang DESC) END
+            FROM (SELECT unnest(['de','en','es','fr','zh']) AS lang,
+                         unnest([
+             len(list_intersect(list_distinct(string_split_regex(trim(lower(documents.text)), '\s+')),
+                 ['der','die','das','und','ein','ist'])),
+             len(list_intersect(list_distinct(string_split_regex(trim(lower(documents.text)), '\s+')),
+                 ['the','and','of','to','is','with'])),
+             len(list_intersect(list_distinct(string_split_regex(trim(lower(documents.text)), '\s+')),
+                 ['el','los','las','una','es','y'])),
+             len(list_intersect(list_distinct(string_split_regex(trim(lower(documents.text)), '\s+')),
+                 ['le','la','et','les','des','un'])),
+             len(list_intersect(list_distinct(string_split_regex(trim(lower(documents.text)), '\s+')),
+                 ['de5','shi4','le5','zai4','he2','you3']))]) AS hits))
+             AS lang_guess
+         FROM documents""",
+
+    "q23_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS fp_md5 FROM documents",
+
+    "q25_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos
+               FROM q JOIN c ON qid <> nid),
+         r AS (SELECT qid AS query_id, nid AS neighbor_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid ASC) AS rank,
+                 round(cos, 6) AS cosine
+               FROM s)
+         SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= 5""",
+
+    "q26_sim_pairs" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 300)
+         SELECT x.id AS id_a, y.id AS id_b,
+           round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+         FROM e x JOIN e y ON x.id < y.id
+         WHERE list_cosine_similarity(x.v, y.v) >= 0.35""",
+
+    "q28_multimodal" ->
+      """SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           CAST(CASE WHEN greatest((doc_id % 100) + 20, ((doc_id * 7) % 80) + 20) <= 64
+             THEN (doc_id % 100) + 20
+             ELSE round(((doc_id % 100) + 20) * 64.0 /
+               greatest((doc_id % 100) + 20, ((doc_id * 7) % 80) + 20)) END
+             AS INTEGER) AS width,
+           CAST(CASE WHEN greatest((doc_id % 100) + 20, ((doc_id * 7) % 80) + 20) <= 64
+             THEN ((doc_id * 7) % 80) + 20
+             ELSE round((((doc_id * 7) % 80) + 20) * 64.0 /
+               greatest((doc_id % 100) + 20, ((doc_id * 7) % 80) + 20)) END
+             AS INTEGER) AS height
+         FROM documents""",
+
+    "q29_events_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+         FROM events GROUP BY 1, 2""",
+
+    "q30_sessionize" ->
+      """SELECT user_id,
+           1 + sum(CASE WHEN gap_ms > 1800000 THEN 1 ELSE 0 END) AS n_sessions
+         FROM (SELECT user_id,
+                 epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+               FROM events)
+         GROUP BY user_id""")
 }

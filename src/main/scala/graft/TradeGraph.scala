@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** The standard property graph over the driver testdata
+  * (`TESTDATA.md` / FIXTURES.md F6), plus derived edge views used by the
+  * path-finding and algorithm queries. Every derived view has an exact SQL
+  * CTE equivalent (see [[SparkEntry.oracleSql]]) so results are
+  * DuckDB-verifiable.
+  *
+  * Derived nation-level graphs (25 vertices, 5 per region):
+  *  - `nation_next` — directed ring within each region (successor by key,
+  *    wrapping): interesting BFS distances 1..4
+  *  - `nation_adj`  — same-region complete digraph: dense algorithm input
+  *  - `nation_near` — same-region pairs with |Δkey| ≤ 2: triangles for LCC
+  */
+object TradeGraph {
+
+  val graph: PropertyGraph = PropertyGraph("trade",
+    vertexTables = Seq(
+      VertexTable("customer", "Customer", Seq("c_custkey")),
+      VertexTable("supplier", "Supplier", Seq("s_suppkey")),
+      VertexTable("nation", "Nation", Seq("n_nationkey")),
+      VertexTable("region", "Region", Seq("r_regionkey")),
+      VertexTable("orders", "Order", Seq("o_orderkey")),
+      // sub-label demo: parts discriminated by the low bits of p_size
+      // (reference inheritance semantics: (disc & 2^idx) != 0,
+      // match.cpp:278-296)
+      VertexTable("part", "Part", Seq("p_partkey"),
+        discriminator = Some("p_size"),
+        subLabels = Seq("OddSizePart", "Bit1Part"))),
+    edgeTables = Seq(
+      EdgeTable("customer", "InNation", Seq("c_custkey"), Seq("c_custkey"),
+        "Customer", Seq("c_nationkey"), Seq("n_nationkey"), "Nation"),
+      EdgeTable("supplier", "SuppNation", Seq("s_suppkey"), Seq("s_suppkey"),
+        "Supplier", Seq("s_nationkey"), Seq("n_nationkey"), "Nation"),
+      EdgeTable("nation", "InRegion", Seq("n_nationkey"), Seq("n_nationkey"),
+        "Nation", Seq("n_regionkey"), Seq("r_regionkey"), "Region"),
+      EdgeTable("orders", "Placed", Seq("o_custkey"), Seq("c_custkey"),
+        "Customer", Seq("o_orderkey"), Seq("o_orderkey"), "Order"),
+      EdgeTable("lineitem", "Contains", Seq("l_orderkey"), Seq("o_orderkey"),
+        "Order", Seq("l_partkey"), Seq("p_partkey"), "Part"),
+      EdgeTable("nation_next", "NationNext", Seq("src"), Seq("n_nationkey"),
+        "Nation", Seq("dst"), Seq("n_nationkey"), "Nation"),
+      EdgeTable("nation_adj", "NationAdj", Seq("src"), Seq("n_nationkey"),
+        "Nation", Seq("dst"), Seq("n_nationkey"), "Nation"),
+      EdgeTable("nation_near", "NationNear", Seq("src"), Seq("n_nationkey"),
+        "Nation", Seq("dst"), Seq("n_nationkey"), "Nation")))
+
+  /** Resolver: parquet tables + the derived views above. */
+  def resolver(sfDir: String): TableResolver = new TableResolver {
+    def apply(spark: SparkSession, t: String): DataFrame = t match {
+      case "nation_next" => nationNext(spark, sfDir)
+      case "nation_adj"  => nationAdj(spark, sfDir)
+      case "nation_near" => nationNear(spark, sfDir)
+      case other => spark.read.parquet(s"$sfDir/$other.parquet")
+    }
+  }
+
+  private def nation(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/nation.parquet")
+
+  /** Ring within each region: successor by n_nationkey, wrapping to min. */
+  def nationNext(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    nation(spark, sfDir)
+      .select(col("n_nationkey").as("src"),
+        coalesce(lead("n_nationkey", 1).over(w),
+          min("n_nationkey").over(Window.partitionBy("n_regionkey")))
+          .as("dst"))
+  }
+
+  /** Same-region complete digraph (no self-loops). */
+  def nationAdj(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = nation(spark, sfDir)
+    n.as("a").join(n.as("b"),
+        col("a.n_regionkey") === col("b.n_regionkey") &&
+        col("a.n_nationkey") =!= col("b.n_nationkey"))
+      .select(col("a.n_nationkey").as("src"), col("b.n_nationkey").as("dst"))
+  }
+
+  /** Same-region pairs with |Δ n_nationkey| ≤ 2 — contains triangles. */
+  def nationNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = nation(spark, sfDir)
+    n.as("a").join(n.as("b"),
+        col("a.n_regionkey") === col("b.n_regionkey") &&
+        col("a.n_nationkey") =!= col("b.n_nationkey") &&
+        abs(col("a.n_nationkey") - col("b.n_nationkey")) <= 2)
+      .select(col("a.n_nationkey").as("src"), col("b.n_nationkey").as("dst"))
+  }
+
+  /** Registers `trade` for the session (idempotent) and returns a Graft
+    * facade bound to the sfDir resolver. */
+  def graft(spark: SparkSession, sfDir: String): Graft = {
+    val g = Graft(spark, resolver(sfDir))
+    g.registry.create(spark, graph, resolver(sfDir), orReplace = true)
+    g
+  }
+
+  /** Matching SQL CTE texts for the derived views (same logic, ANSI SQL) —
+    * prepended to oracle queries that need them. */
+  val sqlNationNext: String =
+    """nation_next AS (
+         SELECT n_nationkey AS src,
+                coalesce(lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey),
+                         min(n_nationkey) OVER (PARTITION BY n_regionkey)) AS dst
+         FROM nation)"""
+
+  val sqlNationAdj: String =
+    """nation_adj AS (
+         SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+         FROM nation a JOIN nation b
+           ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey)"""
+
+  val sqlNationNear: String =
+    """nation_near AS (
+         SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+         FROM nation a JOIN nation b
+           ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+          AND abs(a.n_nationkey - b.n_nationkey) <= 2)"""
+}

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB posture: hash-partitioned group-bys and bucket-joins only —
+  * no cross joins over the full corpus, no driver-side state.
+  *
+  *  - exact:       one shuffle on a 128-bit content hash
+  *  - MinHash+LSH: shingle → k minhashes → b bands → bucket join; only
+  *    bucket-colliding pairs are verified (candidate set ≪ n²)
+  *  - SimHash:     64-bit sketch; near-dups = small Hamming distance within
+  *    rotated-band buckets
+  *  - n-gram Jaccard: exact verified similarity on candidate pairs
+  */
+object Dedup {
+
+  /** Exact dedup key (md5 of normalized text). */
+  def exactKey(text: Column): Column = md5(lower(trim(text)))
+
+  /** Marks each row with the canonical (minimum) id of its exact-duplicate
+    * group. One shuffle; map-side combine via min aggregation. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("__key")
+    df.withColumn("__key", exactKey(col(textCol)))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
+      .drop("__key")
+  }
+
+  /** Word k-shingles (k consecutive tokens joined by a space). */
+  def shingles(text: Column, k: Int): Column = {
+    val t = TextAnalysis.tokens(lower(text))
+    when(size(t) < k, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+
+  /** Exact Jaccard similarity of the distinct shingle sets of two texts. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ia = size(array_intersect(a, b)).cast("double")
+    val ua = size(array_union(a, b)).cast("double")
+    when(ua === 0, lit(0.0)).otherwise(ia / ua)
+  }
+
+  /** `numHashes` MinHash values of a shingle array. Permutation family
+    * h_i(x) = (a_i * (xxhash64(x) mod p) + b_i) mod p with p = 2^31−1 —
+    * deterministic and seedless; intermediates stay < 2^62 so the
+    * expressions are safe under ANSI overflow checking. */
+  def minHashes(shingleArr: Column, numHashes: Int): Column = {
+    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val hs = (0 until numHashes).map { i =>
+      val a = 2L * i + 1
+      val b = (1099511628211L * (i + 1)) % p
+      array_min(transform(shingleArr,
+        s => pmod(pmod(xxhash64(s), lit(p)) * lit(a) + lit(b), lit(p))))
+    }
+    array(hs: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * @param threshold verified Jaccard threshold
+    * @param numHashes minhash signature width
+    * @param bands LSH bands (rows per band = numHashes / bands)
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", array_distinct(shingles(col("text"), shingleK)))
+      .withColumn("sig", minHashes(col("sh"), numHashes))
+    // explode into (bandIdx, bandHash) buckets; join within buckets
+    val banded = withSig.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .select(col("id"), col("sh"), col("pos").as("band"),
+        col("col").as("bucket"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over token xxhash64 values: sign-sum of each bit
+    * weighted by token frequency. */
+  def simHash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    // for each bit position, majority vote; build the long via sum of 2^i
+    val bits = (0 until 64).map { i =>
+      val ones = size(filter(hashes,
+        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+      when(ones * 2 > size(hashes), lit(1L).cast("long") * lit(1L << i))
+        .otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4 × 16-bit bands (a pair within
+    * Hamming distance ≤ maxDist ≤ 3 must agree on ≥1 band), verify by
+    * exact Hamming distance. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"),
+      simHash(col(textCol)).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("id"), col("sig"), col("pos").as("band"),
+        col("col").as("bucket"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold. O(n²) within a bounded
+    * id range — the *verification* path; LSH above is the scale path. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+    base.as("x").join(base.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(jaccard(col("x.sh"), col("y.sh")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `BinaryType` columns with a typed metadata struct, processed in
+  * distributed batches. The *decode* step is environment-dependent (no
+  * image/audio codecs in this container) and is STUBBED with a clearly
+  * marked deterministic fake — the Spark-side plumbing (schema,
+  * partitioning, batch shape, feature extraction pipeline) is real and
+  * tested, so swapping in a real codec is a one-function change.
+  */
+object Multimodal {
+
+  /** Canonical multimodal column schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  /** Packs a payload + metadata into the canonical media struct. */
+  def packMedia(content: Column, format: Column, width: Column,
+      height: Column, durationMs: Column): Column =
+    struct(content.as("content"),
+      struct(format.as("format"), width.cast("int").as("width"),
+        height.cast("int").as("height"),
+        durationMs.cast("long").as("duration_ms")).as("meta"))
+
+  /** STUB decode: a real implementation would decode the codec bytestream
+    * (e.g. libjpeg/ffmpeg via a mapPartitions worker). The stub derives
+    * deterministic pseudo-features from the bytes so pipelines are fully
+    * testable: byte length, first byte, and a 64-bit content checksum. */
+  def decodeStub(content: Column): Column =
+    struct(
+      length(content).cast("long").as("byte_len"),
+      when(length(content) > 0,
+        getbit(content.substr(1, 1).cast("binary"), lit(0)))
+        .otherwise(lit(null)).as("first_bit"),
+      xxhash64(content).as("checksum"))
+
+  /** "Resize" on metadata only (real resize happens at decode time):
+    * clamps the metadata dims preserving aspect ratio. */
+  def resizeMeta(media: Column, maxDim: Int): Column = {
+    val w = media.getField("meta").getField("width")
+    val h = media.getField("meta").getField("height")
+    val scale = when(greatest(w, h) <= maxDim, lit(1.0))
+      .otherwise(lit(maxDim.toDouble) / greatest(w, h).cast("double"))
+    struct(media.getField("content").as("content"),
+      struct(media.getField("meta").getField("format").as("format"),
+        round(w * scale).cast("int").as("width"),
+        round(h * scale).cast("int").as("height"),
+        media.getField("meta").getField("duration_ms").as("duration_ms"))
+        .as("meta"))
+  }
+
+  /** Deterministic frame-sampling plan for a video payload: every
+    * `everyMs` milliseconds over the metadata duration — returns the array
+    * of timestamps a decoder would extract. */
+  def frameSamplePlan(media: Column, everyMs: Long): Column = {
+    val dur = media.getField("meta").getField("duration_ms")
+    when(dur.isNull || dur <= 0, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), dur - 1, lit(everyMs)))
+  }
+
+  /** End-to-end example pipeline: text corpus → fake media blobs →
+    * decoded stub features. Demonstrates the real batch shape: the blob
+    * never leaves the executors, features are columnar. */
+  def featurize(df: DataFrame, idCol: String, payload: Column): DataFrame =
+    df.select(col(idCol),
+        packMedia(payload, lit("raw"), lit(64), lit(48), lit(0L)).as("media"))
+      .select(col(idCol), col("media"),
+        decodeStub(col("media").getField("content")).as("features"))
+}

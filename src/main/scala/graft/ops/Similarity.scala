@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search.
+  *
+  * Brute-force cosine top-k is the exactness baseline (one broadcast join
+  * of the query set against the corpus — the corpus is never collected).
+  * The scale path is LSH bucketing (random-hyperplane signs) which turns
+  * all-pairs search into a bucket-equi-join — the same shuffle pattern that
+  * holds at 100 TB.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), _ + _)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), _ + _))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k cosine neighbors for each row of `queries` against
+    * `corpus`. Join is broadcast when the query set is small; ranking is a
+    * window per query id (map-side partial top-k via AQE).
+    *
+    * @return (query_id, neighbor_id, rank, cosine)
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed hash → uniform in [-1, 1). */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane) * lit(1000003L) + dim), lit(1000000L))
+      .cast("double") / lit(500000.0)) - lit(1.0)
+
+  /** Sign-bit LSH signature: `planes` random hyperplanes → one long. */
+  def signatureLsh(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(zip_with(vec,
+          transform(sequence(lit(0), size(vec) - 1),
+            i => planeComponent(p, i)),
+          (x, h) => x * h), lit(0.0d), _ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate near-neighbor pairs with cosine ≥ threshold.
+    * Pairs must collide on at least one of `tables` independent
+    * `planes`-bit signatures; collisions are verified exactly.
+    *
+    * @return (id_a, id_b, cosine) with id_a < id_b
+    */
+  def lshNearPairs(df: DataFrame, threshold: Double, planes: Int = 12,
+      tables: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val sigs = base.select(col("id"), col("v"),
+        posexplode(array((0 until tables).map(t =>
+          signatureLsh(transform(col("v"),
+            x => x * lit(1.0)), planes) + lit(t.toLong << 60)): _*)))
+      .select(col("id"), col("v"), col("col").as("bucket"))
+    sigs.as("x").join(sigs.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+    * `centroids` (a small broadcast table (centroid_id, vec)), so queries
+    * only scan `nprobe` inverted lists — the classic ANN scale path.
+    * @return input + `centroid_id` column
+    */
+  def ivfAssign(df: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col("centroid_id"),
+      col("vec").cast("array<double>").as("cv"))
+    val scored = df.crossJoin(broadcast(c))
+      .withColumn("__sim", cosine(col(vecCol).cast("array<double>"), col("cv")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc,
+      col("centroid_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__sim", "__rn", "cv")
+  }
+}

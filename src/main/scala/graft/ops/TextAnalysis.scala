@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All pure `Column` expressions over `functions._` — codegen'd, no UDFs,
+  * fully pushdown/prune-friendly, and each with an exact ANSI-SQL
+  * equivalent for oracle verification.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (split on runs of whitespace). */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(tokens(text)).cast("long"))
+
+  /** BPE-ish sub-word count: tokens are further split on letter/digit/other
+    * boundaries, approximating byte-pair segmentation without a vocab. */
+  def subwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L)).otherwise(
+      size(split(trim(text),
+        "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])")).cast("long"))
+
+  /** Punctuation character ratio (0 for empty text). */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, lit(0.0)).otherwise(
+      (len - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / len.cast("double"))
+  }
+
+  /** Language marker stopwords (tiny deterministic seed lists; heuristic
+    * n-gram/stopword language ID as in standard pipeline practice). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
+
+  /** How many tokens of `text` appear in `words`. */
+  def markerHits(text: Column, words: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(lower(text))),
+      array(words.map(lit): _*))).cast("long")
+
+  /** Distinct-marker-count language ID: the language with the most distinct
+    * marker words present wins; zero hits → 'und'. Deterministic tie-break:
+    * language name descending (struct-max semantics). */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(markerHits(text, ws).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Stopword ratio against the union of all marker lists. */
+  def stopwordRatio(text: Column): Column = {
+    val all = langMarkers.values.flatten.toSeq.distinct.sorted
+    val t = tokens(lower(text))
+    when(size(t) === 0, lit(0.0)).otherwise(
+      size(filter(t, x => array_contains(array(all.map(lit): _*), x)))
+        .cast("double") / size(t).cast("double"))
+  }
+
+  /** Quality score in [0,1]: length band + punctuation + stopword presence
+    * (the usual cheap heuristics composed; deterministic). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** Stable content fingerprint (md5 of normalized text) — exact-dup key. */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(trim(text)))
+
+  /** Polynomial rolling-hash fingerprint over tokens (base-31 Horner over
+    * the token stream mod 2^31−1, each token pre-hashed with xxhash64) —
+    * order-sensitive, unlike the md5 of sorted tokens. Modular arithmetic
+    * keeps every intermediate < 2^36, safe under ANSI overflow checking. */
+  def fingerprintRolling(text: Column): Column = {
+    val m = 2147483647L // 2^31 - 1
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(m)), lit(m)))
+  }
+
+  /** Greedy per-document stats frame. */
+  def documentStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("lang_guess", langId(t))
+      .withColumn("quality", qualityScore(t))
+  }
+}
