@@ -93,13 +93,19 @@ object TradeGraph {
       .select(col("a.n_nationkey").as("src"), col("b.n_nationkey").as("dst"))
   }
 
-  /** Registers `trade` for the session (idempotent) and returns a Graft
-    * facade bound to the sfDir resolver. */
-  def graft(spark: SparkSession, sfDir: String): Graft = {
-    val g = Graft(spark, resolver(sfDir))
-    g.registry.create(spark, graph, resolver(sfDir), orReplace = true)
-    g
-  }
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Graft]()
+
+  /** Registers `trade` for the session (memoized per (session, sfDir):
+    * schema validation reads every table's parquet footer, so doing it once
+    * per session instead of once per query saves ~2 s/query) and returns a
+    * Graft facade bound to the sfDir resolver. */
+  def graft(spark: SparkSession, sfDir: String): Graft =
+    memo.computeIfAbsent((spark, sfDir), { _ =>
+      val g = Graft(spark, resolver(sfDir))
+      g.registry.create(spark, graph, resolver(sfDir), orReplace = true)
+      g
+    })
 
   /** Matching SQL CTE texts for the derived views (same logic, ANSI SQL) —
     * prepended to oracle queries that need them. */

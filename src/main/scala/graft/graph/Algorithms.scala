@@ -45,7 +45,25 @@ object Algorithms {
       phantomNodes: Int = 2): DataFrame = {
     val v = vertices.select(col("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = v.count().toDouble + phantomNodes
+    val nReal = v.count()
+    // small graphs: run the exact same iteration on driver arrays (the
+    // reference's in-memory-kernel strategy, size-gated — see LocalKernels)
+    if (nReal <= PathFinder.localMaxSeeds * 16) {
+      val eCount = edges.count()
+      if (eCount <= PathFinder.localMaxEdges) {
+        val ids = v.collect().map(_.getLong(0))
+        val earr = edges.select(col("src").cast("long"),
+          col("dst").cast("long")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        v.unpersist()
+        val res = LocalKernels.pageRank(ids, earr, damping, tol, maxIter,
+          fixedIter, phantomNodes)
+        val sp = vertices.sparkSession
+        import sp.implicits._
+        return res.toSeq.toDF("id", "pagerank")
+      }
+    }
+    val n = nReal.toDouble + phantomNodes
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy(col("src").as("id"))
@@ -103,6 +121,21 @@ object Algorithms {
     */
   def weaklyConnectedComponents(vertices: DataFrame,
       edges: DataFrame): DataFrame = {
+    // small-graph strategy: union-find on driver arrays (size-gated)
+    val eCount = edges.count()
+    if (eCount <= PathFinder.localMaxEdges) {
+      val vCount = vertices.count()
+      if (vCount <= PathFinder.localMaxEdges) {
+        val ids = vertices.select(col("id").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        val earr = edges.select(col("src").cast("long"),
+          col("dst").cast("long")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val sp = vertices.sparkSession
+        import sp.implicits._
+        return LocalKernels.wcc(ids, earr).toSeq.toDF("id", "component")
+      }
+    }
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)

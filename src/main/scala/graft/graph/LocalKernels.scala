@@ -1,0 +1,187 @@
+package graft.graph
+
+import scala.collection.mutable
+
+/** Driver-local graph kernels for *small* graphs.
+  *
+  * The reference always runs its kernels over an in-memory CSR snapshot
+  * (`compressed_sparse_row.hpp:25-47`) — that is exactly the right call
+  * when the graph fits in one node's memory, and exactly wrong at 100 TB.
+  * We therefore pick the strategy by statistics: graphs under the
+  * size gates (see [[PathFinder.localGate]]) run on these array kernels
+  * (micro/small graphs cost milliseconds instead of one Spark job per BFS
+  * level), larger graphs take the distributed DataFrame loops. Both paths
+  * implement identical semantics; the gate only changes performance.
+  */
+private[graph] object LocalKernels {
+
+  type Adj = mutable.LongMap[mutable.ArrayBuffer[(Long, Long)]] // v -> (dst, eid)
+
+  def adjacency(edges: Array[(Long, Long, Long)]): Adj = {
+    val adj: Adj = mutable.LongMap.empty
+    edges.foreach { case (s, d, eid) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((d, eid))
+    }
+    adj
+  }
+
+  /** Multi-source BFS shortest lengths — mirrors
+    * [[PathFinder.bfsDistances]]. */
+  def bfsDistances(edges: Array[(Long, Long, Long)], seeds: Array[Long],
+      maxDepth: Long): Array[(Long, Long, Long)] = {
+    val adj = adjacency(edges)
+    val out = mutable.ArrayBuffer[(Long, Long, Long)]()
+    seeds.distinct.foreach { s =>
+      val dist = mutable.LongMap[Long](s -> 0L)
+      var frontier = List(s)
+      var d = 0L
+      while (frontier.nonEmpty && d < maxDepth) {
+        d += 1
+        val next = mutable.ArrayBuffer[Long]()
+        frontier.foreach { u =>
+          adj.getOrElse(u, Nil).foreach { case (v, _) =>
+            if (!dist.contains(v)) { dist(v) = d; next += v }
+          }
+        }
+        frontier = next.toList
+      }
+      dist.foreach { case (v, dd) => out += ((s, v, dd)) }
+    }
+    out.toArray
+  }
+
+  /** BFS with lexicographically-minimal interleaved `[v,e,v,…]` paths —
+    * mirrors [[PathFinder.shortestPaths]] (same tie-break: at each level
+    * the candidate path arrays are compared lexicographically). */
+  def shortestPaths(edges: Array[(Long, Long, Long)], seeds: Array[Long],
+      lower: Long, upper: Long): Array[(Long, Long, Long, Array[Long])] = {
+    val adj = adjacency(edges)
+    val out = mutable.ArrayBuffer[(Long, Long, Long, Array[Long])]()
+    val ord = Ordering.Implicits.seqOrdering[Seq, Long]
+    seeds.distinct.foreach { s =>
+      val best = mutable.LongMap[Array[Long]](s -> Array(s))
+      var frontier = List(s)
+      var d = 0L
+      while (frontier.nonEmpty && d < upper) {
+        d += 1
+        val cand = mutable.LongMap[Array[Long]]()
+        frontier.foreach { u =>
+          val base = best(u)
+          adj.getOrElse(u, Nil).foreach { case (v, eid) =>
+            if (!best.contains(v)) {
+              val p = base :+ eid :+ v
+              cand.get(v) match {
+                case Some(q) if ord.lteq(q.toSeq, p.toSeq) => ()
+                case _ => cand(v) = p
+              }
+            }
+          }
+        }
+        frontier = cand.keys.toList
+        cand.foreach { case (v, p) => best(v) = p }
+      }
+      best.foreach { case (v, p) =>
+        val dist = (p.length - 1L) / 2
+        if (dist >= lower) out += ((s, v, dist, p))
+      }
+    }
+    out.toArray
+  }
+
+  /** Bellman-Ford — mirrors [[PathFinder.cheapestPaths]]. */
+  def cheapestPaths(edges: Array[(Long, Long, Double)], seeds: Array[Long])
+      : Array[(Long, Long, Double)] = {
+    val out = mutable.ArrayBuffer[(Long, Long, Double)]()
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[(Long, Double)]]
+    edges.foreach { case (s, d, w) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((d, w))
+    }
+    seeds.distinct.foreach { s =>
+      val dist = mutable.LongMap[Double](s -> 0.0)
+      var changed = true
+      while (changed) {
+        changed = false
+        dist.toArray.foreach { case (u, du) =>
+          adj.getOrElse(u, Nil).foreach { case (v, w) =>
+            val nd = du + w
+            if (!dist.contains(v) || nd < dist(v)) { dist(v) = nd; changed = true }
+          }
+        }
+      }
+      dist.foreach { case (v, c) => out += ((s, v, c)) }
+    }
+    out.toArray
+  }
+
+  /** PageRank — mirrors [[Algorithms.pageRank]] incl. the phantom-node
+    * reference quirk and dangling redistribution. */
+  def pageRank(vertexIds: Array[Long], edges: Array[(Long, Long)],
+      damping: Double, tol: Double, maxIter: Int, fixedIter: Option[Int],
+      phantomNodes: Int): Array[(Long, Double)] = {
+    val ids = vertexIds.distinct
+    val idx = ids.zipWithIndex.toMap
+    val nReal = ids.length
+    val n = nReal + phantomNodes.toDouble
+    val outDeg = new Array[Long](nReal)
+    edges.foreach { case (s, _) => idx.get(s).foreach(outDeg(_) += 1) }
+    var rank = Array.fill(nReal)(1.0 / n)
+    var phantomRank = 1.0 / n
+    var iter = 0
+    var delta = Double.MaxValue
+    val iters = fixedIter.getOrElse(maxIter)
+    while (iter < iters && (fixedIter.isDefined || delta > tol)) {
+      iter += 1
+      var dangling = phantomNodes * phantomRank
+      var i = 0
+      while (i < nReal) { if (outDeg(i) == 0) dangling += rank(i); i += 1 }
+      val corr = dangling / n
+      val inflow = new Array[Double](nReal)
+      edges.foreach { case (s, d) =>
+        (idx.get(s), idx.get(d)) match {
+          case (Some(si), Some(di)) if outDeg(si) > 0 =>
+            inflow(di) += rank(si) / outDeg(si)
+          case _ => ()
+        }
+      }
+      val next = Array.tabulate(nReal)(j =>
+        (1.0 - damping) / n + damping * (inflow(j) + corr))
+      val phantomNext = (1.0 - damping) / n + damping * corr
+      delta = math.abs(phantomNext - phantomRank)
+      var j = 0
+      while (j < nReal) {
+        delta = math.max(delta, math.abs(next(j) - rank(j))); j += 1
+      }
+      rank = next
+      phantomRank = phantomNext
+    }
+    ids.zip(rank)
+  }
+
+  /** Union-find WCC with min-member component ids — mirrors
+    * [[Algorithms.weaklyConnectedComponents]]. */
+  def wcc(vertexIds: Array[Long], edges: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
+    val parent = mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    vertexIds.foreach(v => parent.getOrElseUpdate(v, v))
+    edges.foreach { case (s, d) => union(s, d) }
+    val minOf = mutable.LongMap[Long]()
+    val roots = vertexIds.map(v => v -> find(v))
+    roots.foreach { case (v, r) =>
+      minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), v)
+    }
+    roots.map { case (v, r) => (v, minOf(r)) }
+  }
+}

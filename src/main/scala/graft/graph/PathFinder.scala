@@ -27,6 +27,26 @@ import graft.pgq.{PathMode, PathPattern, SearchPrefix}
   */
 object PathFinder {
 
+  /** Strategy gate: graphs with at most this many edges AND seeds run on
+    * the driver-local array kernels ([[LocalKernels]]) — the analogue of
+    * the reference's in-memory CSR, correct only because it is size-gated.
+    * Bigger inputs always take the distributed DataFrame loops. */
+  val localMaxEdges: Long = 2000000L
+  val localMaxSeeds: Long = 4096L
+
+  private def collectEdges(edges: org.apache.spark.sql.DataFrame,
+      withEid: Boolean): Array[(Long, Long, Long)] =
+    if (withEid)
+      edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("eid").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    else
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), 0L))
+
+  private def collectSeeds(seeds: org.apache.spark.sql.DataFrame): Array[Long] =
+    seeds.select(col("id").cast("long")).collect().map(_.getLong(0))
+
   /** Same guard as reference `PGQCheckPathModeSupport` match.cpp:80-108 and
     * top-k/ALL SHORTEST NotImplemented (match.cpp:709-790). */
   def checkSupported(p: PathPattern): Unit = {
@@ -58,6 +78,19 @@ object PathFinder {
       maxDepth: Option[Long]): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // strategy choice by statistics: small graph + small seed set → local
+    val eCount = e.count()
+    if (eCount <= localMaxEdges) {
+      val seedArr = collectSeeds(seeds)
+      if (seedArr.length <= localMaxSeeds) {
+        val res = LocalKernels.bfsDistances(
+          collectEdges(e, withEid = false), seedArr,
+          maxDepth.getOrElse(Long.MaxValue))
+        e.unpersist()
+        import spark.implicits._
+        return res.toSeq.toDF("src", "dst", "dist")
+      }
+    }
     var seen = seeds.select(col("id").as("src"), col("id").as("dst"),
       lit(0L).as("dist")).distinct().localCheckpoint()
     var frontier = seen
@@ -98,6 +131,19 @@ object PathFinder {
         col("src") * lit(1L << 20) + col("dst"))
     val e = e0.select(col("src"), col("dst"), col("eid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val eCount = e.count()
+    if (eCount <= localMaxEdges) {
+      val seedArr = collectSeeds(seeds)
+      if (seedArr.length <= localMaxSeeds) {
+        val res = LocalKernels.shortestPaths(
+          collectEdges(e, withEid = true), seedArr, lower,
+          upper.getOrElse(Long.MaxValue))
+        e.unpersist()
+        import spark.implicits._
+        return res.toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
+          .toDF("src", "dst", "dist", "path")
+      }
+    }
 
     var seen = seeds.select(col("id").as("src"), col("id").as("dst"),
         lit(0L).as("dist"), array(col("id")).as("path"))
@@ -138,6 +184,19 @@ object PathFinder {
       seeds: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val eCount = e.count()
+    if (eCount <= localMaxEdges) {
+      val seedArr = collectSeeds(seeds)
+      if (seedArr.length <= localMaxSeeds) {
+        val earr = e.select(col("src").cast("long"), col("dst").cast("long"),
+          col("w").cast("double")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val res = LocalKernels.cheapestPaths(earr, seedArr)
+        e.unpersist()
+        import spark.implicits._
+        return res.toSeq.toDF("src", "dst", "cost")
+      }
+    }
     var dist = seeds.select(col("id").as("src"), col("id").as("dst"),
       lit(0.0).cast("double").as("cost")).distinct().localCheckpoint()
     var changed = true

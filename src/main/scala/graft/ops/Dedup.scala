@@ -49,13 +49,20 @@ object Dedup {
     * h_i(x) = (a_i * (xxhash64(x) mod p) + b_i) mod p with p = 2^31−1 —
     * deterministic and seedless; intermediates stay < 2^62 so the
     * expressions are safe under ANSI overflow checking. */
-  def minHashes(shingleArr: Column, numHashes: Int): Column = {
+  def minHashes(shingleArr: Column, numHashes: Int): Column =
+    minHashesFromHashed(
+      transform(shingleArr, s => pmod(xxhash64(s), lit(2147483647L))),
+      numHashes)
+
+  /** MinHash from pre-hashed shingles (hash each shingle once, then apply
+    * the `numHashes` cheap affine permutations). */
+  def minHashesFromHashed(hashedArr: Column, numHashes: Int): Column = {
     val p = 2147483647L // 2^31 - 1 (Mersenne prime)
     val hs = (0 until numHashes).map { i =>
       val a = 2L * i + 1
       val b = (1099511628211L * (i + 1)) % p
-      array_min(transform(shingleArr,
-        s => pmod(pmod(xxhash64(s), lit(p)) * lit(a) + lit(b), lit(p))))
+      array_min(transform(hashedArr,
+        h => pmod(h * lit(a) + lit(b), lit(p))))
     }
     array(hs: _*)
   }
@@ -74,21 +81,28 @@ object Dedup {
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", array_distinct(shingles(col("text"), shingleK)))
-      .withColumn("sig", minHashes(col("sh"), numHashes))
-    // explode into (bandIdx, bandHash) buckets; join within buckets
-    val banded = withSig.select(col("id"), col("sh"),
+      .withColumn("hv",
+        transform(col("sh"), s => pmod(xxhash64(s), lit(2147483647L))))
+      .withColumn("sig", minHashesFromHashed(col("hv"), numHashes))
+    // explode into (bandIdx, bandHash) buckets; join within buckets.
+    // Verification runs on the hashed shingle sets (long arrays): same
+    // Jaccard up to negligible 2^31 hash collisions, far cheaper than
+    // string-set intersection.
+    val banded = withSig.select(col("id"),
+        array_distinct(col("hv")).as("hv"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .select(col("id"), col("sh"), col("pos").as("band"),
+      .select(col("id"), col("hv"), col("pos").as("band"),
         col("col").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+        col("x.hv").as("hv_a"), col("y.hv").as("hv_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    cand.withColumn("jaccard", jaccard(col("hv_a"), col("hv_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -112,13 +126,30 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash signatures via explode + 64 codegen'd bit-count sums — one
+    * pass over the tokens instead of 64 interpreted array scans per row;
+    * shuffle is map-side combined. The fast path behind [[simHash]]. */
+  def simHashSignatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode_outer(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
+    val aggCols = count(col("h")).as("n") +: bitSums
+    val agg = toks.groupBy("id").agg(aggCols.head, aggCols.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("id"), sig.as("sig"))
+  }
+
   /** SimHash near-dup pairs: block on 4 × 16-bit bands (a pair within
     * Hamming distance ≤ maxDist ≤ 3 must agree on ≥1 band), verify by
     * exact Hamming distance. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"),
-      simHash(col(textCol)).as("sig"))
+    val withSig = simHashSignatures(df, idCol, textCol)
     val banded = withSig.select(col("id"), col("sig"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -136,15 +167,29 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
-  /** Exact all-pairs n-gram Jaccard ≥ threshold. O(n²) within a bounded
-    * id range — the *verification* path; LSH above is the scale path. */
+  /** Exact all-pairs n-gram Jaccard ≥ threshold, as an explode/equi-join:
+    * |A∩B| via a shingle-keyed self-join with map-side combine, |A∪B| from
+    * per-doc set sizes — the shape that scales (shuffle on shingle, then on
+    * pair) instead of a nested-loop pair join evaluating set intersections.
+    * Pairs with zero overlap never materialize (their Jaccard is 0 <
+    * threshold). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive")
     val base = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), k)).as("sh"))
-    base.as("x").join(base.as("y"), col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        round(jaccard(col("x.sh"), col("y.sh")), 6).as("jaccard"))
+        array_distinct(shingles(col(textCol), k)).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = base.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val inter = toks.as("x").join(toks.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"), first(col("x.sz")).as("sz_a"),
+        first(col("y.sz")).as("sz_b"))
+    inter.select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -25,6 +25,14 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Cosine with precomputed norms — bit-identical arithmetic to
+    * [[cosine]] (`dot / (normA * normB)`), but the norms are computed once
+    * per row instead of once per pair. */
+  def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val d = normA * normB
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
   /** Exact top-k cosine neighbors for each row of `queries` against
     * `corpus`. Join is broadcast when the query set is small; ranking is a
     * window per query id (map-side partial top-k via AQE).
@@ -34,11 +42,14 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        cosinePre(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -48,18 +59,27 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed hash → uniform in [-1, 1). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane) * lit(1000003L) + dim), lit(1000000L))
-      .cast("double") / lit(500000.0)) - lit(1.0)
+    * xxhash64 (seed 42, same as the SQL function) → uniform in [-1, 1).
+    * Evaluated eagerly driver-side so hyperplanes are plan constants —
+    * zero per-row hashing. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        plane.toLong * 1000003L + dim)), 42L).eval(null).asInstanceOf[Long]
+    val m = ((h % 1000000L) + 1000000L) % 1000000L
+    m.toDouble / 500000.0 - 1.0
+  }
 
-  /** Sign-bit LSH signature: `planes` random hyperplanes → one long. */
-  def signatureLsh(vec: Column, planes: Int): Column = {
+  /** Sign-bit LSH signature: `planes` constant hyperplanes (dim `dims`)
+    * → one long. `planeOffset` selects an independent plane family (one
+    * per LSH table). */
+  def signatureLsh(vec: Column, planes: Int, dims: Int = 64,
+      planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(zip_with(vec,
-          transform(sequence(lit(0), size(vec) - 1),
-            i => planeComponent(p, i)),
-          (x, h) => x * h), lit(0.0d), _ + _)
+      val plane = typedLit((0 until dims).map(d =>
+        planeComponent(planeOffset + p, d)))
+      val proj = aggregate(zip_with(vec, plane, (x, h) => x * h),
+        lit(0.0d), _ + _)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -78,15 +98,16 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     val sigs = base.select(col("id"), col("v"),
         posexplode(array((0 until tables).map(t =>
-          signatureLsh(transform(col("v"),
-            x => x * lit(1.0)), planes) + lit(t.toLong << 60)): _*)))
+          signatureLsh(col("v"), planes, planeOffset = t * planes) +
+            lit(t.toLong << 60)): _*)))
       .select(col("id"), col("v"), col("col").as("bucket"))
     sigs.as("x").join(sigs.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.v").as("va"), col("y.v").as("vb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        cosinePre(col("va"), col("vb"), norm(col("va")), norm(col("vb"))))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

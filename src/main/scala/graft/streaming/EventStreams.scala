@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference engine has no streaming surface (SURVEY §2.F) — this is
+  * part of the beyond-reference pipeline layer: the same windowed
+  * aggregations and sessionization the batch queries provide, expressed as
+  * incremental plans with watermark-bounded state, so the operators run
+  * unchanged over a Kafka/file stream at production scale.
+  */
+object EventStreams {
+
+  /** Events parquet schema with `ts` as raw nanosecond longs (Spark's
+    * reader rejects TIMESTAMP(NANOS); see SparkEntry.events). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based event stream from a directory of parquet drops. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type with a bounded-state
+    * watermark. Append-mode-compatible (emits finalized windows only). */
+  def hourlyAggregates(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window per-user activity (5 min windows every minute). */
+  def slidingUserActivity(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "5 minutes", "1 minute"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("win_ms"),
+        col("user_id"), col("n"))
+
+  /** Session windows (native session_window, 30-minute gap): the streaming
+    * analogue of SparkEntry.q30_sessionize. */
+  def sessionWindows(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), "30 minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n_events"), col("sum_value"))
+}
