@@ -288,8 +288,36 @@ object SparkEntry {
   }
 
   // =========================================================================
+  // DDL introspection (SURVEY §2.C/D/E)
+  // =========================================================================
+
+  private def q31_describe_pg(s: SparkSession, d: String): DataFrame =
+    graft.ddl.Introspect.describe(s, TradeGraph.graph)
+
+  private def q32_summarize_pg(s: SparkSession, d: String): DataFrame =
+    graft.ddl.Introspect.summarize(s, TradeGraph.graph,
+      TradeGraph.resolver(d))
+
+  private def q33_derive_vertex(s: SparkSession, d: String): DataFrame =
+    graft.ddl.Introspect.deriveVertexTable(
+      TradeGraph.nationNext(s, d), "src", "dst", "id")
+
+  /** CSR-introspection analogue (`get_csr_v`, reference pgq_scan.cpp:15-42):
+    * dense rowids + exclusive prefix-sum offsets of the ring graph. */
+  private def q34_csr_offsets(s: SparkSession, d: String): DataFrame = {
+    val snap = graft.graph.Snapshot.build(s, t(s, d, "nation"),
+      "n_nationkey", TradeGraph.nationNext(s, d), "src", "dst")
+    snap.vertices.join(snap.csrOffsets, Seq("rowid"))
+      .select(col("rowid"), col("vkey"), col("offset"))
+  }
+
+  // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_describe_pg" -> (q31_describe_pg _),
+    "q32_summarize_pg" -> (q32_summarize_pg _),
+    "q33_derive_vertex" -> (q33_derive_vertex _),
+    "q34_csr_offsets" -> (q34_csr_offsets _),
     "q1_agg" -> (q1_agg _),
     "q2_join_agg" -> (q2_join_agg _),
     "q3_window" -> (q3_window _),
@@ -327,7 +355,87 @@ object SparkEntry {
 
   import TradeGraph.{sqlNationAdj, sqlNationNear, sqlNationNext}
 
+  /** Oracle for q31 generated from the registered model (static metadata →
+    * a VALUES table). */
+  private def describeOracle: String = {
+    def s(v: String) = s"'$v'"
+    def opt(v: Option[String]) = v.map(s).getOrElse("NULL")
+    val vrows = TradeGraph.graph.vertexTables.map { v =>
+      Seq(s("trade"), s(v.tableName), s(v.label), "true", "NULL",
+        s(v.keyCols.mkString(",")), "NULL", "NULL", opt(v.discriminator),
+        if (v.subLabels.isEmpty) "NULL" else s(v.subLabels.mkString(",")),
+        s(if (v.properties.isEmpty) "*" else v.properties.mkString(",")))
+        .mkString("(", ", ", ")")
+    }
+    val erows = TradeGraph.graph.edgeTables.map { e =>
+      Seq(s("trade"), s(e.tableName), s(e.label), "false", s(e.srcLabel),
+        s(e.srcKeys.mkString(",")), s(e.dstLabel),
+        s(e.dstKeys.mkString(",")), "NULL", "NULL",
+        s(if (e.properties.isEmpty) "*" else e.properties.mkString(",")))
+        .mkString("(", ", ", ")")
+    }
+    s"""SELECT * FROM (VALUES ${(vrows ++ erows).mkString(",\n")})
+        AS t(property_graph, table_name, label, is_vertex_table,
+             source_label, source_key, destination_label, destination_key,
+             discriminator, sub_labels, properties)"""
+  }
+
+  /** Oracle for q32 generated from the model: per-table aggregate SELECTs
+    * UNION ALL'd, with the derived-view CTEs prepended. */
+  private def summarizeOracle: String = {
+    val pg = TradeGraph.graph
+    val vparts = pg.vertexTables.map { v =>
+      s"""SELECT 'trade' AS property_graph, '${v.label}' AS label,
+          'vertex' AS kind, count(*) AS n_rows,
+          CAST(NULL AS BIGINT) AS n_distinct_src,
+          CAST(NULL AS BIGINT) AS n_distinct_dst,
+          CAST(NULL AS DOUBLE) AS avg_out_degree,
+          CAST(NULL AS BIGINT) AS max_out_degree,
+          CAST(NULL AS BIGINT) AS n_isolated
+          FROM ${v.tableName}"""
+    }
+    val eparts = pg.edgeTables.map { e =>
+      val et = e.tableName
+      val src = e.srcKeys.head
+      val dst = e.dstKeys.head
+      val vt = pg.vertexLabel(e.srcLabel)
+      s"""SELECT 'trade' AS property_graph, '${e.label}' AS label,
+          'edge' AS kind,
+          (SELECT count(*) FROM $et) AS n_rows,
+          (SELECT count(DISTINCT $src) FROM $et) AS n_distinct_src,
+          (SELECT count(DISTINCT $dst) FROM $et) AS n_distinct_dst,
+          (SELECT round(avg(d), 4) FROM
+             (SELECT count(*) AS d FROM $et GROUP BY $src)) AS avg_out_degree,
+          (SELECT CAST(max(d) AS BIGINT) FROM
+             (SELECT count(*) AS d FROM $et GROUP BY $src)) AS max_out_degree,
+          (SELECT count(*) FROM ${vt.tableName} v WHERE NOT EXISTS
+             (SELECT 1 FROM $et WHERE $src = v.${vt.keyCols.head}
+                OR $dst = v.${vt.keyCols.head})) AS n_isolated"""
+    }
+    s"""WITH $sqlNationNext, $sqlNationAdj, $sqlNationNear
+        ${(vparts ++ eparts).mkString("\nUNION ALL\n")}"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q31_describe_pg" -> describeOracle,
+    "q32_summarize_pg" -> summarizeOracle,
+    "q33_derive_vertex" ->
+      s"""WITH $sqlNationNext
+         SELECT DISTINCT id FROM (
+           SELECT src AS id FROM nation_next
+           UNION ALL SELECT dst AS id FROM nation_next)""",
+    "q34_csr_offsets" ->
+      s"""WITH $sqlNationNext,
+         v AS (SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS rowid,
+                      CAST(n_nationkey AS BIGINT) AS vkey FROM nation),
+         deg AS (SELECT v.rowid, v.vkey, count(e.src) AS d
+                 FROM v LEFT JOIN nation_next e ON e.src = v.vkey
+                 GROUP BY v.rowid, v.vkey)
+         SELECT rowid, vkey,
+           CAST(coalesce(sum(d) OVER (ORDER BY rowid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS offset
+         FROM deg""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,

@@ -120,15 +120,15 @@ object PathFinder {
     * ANY-shortest tie-break: lexicographically smallest path (deterministic,
     * unlike the reference's arrival-order pick — documented divergence).
     *
-    * @param edges (src, dst[, eid]); if `eid` is absent a synthetic
-    *              deterministic id `src * 2^20 + dst` is used (multigraph
-    *              parallel edges then collapse — v1 limitation)
+    * @param edges (src, dst[, eid]); if `eid` is absent a deterministic
+    *              synthetic id `xxhash64(src, dst)` is used (overflow-safe
+    *              for arbitrary 64-bit vertex ids; multigraph parallel
+    *              edges collapse — v1 limitation)
     */
   def shortestPaths(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
       lower: Long, upper: Option[Long]): DataFrame = {
     val e0 = if (edges.columns.contains("eid")) edges
-      else edges.withColumn("eid",
-        col("src") * lit(1L << 20) + col("dst"))
+      else edges.withColumn("eid", xxhash64(col("src"), col("dst")))
     val e = e0.select(col("src"), col("dst"), col("eid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val eCount = e.count()

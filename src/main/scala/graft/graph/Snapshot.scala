@@ -1,0 +1,104 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.GraphAnalysisException
+
+/** Per-query graph snapshot — the Spark analogue of the reference's CSR
+  * (`src/include/duckpgq/core/utils/compressed_sparse_row.hpp:25-47`,
+  * built by `csr_creation.cpp`): dense vertex ids, an edge list in dense-id
+  * space, optional weights, plus the CSR-shaped introspection views the
+  * reference exposes as table functions (`get_csr_v/e/w`,
+  * `pgq_scan.cpp:15-153`).
+  *
+  * Unlike the reference's in-memory arrays, the snapshot is a pair of
+  * (cached) DataFrames — it scales to any size and the kernels choose
+  * local vs distributed execution by statistics ([[LocalKernels]]).
+  */
+final case class GraphSnapshot(
+    /** (rowid: long, vkey: long) — dense ids 0..V-1 ordered by key. */
+    vertices: DataFrame,
+    /** (src: long, dst: long, eid: long[, w]) in dense-id space. */
+    edges: DataFrame,
+    /** 0 = unweighted, 1 = integer, 2 = double —
+      * `csr_get_w_type.cpp:9-14`. */
+    weightType: Int) {
+  def unpersist(): Unit = { vertices.unpersist(); edges.unpersist() }
+
+  /** `get_csr_v` analogue: the CSR offsets array as (rowid, offset) —
+    * exclusive prefix sums of out-degrees in rowid order. */
+  def csrOffsets: DataFrame = {
+    val deg = vertices.join(edges, vertices("rowid") === edges("src"),
+        "left_outer")
+      .groupBy(vertices("rowid").as("rowid"))
+      .agg(sum(when(edges("src").isNotNull, 1L).otherwise(0L)).as("deg"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("rowid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    deg.select(col("rowid"),
+      coalesce(sum("deg").over(w), lit(0L)).as("offset"))
+  }
+
+  /** `get_csr_e` analogue: neighbor rowids ordered by (src, dst). */
+  def csrEdges: DataFrame =
+    edges.select(col("src"), col("dst")).orderBy("src", "dst")
+}
+
+object Snapshot {
+
+  /** Builds a snapshot from a vertex table and an edge table, with the
+    * reference's integrity check: every edge endpoint must match exactly
+    * one vertex — otherwise `Non-existent/non-unique vertices detected`
+    * (`csr_creation.cpp:121-125`,
+    * `test/sql/path_finding/non-unique-vertices.test:36-45`).
+    *
+    * Dense rowids are assigned by key order via a distributed sort +
+    * `zipWithIndex` (two passes, no single-partition window).
+    */
+  def build(spark: SparkSession, vdf: DataFrame, keyCol: String,
+      edf: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String] = None): GraphSnapshot = {
+    val keys = vdf.select(col(keyCol).cast("long").as("vkey"))
+    val rowids = spark.createDataFrame(
+      keys.sort("vkey").rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.getLong(0))
+      },
+      StructType(Seq(StructField("rowid", LongType, nullable = false),
+        StructField("vkey", LongType, nullable = true))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val weightType = weightCol.map { w =>
+      edf.schema(w).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => 2
+        case _ => 1
+      }
+    }.getOrElse(0)
+
+    val eCols = Seq(col(srcCol).cast("long").as("skey"),
+      col(dstCol).cast("long").as("dkey")) ++
+      weightCol.map(w => col(w).as("w"))
+    val e = edf.select(eCols: _*)
+    val eCount = e.count()
+    val joined = e
+      .join(rowids.select(col("vkey").as("skey"), col("rowid").as("src")),
+        Seq("skey"))
+      .join(rowids.select(col("vkey").as("dkey"), col("rowid").as("dst")),
+        Seq("dkey"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // reference semantics: a mismatch between resolved and raw edge counts
+    // means a dangling endpoint (no vertex) or a duplicated key (several)
+    if (joined.count() != eCount)
+      throw GraphAnalysisException(
+        "Non-existent/non-unique vertices detected. Make sure all " +
+          "vertices referred by edge tables exist and are unique")
+
+    val edges = joined.select(
+      Seq(col("src"), col("dst"),
+        xxhash64(col("src"), col("dst")).as("eid")) ++
+        weightCol.map(_ => col("w")): _*)
+    GraphSnapshot(rowids, edges, weightType)
+  }
+}

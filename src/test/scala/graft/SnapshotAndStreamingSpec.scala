@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.GraphAnalysisException
+import graft.graph.Snapshot
+import graft.streaming.EventStreams
+
+/** Snapshot integrity (fixture F3, reference
+  * `test/sql/path_finding/non-unique-vertices.test`) and Structured
+  * Streaming smoke (memory sink fed by the sf0.001 events parquet). */
+class SnapshotAndStreamingSpec extends AnyFunSuite {
+  import Fixture.{init, spark}
+
+  test("snapshot build: dense rowids + CSR offsets") {
+    val s = init()
+    import s.implicits._
+    val v = Seq(10L, 20L, 30L).toDF("id")
+    val e = Seq((10L, 20L), (10L, 30L), (20L, 30L)).toDF("src", "dst")
+    val snap = Snapshot.build(s, v, "id", e, "src", "dst")
+    val rows = snap.vertices.orderBy("rowid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((0L, 10L), (1L, 20L), (2L, 30L)))
+    val offs = snap.csrOffsets.orderBy("rowid").collect()
+      .map(_.getLong(1))
+    assert(offs.toSeq == Seq(0L, 2L, 3L)) // outdegs 2,1,0 → offsets 0,2,3
+    assert(snap.weightType == 0)
+  }
+
+  test("non-unique vertices detected — non-unique-vertices.test:36-45") {
+    val s = init()
+    import s.implicits._
+    // vertices ('a'),('b'),('b') with edge a->b (fixture F3)
+    val v = Seq(1L, 2L, 2L).toDF("id")
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val ex = intercept[GraphAnalysisException] {
+      Snapshot.build(s, v, "id", e, "src", "dst")
+    }
+    assert(ex.msg.contains("Non-existent/non-unique vertices detected"))
+  }
+
+  test("dangling edge endpoint detected") {
+    val s = init()
+    import s.implicits._
+    val v = Seq(1L, 2L).toDF("id")
+    val e = Seq((1L, 99L)).toDF("src", "dst")
+    val ex = intercept[GraphAnalysisException] {
+      Snapshot.build(s, v, "id", e, "src", "dst")
+    }
+    assert(ex.msg.contains("Non-existent/non-unique vertices detected"))
+  }
+
+  test("weighted snapshot reports weight type — csr_get_w_type.cpp:9-14") {
+    val s = init()
+    import s.implicits._
+    val v = Seq(1L, 2L).toDF("id")
+    val ei = Seq((1L, 2L, 5L)).toDF("src", "dst", "w")
+    assert(Snapshot.build(s, v, "id", ei, "src", "dst", Some("w"))
+      .weightType == 1)
+    val ed = Seq((1L, 2L, 5.0)).toDF("src", "dst", "w")
+    assert(Snapshot.build(s, v, "id", ed, "src", "dst", Some("w"))
+      .weightType == 2)
+  }
+
+  test("streaming hourly aggregates match the batch equivalent") {
+    val s = init()
+    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001")
+    // complete mode on a one-shot file stream processes everything; the
+    // watermark never closes windows in processAllAvailable, so use
+    // complete output to observe all windows
+    val q = EventStreams.hourlyAggregates(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("hourly_out")
+      val batch = SparkEntry.queries("q29_events_window")(
+        s, "/root/testdata/sf0.001")
+        .select(col("hour_ms"), col("event_type"), col("n"))
+      val a = got.select("hour_ms", "event_type", "n").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      val b = batch.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      assert(a.nonEmpty && a.toSeq == b.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming session windows produce bounded sessions") {
+    val s = init()
+    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001")
+    val q = EventStreams.sessionWindows(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("sessions_out")
+      // session count per user must equal the batch sessionization
+      val streamSessions = got.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val batch = SparkEntry.queries("q30_sessionize")(
+        s, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamSessions == batch)
+    } finally q.stop()
+  }
+}

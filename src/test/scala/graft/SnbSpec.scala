@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.TableResolver
+
+/** Integration replay of the reference's LDBC SNB SF0.003 suite
+  * (`test/sql/snb/snb.test` — DDL :12-53, queries + goldens :54-130)
+  * against the reference's own parquet fixtures. Skipped when the fixture
+  * directory is absent. */
+class SnbSpec extends AnyFunSuite {
+
+  private val dataDir = "/root/reference/data/SNB0.003"
+  private def available = new java.io.File(s"$dataDir/person.parquet").exists()
+
+  private lazy val g: Graft = {
+    val s = Fixture.init()
+    val g = Graft(s, TableResolver.parquetDir(dataDir))
+    g.sql("DROP PROPERTY GRAPH IF EXISTS snb")
+    // DDL text from snb.test:12-53 (table names lowercased to match the
+    // parquet file layout)
+    g.sql("""CREATE PROPERTY GRAPH snb
+      VERTEX TABLES (
+        person LABEL Person,
+        forum LABEL Forum,
+        organisation LABEL Organisation IN typemask (company, university),
+        place LABEL Place,
+        tag LABEL Tag,
+        tagclass LABEL TagClass,
+        country LABEL Country,
+        city LABEL City,
+        message LABEL Message
+      )
+      EDGE TABLES (
+        person_knows_person SOURCE KEY (Person1Id) REFERENCES person (id)
+          DESTINATION KEY (Person2Id) REFERENCES person (id) LABEL Knows,
+        forum_hasmember_person SOURCE KEY (ForumId) REFERENCES forum (id)
+          DESTINATION KEY (PersonId) REFERENCES person (id) LABEL hasMember,
+        person_hasinterest_tag SOURCE KEY (PersonId) REFERENCES person (id)
+          DESTINATION KEY (TagId) REFERENCES tag (id) LABEL hasInterest,
+        person_workat_organisation SOURCE KEY (PersonId) REFERENCES person (id)
+          DESTINATION KEY (OrganisationId) REFERENCES organisation (id)
+          LABEL workAt_Organisation,
+        message_hasauthor_person SOURCE KEY (messageId) REFERENCES message (id)
+          DESTINATION KEY (PersonId) REFERENCES person (id) LABEL hasAuthor,
+        message_replyof_message SOURCE KEY (messageId) REFERENCES message (id)
+          DESTINATION KEY (ParentMessageId) REFERENCES message (id) LABEL replyOf
+      )""")
+    g
+  }
+
+  test("SNB sub-label inheritance: workAt → University — snb.test:55-66") {
+    assume(available)
+    val df = g.graphTable(
+      """snb MATCH (p:Person)-[w:workAt_Organisation]->(u:University)
+         COLUMNS (p.id AS p_id, u.id AS u_id, u.type AS u_type)""")
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2.toLong)).take(10).toSeq
+    val expect = Seq(
+      (14L, 4593, "University"), (16L, 5809, "University"),
+      (32L, 5047, "University"), (2199023255557L, 1953, "University"),
+      (2199023255573L, 5263, "University"), (2199023255594L, 1597, "University"),
+      (4398046511139L, 4929, "University"), (6597069766702L, 5038, "University"),
+      (8796093022234L, 3008, "University"), (8796093022244L, 3008, "University"))
+    assert(got == expect)
+  }
+
+  test("SNB IS1: single-vertex lookup — snb.test:117-126") {
+    assume(available)
+    val df = g.graphTable(
+      """snb MATCH (a:person WHERE a.id = 17592186044461)
+         COLUMNS (a.firstName AS firstName, a.lastName AS lastName,
+                  a.gender AS gender, a.LocationCityId AS cityId)""")
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "Ali" && r.getString(1) == "Abouba" &&
+      r.getString(2) == "male" && r.getInt(3) == 1264)
+  }
+
+  test("SNB IC13: 2-hop ANY SHORTEST between fixed persons — snb.test:105-114") {
+    assume(available)
+    val df = g.graphTable(
+      """snb MATCH p = ANY SHORTEST (a:Person WHERE a.id = 17592186044461)
+           -[k:Knows]->*(b:Person WHERE b.id = 35184372088856)
+         COLUMNS (path_length(p) AS len, a.id AS a_id, b.id AS b_id)""")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((2L, 17592186044461L, 35184372088856L)))
+  }
+
+  test("SNB IC2-lite: friends' messages before a date — snb.test:76-80 shape") {
+    assume(available)
+    val df = g.graphTable(
+      """snb MATCH (a:Person WHERE a.id = 17592186044461)-[k:Knows]-(b:Person)
+           <-[au:hasAuthor]-(m:Message WHERE m.creationDate < '2010-10-16')
+         COLUMNS (m.id AS messageId,
+                  coalesce(m.imageFile, m.content) AS content,
+                  m.creationDate AS creationDate)""")
+    val top = df.orderBy(org.apache.spark.sql.functions.col("creationDate").desc,
+        org.apache.spark.sql.functions.col("messageId").asc)
+      .limit(3).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(top.toSeq == Seq(
+      (274877907945L, "photo274877907945.jpg"),
+      (274877907944L, "photo274877907944.jpg"),
+      (274877907943L, "photo274877907943.jpg")))
+  }
+}
