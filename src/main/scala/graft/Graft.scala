@@ -38,6 +38,72 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
   def graphTable(text: String): DataFrame =
     compile(PgqParser.graphTable(text))
 
+  private val gtCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Runs a full SQL query that may contain `GRAPH_TABLE(…)` table
+    * references anywhere in its FROM trees — WITH/CTEs, nested subqueries,
+    * joins (reference entry point 1: the parser override that scans FROM
+    * trees recursively, `duckpgq_parser.cpp:132-221`; tests
+    * `with_clause.test`, `nested_subquery.test`, `unnamed_subquery.test`).
+    *
+    * Each GRAPH_TABLE span is compiled to a DataFrame, registered as a
+    * temp view, and substituted; the rewritten query then runs through
+    * Spark SQL unchanged — the same SQL-to-SQL strategy as the reference.
+    */
+  def sqlGraph(query: String): DataFrame = {
+    val pat = java.util.regex.Pattern.compile(
+      "(?i)GRAPH_TABLE\\s*\\(|GRAPH\\s+TABLE\\s*\\(")
+    val sb = new StringBuilder(query)
+    var m = pat.matcher(sb)
+    while (m.find()) {
+      val open = m.end() - 1 // both pattern alternatives end with '('
+      val close = matchParen(sb, open)
+      val inner = sb.substring(open + 1, close)
+      val name = s"__graft_gt_${gtCounter.incrementAndGet()}"
+      graphTable(inner).createOrReplaceTempView(name)
+      sb.replace(m.start(), close + 1, name)
+      m = pat.matcher(sb)
+    }
+    spark.sql(sb.toString)
+  }
+
+  /** Index of the ')' balancing the '(' at `open` (quote-aware). */
+  private def matchParen(s: CharSequence, open: Int): Int = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    throw GraphAnalysisException("Unbalanced parentheses in GRAPH_TABLE")
+  }
+
+  /** `COPY (GRAPH_TABLE …) TO 'path'` analogue
+    * (reference `duckpgq_parser.cpp:255-260`, `copy_to_duckpgq.test`). */
+  def copyTo(text: String, path: String, format: String = "csv"): Unit = {
+    val df = graphTable(text)
+    format.toLowerCase match {
+      case "csv" => df.write.mode("overwrite")
+        .option("header", "true").csv(path)
+      case "parquet" => df.write.mode("overwrite").parquet(path)
+      case "json" => df.write.mode("overwrite").json(path)
+      case other => throw GraphAnalysisException(
+        s"Unsupported COPY format '$other'")
+    }
+  }
+
+  /** `EXPLAIN GRAPH_TABLE …` analogue (reference `explain_duckpgq.test`):
+    * the compiled plan, formatted. */
+  def explain(text: String): String =
+    graphTable(text).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   def compile(spec: MatchSpec): DataFrame =
     GraphTableCompiler.compile(spark, spec, registry.get(spec.graphName),
       resolver)

@@ -301,6 +301,10 @@ final class PgqParser(input: String) {
           } else Quantifier(lo.getOrElse(err("bad quantifier")),
             Some(lo.get)) // {n} = exactly n
           ws(); expect("}")
+          // reference: Constraint Error (kleene_star.test:50-56)
+          if (q.upper.exists(_ < q.lower))
+            throw GraphAnalysisException(
+              "Lower bound greater than upper bound")
           Some(q)
         case _ => None
       } else None
@@ -369,15 +373,16 @@ final class PgqParser(input: String) {
     } else (PropsMode.All, Nil)
   }
 
+  /** `[LABEL l] [IN disc (sub, …)]` — the discriminator clause may appear
+    * without an explicit LABEL (`Organisation IN typemask(company,
+    * university)`, reference with_clause.test:19). */
   private def parseLabel(): (Option[String], Option[String], Seq[String]) = {
-    if (accept("LABEL")) {
-      val l = ident()
-      if (accept("IN")) {
-        val disc = ident()
-        val subs = identList()
-        (Some(l), Some(disc), subs)
-      } else (Some(l), None, Nil)
-    } else (None, None, Nil)
+    val l = if (accept("LABEL")) Some(ident()) else None
+    if (accept("IN")) {
+      val disc = ident()
+      val subs = identList()
+      (l, Some(disc), subs)
+    } else (l, None, Nil)
   }
 
   private def parseVertexTable(): VertexTableSpec = {

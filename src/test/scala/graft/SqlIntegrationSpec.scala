@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{GraphAnalysisException, TableResolver}
+import graft.pgq.PgqParser
+
+/** GRAPH_TABLE embedded in full SQL (reference `with_clause.test`,
+  * `nested_subquery.test`, `copy_to_duckpgq.test`, `explain_duckpgq.test`)
+  * + parser error guards (kleene_star.test error matrix). */
+class SqlIntegrationSpec extends AnyFunSuite {
+
+  private def mkGraft: Graft = {
+    val s = Fixture.init()
+    val g = Graft(s, TableResolver.catalog)
+    g.registry.create(s, Fixture.pg, TableResolver.catalog, orReplace = true)
+    g
+  }
+
+  test("GRAPH_TABLE inside WITH clause — with_clause.test") {
+    val df = mkGraft.sqlGraph(
+      """WITH friends AS (
+           SELECT * FROM GRAPH_TABLE (pg
+             MATCH (a:Person)-[k:Knows]->(b:Person)
+             COLUMNS (a.name AS a_name, b.name AS b_name)) tmp
+         )
+         SELECT a_name, count(*) AS n FROM friends GROUP BY a_name
+         ORDER BY n DESC, a_name""")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.head == ("Daniel", 3L))
+    assert(rows.length == 5)
+  }
+
+  test("GRAPH_TABLE in nested subquery + join — nested_subquery.test") {
+    val df = mkGraft.sqlGraph(
+      """SELECT s.a_name, x.cnt FROM
+           (SELECT a_name, b_name FROM GRAPH_TABLE (pg
+              MATCH (a:Person)-[k:Knows]->(b:Person)
+              COLUMNS (a.name AS a_name, b.name AS b_name))) s
+         JOIN (SELECT count(*) AS cnt FROM GRAPH_TABLE (pg
+              MATCH (x:Person)-[k2:Knows]->(y:Person)
+              COLUMNS (x.id AS xid))) x ON 1=1
+         WHERE s.a_name = 'Daniel'""")
+    val rows = df.collect()
+    assert(rows.length == 3 && rows.forall(_.getLong(1) == 8L))
+  }
+
+  test("COPY TO csv — copy_to_duckpgq.test") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    mkGraft.copyTo(
+      """pg MATCH (a:Person)-[k:Knows]->(b:Person)
+         COLUMNS (a.name AS a_name, b.name AS b_name)""", s"$dir/out")
+    val back = Fixture.spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.count() == 8)
+  }
+
+  test("EXPLAIN shows a join plan, no cartesian product — explain_duckpgq.test") {
+    val plan = mkGraft.explain(
+      """pg MATCH (a:Person)-[k:Knows]->(b:Person)
+         COLUMNS (a.name AS a_name, b.name AS b_name)""")
+    assert(plan.contains("Join") || plan.contains("HashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("quantifier lower > upper raises — kleene_star.test:50-56") {
+    val e = intercept[GraphAnalysisException] {
+      PgqParser.graphTable(
+        "pg MATCH p = ANY SHORTEST (a:P)-[e:K]->{3,1}(b:P) COLUMNS (a.id)")
+    }
+    assert(e.msg.contains("Lower bound greater than upper bound"))
+  }
+
+  test("DDL: label-less tables + IN discriminator without LABEL — with_clause.test:12-20") {
+    val spec = PgqParser.statement(
+      """CREATE PROPERTY GRAPH snb2
+         VERTEX TABLES (
+           person,
+           organisation IN typemask (company, university)
+         )
+         EDGE TABLES (
+           know SOURCE KEY (src) REFERENCES person (id)
+                DESTINATION KEY (dst) REFERENCES person (id) LABEL Knows
+         )""").asInstanceOf[graft.pgq.CreatePropertyGraphSpec]
+    assert(spec.vertexTables(0).effectiveLabel == "person")
+    assert(spec.vertexTables(1).discriminator.contains("typemask"))
+    assert(spec.vertexTables(1).subLabels == Seq("company", "university"))
+  }
+}

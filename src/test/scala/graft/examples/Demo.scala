@@ -74,6 +74,12 @@ object Demo {
         COLUMNS (s.s_name AS supplier, n.n_name AS nation))""")
       .show(5, truncate = false)
 
+    // GRAPH_TABLE embedded inside ordinary Spark SQL
+    g.sqlGraph("""SELECT nation, count(*) AS suppliers FROM GRAPH_TABLE (trade2
+        MATCH (s:Supplier)-[e:InNation2]->(n:Nation2)
+        COLUMNS (n.n_name AS nation)) t
+      GROUP BY nation ORDER BY suppliers DESC LIMIT 3""").show()
+
     // probe: bad label should raise with suggestion
     try {
       GraphTableCompiler.compile(spark, MatchSpec("trade",
