@@ -143,17 +143,27 @@ object Algorithms {
       .withColumn("component", col("id")).localCheckpoint()
     var changed = true
     while (changed) {
+      // neighbor-min propagation (one hop)...
       val nbrMin = comp.join(und, comp("id") === und("src"))
         .select(und("dst").as("id"), col("component"))
         .groupBy("id").agg(min("component").as("nbc"))
-      val next = comp.join(nbrMin, Seq("id"), "left_outer")
+      val step1 = comp.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("nbc"), col("component")))
-            .as("component"),
-          col("component").as("prev"))
+            .as("component"))
+      // ...then pointer jumping (component := component's component):
+      // labels chase the min in O(log diameter) rounds instead of O(diameter)
+      val ptr = step1.select(col("id").as("pid"), col("component").as("pc"))
+      val next = step1.join(ptr, step1("component") === ptr("pid"),
+          "left_outer")
+        .select(step1("id"),
+          least(step1("component"), coalesce(col("pc"), step1("component")))
+            .as("component"))
         .localCheckpoint()
-      changed = !next.filter(col("component") < col("prev")).isEmpty
-      comp = next.drop("prev")
+      val prev = comp.select(col("id"), col("component").as("prevc"))
+      changed = !next.join(prev, Seq("id"))
+        .filter(col("component") < col("prevc")).isEmpty
+      comp = next
     }
     und.unpersist()
     comp

@@ -30,9 +30,10 @@ object PathFinder {
   /** Strategy gate: graphs with at most this many edges AND seeds run on
     * the driver-local array kernels ([[LocalKernels]]) — the analogue of
     * the reference's in-memory CSR, correct only because it is size-gated.
-    * Bigger inputs always take the distributed DataFrame loops. */
-  val localMaxEdges: Long = 2000000L
-  val localMaxSeeds: Long = 4096L
+    * Bigger inputs always take the distributed DataFrame loops.
+    * Mutable so tests can force the distributed path on small fixtures. */
+  @volatile var localMaxEdges: Long = 2000000L
+  @volatile var localMaxSeeds: Long = 4096L
 
   private def collectEdges(edges: org.apache.spark.sql.DataFrame,
       withEid: Boolean): Array[(Long, Long, Long)] =

@@ -74,9 +74,14 @@ object Dedup {
     * @param bands LSH bands (rows per band = numHashes / bands)
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
     */
+  /** @param maxBucketSize skew guard: LSH buckets larger than this are
+    *   dropped before the candidate join (a bucket of size b creates b²/2
+    *   candidates; at corpus scale one hot bucket would dominate the whole
+    *   job). Standard large-scale LSH practice — documents in an
+    *   over-full bucket are still paired through their other bands. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 20000): DataFrame = {
     val rows = numHashes / bands
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
@@ -95,7 +100,14 @@ object Dedup {
       .select(col("id"), col("hv"), col("pos").as("band"),
         col("col").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = banded.as("x").join(banded.as("y"),
+    val keepBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
+      .select("band", "bucket")
+    // plain equi-join on (band,bucket): AQE picks broadcast when the kept
+    // bucket list is small; the filter removes singleton and hot buckets
+    val bandedKept = banded.join(keepBuckets, Seq("band", "bucket"))
+    val cand = bandedKept.as("x").join(bandedKept.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
         col("x.id") < col("y.id"))
@@ -148,13 +160,19 @@ object Dedup {
     * Hamming distance ≤ maxDist ≤ 3 must agree on ≥1 band), verify by
     * exact Hamming distance. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = 20000): DataFrame = {
     val withSig = simHashSignatures(df, idCol, textCol)
-    val banded = withSig.select(col("id"), col("sig"),
+    val banded0 = withSig.select(col("id"), col("sig"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .select(col("id"), col("sig"), col("pos").as("band"),
         col("col").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = banded0.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
+      .select("band", "bucket")
+    val banded = banded0.join(keep, Seq("band", "bucket"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&

@@ -93,14 +93,20 @@ object Similarity {
     */
   def lshNearPairs(df: DataFrame, threshold: Double, planes: Int = 12,
       tables: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", maxBucketSize: Int = 20000): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val sigs = base.select(col("id"), col("v"),
+    val sigs0 = base.select(col("id"), col("v"),
         posexplode(array((0 until tables).map(t =>
           signatureLsh(col("v"), planes, planeOffset = t * planes) +
             lit(t.toLong << 60)): _*)))
       .select(col("id"), col("v"), col("col").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // skew guard: drop singleton and over-full buckets (see Dedup)
+    val keep = sigs0.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
+      .select("bucket")
+    val sigs = sigs0.join(keep, Seq("bucket"))
     sigs.as("x").join(sigs.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{Algorithms, PathFinder}
+import graft.model.TableResolver
+
+/** Forces the distributed DataFrame kernel paths (gates → 0) and replays
+  * the same reference goldens the local kernels pass — both strategies
+  * must be semantically identical. */
+class DistributedKernelsSpec extends AnyFunSuite {
+  import Fixture._
+
+  private def withDistributed[T](body: => T): T = {
+    val (e, s) = (PathFinder.localMaxEdges, PathFinder.localMaxSeeds)
+    PathFinder.localMaxEdges = 0
+    PathFinder.localMaxSeeds = 0
+    try body finally {
+      PathFinder.localMaxEdges = e
+      PathFinder.localMaxSeeds = s
+    }
+  }
+
+  test("distributed BFS distances match goldens — shortest_path.test:61-82") {
+    withDistributed {
+      val s = init()
+      import s.implicits._
+      val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (3L, 0L), (1L, 2L),
+        (1L, 3L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+      val seeds = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+      val got = PathFinder.bfsDistances(s, edges, seeds, Some(3L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(t => t._3 >= 1).toSet
+      // spot-check the reference's 16 golden (src,dst,dist) pairs
+      assert(got.contains((4L, 0L, 2L)) && got.contains((4L, 2L, 3L)) &&
+        got.contains((0L, 3L, 1L)) && got.contains((2L, 1L, 3L)))
+      assert(got.size == 16)
+    }
+  }
+
+  test("distributed shortest paths: endpoints + lengths consistent") {
+    withDistributed {
+      val s = init()
+      import s.implicits._
+      val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (3L, 0L), (1L, 2L),
+        (1L, 3L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+      val seeds = Seq(0L, 4L).toDF("id")
+      val got = PathFinder.shortestPaths(s, edges, seeds, 1L, Some(3L))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3)))
+      got.foreach { case (src, dst, dist, path) =>
+        assert(path.head == src && path.last == dst)
+        assert(path.length == 2 * dist + 1)
+      }
+      assert(got.count(_._1 == 0L) == 3)
+      assert(got.count(_._1 == 4L) == 4) // 4→3(1), →0(2), →1(3), →2(3)
+    }
+  }
+
+  test("distributed pagerank matches reference goldens") {
+    withDistributed {
+      val s = init()
+      import s.implicits._
+      val v = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+      val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (3L, 0L), (1L, 2L),
+        (1L, 3L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+      val got = Algorithms.pageRank(v, e).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expect = Map(0L -> 0.30722555839452875, 1L -> 0.11534940106637968,
+        2L -> 0.16437299553018173, 3L -> 0.32814638463154105,
+        4L -> 0.028301886792456276)
+      expect.foreach { case (k, vv) =>
+        assert(math.abs(got(k) - vv) < 1e-5, s"node $k: ${got(k)}")
+      }
+    }
+  }
+
+  test("distributed WCC (pointer jumping) matches min-id components") {
+    withDistributed {
+      val s = init()
+      import s.implicits._
+      // two chains + an isolated vertex: 0-1-2-3, 10-11, 20
+      val v = Seq(0L, 1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+      val e = Seq((1L, 0L), (2L, 1L), (3L, 2L), (11L, 10L)).toDF("src", "dst")
+      val got = Algorithms.weaklyConnectedComponents(v, e).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L))
+    }
+  }
+
+  test("distributed cheapest paths (Bellman-Ford)") {
+    withDistributed {
+      val s = init()
+      import s.implicits._
+      // 1→2 (w10), 2→3 (w1), 1→3 (w20): cheapest 1→3 is 11 via 2
+      val e = Seq((1L, 2L, 10.0), (2L, 3L, 1.0), (1L, 3L, 20.0))
+        .toDF("src", "dst", "w")
+      val seeds = Seq(1L).toDF("id")
+      val got = PathFinder.cheapestPaths(s, e, seeds).collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == Map(1L -> 0.0, 2L -> 10.0, 3L -> 11.0))
+    }
+  }
+}
