@@ -247,6 +247,42 @@ object GraphTableCompiler {
     }
 
     spec.patterns.foreach(processPattern)
+
+    // Column-binding validation (reference `CheckColumnBinding`
+    // match.cpp:925-967): any `binding.prop` reference in WHERE/COLUMNS
+    // must be a registered property of that binding's table.
+    def checkRefs(sql: String): Unit = {
+      val e = try spark.sessionState.sqlParser.parseExpression(
+          rewritePathFunctions(sql, pathCols.toMap))
+        catch { case _: Exception => return }
+      e.foreach {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if ua.nameParts.length == 2 =>
+          val (alias, prop) = (ua.nameParts.head, ua.nameParts(1))
+          bindings.get(alias).foreach { b =>
+            val registered: Option[Seq[String]] =
+              if (b.isVertex)
+                pg.vertexTables.find(_.tableName == b.table)
+                  .map(v => if (v.properties.isEmpty) Nil
+                    else v.properties ++ v.keyCols ++ v.discriminator)
+              else
+                pg.edgeTables.find(_.tableName == b.table)
+                  .map(e => if (e.properties.isEmpty) Nil
+                    else e.properties ++ e.srcKeys ++ e.dstKeys)
+            registered match {
+              case Some(props) if props.nonEmpty &&
+                  !props.exists(_.equalsIgnoreCase(prop)) =>
+                throw GraphAnalysisException(
+                  s"Property $prop is never registered!")
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    spec.where.foreach(checkRefs)
+    spec.columns.foreach(c => if (!c.expr.trim.endsWith("*")) checkRefs(c.expr))
+
     spec.where.foreach(w => plan = plan.filter(expr(w)))
 
     // COLUMNS projection (reference match.cpp:1011-1087): star expansion,

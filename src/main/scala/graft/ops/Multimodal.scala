@@ -75,4 +75,41 @@ object Multimodal {
         packMedia(payload, lit("raw"), lit(64), lit(48), lit(0L)).as("media"))
       .select(col(idCol), col("media"),
         decodeStub(col("media").getField("content")).as("features"))
+
+  /** Decoded-media feature row (what a real image/audio decoder would
+    * emit per payload). */
+  final case class DecodedFeatures(id: Long, byteLen: Long, width: Int,
+      height: Int, meanByte: Double)
+
+  /** The executor-side decode pipeline: `mapPartitions` over (id, blob)
+    * rows, decoding each payload with the supplied codec inside the
+    * partition iterator — the Scala analogue of a pandas/Arrow batch UDF.
+    * The codec runs once per row on the executor; blobs never travel to
+    * the driver. Swap [[stubCodec]] for a real libjpeg/ffmpeg binding in
+    * production — the plumbing (schema, encoder, partition batching) is
+    * identical. */
+  def decodePartitions(df: DataFrame, idCol: String, blobCol: String)(
+      codec: Array[Byte] => (Int, Int, Double))
+      : org.apache.spark.sql.Dataset[DecodedFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val bytes = if (blob == null) Array.emptyByteArray else blob
+        val (w, h, mean) = codec(bytes)
+        DecodedFeatures(id, bytes.length.toLong, w, h, mean)
+      })
+  }
+
+  /** STUB codec: deterministic pseudo-decode (dimensions and mean byte
+    * derived from the payload). A real implementation would parse the
+    * codec bytestream here — marked clearly as the single swap point. */
+  val stubCodec: Array[Byte] => (Int, Int, Double) = { bytes =>
+    val w = bytes.length % 100 + 20
+    val h = bytes.length % 80 + 20
+    val mean = if (bytes.isEmpty) 0.0
+      else bytes.map(b => (b & 0xFF).toDouble).sum / bytes.length
+    (w, h, mean)
+  }
 }

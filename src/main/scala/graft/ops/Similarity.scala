@@ -118,6 +118,60 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Deterministic coarse centroids for IVF: vectors are hashed into `k`
+    * groups and averaged per dimension (a seedless k-means initialization;
+    * one shuffle on (group, dim)). Returns (centroid_id, vec). */
+  def coarseCentroids(df: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(pmod(col(idCol), lit(k)).as("centroid_id"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg("col").as("v"))
+      .groupBy("centroid_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("vec"))
+
+  /** IVF approximate top-k: corpus rows are bucketed by nearest centroid;
+    * each query scans only its `nprobe` closest inverted lists — the
+    * classic ANN structure, expressed as two joins (assignment is a
+    * broadcast of the centroid table; search shuffles on centroid_id).
+    * @return (query_id, neighbor_id, rank, cosine)
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = coarseCentroids(corpus, numCentroids, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = ivfAssign(corpus, cents.select(col("centroid_id"),
+      col("vec")), idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"), col("centroid_id"))
+      .withColumn("cn", norm(col("cv")))
+    // probe lists: nprobe nearest centroids per query
+    val c = cents.select(col("centroid_id"), col("vec").as("cvv"))
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(c))
+      .withColumn("__sim", cosine(col("qv"), col("cvv")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__sim").desc,
+          col("centroid_id").asc)))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = assigned.join(probes, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosinePre(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (a small broadcast table (centroid_id, vec)), so queries
     * only scan `nprobe` inverted lists — the classic ANN scale path.

@@ -267,6 +267,17 @@ class StudentFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("unregistered property raises — match.cpp:925-967") {
+    val e = intercept[GraphAnalysisException] {
+      matchDF(MatchSpec("pg", Seq(PathPattern(None, None, PathMode.Walk,
+        Seq(VertexPattern(Some("a"), Some("Person")),
+          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right),
+          VertexPattern(Some("b"), Some("Person"))))),
+        columns = Seq(ColumnSpec("a.age", Some("age")))))
+    }
+    assert(e.msg.contains("Property age is never registered!"))
+  }
+
   test("label suggestion errors — create_property_graph_info.hpp:146-212") {
     val e = intercept[GraphAnalysisException] {
       matchDF(MatchSpec("pg", Seq(PathPattern(None, None, PathMode.Walk,
