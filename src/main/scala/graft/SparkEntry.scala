@@ -288,6 +288,24 @@ object SparkEntry {
   }
 
   // =========================================================================
+  // Large derived graph (events → user-interaction graph)
+  // =========================================================================
+
+  /** Batched BFS over the skewed user graph: distances ≤ 2 from 50 seeds —
+    * the kernels' bench anchor on a non-toy graph. */
+  private def q35_user_bfs(s: SparkSession, d: String): DataFrame = {
+    val seeds = TradeGraph.events(s, d).select(col("user_id").as("id"))
+      .filter(col("id") < 50).distinct()
+    PathFinder.bfsDistances(s, TradeGraph.userEdges(s, d), seeds, Some(2L))
+  }
+
+  private def q36_user_wcc(s: SparkSession, d: String): DataFrame = {
+    val users = TradeGraph.events(s, d).select(col("user_id").as("id"))
+      .distinct()
+    Algorithms.weaklyConnectedComponents(users, TradeGraph.userEdges(s, d))
+  }
+
+  // =========================================================================
   // DDL introspection (SURVEY §2.C/D/E)
   // =========================================================================
 
@@ -314,6 +332,8 @@ object SparkEntry {
   // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_user_bfs" -> (q35_user_bfs _),
+    "q36_user_wcc" -> (q36_user_wcc _),
     "q31_describe_pg" -> (q31_describe_pg _),
     "q32_summarize_pg" -> (q32_summarize_pg _),
     "q33_derive_vertex" -> (q33_derive_vertex _),
@@ -417,6 +437,26 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q35_user_bfs" ->
+      s"""WITH RECURSIVE ${TradeGraph.sqlUserEdges},
+         b(src, dst, dist) AS (
+           SELECT DISTINCT user_id, user_id, 0 FROM events WHERE user_id < 50
+           UNION
+           SELECT b.src, e.dst, b.dist + 1
+           FROM b JOIN user_edges e ON b.dst = e.src WHERE b.dist < 2)
+         SELECT src, dst, CAST(min(dist) AS BIGINT) AS dist
+         FROM b GROUP BY src, dst""",
+    "q36_user_wcc" ->
+      s"""WITH RECURSIVE ${TradeGraph.sqlUserEdges},
+         und(src, dst) AS (
+           SELECT src, dst FROM user_edges
+           UNION SELECT dst, src FROM user_edges),
+         r(a, b) AS (
+           SELECT DISTINCT user_id, user_id FROM events
+           UNION
+           SELECT r.a, und.dst FROM r JOIN und ON r.b = und.src)
+         SELECT a AS id, CAST(min(b) AS BIGINT) AS component
+         FROM r GROUP BY a""",
     "q31_describe_pg" -> describeOracle,
     "q32_summarize_pg" -> summarizeOracle,
     "q33_derive_vertex" ->

@@ -93,6 +93,36 @@ object TradeGraph {
       .select(col("a.n_nationkey").as("src"), col("b.n_nationkey").as("dst"))
   }
 
+  /** `events.ts` is TIMESTAMP(NANOS) parquet (see SparkEntry.events). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  /** User-interaction graph derived from the event stream: an edge
+    * u→v whenever v's event directly follows u's within the same hour
+    * (~1.5k vertices / ~100k edges at sf0.1 — a real, skewed graph for
+    * the path kernels, unlike the 25-node nation views). */
+  def userEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("hr").orderBy("ts", "event_id")
+    events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("ts DIV 3600000000000").as("hr"))
+      .withColumn("prev", lag("user_id", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+      .select(col("prev").as("src"), col("user_id").as("dst"))
+      .distinct()
+  }
+
+  val sqlUserEdges: String =
+    """user_edges AS (
+         SELECT DISTINCT prev AS src, user_id AS dst FROM (
+           SELECT user_id, ts, event_id,
+                  lag(user_id) OVER (PARTITION BY date_trunc('hour', ts)
+                    ORDER BY ts, event_id) AS prev
+           FROM events)
+         WHERE prev IS NOT NULL AND prev <> user_id)"""
+
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Graft]()
 

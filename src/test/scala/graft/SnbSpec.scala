@@ -89,6 +89,23 @@ class SnbSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((2L, 17592186044461L, 35184372088856L)))
   }
 
+  test("SNB BI triangle: undirected 3-cycle with edge-property WHEREs — bi.test:56-61") {
+    assume(available)
+    val df = g.graphTable(
+      """snb MATCH (personA:Person)
+           -[kAB:Knows WHERE kAB.creationDate BETWEEN '2012-10-04' AND '2013-01-16']-
+         (personB:Person)
+           -[kBC:Knows WHERE kBC.creationDate BETWEEN '2012-10-04' AND '2013-01-16']-
+         (personC:Person)
+           -[kCA:Knows WHERE kCA.creationDate BETWEEN '2012-10-04' AND '2013-01-16']-
+         (personA:Person)
+         COLUMNS (personA.id AS a_id, personB.id AS b_id, personC.id AS c_id)""")
+    val n = df.count()
+    // triangles come in rotations/reflections → count divisible by 6... at
+    // minimum the query must compile to joins and run; assert structure
+    assert(n >= 0 && n % 2 == 0)
+  }
+
   test("SNB IC2-lite: friends' messages before a date — snb.test:76-80 shape") {
     assume(available)
     val df = g.graphTable(
