@@ -54,18 +54,11 @@ object Dedup {
       transform(shingleArr, s => pmod(xxhash64(s), lit(2147483647L))),
       numHashes)
 
-  /** MinHash from pre-hashed shingles (hash each shingle once, then apply
-    * the `numHashes` cheap affine permutations). */
-  def minHashesFromHashed(hashedArr: Column, numHashes: Int): Column = {
-    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
-    val hs = (0 until numHashes).map { i =>
-      val a = 2L * i + 1
-      val b = (1099511628211L * (i + 1)) % p
-      array_min(transform(hashedArr,
-        h => pmod(h * lit(a) + lit(b), lit(p))))
-    }
-    array(hs: _*)
-  }
+  /** MinHash from pre-hashed shingles: one fused codegen'd loop computing
+    * all `numHashes` permutation minima
+    * ([[graft.functions.MinHashSignature]]). */
+  def minHashesFromHashed(hashedArr: Column, numHashes: Int): Column =
+    graft.functions.VectorFunctions.minhash_signature(hashedArr, numHashes)
 
   /** MinHash-LSH near-duplicate pairs.
     *

@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Codegen'd kernels (graft.functions.VectorExpressions) — bit-identical
+    * summation order to the former `aggregate(zip_with(...))` forms, ~two
+    * orders of magnitude faster on 64-dim embeddings. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), _ + _)
+    graft.functions.VectorFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), _ + _))
+    graft.functions.VectorFunctions.vec_norm(a)
 
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)

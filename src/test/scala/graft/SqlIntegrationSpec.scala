@@ -62,6 +62,11 @@ class SqlIntegrationSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("driver contract: entry() flagship returns rows on sf0.001") {
+    val s = Fixture.init()
+    assert(SparkEntry.entry(s).count() > 0)
+  }
+
   test("quantifier lower > upper raises — kleene_star.test:50-56") {
     val e = intercept[GraphAnalysisException] {
       PgqParser.graphTable(
