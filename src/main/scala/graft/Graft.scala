@@ -50,7 +50,14 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
     * temp view, and substituted; the rewritten query then runs through
     * Spark SQL unchanged — the same SQL-to-SQL strategy as the reference.
     */
-  def sqlGraph(query: String): DataFrame = {
+  def sqlGraph(query: String): DataFrame =
+    spark.sql(rewriteGraphTables(query))
+
+  /** The substitution pass behind [[sqlGraph]] (also used by the
+    * [[graft.plans.GraftExtensions]] parser override): compiles each
+    * GRAPH_TABLE span, registers it as a temp view, returns the rewritten
+    * SQL text. */
+  def rewriteGraphTables(query: String): String = {
     val pat = java.util.regex.Pattern.compile(
       "(?i)GRAPH_TABLE\\s*\\(|GRAPH\\s+TABLE\\s*\\(")
     val sb = new StringBuilder(query)
@@ -64,7 +71,7 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
       sb.replace(m.start(), close + 1, name)
       m = pat.matcher(sb)
     }
-    spark.sql(sb.toString)
+    sb.toString
   }
 
   /** Index of the ')' balancing the '(' at `open` (quote-aware). */

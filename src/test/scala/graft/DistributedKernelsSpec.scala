@@ -90,6 +90,32 @@ class DistributedKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("GraphX Pregel BFS agrees with the DataFrame/local kernels") {
+    val s = init()
+    import s.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (3L, 0L), (1L, 2L),
+      (1L, 3L), (2L, 3L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+    val viaGraphX = graph.GraphXKernels.bfsDistances(s, edges, seeds, Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDF = graph.PathFinder.bfsDistances(s, edges, seeds, Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaGraphX == viaDF)
+  }
+
+  test("GraphX BFS on the user graph matches the default kernel") {
+    val s = init()
+    val edges = TradeGraph.userEdges(s, "/root/testdata/sf0.001")
+    val seeds = TradeGraph.events(s, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("user_id").as("id"))
+      .filter(org.apache.spark.sql.functions.col("id") < 20).distinct()
+    val viaGraphX = graph.GraphXKernels.bfsDistances(s, edges, seeds, Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDefault = graph.PathFinder.bfsDistances(s, edges, seeds, Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaGraphX == viaDefault)
+  }
+
   test("distributed cheapest paths (Bellman-Ford)") {
     withDistributed {
       val s = init()

@@ -62,6 +62,38 @@ class SqlIntegrationSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("SparkSessionExtensions parser override: literal spark.sql GRAPH_TABLE") {
+    val base = Fixture.init() // ensure the shared context exists
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      import s.implicits._
+      Seq((0L, "Daniel"), (1L, "Tavneet")).toDF("id", "name")
+        .createOrReplaceTempView("student")
+      Seq((0L, 1L)).toDF("src", "dst").createOrReplaceTempView("know")
+      val g = Graft(s, TableResolver.catalog)
+      g.sql("""CREATE OR REPLACE PROPERTY GRAPH extpg
+        VERTEX TABLES (student LABEL Person)
+        EDGE TABLES (know SOURCE KEY (src) REFERENCES student (id)
+          DESTINATION KEY (dst) REFERENCES student (id) LABEL Knows)""")
+      val rows = s.sql(
+        """SELECT a_name, b_name FROM GRAPH_TABLE (extpg
+             MATCH (a:Person)-[k:Knows]->(b:Person)
+             COLUMNS (a.name AS a_name, b.name AS b_name)) t""")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.toSeq == Seq(("Daniel", "Tavneet")))
+      // plain SQL still parses through the delegate untouched
+      assert(s.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("driver contract: entry() flagship returns rows on sf0.001") {
     val s = Fixture.init()
     assert(SparkEntry.entry(s).count() > 0)
