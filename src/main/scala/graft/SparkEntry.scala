@@ -134,6 +134,23 @@ object SparkEntry {
          WHERE a.n_regionkey = 0
          COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst)""")
 
+  /** Undirected variable-length: shortest undirected distance ∈ {1,2} on
+    * the ring (reference `path_finding/undirected.test` semantics — edge
+    * set doubled before the BFS). */
+  private def q37_varlen_undirected(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ANY SHORTEST (a:Nation)-[e:NationNext]-{1,2}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
+                  path_length(p) AS dist)""")
+
+  /** Optional edge `?` quantifier: 0..1 hops (reference
+    * transform_pgq.cpp:523-526 default). */
+  private def q38_optional_edge(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ANY SHORTEST (a:Nation)-[e:NationNext]->?(b:Nation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
+                  path_length(p) AS dist)""")
+
   /** Weighted cheapest path (reference `cheapest_path_length` semantics) on
     * the region ring, weight = destination nation key. */
   private def q14_cheapest(s: SparkSession, d: String): DataFrame = {
@@ -334,6 +351,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_user_bfs" -> (q35_user_bfs _),
     "q36_user_wcc" -> (q36_user_wcc _),
+    "q37_varlen_undirected" -> (q37_varlen_undirected _),
+    "q38_optional_edge" -> (q38_optional_edge _),
     "q31_describe_pg" -> (q31_describe_pg _),
     "q32_summarize_pg" -> (q32_summarize_pg _),
     "q33_derive_vertex" -> (q33_derive_vertex _),
@@ -410,6 +429,7 @@ object SparkEntry {
           CAST(NULL AS BIGINT) AS n_distinct_src,
           CAST(NULL AS BIGINT) AS n_distinct_dst,
           CAST(NULL AS DOUBLE) AS avg_out_degree,
+          CAST(NULL AS DOUBLE) AS med_out_degree,
           CAST(NULL AS BIGINT) AS max_out_degree,
           CAST(NULL AS BIGINT) AS n_isolated
           FROM ${v.tableName}"""
@@ -426,6 +446,8 @@ object SparkEntry {
           (SELECT count(DISTINCT $dst) FROM $et) AS n_distinct_dst,
           (SELECT round(avg(d), 4) FROM
              (SELECT count(*) AS d FROM $et GROUP BY $src)) AS avg_out_degree,
+          (SELECT round(quantile_cont(d, 0.5), 4) FROM
+             (SELECT count(*) AS d FROM $et GROUP BY $src)) AS med_out_degree,
           (SELECT CAST(max(d) AS BIGINT) FROM
              (SELECT count(*) AS d FROM $et GROUP BY $src)) AS max_out_degree,
           (SELECT count(*) FROM ${vt.tableName} v WHERE NOT EXISTS
@@ -457,6 +479,28 @@ object SparkEntry {
            SELECT r.a, und.dst FROM r JOIN und ON r.b = und.src)
          SELECT a AS id, CAST(min(b) AS BIGINT) AS component
          FROM r GROUP BY a""",
+    "q37_varlen_undirected" ->
+      s"""WITH RECURSIVE $sqlNationNext,
+         und(src, dst) AS (
+           SELECT src, dst FROM nation_next
+           UNION SELECT dst, src FROM nation_next),
+         b(src, dst, dist) AS (
+           SELECT n_nationkey, n_nationkey, 0 FROM nation
+           UNION
+           SELECT b.src, e.dst, b.dist + 1
+           FROM b JOIN und e ON b.dst = e.src WHERE b.dist < 2)
+         SELECT src, dst, CAST(dist AS BIGINT) AS dist FROM (
+           SELECT src, dst, min(dist) AS dist FROM b GROUP BY src, dst)
+         WHERE dist BETWEEN 1 AND 2""",
+
+    "q38_optional_edge" ->
+      s"""WITH $sqlNationNext
+         SELECT n_nationkey AS src, n_nationkey AS dst,
+                CAST(0 AS BIGINT) AS dist FROM nation
+         UNION ALL
+         SELECT src, dst, CAST(1 AS BIGINT) AS dist FROM nation_next
+         WHERE src <> dst""",
+
     "q31_describe_pg" -> describeOracle,
     "q32_summarize_pg" -> summarizeOracle,
     "q33_derive_vertex" ->

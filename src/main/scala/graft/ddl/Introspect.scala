@@ -55,6 +55,7 @@ object Introspect {
           lit(null).cast("long").as("n_distinct_src"),
           lit(null).cast("long").as("n_distinct_dst"),
           lit(null).cast("double").as("avg_out_degree"),
+          lit(null).cast("double").as("med_out_degree"),
           lit(null).cast("long").as("max_out_degree"),
           lit(null).cast("long").as("n_isolated"))
     }
@@ -64,21 +65,30 @@ object Introspect {
       val srcV = pg.vertexLabel(e.srcLabel)
       val vkeys = resolver(spark, srcV.tableName)
         .select(col(srcV.keyCols.head).as("vk"))
+      // pass 1: edge count + distinct dst; pass 2: all src-side degree
+      // stats from ONE groupBy (count == sum of degrees, distinct src ==
+      // group count — no extra scans); pass 3: isolated vertices
       val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      val degStats = deg.agg(sum("d").as("cnt"),
+        count(lit(1)).as("dsrc"),
+        round(avg("d"), 4).as("avgd"),
+        round(percentile(col("d"), lit(0.5)), 4).as("medd"),
+        max("d").as("maxd"))
+      val dstStats = edges.agg(countDistinct("dst").as("ddst"))
       val isolated = vkeys.join(
         edges.select(col("src").as("vk"))
           .union(edges.select(col("dst").as("vk"))).distinct(),
         Seq("vk"), "left_anti").agg(count(lit(1)).as("iso"))
-      val stats = edges.agg(count(lit(1)).as("cnt"),
-          countDistinct("src").as("dsrc"), countDistinct("dst").as("ddst"))
-        .crossJoin(deg.agg(round(avg("d"), 4).as("avgd"),
-          max("d").as("maxd")))
-        .crossJoin(isolated)
-      stats.select(lit(pg.name).as("property_graph"),
-        lit(e.label).as("label"), lit("edge").as("kind"),
-        col("cnt").as("n_rows"), col("dsrc").as("n_distinct_src"),
-        col("ddst").as("n_distinct_dst"), col("avgd").as("avg_out_degree"),
-        col("maxd").as("max_out_degree"), col("iso").as("n_isolated"))
+      degStats.crossJoin(dstStats).crossJoin(isolated)
+        .select(lit(pg.name).as("property_graph"),
+          lit(e.label).as("label"), lit("edge").as("kind"),
+          coalesce(col("cnt"), lit(0L)).as("n_rows"),
+          col("dsrc").as("n_distinct_src"),
+          col("ddst").as("n_distinct_dst"),
+          col("avgd").as("avg_out_degree"),
+          col("medd").as("med_out_degree"),
+          col("maxd").as("max_out_degree"),
+          col("iso").as("n_isolated"))
     }
     (vparts ++ eparts).reduce(_ unionByName _)
   }

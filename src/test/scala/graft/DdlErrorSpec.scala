@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.pgq._
+import graft.compiler.GraphTableCompiler
+
+/** DDL validation error parity (reference `create_pg/` test family and
+  * `create_property_graph.cpp:57-191`) + edge-property projection. */
+class DdlErrorSpec extends AnyFunSuite {
+  import Fixture.{init, pg}
+
+  private def create(g: PropertyGraph): Unit = {
+    val s = init()
+    new PropertyGraphRegistry().create(s, g, TableResolver.catalog)
+  }
+
+  test("duplicate label rejected") {
+    val e = intercept[GraphAnalysisException] {
+      create(PropertyGraph("dup", Seq(
+        VertexTable("student", "Person", Seq("id")),
+        VertexTable("school", "person", Seq("id"))), Nil))
+    }
+    assert(e.msg.contains("not unique"))
+  }
+
+  test("unknown column rejected at DDL time") {
+    val e = intercept[GraphAnalysisException] {
+      create(PropertyGraph("bad", Seq(
+        VertexTable("student", "Person", Seq("id"),
+          properties = Seq("id", "nosuchcol"))), Nil))
+    }
+    assert(e.msg.contains("Column 'nosuchcol' not found"))
+  }
+
+  test("edge referencing unregistered vertex label rejected") {
+    val e = intercept[GraphAnalysisException] {
+      create(PropertyGraph("bad2",
+        Seq(VertexTable("student", "Person", Seq("id"))),
+        Seq(EdgeTable("know", "Knows", Seq("src"), Seq("id"), "Person",
+          Seq("dst"), Seq("id"), "Ghost"))))
+    }
+    assert(e.msg.contains("'Ghost'") && e.msg.contains("not registered"))
+  }
+
+  test("key count mismatch rejected") {
+    val e = intercept[GraphAnalysisException] {
+      create(PropertyGraph("bad3",
+        Seq(VertexTable("student", "Person", Seq("id"))),
+        Seq(EdgeTable("know", "Knows", Seq("src", "dst"), Seq("id"), "Person",
+          Seq("dst"), Seq("id"), "Person"))))
+    }
+    assert(e.msg.contains("Key count mismatch"))
+  }
+
+  test("CREATE without OR REPLACE on existing graph fails; IF NOT EXISTS ok") {
+    val s = init()
+    val reg = new PropertyGraphRegistry()
+    reg.create(s, pg, TableResolver.catalog)
+    intercept[GraphAnalysisException] {
+      reg.create(s, pg, TableResolver.catalog)
+    }
+    reg.create(s, pg, TableResolver.catalog, ifNotExists = true) // no throw
+    reg.create(s, pg, TableResolver.catalog, orReplace = true)   // no throw
+    reg.drop("pg")
+    intercept[GraphAnalysisException] { reg.drop("pg") }
+    reg.drop("pg", ifExists = true) // no throw
+  }
+
+  test("edge properties project in COLUMNS — basic_match edge columns") {
+    val df = GraphTableCompiler.compile(init(), MatchSpec("pg",
+      Seq(PathPattern(None, None, PathMode.Walk, Seq(
+        VertexPattern(Some("a"), Some("Person")),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("b"), Some("Person"))))),
+      where = Some("a.name = 'Daniel'"),
+      columns = Seq(ColumnSpec("b.name", Some("b_name")),
+        ColumnSpec("k.createdate", Some("since")))),
+      pg, TableResolver.catalog)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(rows.toSeq == Seq(("Gabor", 11L), ("Peter", 12L), ("Tavneet", 10L)))
+  }
+}
