@@ -210,6 +210,15 @@ object SparkEntry {
       t(s, d, "documents").filter(col("doc_id") < 200),
       "doc_id", "text", k = 1, threshold = 0.8)
 
+  /** Pair graph → duplicate groups (transitive closure via WCC): the
+    * production dedup shape, oracle-checked on the exact-jaccard slice. */
+  private def q39_dedup_groups(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 1, threshold = 0.8)
+    Dedup.duplicateGroups(docs.select("doc_id"), pairs)
+  }
+
   private def q20_dedup_minhash(s: SparkSession, d: String): DataFrame =
     Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
       shingleK = 3, numHashes = 16, bands = 4, threshold = 0.7)
@@ -353,6 +362,7 @@ object SparkEntry {
     "q36_user_wcc" -> (q36_user_wcc _),
     "q37_varlen_undirected" -> (q37_varlen_undirected _),
     "q38_optional_edge" -> (q38_optional_edge _),
+    "q39_dedup_groups" -> (q39_dedup_groups _),
     "q31_describe_pg" -> (q31_describe_pg _),
     "q32_summarize_pg" -> (q32_summarize_pg _),
     "q33_derive_vertex" -> (q33_derive_vertex _),
@@ -500,6 +510,25 @@ object SparkEntry {
          UNION ALL
          SELECT src, dst, CAST(1 AS BIGINT) AS dist FROM nation_next
          WHERE src <> dst""",
+
+    "q39_dedup_groups" ->
+      """WITH RECURSIVE dd AS (
+           SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS sh
+           FROM documents WHERE doc_id < 200),
+         pr AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib
+           FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+         und(x, y) AS (SELECT ia, ib FROM pr UNION SELECT ib, ia FROM pr),
+         r(a, b) AS (
+           SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+           UNION
+           SELECT r.a, und.y FROM r JOIN und ON r.b = und.x)
+         SELECT a AS id, CAST(min(b) AS BIGINT) AS canonical_id,
+                a <> min(b) AS is_duplicate
+         FROM r GROUP BY a""",
 
     "q31_describe_pg" -> describeOracle,
     "q32_summarize_pg" -> summarizeOracle,

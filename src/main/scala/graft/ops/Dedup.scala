@@ -178,6 +178,25 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Collapses near-duplicate *pairs* into duplicate *groups*: connected
+    * components over the pair graph (transitive closure — a≈b and b≈c put
+    * a,b,c in one group even if a,c never collided), canonical id = min
+    * member. Composes the LSH pair finders with the graph engine's WCC —
+    * the standard production shape for corpus-scale dedup.
+    *
+    * @param all (id) — every document id (singletons get their own group)
+    * @param pairs (id_a, id_b) near-duplicate pairs
+    * @return (id, canonical_id, is_duplicate)
+    */
+  def duplicateGroups(all: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = graft.graph.Algorithms.weaklyConnectedComponents(
+      all.select(col(all.columns.head).cast("long").as("id")),
+      pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst")))
+    comp.select(col("id"), col("component").as("canonical_id"),
+      (col("id") =!= col("component")).as("is_duplicate"))
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold, as an explode/equi-join:
     * |A∩B| via a shingle-keyed self-join with map-side combine, |A∪B| from
     * per-doc set sizes — the shape that scales (shuffle on shingle, then on

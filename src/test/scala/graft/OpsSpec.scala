@@ -102,6 +102,18 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("duplicateGroups: transitive closure over near-dup pairs") {
+    val s = init()
+    import s.implicits._
+    val all = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // 1≈2, 2≈3 (so {1,2,3} one group even though 1,3 never paired); 4≈5
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateGroups(all, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, false), (2L, 1L, true), (3L, 1L, true),
+      (4L, 4L, false), (5L, 4L, true)))
+  }
+
   test("quality score is monotone in obvious signals") {
     val s = init()
     import s.implicits._
