@@ -82,6 +82,29 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_customers_no_orders"))
   }
 
+  /** ROLLUP aggregation (beyond-reference relational breadth — windows,
+    * grouping sets etc. come free from Spark SQL, SURVEY §2.F). */
+  private def q40_rollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("total"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("total"))
+
+  /** CTE + scalar subquery: nations whose average order value beats the
+    * global average. */
+  private def q41_scalar_subquery(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders"); val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    val globalAvg = o.agg(avg("o_totalprice")).first().getDouble(0)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(avg("o_totalprice"), 2).as("avg_price"))
+      .filter(col("avg_price") > globalAvg)
+  }
+
   // =========================================================================
   // Pattern matching (SURVEY §2.A — MATCH compiler through the text parser)
   // =========================================================================
@@ -363,6 +386,8 @@ object SparkEntry {
     "q37_varlen_undirected" -> (q37_varlen_undirected _),
     "q38_optional_edge" -> (q38_optional_edge _),
     "q39_dedup_groups" -> (q39_dedup_groups _),
+    "q40_rollup" -> (q40_rollup _),
+    "q41_scalar_subquery" -> (q41_scalar_subquery _),
     "q31_describe_pg" -> (q31_describe_pg _),
     "q32_summarize_pg" -> (q32_summarize_pg _),
     "q33_derive_vertex" -> (q33_derive_vertex _),
@@ -529,6 +554,22 @@ object SparkEntry {
          SELECT a AS id, CAST(min(b) AS BIGINT) AS canonical_id,
                 a <> min(b) AS is_duplicate
          FROM r GROUP BY a""",
+
+    "q40_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q41_scalar_subquery" ->
+      """WITH joined AS (
+           SELECT n_name, o_totalprice FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+         SELECT n_name, round(avg(o_totalprice), 2) AS avg_price
+         FROM joined GROUP BY n_name
+         HAVING round(avg(o_totalprice), 2) >
+           (SELECT avg(o_totalprice) FROM orders)""",
 
     "q31_describe_pg" -> describeOracle,
     "q32_summarize_pg" -> summarizeOracle,

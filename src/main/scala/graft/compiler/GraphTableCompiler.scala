@@ -214,34 +214,94 @@ object GraphTableCompiler {
       aPat.flatMap(_.where).foreach(w => seedDF = seedDF.filter(expr(w)))
       val seeds = seedDF.select(col(srcVt.keyCols.head).cast("long").as("id"))
 
-      val edgeList = edges.select(
-        col(srcKey).cast("long").as("src"),
-        col(dstKey).cast("long").as("dst"))
-
       val vKey = srcVt.keyCols.head
       val dstVt = pg.vertexLabel(et.dstLabel)
       val dstVKey = dstVt.keyCols.head
 
+      // Non-numeric vertex keys: map through dense rowids (distributed
+      // sort + zipWithIndex — the Snapshot strategy) so the long-typed
+      // kernels apply; results are mapped back to raw keys before the
+      // plan join. Numeric keys skip the mapping entirely.
+      val keyIsNumeric = resolver(spark, srcVt.tableName)
+        .schema(vKey).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+
+      // seeds for the non-numeric branch come from the filtered seed DF
+      def seedsViaRowid(ids: DataFrame): DataFrame =
+        seedDF.select(col(s"$aAlias.$vKey").as("__raw"))
+          .join(ids, Seq("__raw"))
+          .select(col("__rowid").as("id"))
+
+      val (edgeList, seedList, fromRowid) =
+        if (keyIsNumeric) {
+          (edges.select(col(srcKey).cast("long").as("src"),
+            col(dstKey).cast("long").as("dst")),
+            seeds,
+            identity[DataFrame] _)
+        } else {
+          if (srcVt.tableName != dstVt.tableName)
+            throw GraphAnalysisException(
+              "variable-length paths over non-numeric keys require source " +
+                "and destination vertices from the same table")
+          val keys = resolver(spark, srcVt.tableName)
+            .select(col(vKey).as("__raw")).distinct()
+          val ids = spark.createDataFrame(
+            keys.sort("__raw").rdd.zipWithIndex.map { case (r, i) =>
+              org.apache.spark.sql.Row(r.get(0), i)
+            },
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__raw",
+                keys.schema.head.dataType),
+              org.apache.spark.sql.types.StructField("__rowid",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val e = edges
+            .join(ids.select(col("__raw"), col("__rowid").as("src")),
+              col(srcKey) === col("__raw")).drop("__raw")
+            .join(ids.select(col("__raw"), col("__rowid").as("dst")),
+              col(dstKey) === col("__raw")).drop("__raw")
+            .select(col("src"), col("dst"))
+          val sd = seedsViaRowid(ids)
+          (e, sd, (df: DataFrame) => df
+            .join(ids.select(col("__raw").as("__rawsrc"),
+              col("__rowid").as("src")), Seq("src"))
+            .join(ids.select(col("__raw").as("__rawdst"),
+              col("__rowid").as("dst")), Seq("dst"))
+            .drop("src", "dst")
+            .withColumnRenamed("__rawsrc", "src")
+            .withColumnRenamed("__rawdst", "dst"))
+        }
+
       val joined =
         if (needPath) {
-          val paths = PathFinder.shortestPaths(spark, edgeList, seeds,
-            q.lower, q.upper)
+          val paths = fromRowid(PathFinder.shortestPaths(spark, edgeList,
+            seedList, q.lower, q.upper))
           val pcol = s"__path_${p.pathVar.get}"
           pathCols(p.pathVar.get) = pcol
           paths.select(col("src").as("__psrc"), col("dst").as("__pdst"),
             col("path").as(pcol), col("dist").as(s"__dist_${p.pathVar.get}"))
         } else {
-          PathFinder.bfsDistances(spark, edgeList, seeds, q.upper)
+          fromRowid(PathFinder.bfsDistances(spark, edgeList, seedList,
+            q.upper)
             .filter(col("dist") >= q.lower &&
-              q.upper.map(u => col("dist") <= u).getOrElse(lit(true)))
+              q.upper.map(u => col("dist") <= u).getOrElse(lit(true))))
             .select(col("src").as("__psrc"), col("dst").as("__pdst"),
               col("dist").as(freshName("dist")))
         }
 
-      plan = plan.join(joined,
-        col(s"$aAlias.$vKey").cast("long") === col("__psrc"), "inner")
+      val srcCond: Column =
+        if (keyIsNumeric) col(s"$aAlias.$vKey").cast("long") === col("__psrc")
+        else col(s"$aAlias.$vKey") === col("__psrc")
+      plan = plan.join(joined, srcCond, "inner")
       val bAlias = bindVertex(vp, Some(b =>
-        col(s"$b.$dstVKey").cast("long") === col("__pdst")))
+        if (keyIsNumeric)
+          col(s"$b.$dstVKey").cast("long") === col("__pdst")
+        else col(s"$b.$dstVKey") === col("__pdst")))
       plan = plan.drop("__psrc", "__pdst")
       bAlias
     }

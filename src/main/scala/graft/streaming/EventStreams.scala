@@ -55,6 +55,15 @@ object EventStreams {
       .select(unix_millis(col("window.start")).as("win_ms"),
         col("user_id"), col("n"))
 
+  /** Streaming exact deduplication: drops repeated event ids within the
+    * watermark horizon — bounded state, the streaming face of
+    * [[graft.ops.Dedup.exactGroups]]. */
+  def dedupEvents(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("event_id")
+
   /** Session windows (native session_window, 30-minute gap): the streaming
     * analogue of SparkEntry.q30_sessionize. */
   def sessionWindows(events: DataFrame,

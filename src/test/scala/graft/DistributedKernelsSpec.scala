@@ -90,6 +90,39 @@ class DistributedKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("variable-length paths over STRING vertex keys (dense-id mapping)") {
+    val s = init()
+    import s.implicits._
+    // name-keyed copy of the Student/know fixture
+    Seq("Daniel", "Tavneet", "Gabor", "Peter", "David").toDF("name")
+      .createOrReplaceTempView("person_n")
+    Seq(("Daniel", "Tavneet"), ("Daniel", "Gabor"), ("Daniel", "Peter"),
+      ("Peter", "Daniel"), ("Tavneet", "Gabor"), ("Tavneet", "Peter"),
+      ("Gabor", "Peter"), ("David", "Peter"))
+      .toDF("src_name", "dst_name").createOrReplaceTempView("know_n")
+    val pgN = graft.model.PropertyGraph("pgn",
+      Seq(graft.model.VertexTable("person_n", "PersonN", Seq("name"))),
+      Seq(graft.model.EdgeTable("know_n", "KnowsN", Seq("src_name"),
+        Seq("name"), "PersonN", Seq("dst_name"), Seq("name"), "PersonN")))
+    val df = graft.compiler.GraphTableCompiler.compile(s,
+      graft.pgq.MatchSpec("pgn",
+        Seq(graft.pgq.PathPattern(Some("p"),
+          Some(graft.pgq.SearchPrefix.AnyShortest), graft.pgq.PathMode.Walk,
+          Seq(graft.pgq.VertexPattern(Some("a"), Some("PersonN"),
+            where = Some("a.name = 'David'")),
+            graft.pgq.EdgePattern(Some("k"), Some("KnowsN"),
+              graft.pgq.EdgeDirection.Right,
+              Some(graft.pgq.Quantifier(1, Some(3)))),
+            graft.pgq.VertexPattern(Some("b"), Some("PersonN"))))),
+        columns = Seq(graft.pgq.ColumnSpec("b.name", Some("b_name")),
+          graft.pgq.ColumnSpec("path_length(p)", Some("dist")))),
+      pgN, graft.model.TableResolver.catalog)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    // David -> Peter(1) -> Daniel(2) -> {Tavneet,Gabor}(3)
+    assert(got.toSeq == Seq(("Daniel", 2L), ("Gabor", 3L), ("Peter", 1L),
+      ("Tavneet", 3L)))
+  }
+
   test("GraphX Pregel BFS agrees with the DataFrame/local kernels") {
     val s = init()
     import s.implicits._

@@ -86,6 +86,20 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated ids within the watermark") {
+    val s = init()
+    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001")
+    val q = EventStreams.dedupEvents(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val n = s.table("dedup_out").count()
+      val distinct = s.table("dedup_out").select("event_id").distinct().count()
+      assert(n == distinct && n > 0)
+    } finally q.stop()
+  }
+
   test("streaming session windows produce bounded sessions") {
     val s = init()
     val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001")
