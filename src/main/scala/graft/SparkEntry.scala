@@ -135,6 +135,15 @@ object SparkEntry {
       """trade MATCH (p:OddSizePart)
          COLUMNS (p.p_partkey AS partkey, p.p_size AS size)""")
 
+  /** 3-hop MATCH through the two big edge tables (orders 150k, lineitem
+    * 600k rows at sf0.1) — the pattern-join scale anchor. */
+  private def q42_match_3hop_big(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH (c:Customer)-[pl:Placed]->(o:Order)-[ct:Contains]->(p:OddSizePart)
+         WHERE o.o_totalprice > 400000.0
+         COLUMNS (c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+                  p.p_partkey AS partkey, p.p_size AS size)""")
+
   // =========================================================================
   // Path finding (SURVEY §2.A13-A15, §2.B kernels)
   // =========================================================================
@@ -388,6 +397,7 @@ object SparkEntry {
     "q39_dedup_groups" -> (q39_dedup_groups _),
     "q40_rollup" -> (q40_rollup _),
     "q41_scalar_subquery" -> (q41_scalar_subquery _),
+    "q42_match_3hop_big" -> (q42_match_3hop_big _),
     "q31_describe_pg" -> (q31_describe_pg _),
     "q32_summarize_pg" -> (q32_summarize_pg _),
     "q33_derive_vertex" -> (q33_derive_vertex _),
@@ -570,6 +580,15 @@ object SparkEntry {
          FROM joined GROUP BY n_name
          HAVING round(avg(o_totalprice), 2) >
            (SELECT avg(o_totalprice) FROM orders)""",
+
+    "q42_match_3hop_big" ->
+      """SELECT c_custkey AS custkey, o_orderkey AS orderkey,
+           p_partkey AS partkey, p_size AS size
+         FROM customer
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN part ON p_partkey = l_partkey
+         WHERE o_totalprice > 400000.0 AND (p_size & 1) = 1""",
 
     "q31_describe_pg" -> describeOracle,
     "q32_summarize_pg" -> summarizeOracle,
