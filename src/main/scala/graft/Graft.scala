@@ -58,8 +58,10 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
     * GRAPH_TABLE span, registers it as a temp view, returns the rewritten
     * SQL text. */
   def rewriteGraphTables(query: String): String = {
+    // negative lookbehind: don't fire inside identifiers like
+    // my_graph_table(...)
     val pat = java.util.regex.Pattern.compile(
-      "(?i)GRAPH_TABLE\\s*\\(|GRAPH\\s+TABLE\\s*\\(")
+      "(?i)(?<![A-Za-z0-9_])(?:GRAPH_TABLE|GRAPH\\s+TABLE)\\s*\\(")
     val sb = new StringBuilder(query)
     var m = pat.matcher(sb)
     while (m.find()) {
@@ -137,9 +139,14 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
     // (create_property_graph.cpp:106-154) — parquet has none, so we take
     // the union of declared edge reference keys, falling back to the
     // first column.
+    // first-declared reference wins (deterministic; conflicting key
+    // declarations across edges can't all be the vertex key anyway)
     val refKeys: Map[String, Seq[String]] =
       (c.edgeTables.map(e => e.srcRefTable.toLowerCase -> e.srcRefKeys) ++
-        c.edgeTables.map(e => e.dstRefTable.toLowerCase -> e.dstRefKeys)).toMap
+        c.edgeTables.map(e => e.dstRefTable.toLowerCase -> e.dstRefKeys))
+        .foldLeft(Map.empty[String, Seq[String]]) {
+          case (m, (t, ks)) => if (m.contains(t)) m else m + (t -> ks)
+        }
 
     val labelByTable: Map[String, String] =
       c.vertexTables.map(v => v.table.toLowerCase -> v.effectiveLabel).toMap

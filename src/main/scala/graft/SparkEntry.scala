@@ -255,8 +255,10 @@ object SparkEntry {
     Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
       shingleK = 3, numHashes = 16, bands = 4, threshold = 0.7)
 
+  // maxDist 3: the 4×16-bit band blocking guarantees ≥1 shared band only
+  // for Hamming distance ≤ 3; larger radii would silently lose recall
   private def q21_dedup_simhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 8)
+    Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
 
   // =========================================================================
   // Text analysis

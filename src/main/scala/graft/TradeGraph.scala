@@ -123,19 +123,32 @@ object TradeGraph {
            FROM events)
          WHERE prev IS NOT NULL AND prev <> user_id)"""
 
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Graft]()
+  // weak session keys (see PropertyGraphRegistry): sessions must stay
+  // collectable; the per-session inner map is tiny (one entry per sfDir)
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Graft]]())
 
   /** Registers `trade` for the session (memoized per (session, sfDir):
     * schema validation reads every table's parquet footer, so doing it once
     * per session instead of once per query saves ~2 s/query) and returns a
     * Graft facade bound to the sfDir resolver. */
-  def graft(spark: SparkSession, sfDir: String): Graft =
-    memo.computeIfAbsent((spark, sfDir), { _ =>
+  def graft(spark: SparkSession, sfDir: String): Graft = {
+    val perSession = memo.synchronized {
+      val existing = memo.get(spark)
+      if (existing != null) existing
+      else {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, Graft]()
+        memo.put(spark, m)
+        m
+      }
+    }
+    perSession.computeIfAbsent(sfDir, { _ =>
       val g = Graft(spark, resolver(sfDir))
       g.registry.create(spark, graph, resolver(sfDir), orReplace = true)
       g
     })
+  }
 
   /** Matching SQL CTE texts for the derived views (same logic, ANSI SQL) —
     * prepended to oracle queries that need them. */

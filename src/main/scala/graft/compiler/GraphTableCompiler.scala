@@ -185,23 +185,32 @@ object GraphTableCompiler {
       val label = ep.label.getOrElse(throw GraphAnalysisException(
         "quantified edge needs a label"))
       val et = pg.edgeLabel(label)
-      val srcVt = pg.vertexLabel(et.srcLabel)
       val q = ep.quantifier.getOrElse(Quantifier(1, Some(1)))
       val needPath = p.pathVar.isDefined && p.prefix.isDefined
 
+      // Traversal endpoints. For a Left edge `(a)<-[e]-(b)` the pattern's
+      // `a` sits on the edge's DESTINATION side (the traversal follows
+      // reversed edges), so the seed table / join keys swap accordingly.
+      // The plan joins use the edge's declared reference keys, matching
+      // bindFixedEdge (not the vertex tables' own key columns, which may
+      // legitimately differ).
       val edges0 = resolver(spark, et.tableName)
-      val edges = ep.direction match {
-        case EdgeDirection.Undirected => undirectedView(edges0, et)
-        case EdgeDirection.Left =>
-          // reversed traversal: swap roles
-          edges0.select(col(et.dstKeys.head).as("__s"),
-            col(et.srcKeys.head).as("__d"))
-        case _ => edges0
-      }
-      val (srcKey, dstKey) = ep.direction match {
-        case EdgeDirection.Left => ("__s", "__d")
-        case _ => (et.srcKeys.head, et.dstKeys.head)
-      }
+      val (edges, srcKey, dstKey, aVt, aRefKey, bVt, bRefKey) =
+        ep.direction match {
+          case EdgeDirection.Undirected =>
+            (undirectedView(edges0, et), et.srcKeys.head, et.dstKeys.head,
+              pg.vertexLabel(et.srcLabel), et.srcRefKeys.head,
+              pg.vertexLabel(et.dstLabel), et.dstRefKeys.head)
+          case EdgeDirection.Left =>
+            (edges0.select(col(et.dstKeys.head).as("__s"),
+              col(et.srcKeys.head).as("__d")), "__s", "__d",
+              pg.vertexLabel(et.dstLabel), et.dstRefKeys.head,
+              pg.vertexLabel(et.srcLabel), et.srcRefKeys.head)
+          case _ =>
+            (edges0, et.srcKeys.head, et.dstKeys.head,
+              pg.vertexLabel(et.srcLabel), et.srcRefKeys.head,
+              pg.vertexLabel(et.dstLabel), et.dstRefKeys.head)
+        }
 
       // Filter-before-pathfinding (SURVEY §4): seed the BFS only from
       // vertices that can match `a` (its inline WHERE + sub-label filter),
@@ -210,13 +219,14 @@ object GraphTableCompiler {
       val aPat = p.elements.collectFirst {
         case v: VertexPattern if v.varName.contains(aAlias) => v
       }
-      var seedDF = vertexDF(srcVt, aPat.flatMap(_.label)).alias(aAlias)
+      var seedDF = vertexDF(aVt, aPat.flatMap(_.label)).alias(aAlias)
       aPat.flatMap(_.where).foreach(w => seedDF = seedDF.filter(expr(w)))
-      val seeds = seedDF.select(col(srcVt.keyCols.head).cast("long").as("id"))
+      val seeds = seedDF.select(col(aRefKey).cast("long").as("id"))
 
-      val vKey = srcVt.keyCols.head
-      val dstVt = pg.vertexLabel(et.dstLabel)
-      val dstVKey = dstVt.keyCols.head
+      val srcVt = aVt
+      val vKey = aRefKey
+      val dstVt = bVt
+      val dstVKey = bRefKey
 
       // Non-numeric vertex keys: map through dense rowids (distributed
       // sort + zipWithIndex — the Snapshot strategy) so the long-typed
@@ -343,7 +353,10 @@ object GraphTableCompiler {
     spec.where.foreach(checkRefs)
     spec.columns.foreach(c => if (!c.expr.trim.endsWith("*")) checkRefs(c.expr))
 
-    spec.where.foreach(w => plan = plan.filter(expr(w)))
+    // path column functions are legal in WHERE too (reference rewrites them
+    // wherever they appear, match.cpp:731-788)
+    spec.where.foreach(w =>
+      plan = plan.filter(expr(rewritePathFunctions(w, pathCols.toMap))))
 
     // COLUMNS projection (reference match.cpp:1011-1087): star expansion,
     // path column functions, aliased expressions.

@@ -99,7 +99,12 @@ private[graph] object LocalKernels {
     seeds.distinct.foreach { s =>
       val dist = mutable.LongMap[Double](s -> 0.0)
       var changed = true
-      while (changed) {
+      // Bellman-Ford needs ≤ V-1 rounds on cycle-free-negative graphs; the
+      // cap guards against negative cycles hanging the driver
+      val maxRounds = adj.size + seeds.length + 2
+      var round = 0
+      while (changed && round < maxRounds) {
+        round += 1
         changed = false
         dist.toArray.foreach { case (u, du) =>
           adj.getOrElse(u, Nil).foreach { case (v, w) =>

@@ -202,7 +202,18 @@ final class PropertyGraphRegistry {
 }
 
 object PropertyGraphRegistry {
-  private val bySession = new TrieMap[SparkSession, PropertyGraphRegistry]()
+  // weak keys: a stopped/abandoned SparkSession must not be pinned by its
+  // registry (long-lived multi-tenant drivers create many sessions)
+  private val bySession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, PropertyGraphRegistry]())
   def forSession(spark: SparkSession): PropertyGraphRegistry =
-    bySession.getOrElseUpdate(spark, new PropertyGraphRegistry)
+    bySession.synchronized {
+      val existing = bySession.get(spark)
+      if (existing != null) existing
+      else {
+        val r = new PropertyGraphRegistry
+        bySession.put(spark, r)
+        r
+      }
+    }
 }

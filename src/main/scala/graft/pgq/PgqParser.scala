@@ -292,6 +292,7 @@ final class PgqParser(input: String) {
         case '?' => pos += 1; Some(Quantifier(0, Some(1)))
         case '{' =>
           pos += 1; ws()
+          if (pos >= n) err("unterminated quantifier")
           val lo = if (input(pos).isDigit) Some(number()) else None
           ws()
           val q = if (pos < n && input(pos) == ',') {

@@ -90,6 +90,36 @@ class DistributedKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("Left-direction quantified edge with heterogeneous endpoint labels") {
+    // (n:Nation)<-[e:InNation]-{1,1}(c:Customer): a sits on the edge's
+    // DESTINATION side; regression for the seed/join role swap
+    val s = init()
+    val sf = "/root/testdata/sf0.001"
+    val df = TradeGraph.graft(s, sf).graphTable(
+      """trade MATCH p = ANY SHORTEST (n:Nation)<-[e:InNation]-{1,1}(c:Customer)
+         WHERE n.n_nationkey = 3
+         COLUMNS (n.n_nationkey AS nkey, c.c_custkey AS ckey,
+                  path_length(p) AS dist)""")
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val expect = s.read.parquet(s"$sf/customer.parquet")
+      .filter(org.apache.spark.sql.functions.col("c_nationkey") === 3)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._2).toSet == expect && got.forall(_._3 == 1L))
+    assert(got.nonEmpty)
+  }
+
+  test("path functions allowed in the MATCH WHERE clause") {
+    val s = init()
+    val sf = "/root/testdata/sf0.001"
+    val df = TradeGraph.graft(s, sf).graphTable(
+      """trade MATCH p = ANY SHORTEST (a:Nation)-[e:NationNext]->{1,3}(b:Nation)
+         WHERE path_length(p) <= 2
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
+                  path_length(p) AS dist)""")
+    val dists = df.collect().map(_.getLong(2))
+    assert(dists.nonEmpty && dists.forall(_ <= 2L))
+  }
+
   test("variable-length paths over STRING vertex keys (dense-id mapping)") {
     val s = init()
     import s.implicits._

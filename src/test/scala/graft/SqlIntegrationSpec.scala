@@ -99,6 +99,23 @@ class SqlIntegrationSpec extends AnyFunSuite {
     assert(SparkEntry.entry(s).count() > 0)
   }
 
+  test("identifiers containing graph_table are not rewritten") {
+    val s = Fixture.init()
+    import s.implicits._
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("my_graph_table_view")
+    val g = Graft(s, TableResolver.catalog)
+    // would throw a PGQ parse error if the regex fired inside the name
+    val out = g.sqlGraph("SELECT a FROM my_graph_table_view")
+    assert(out.collect().head.getInt(0) == 1)
+  }
+
+  test("unterminated quantifier raises a parse error, not an index crash") {
+    val e = intercept[GraphAnalysisException] {
+      PgqParser.graphTable("pg MATCH (a:X)-[e:E]->{")
+    }
+    assert(e.msg.contains("quantifier") || e.msg.contains("parse error"))
+  }
+
   test("quantifier lower > upper raises — kleene_star.test:50-56") {
     val e = intercept[GraphAnalysisException] {
       PgqParser.graphTable(
