@@ -67,8 +67,23 @@ object GraphTableCompiler {
       val name = vp.varName.getOrElse(freshName("v"))
       bindings.get(name) match {
         case Some(b) =>
-          // repeated variable (cycles): reuse alias, conditions only
+          // repeated variable (cycles): reuse the alias; apply the join
+          // condition plus any label/WHERE the re-occurrence carries
           joinCond.foreach(c => plan = plan.filter(c(b.alias)))
+          vp.label.foreach { l =>
+            val vt = pg.vertexLabel(l)
+            if (vt.tableName != b.table)
+              throw GraphAnalysisException(
+                s"Variable '$name' is bound to '${b.table}' but re-labeled " +
+                  s"'$l' (table '${vt.tableName}')")
+            if (vt.subLabels.exists(_.equalsIgnoreCase(l))) {
+              val idx = vt.subLabels.indexWhere(_.equalsIgnoreCase(l))
+              val mask = 1L << idx
+              plan = plan.filter((col(s"${b.alias}.${vt.discriminator.get}")
+                .bitwiseAND(lit(mask))) === lit(mask))
+            }
+          }
+          vp.where.foreach(w => plan = plan.filter(expr(w)))
           b.alias
         case None =>
           val label = vp.label.getOrElse(throw GraphAnalysisException(
@@ -93,8 +108,16 @@ object GraphTableCompiler {
       }.reduce(_ && _)
 
     /** Undirected edge view: original UNION ALL swapped src/dst
-      * (reference `EdgeTypeAny` match.cpp:365-392). */
+      * (reference `EdgeTypeAny` match.cpp:365-392). Requires both
+      * endpoints in one key space — swapping src/dst values is meaningless
+      * across different vertex tables/keys. */
     def undirectedView(df: DataFrame, et: EdgeTable): DataFrame = {
+      val sVt = pg.vertexLabel(et.srcLabel)
+      val dVt = pg.vertexLabel(et.dstLabel)
+      if (sVt.tableName != dVt.tableName || et.srcRefKeys != et.dstRefKeys)
+        throw GraphAnalysisException(
+          s"Undirected edge '${et.label}' requires source and destination " +
+            "to reference the same vertex table and keys")
       val swap = (et.srcKeys.zip(et.dstKeys) ++ et.dstKeys.zip(et.srcKeys)).toMap
       val swapped = df.select(df.columns.map { c =>
         swap.get(c).map(o => col(o).as(c)).getOrElse(col(c))
@@ -105,6 +128,9 @@ object GraphTableCompiler {
     /** Process one alternating vertex/edge element list
       * (reference `ProcessPathList` match.cpp:792-885). */
     def processPattern(p: PathPattern): Unit = {
+      // mode/prefix guards apply to every pattern, quantified or not
+      // (reference PGQCheckPathModeSupport runs unconditionally)
+      PathFinder.checkSupported(p)
       val elems = p.elements
       require(elems.nonEmpty && elems.head.isInstanceOf[VertexPattern],
         "pattern must start with a vertex")
@@ -187,6 +213,10 @@ object GraphTableCompiler {
       val et = pg.edgeLabel(label)
       val q = ep.quantifier.getOrElse(Quantifier(1, Some(1)))
       val needPath = p.pathVar.isDefined && p.prefix.isDefined
+      if (et.srcKeys.length > 1 || et.dstKeys.length > 1)
+        throw GraphAnalysisException(
+          "variable-length paths over composite edge keys are not yet " +
+            "supported")
 
       // Traversal endpoints. For a Left edge `(a)<-[e]-(b)` the pattern's
       // `a` sits on the edge's DESTINATION side (the traversal follows
@@ -194,7 +224,15 @@ object GraphTableCompiler {
       // The plan joins use the edge's declared reference keys, matching
       // bindFixedEdge (not the vertex tables' own key columns, which may
       // legitimately differ).
-      val edges0 = resolver(spark, et.tableName)
+      // The edge's inline WHERE constrains the traversed edge set (same
+      // hoisting as bindFixedEdge — the kernel must never walk excluded
+      // edges).
+      val edges0 = {
+        var e0 = resolver(spark, et.tableName)
+          .alias(ep.varName.getOrElse(freshName("e")))
+        ep.where.foreach(w => e0 = e0.filter(expr(w)))
+        e0
+      }
       val (edges, srcKey, dstKey, aVt, aRefKey, bVt, bRefKey) =
         ep.direction match {
           case EdgeDirection.Undirected =>
@@ -258,6 +296,20 @@ object GraphTableCompiler {
             throw GraphAnalysisException(
               "variable-length paths over non-numeric keys require source " +
                 "and destination vertices from the same table")
+          // path_length(p) is safe in dense-id space (pure length), but
+          // element_id/vertices/edges would expose internal rowids
+          if (needPath) {
+            val exposing = p.pathVar.exists { pv =>
+              val r = s"(?i)(element_id|vertices|edges)\\s*\\(\\s*$pv\\s*\\)".r
+              (spec.columns.map(_.expr) ++ spec.where.toSeq)
+                .exists(t => r.findFirstIn(t).isDefined)
+            }
+            if (exposing)
+              throw GraphAnalysisException(
+                "element_id/vertices/edges over non-numeric vertex keys " +
+                  "are not yet supported — the path arrays would contain " +
+                  "internal dense ids (path_length is fine)")
+          }
           val keys = resolver(spark, srcVt.tableName)
             .select(col(vKey).as("__raw")).distinct()
           val ids = spark.createDataFrame(

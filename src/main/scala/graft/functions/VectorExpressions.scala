@@ -98,8 +98,7 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   * `array_min(transform(...))` scans. Permutation family matches
   * [[graft.ops.Dedup.minHashesFromHashed]]: h_i(x) = (a_i·x + b_i) mod p,
   * p = 2^31−1, a_i = 2i+1, b_i = (1099511628211·(i+1)) mod p. Empty
-  * array ⇒ all p (the neutral max), matching array_min-of-empty = null
-  * guarded upstream. */
+  * array ⇒ all slots stay Long.MaxValue (the neutral max). */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
   private val p = 2147483647L

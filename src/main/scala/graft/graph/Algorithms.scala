@@ -51,7 +51,7 @@ object Algorithms {
     if (nReal <= PathFinder.localMaxSeeds * 16) {
       val eCount = edges.count()
       if (eCount <= PathFinder.localMaxEdges) {
-        val ids = v.collect().map(_.getLong(0))
+        val ids = v.select(col("id").cast("long")).collect().map(_.getLong(0))
         val earr = edges.select(col("src").cast("long"),
           col("dst").cast("long")).collect()
           .map(r => (r.getLong(0), r.getLong(1)))

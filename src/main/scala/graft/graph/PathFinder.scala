@@ -81,9 +81,10 @@ object PathFinder {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // strategy choice by statistics: small graph + small seed set → local
     val eCount = e.count()
-    if (eCount <= localMaxEdges) {
+    if (eCount <= localMaxEdges &&
+        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
       val seedArr = collectSeeds(seeds)
-      if (seedArr.length <= localMaxSeeds) {
+      locally {
         val res = LocalKernels.bfsDistances(
           collectEdges(e, withEid = false), seedArr,
           maxDepth.getOrElse(Long.MaxValue))
@@ -133,9 +134,10 @@ object PathFinder {
     val e = e0.select(col("src"), col("dst"), col("eid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val eCount = e.count()
-    if (eCount <= localMaxEdges) {
+    if (eCount <= localMaxEdges &&
+        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
       val seedArr = collectSeeds(seeds)
-      if (seedArr.length <= localMaxSeeds) {
+      locally {
         val res = LocalKernels.shortestPaths(
           collectEdges(e, withEid = true), seedArr, lower,
           upper.getOrElse(Long.MaxValue))
@@ -186,9 +188,10 @@ object PathFinder {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val eCount = e.count()
-    if (eCount <= localMaxEdges) {
+    if (eCount <= localMaxEdges &&
+        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
       val seedArr = collectSeeds(seeds)
-      if (seedArr.length <= localMaxSeeds) {
+      locally {
         val earr = e.select(col("src").cast("long"), col("dst").cast("long"),
           col("w").cast("double")).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -45,17 +45,22 @@ class GraftParser(session: SparkSession, delegate: ParserInterface)
     t.contains("graph_table") || t.contains("graph table")
   }
 
+  /** Rewrite failures fall back to the plain parser — a query merely
+    * *mentioning* graph_table (e.g. inside a string literal) must not
+    * break (the reference's override behaves the same way: PGQ parse
+    * failure → normal statement path). */
+  private def tryRewrite(sqlText: String): String =
+    try Graft(session, TableResolver.catalog).rewriteGraphTables(sqlText)
+    catch { case _: Exception => sqlText }
+
   override def parsePlan(sqlText: String): LogicalPlan = {
     if (!isPgq(sqlText)) return delegate.parsePlan(sqlText)
-    val g = Graft(session, TableResolver.catalog)
-    val rewritten = g.rewriteGraphTables(sqlText)
-    delegate.parsePlan(rewritten)
+    delegate.parsePlan(tryRewrite(sqlText))
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = {
     if (!isPgq(sqlText)) return delegate.parseQuery(sqlText)
-    val g = Graft(session, TableResolver.catalog)
-    delegate.parseQuery(g.rewriteGraphTables(sqlText))
+    delegate.parseQuery(tryRewrite(sqlText))
   }
 
   override def parseExpression(sqlText: String): Expression =

@@ -108,6 +108,26 @@ class DistributedKernelsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("quantified edge inline WHERE constrains the traversed edge set") {
+    val s = init()
+    val sf = "/root/testdata/sf0.001"
+    // region 0 ring is 0→5→10→15→20→0; forbidding edges into nation 5
+    // removes 0's only out-edge, so nothing is reachable from 0
+    val df = TradeGraph.graft(s, sf).graphTable(
+      """trade MATCH p = ANY SHORTEST
+           (a:Nation)-[e:NationNext WHERE e.dst <> 5]->{1,3}(b:Nation)
+         WHERE a.n_nationkey = 0
+         COLUMNS (b.n_nationkey AS dst, path_length(p) AS dist)""")
+    assert(df.count() == 0)
+    // sanity: without the edge filter the same query returns 3 rows
+    val df2 = TradeGraph.graft(s, sf).graphTable(
+      """trade MATCH p = ANY SHORTEST
+           (a:Nation)-[e:NationNext]->{1,3}(b:Nation)
+         WHERE a.n_nationkey = 0
+         COLUMNS (b.n_nationkey AS dst, path_length(p) AS dist)""")
+    assert(df2.count() == 3)
+  }
+
   test("path functions allowed in the MATCH WHERE clause") {
     val s = init()
     val sf = "/root/testdata/sf0.001"
