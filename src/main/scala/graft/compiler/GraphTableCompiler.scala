@@ -348,8 +348,21 @@ object GraphTableCompiler {
           paths.select(col("src").as("__psrc"), col("dst").as("__pdst"),
             col("path").as(pcol), col("dist").as(s"__dist_${p.pathVar.get}"))
         } else {
+          // selective-destination pruning: if `b` carries an inline WHERE
+          // or sub-label, restrict (and possibly early-stop) the BFS to
+          // that target set — the distance join with b would drop other
+          // rows anyway
+          val targetsOpt: Option[DataFrame] =
+            if (keyIsNumeric && (vp.where.isDefined ||
+                vp.label.exists(l =>
+                  bVt.subLabels.exists(_.equalsIgnoreCase(l))))) {
+              var tDF = vertexDF(bVt, vp.label)
+                .alias(vp.varName.getOrElse(freshName("t")))
+              vp.where.foreach(w => tDF = tDF.filter(expr(w)))
+              Some(tDF.select(col(bRefKey).cast("long").as("id")))
+            } else None
           fromRowid(PathFinder.bfsDistances(spark, edgeList, seedList,
-            q.upper)
+            q.upper, targetsOpt)
             .filter(col("dist") >= q.lower &&
               q.upper.map(u => col("dist") <= u).getOrElse(lit(true))))
             .select(col("src").as("__psrc"), col("dst").as("__pdst"),

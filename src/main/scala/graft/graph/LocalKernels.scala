@@ -26,26 +26,36 @@ private[graph] object LocalKernels {
   }
 
   /** Multi-source BFS shortest lengths — mirrors
-    * [[PathFinder.bfsDistances]]. */
+    * [[PathFinder.bfsDistances]]. When `targets` is set, only rows ending
+    * in a target are emitted and each per-seed search stops as soon as
+    * every target is settled. */
   def bfsDistances(edges: Array[(Long, Long, Long)], seeds: Array[Long],
-      maxDepth: Long): Array[(Long, Long, Long)] = {
+      maxDepth: Long,
+      targets: Option[Set[Long]] = None): Array[(Long, Long, Long)] = {
     val adj = adjacency(edges)
     val out = mutable.ArrayBuffer[(Long, Long, Long)]()
     seeds.distinct.foreach { s =>
       val dist = mutable.LongMap[Long](s -> 0L)
+      var remaining = targets.map(_ diff Set(s))
       var frontier = List(s)
       var d = 0L
-      while (frontier.nonEmpty && d < maxDepth) {
+      while (frontier.nonEmpty && d < maxDepth &&
+          !remaining.exists(_.isEmpty)) {
         d += 1
         val next = mutable.ArrayBuffer[Long]()
         frontier.foreach { u =>
           adj.getOrElse(u, Nil).foreach { case (v, _) =>
-            if (!dist.contains(v)) { dist(v) = d; next += v }
+            if (!dist.contains(v)) {
+              dist(v) = d; next += v
+              remaining = remaining.map(_ - v)
+            }
           }
         }
         frontier = next.toList
       }
-      dist.foreach { case (v, dd) => out += ((s, v, dd)) }
+      dist.foreach { case (v, dd) =>
+        if (targets.forall(_.contains(v))) out += ((s, v, dd))
+      }
     }
     out.toArray
   }

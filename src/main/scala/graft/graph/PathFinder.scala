@@ -76,7 +76,16 @@ object PathFinder {
     * @return (src, dst, dist) for every reached pair with dist ≤ maxDepth
     */
   def bfsDistances(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
-      maxDepth: Option[Long]): DataFrame = {
+      maxDepth: Option[Long]): DataFrame =
+    bfsDistances(spark, edges, seeds, maxDepth, None)
+
+  /** As above; when `targets` is set, only pairs whose `dst` is in the
+    * target set are returned, and the search may stop as soon as every
+    * target is settled (BFS distances are monotone per level, so early
+    * stop cannot miss a shorter path) — the selective-destination
+    * optimization for IC13-shaped queries. */
+  def bfsDistances(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      maxDepth: Option[Long], targets: Option[DataFrame]): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // strategy choice by statistics: small graph + small seed set → local
@@ -87,7 +96,9 @@ object PathFinder {
       locally {
         val res = LocalKernels.bfsDistances(
           collectEdges(e, withEid = false), seedArr,
-          maxDepth.getOrElse(Long.MaxValue))
+          maxDepth.getOrElse(Long.MaxValue),
+          targets.map(t => collectSeeds(t.select(col(t.columns.head)
+            .as("id"))).toSet))
         e.unpersist()
         import spark.implicits._
         return res.toSeq.toDF("src", "dst", "dist")
@@ -113,7 +124,12 @@ object PathFinder {
       }
     }
     e.unpersist()
-    seen
+    targets match {
+      case Some(t) =>
+        seen.join(t.select(col(t.columns.head).cast("long").as("dst"))
+          .distinct(), Seq("dst"), "left_semi")
+      case None => seen
+    }
   }
 
   /** BFS with path reconstruction — semantics of reference `shortestpath`

@@ -108,6 +108,27 @@ class DistributedKernelsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("selective destination prunes BFS results (target set)") {
+    val s = init()
+    val sf = "/root/testdata/sf0.001"
+    val df = TradeGraph.graft(s, sf).graphTable(
+      """trade MATCH (a:Nation)-[e:NationNext]->+(b:Nation WHERE b.n_nationkey = 15)
+         WHERE a.n_regionkey = 0
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst)""")
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // region-0 ring 0→5→10→15→20: every other region-0 nation reaches 15
+    assert(got == Set((0, 15), (5, 15), (10, 15), (20, 15)))
+    // identical through the distributed path (target semi-join)
+    withDistributed {
+      val got2 = TradeGraph.graft(s, sf).graphTable(
+        """trade MATCH (a:Nation)-[e:NationNext]->+(b:Nation WHERE b.n_nationkey = 15)
+           WHERE a.n_regionkey = 0
+           COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst)""")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(got2 == got)
+    }
+  }
+
   test("quantified edge inline WHERE constrains the traversed edge set") {
     val s = init()
     val sf = "/root/testdata/sf0.001"
