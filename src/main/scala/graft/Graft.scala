@@ -63,17 +63,33 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
     val pat = java.util.regex.Pattern.compile(
       "(?i)(?<![A-Za-z0-9_])(?:GRAPH_TABLE|GRAPH\\s+TABLE)\\s*\\(")
     val sb = new StringBuilder(query)
+    var searchFrom = 0
     var m = pat.matcher(sb)
-    while (m.find()) {
-      val open = m.end() - 1 // both pattern alternatives end with '('
-      val close = matchParen(sb, open)
-      val inner = sb.substring(open + 1, close)
-      val name = s"__graft_gt_${gtCounter.incrementAndGet()}"
-      graphTable(inner).createOrReplaceTempView(name)
-      sb.replace(m.start(), close + 1, name)
-      m = pat.matcher(sb)
+    while (m.find(searchFrom)) {
+      if (insideStringLiteral(sb, m.start())) {
+        // mention inside a SQL string literal — not a graph table
+        searchFrom = m.end()
+      } else {
+        val open = m.end() - 1 // both pattern alternatives end with '('
+        val close = matchParen(sb, open)
+        val inner = sb.substring(open + 1, close)
+        val name = s"__graft_gt_${gtCounter.incrementAndGet()}"
+        graphTable(inner).createOrReplaceTempView(name)
+        sb.replace(m.start(), close + 1, name)
+        searchFrom = 0
+        m = pat.matcher(sb)
+      }
     }
     sb.toString
+  }
+
+  /** True when `pos` falls inside a single-quoted SQL literal (an odd
+    * number of quotes precede it; '' escapes count as two). */
+  private def insideStringLiteral(s: CharSequence, pos: Int): Boolean = {
+    var quotes = 0
+    var i = 0
+    while (i < pos) { if (s.charAt(i) == '\'') quotes += 1; i += 1 }
+    quotes % 2 == 1
   }
 
   /** Index of the ')' balancing the '(' at `open` (quote-aware). */

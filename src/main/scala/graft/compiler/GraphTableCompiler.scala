@@ -131,6 +131,10 @@ object GraphTableCompiler {
       // mode/prefix guards apply to every pattern, quantified or not
       // (reference PGQCheckPathModeSupport runs unconditionally)
       PathFinder.checkSupported(p)
+      if (p.pathVar.isDefined && p.prefix.isEmpty)
+        throw GraphAnalysisException(
+          s"Named path '${p.pathVar.get}' requires a search prefix " +
+            "(e.g. ANY SHORTEST)")
       val elems = p.elements
       require(elems.nonEmpty && elems.head.isInstanceOf[VertexPattern],
         "pattern must start with a vertex")
@@ -226,26 +230,30 @@ object GraphTableCompiler {
       // legitimately differ).
       // The edge's inline WHERE constrains the traversed edge set (same
       // hoisting as bindFixedEdge — the kernel must never walk excluded
-      // edges).
-      val edges0 = {
-        var e0 = resolver(spark, et.tableName)
-          .alias(ep.varName.getOrElse(freshName("e")))
-        ep.where.foreach(w => e0 = e0.filter(expr(w)))
-        e0
-      }
+      // edges). For Undirected the filter applies AFTER the orientation
+      // doubling, exactly like bindFixedEdge, so the predicate sees both
+      // orientations.
+      if (ep.direction == EdgeDirection.Both)
+        throw GraphAnalysisException(
+          "bidirectional (<-[e]->) quantified edges are not yet supported")
+      val eName = ep.varName.getOrElse(freshName("e"))
+      val edgesRaw = resolver(spark, et.tableName)
+      def applyWhere(df: DataFrame): DataFrame =
+        ep.where.foldLeft(df.alias(eName))((d, w) => d.filter(expr(w)))
       val (edges, srcKey, dstKey, aVt, aRefKey, bVt, bRefKey) =
         ep.direction match {
           case EdgeDirection.Undirected =>
-            (undirectedView(edges0, et), et.srcKeys.head, et.dstKeys.head,
+            (applyWhere(undirectedView(edgesRaw, et)),
+              et.srcKeys.head, et.dstKeys.head,
               pg.vertexLabel(et.srcLabel), et.srcRefKeys.head,
               pg.vertexLabel(et.dstLabel), et.dstRefKeys.head)
           case EdgeDirection.Left =>
-            (edges0.select(col(et.dstKeys.head).as("__s"),
+            (applyWhere(edgesRaw).select(col(et.dstKeys.head).as("__s"),
               col(et.srcKeys.head).as("__d")), "__s", "__d",
               pg.vertexLabel(et.dstLabel), et.dstRefKeys.head,
               pg.vertexLabel(et.srcLabel), et.srcRefKeys.head)
           case _ =>
-            (edges0, et.srcKeys.head, et.dstKeys.head,
+            (applyWhere(edgesRaw), et.srcKeys.head, et.dstKeys.head,
               pg.vertexLabel(et.srcLabel), et.srcRefKeys.head,
               pg.vertexLabel(et.dstLabel), et.dstRefKeys.head)
         }
@@ -269,15 +277,17 @@ object GraphTableCompiler {
       // Non-numeric vertex keys: map through dense rowids (distributed
       // sort + zipWithIndex — the Snapshot strategy) so the long-typed
       // kernels apply; results are mapped back to raw keys before the
-      // plan join. Numeric keys skip the mapping entirely.
-      val keyIsNumeric = resolver(spark, srcVt.tableName)
-        .schema(vKey).dataType match {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }
+      // plan join. Both endpoints must be numeric to skip the mapping
+      // (a string dst cast to long would silently null out every edge).
+      def numeric(vt: VertexTable, key: String): Boolean =
+        resolver(spark, vt.tableName).schema(key).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+      val keyIsNumeric = numeric(srcVt, vKey) && numeric(dstVt, dstVKey)
 
       // seeds for the non-numeric branch come from the filtered seed DF
       def seedsViaRowid(ids: DataFrame): DataFrame =
@@ -428,13 +438,33 @@ object GraphTableCompiler {
     val vertexAliases = bindings.collect {
       case (n, b) if b.isVertex && !n.startsWith("__") => n
     }.toSeq
+    // star expansion honors the registered property subset (reference
+    // match.cpp:1054-1080 expands against registered properties, so
+    // PROPERTIES(...)/EXCEPT exclusions never leak through `*`)
+    def starCols(alias: String): Seq[Column] =
+      bindings.get(alias) match {
+        case Some(b) if b.isVertex =>
+          pg.vertexTables.find(_.tableName == b.table) match {
+            case Some(vt) if vt.properties.nonEmpty =>
+              vt.properties.map(c => col(s"$alias.$c"))
+            case _ => Seq(col(s"$alias.*"))
+          }
+        case Some(b) =>
+          pg.edgeTables.find(_.tableName == b.table) match {
+            case Some(et) if et.properties.nonEmpty =>
+              et.properties.map(c => col(s"$alias.$c"))
+            case _ => Seq(col(s"$alias.*"))
+          }
+        case None => Seq(col(s"$alias.*"))
+      }
     val cols: Seq[Column] = spec.columns.flatMap { cs =>
       cs.expr.trim match {
         case "*" =>
           // default/bare star = all named vertex bindings' columns
           // (reference transform_pgq.cpp:310-322)
-          vertexAliases.map(a => col(s"$a.*"))
-        case s if s.endsWith(".*") => Seq(col(s))
+          vertexAliases.flatMap(starCols)
+        case s if s.endsWith(".*") =>
+          starCols(s.stripSuffix(".*").trim)
         case s =>
           val rewritten = rewritePathFunctions(s, pathCols.toMap)
           val c = expr(rewritten)

@@ -139,8 +139,13 @@ object Algorithms {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var comp = vertices.select(col("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+    // propagate over vertices ∪ edge endpoints so components merge through
+    // endpoints absent from `vertices` (matches the union-find local path);
+    // output is restricted back to `vertices` at the end
+    val domain = vertices.select(col("id"))
+      .union(und.select(col("src").as("id")))
+      .distinct()
+    var comp = domain.withColumn("component", col("id")).localCheckpoint()
     var changed = true
     while (changed) {
       // neighbor-min propagation (one hop)...
@@ -166,7 +171,7 @@ object Algorithms {
       comp = next
     }
     und.unpersist()
-    comp
+    comp.join(vertices.select(col("id")).distinct(), Seq("id"), "left_semi")
   }
 
   /** Local clustering coefficient — reference semantics

@@ -123,6 +123,9 @@ private[graph] object LocalKernels {
           }
         }
       }
+      if (changed)
+        throw graft.model.GraphAnalysisException(
+          "cheapest-path did not converge (negative cycle detected)")
       dist.foreach { case (v, c) => out += ((s, v, c)) }
     }
     out.toArray
@@ -191,12 +194,18 @@ private[graph] object LocalKernels {
       if (ra != rb) parent(ra) = rb
     }
     vertexIds.foreach(v => parent.getOrElseUpdate(v, v))
-    edges.foreach { case (s, d) => union(s, d) }
+    edges.foreach { case (s, d) =>
+      parent.getOrElseUpdate(s, s)
+      parent.getOrElseUpdate(d, d)
+      union(s, d)
+    }
+    // component id = min over ALL members incl. pass-through endpoints
+    // absent from vertexIds (matches the distributed propagation domain)
     val minOf = mutable.LongMap[Long]()
-    val roots = vertexIds.map(v => v -> find(v))
-    roots.foreach { case (v, r) =>
+    parent.keys.toArray.foreach { v =>
+      val r = find(v)
       minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), v)
     }
-    roots.map { case (v, r) => (v, minOf(r)) }
+    vertexIds.map(v => (v, minOf(find(v))))
   }
 }

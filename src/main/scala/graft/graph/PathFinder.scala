@@ -222,8 +222,10 @@ object PathFinder {
     var changed = true
     var iter = 0
     // Bellman-Ford converges in ≤ V-1 rounds on negative-cycle-free graphs;
-    // each round is one join + one map-side-combinable min agg.
-    while (changed && iter < 1000) {
+    // each round is one join + one map-side-combinable min agg. Hitting the
+    // cap with work remaining means the result would be wrong — fail loud.
+    val maxRounds = 1000
+    while (changed && iter < maxRounds) {
       iter += 1
       val relaxed = dist.join(e, dist("dst") === e("src"))
         .select(dist("src"), e("dst").as("dst"),
@@ -240,6 +242,10 @@ object PathFinder {
       dist = next
     }
     e.unpersist()
+    if (changed)
+      throw GraphAnalysisException(
+        s"cheapest-path did not converge within $maxRounds rounds " +
+          "(negative cycle, or a longer chain than supported)")
     dist
   }
 

@@ -95,10 +95,16 @@ object Snapshot {
         "Non-existent/non-unique vertices detected. Make sure all " +
           "vertices referred by edge tables exist and are unique")
 
+    // materialize the dense-id edge list, then release the intermediate
+    // join cache — GraphSnapshot.unpersist() must free what is actually
+    // cached, not an unpersisted derived projection
     val edges = joined.select(
       Seq(col("src"), col("dst"),
         xxhash64(col("src"), col("dst")).as("eid")) ++
         weightCol.map(_ => col("w")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    joined.unpersist()
     GraphSnapshot(rowids, edges, weightType)
   }
 }

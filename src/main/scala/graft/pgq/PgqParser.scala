@@ -251,8 +251,10 @@ final class PgqParser(input: String) {
     var name: Option[String] = None
     var label: Option[String] = None
     var where: Option[String] = None
+    var hadBracket = false
     ws()
     if (pos < n && input(pos) == '[') {
+      hadBracket = true
       pos += 1
       ws()
       if (pos < n && input(pos) != ']' && input(pos) != ':') {
@@ -270,12 +272,15 @@ final class PgqParser(input: String) {
       ws()
     }
     // closing arrow. For the bare (bracket-less) forms the leading dash of
-    // "->" was already consumed above, so a lone '>' completes it.
+    // "->" was already consumed above, so a lone '>' completes it. A
+    // bracketed body MUST be closed by '-' or '->' — `[e](b)` is a typo,
+    // not an undirected edge.
     ws()
     val rightArrow =
       if (pos < n && input(pos) == '>') { pos += 1; true }
       else if (accept("->")) true
       else if (accept("-")) false
+      else if (hadBracket) err("expected closing '-' or '->' after ']'")
       else false
     val dir =
       if (leftArrow && rightArrow) EdgeDirection.Both

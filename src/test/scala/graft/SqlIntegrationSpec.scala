@@ -116,6 +116,42 @@ class SqlIntegrationSpec extends AnyFunSuite {
     assert(e.msg.contains("quantifier") || e.msg.contains("parse error"))
   }
 
+  test("guards: quantified bidirectional, prefix-less named path, missing arrow") {
+    val s = Fixture.init()
+    val g = Graft(s, TableResolver.catalog)
+    g.registry.create(s, Fixture.pg, TableResolver.catalog, orReplace = true)
+    val e1 = intercept[GraphAnalysisException] {
+      g.graphTable("pg MATCH (a:Person)<-[k:Knows]->{1,2}(b:Person) COLUMNS (a.id)")
+    }
+    assert(e1.msg.contains("bidirectional"))
+    val e2 = intercept[GraphAnalysisException] {
+      g.graphTable("pg MATCH p = (a:Person)-[k:Knows]->{1,2}(b:Person) COLUMNS (a.id)")
+    }
+    assert(e2.msg.contains("search prefix"))
+    val e3 = intercept[GraphAnalysisException] {
+      PgqParser.graphTable("pg MATCH (a:Person)-[k:Knows](b:Person) COLUMNS (a.id)")
+    }
+    assert(e3.msg.contains("expected closing"))
+  }
+
+  test("star expansion honors registered property subsets") {
+    val s = Fixture.init()
+    val g = Graft(s, TableResolver.catalog)
+    g.registry.create(s, Fixture.pg, TableResolver.catalog, orReplace = true)
+    // Person declares PROPERTIES (id, name); a.* must not leak other cols
+    val df = g.graphTable(
+      "pg MATCH (a:Person)-[k:Knows]->(b:Person) COLUMNS (a.*)")
+    assert(df.columns.toSet == Set("id", "name"))
+  }
+
+  test("GRAPH_TABLE inside a string literal is left alone") {
+    val s = Fixture.init()
+    val g = Graft(s, TableResolver.catalog)
+    val out = g.sqlGraph(
+      "SELECT 'see GRAPH_TABLE(docs) for details' AS hint")
+    assert(out.collect().head.getString(0).contains("GRAPH_TABLE(docs)"))
+  }
+
   test("quantifier lower > upper raises — kleene_star.test:50-56") {
     val e = intercept[GraphAnalysisException] {
       PgqParser.graphTable(
