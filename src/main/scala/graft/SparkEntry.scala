@@ -283,6 +283,19 @@ object SparkEntry {
     t(s, d, "documents").select(col("doc_id"),
       TextAnalysis.fingerprintRolling(col("text")).as("fp_roll"))
 
+  /** Top TF-IDF term per document (bounded slice) — deterministic
+    * tie-break by term. */
+  private def q43_tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+    val scores = TextAnalysis.tfidf(docs, "doc_id", "text")
+    val w = Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id").as("doc_id"), col("term").as("top_term"),
+        col("tfidf"))
+  }
+
   // =========================================================================
   // Similarity search
   // =========================================================================
@@ -400,6 +413,7 @@ object SparkEntry {
     "q40_rollup" -> (q40_rollup _),
     "q41_scalar_subquery" -> (q41_scalar_subquery _),
     "q42_match_3hop_big" -> (q42_match_3hop_big _),
+    "q43_tfidf" -> (q43_tfidf _),
     "q31_describe_pg" -> (q31_describe_pg _),
     "q32_summarize_pg" -> (q32_summarize_pg _),
     "q33_derive_vertex" -> (q33_derive_vertex _),
@@ -591,6 +605,25 @@ object SparkEntry {
          JOIN lineitem ON l_orderkey = o_orderkey
          JOIN part ON p_partkey = l_partkey
          WHERE o_totalprice > 400000.0 AND (p_size & 1) = 1""",
+
+    "q43_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         toks AS (SELECT doc_id AS id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM d),
+         tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         scored AS (
+           SELECT tf.id, tf.term, tf.tf,
+             round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM d) / dfreq.df), 6)
+               AS tfidf
+           FROM tf JOIN dfreq ON tf.term = dfreq.term),
+         ranked AS (
+           SELECT id AS doc_id, term AS top_term, tfidf,
+             row_number() OVER (PARTITION BY id
+               ORDER BY tfidf DESC, term ASC) AS rn
+           FROM scored)
+         SELECT doc_id, top_term, tfidf FROM ranked WHERE rn = 1""",
 
     "q31_describe_pg" -> describeOracle,
     "q32_summarize_pg" -> summarizeOracle,

@@ -91,6 +91,20 @@ object TextAnalysis {
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(m)), lit(m)))
   }
 
+  /** TF-IDF scores per (document, term): tf = term count in doc,
+    * idf = ln(N / df). Explode + two aggregations — fully codegen'd,
+    * shuffles on term then doc. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+    val n = df.count().toDouble
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .select(col("id"), col("term"), col("tf"),
+        round(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
+  }
+
   /** Greedy per-document stats frame. */
   def documentStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
