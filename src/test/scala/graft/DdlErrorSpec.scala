@@ -68,6 +68,45 @@ class DdlErrorSpec extends AnyFunSuite {
     reg.drop("pg", ifExists = true) // no throw
   }
 
+  test("schema-qualified table names — 211_using_other_schemas.test") {
+    val s = init()
+    import s.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+      .createOrReplaceGlobalTempView("qual_pers")
+    Seq((1L, 2L)).toDF("src", "dst")
+      .createOrReplaceGlobalTempView("qual_know")
+    val g = Graft(s, TableResolver.catalog)
+    g.sql("""CREATE OR REPLACE PROPERTY GRAPH qualpg
+      VERTEX TABLES ("global_temp.qual_pers" LABEL QPerson)
+      EDGE TABLES ("global_temp.qual_know"
+        SOURCE KEY (src) REFERENCES "global_temp.qual_pers" (id)
+        DESTINATION KEY (dst) REFERENCES "global_temp.qual_pers" (id)
+        LABEL QKnows)""")
+    val rows = g.graphTable(
+      """qualpg MATCH (a:QPerson)-[k:QKnows]->(b:QPerson)
+         COLUMNS (a.name AS an, b.name AS bn)""").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("x", "y")))
+  }
+
+  test("altered table is picked up lazily — altering_table.test") {
+    val s = init()
+    import s.implicits._
+    Seq((100L, "Before")).toDF("id", "name")
+      .createOrReplaceTempView("alter_t")
+    val g = Graft(s, TableResolver.catalog)
+    g.sql("""CREATE OR REPLACE PROPERTY GRAPH alterpg
+      VERTEX TABLES (alter_t LABEL AV)""")
+    // replace the backing view: new rows (and an extra column) appear on
+    // the next query — registration is metadata-only, like the reference
+    Seq((200L, "After", 1.5)).toDF("id", "name", "score")
+      .createOrReplaceTempView("alter_t")
+    val rows = g.graphTable(
+      "alterpg MATCH (v:AV) COLUMNS (v.id AS id, v.name AS name)").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((200L, "After")))
+  }
+
   test("edge properties project in COLUMNS — basic_match edge columns") {
     val df = GraphTableCompiler.compile(init(), MatchSpec("pg",
       Seq(PathPattern(None, None, PathMode.Walk, Seq(

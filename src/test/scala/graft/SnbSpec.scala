@@ -89,6 +89,36 @@ class SnbSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((2L, 17592186044461L, 35184372088856L)))
   }
 
+  test("SNB IS3: undirected friends with edge property — snb.test:128-137") {
+    assume(available)
+    val df = g.graphTable(
+      """snb MATCH (a:Person WHERE a.id = 17592186044461)-[k:Knows]-(b:Person)
+         COLUMNS (b.id AS id, b.firstName AS fn, b.lastName AS ln,
+                  k.creationDate AS kd)""")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((32L, "Miguel", "Gonzalez"),
+      (26388279066658L, "Roberto", "Diaz"), (2199023255594L, "Ali", "Achiou")))
+  }
+
+  test("SNB IS7: reply authors who know the message author — snb.test:162-173") {
+    assume(available)
+    val df = g.graphTable(
+      """snb MATCH
+         (replyAuthor:Person)<-[au2:hasAuthor]-(c:Message WHERE c.ParentMessageId IS NOT NULL)
+           -[r:replyOf]->(m:Message WHERE m.id = 618475290624)
+           -[au:hasAuthor]->(messageAuthor:Person),
+         (replyAuthor:Person)-[k:Knows]-(messageAuthor:Person)
+         COLUMNS (c.id AS cid, c.content AS content,
+                  replyAuthor.id AS raid, replyAuthor.firstName AS rafn,
+                  replyAuthor.lastName AS raln)""")
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getString(3), r.getString(4))).sortBy(_._2)
+    assert(got.toSeq == Seq(
+      (962072674306L, "thanks", 24189255811081L, "Alim", "Guliyev"),
+      (962072674305L, "yes", 24189255811081L, "Alim", "Guliyev")))
+  }
+
   test("SNB BI triangle: undirected 3-cycle with edge-property WHEREs — bi.test:56-61") {
     assume(available)
     val df = g.graphTable(
