@@ -296,6 +296,20 @@ object SparkEntry {
         col("tfidf"))
   }
 
+  /** Corpus-wide bigram frequencies, top 20 (map-side-combined counts over
+    * exploded shingles — the n-gram LM-stats shape). */
+  private def q44_ngram_freq(s: SparkSession, d: String): DataFrame = {
+    val grams = t(s, d, "documents")
+      // shingles() degrades to the whole text below k tokens — exclude
+      // sub-bigram docs to match the oracle's len >= 2 semantics
+      .filter(size(TextAnalysis.tokens(lower(col("text")))) >= 2)
+      .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("ngram").asc)
+    grams.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+  }
+
   // =========================================================================
   // Similarity search
   // =========================================================================
@@ -414,6 +428,7 @@ object SparkEntry {
     "q41_scalar_subquery" -> (q41_scalar_subquery _),
     "q42_match_3hop_big" -> (q42_match_3hop_big _),
     "q43_tfidf" -> (q43_tfidf _),
+    "q44_ngram_freq" -> (q44_ngram_freq _),
     "q31_describe_pg" -> (q31_describe_pg _),
     "q32_summarize_pg" -> (q32_summarize_pg _),
     "q33_derive_vertex" -> (q33_derive_vertex _),
@@ -624,6 +639,20 @@ object SparkEntry {
                ORDER BY tfidf DESC, term ASC) AS rn
            FROM scored)
          SELECT doc_id, top_term, tfidf FROM ranked WHERE rn = 1""",
+
+    "q44_ngram_freq" ->
+      """WITH toks AS (
+           SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         grams AS (
+           SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+             AS ngram
+           FROM toks WHERE len(t) >= 2),
+         counted AS (SELECT ngram, count(*) AS n FROM grams GROUP BY ngram),
+         ranked AS (SELECT ngram, n,
+             row_number() OVER (ORDER BY n DESC, ngram ASC) AS rank
+           FROM counted)
+         SELECT ngram, n, rank FROM ranked WHERE rank <= 20""",
 
     "q31_describe_pg" -> describeOracle,
     "q32_summarize_pg" -> summarizeOracle,
