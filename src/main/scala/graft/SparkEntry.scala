@@ -305,10 +305,23 @@ object SparkEntry {
       .filter(size(TextAnalysis.tokens(lower(col("text")))) >= 2)
       .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
+    // distributed top-k (sort+limit) first; the global rank window then
+    // only sees 20 rows — no single-partition pass over the full vocab
+    val top = grams.orderBy(col("n").desc, col("ngram").asc).limit(20)
     val w = Window.orderBy(col("n").desc, col("ngram").asc)
-    grams.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 20)
+    top.withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** JSON property extraction + aggregation over the event payloads
+    * (JSON functions are host-engine territory in the reference, §2.F). */
+  private def q45_json(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"))
 
   // =========================================================================
   // Similarity search
@@ -429,6 +442,7 @@ object SparkEntry {
     "q42_match_3hop_big" -> (q42_match_3hop_big _),
     "q43_tfidf" -> (q43_tfidf _),
     "q44_ngram_freq" -> (q44_ngram_freq _),
+    "q45_json" -> (q45_json _),
     "q31_describe_pg" -> (q31_describe_pg _),
     "q32_summarize_pg" -> (q32_summarize_pg _),
     "q33_derive_vertex" -> (q33_derive_vertex _),
@@ -653,6 +667,15 @@ object SparkEntry {
              row_number() OVER (ORDER BY n DESC, ngram ASC) AS rank
            FROM counted)
          SELECT ngram, n, rank FROM ranked WHERE rank <= 20""",
+
+    "q45_json" ->
+      """SELECT event_type, count(*) AS n,
+           round(avg(k), 4) AS avg_k,
+           CAST(max(k) AS BIGINT) AS max_k
+         FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         GROUP BY event_type""",
 
     "q31_describe_pg" -> describeOracle,
     "q32_summarize_pg" -> summarizeOracle,

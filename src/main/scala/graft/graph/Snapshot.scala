@@ -29,7 +29,12 @@ final case class GraphSnapshot(
   def unpersist(): Unit = { vertices.unpersist(); edges.unpersist() }
 
   /** `get_csr_v` analogue: the CSR offsets array as (rowid, offset) —
-    * exclusive prefix sums of out-degrees in rowid order. */
+    * exclusive prefix sums of out-degrees in rowid order.
+    *
+    * NOTE: the unpartitioned window makes this a single-partition pass —
+    * acceptable because CSR offsets are an inherently sequential
+    * *introspection* view (the kernels never consume it); do not put it
+    * on a hot path at scale. */
   def csrOffsets: DataFrame = {
     val deg = vertices.join(edges, vertices("rowid") === edges("src"),
         "left_outer")
