@@ -160,6 +160,75 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** Word k-shingles in one fused pass: joins every k-token window with a
+  * single space — replaces the interpreted
+  * `transform(sequence(...), i -> concat_ws(' ', slice(...)))` chain.
+  * Fewer than k tokens ⇒ one shingle of the whole token list (same
+  * degradation as [[graft.ops.Dedup.shingles]]). */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val sep = UTF8String.fromString(" ")
+    val out =
+      if (n < k) {
+        val win = Array.tabulate(n)(i => x.getUTF8String(i))
+        Array(UTF8String.concatWs(sep, win: _*))
+      } else {
+        Array.tabulate(n - k + 1) { i =>
+          val win = Array.tabulate(k)(j => x.getUTF8String(i + j))
+          UTF8String.concatWs(sep, win: _*)
+        }
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val win = ctx.freshName("win")
+      val sep = ctx.freshName("sep")
+      val u = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+        int $n = $x.numElements();
+        $u $sep = $u.fromString(" ");
+        $u[] $out;
+        if ($n < $k) {
+          $u[] $win = new $u[$n];
+          for (int $j = 0; $j < $n; $j++) $win[$j] = $x.getUTF8String($j);
+          $out = new $u[] { $u.concatWs($sep, $win) };
+        } else {
+          $out = new $u[$n - $k + 1];
+          for (int $i = 0; $i <= $n - $k; $i++) {
+            $u[] $win = new $u[$k];
+            for (int $j = 0; $j < $k; $j++)
+              $win[$j] = $x.getUTF8String($i + $j);
+            $out[$i] = $u.concatWs($sep, $win);
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) $out);
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Inputs must already be `array<double>` (call sites cast). */
   def vec_dot(a: Column, b: Column): Column =
@@ -168,4 +237,6 @@ object VectorFunctions {
     Bridge.column(L2Norm(Bridge.expression(a)))
   def minhash_signature(hashed: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashed), numHashes))
+  def word_shingles(tokens: Column, k: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(tokens), k))
 }

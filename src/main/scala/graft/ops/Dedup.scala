@@ -30,13 +30,12 @@ object Dedup {
       .drop("__key")
   }
 
-  /** Word k-shingles (k consecutive tokens joined by a space). */
-  def shingles(text: Column, k: Int): Column = {
-    val t = TextAnalysis.tokens(lower(text))
-    when(size(t) < k, array(concat_ws(" ", t)))
-      .otherwise(transform(sequence(lit(0), size(t) - k),
-        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
-  }
+  /** Word k-shingles (k consecutive tokens joined by a space) — fused
+    * codegen'd pass ([[graft.functions.WordShingles]]); fewer than k
+    * tokens degrade to one whole-text shingle. */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.VectorFunctions.word_shingles(
+      TextAnalysis.tokens(lower(text)), k)
 
   /** Exact Jaccard similarity of the distinct shingle sets of two texts. */
   def jaccard(a: Column, b: Column): Column = {
