@@ -130,23 +130,17 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash signatures via explode + 64 codegen'd bit-count sums — one
-    * pass over the tokens instead of 64 interpreted array scans per row;
-    * shuffle is map-side combined. The fast path behind [[simHash]]. */
+  /** SimHash signatures via explode + a single imperative bit-counter
+    * aggregate ([[graft.functions.SimHashAgg]]) — one buffer per group
+    * with map-side combine instead of 64 separate sums. The fast path
+    * behind [[simHash]]. */
   def simHashSignatures(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
         explode_outer(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
-    val aggCols = count(col("h")).as("n") +: bitSums
-    val agg = toks.groupBy("id").agg(aggCols.head, aggCols.tail: _*)
-    val sig = (0 until 64).map(i =>
-      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("id"), sig.as("sig"))
-  }
+      .groupBy("id")
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("sig"))
 
   /** SimHash near-dup pairs: block on 4 × 16-bit bands (a pair within
     * Hamming distance ≤ maxDist ≤ 3 must agree on ≥1 band), verify by
