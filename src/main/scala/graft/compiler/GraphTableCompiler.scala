@@ -248,8 +248,10 @@ object GraphTableCompiler {
               pg.vertexLabel(et.srcLabel), et.srcRefKeys.head,
               pg.vertexLabel(et.dstLabel), et.dstRefKeys.head)
           case EdgeDirection.Left =>
-            (applyWhere(edgesRaw).select(col(et.dstKeys.head).as("__s"),
-              col(et.srcKeys.head).as("__d")), "__s", "__d",
+            (applyWhere(edgesRaw).select(
+              Seq(col(et.dstKeys.head).as("__s"),
+                col(et.srcKeys.head).as("__d")) ++
+                et.edgeIdCol.map(c => col(c).as(c)): _*), "__s", "__d",
               pg.vertexLabel(et.dstLabel), et.dstRefKeys.head,
               pg.vertexLabel(et.srcLabel), et.srcRefKeys.head)
           case _ =>
@@ -295,10 +297,15 @@ object GraphTableCompiler {
           .join(ids, Seq("__raw"))
           .select(col("__rowid").as("id"))
 
+      // declared edge identity rides into the kernels so path arrays carry
+      // real edge ids (reference rowid analogue); Left-swapped and
+      // undirected views keep the original id column
+      val eidCols: Seq[Column] =
+        et.edgeIdCol.map(c => col(c).cast("long").as("eid")).toSeq
       val (edgeList, seedList, fromRowid) =
         if (keyIsNumeric) {
-          (edges.select(col(srcKey).cast("long").as("src"),
-            col(dstKey).cast("long").as("dst")),
+          (edges.select(Seq(col(srcKey).cast("long").as("src"),
+            col(dstKey).cast("long").as("dst")) ++ eidCols: _*),
             seeds,
             identity[DataFrame] _)
         } else {

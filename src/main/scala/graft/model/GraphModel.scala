@@ -45,7 +45,13 @@ final case class EdgeTable(
     properties: Seq[String] = Nil,
     /** Optional DOUBLE/LONG weight column for cheapest-path kernels
       * (reference `csr_creation.cpp:222-236`). */
-    weightCol: Option[String] = None)
+    weightCol: Option[String] = None,
+    /** Optional numeric edge-identity column: when set, path arrays carry
+      * these ids at the odd positions (the analogue of the reference's
+      * edge rowids in `[v,e,v,…]` lists, shortest_path.cpp:212-217);
+      * otherwise a deterministic hash id is synthesized and parallel
+      * edges collapse. */
+    edgeIdCol: Option[String] = None)
 
 final case class PropertyGraph(
     name: String,

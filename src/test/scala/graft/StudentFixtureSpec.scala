@@ -267,6 +267,32 @@ class StudentFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("declared edge-id column appears in path arrays — shortest_path.test:47-59 shape") {
+    val s = init()
+    val pgIds = PropertyGraph("pgids",
+      Seq(VertexTable("student", "Person", Seq("id"), Seq("id", "name"))),
+      Seq(EdgeTable("know", "Knows", Seq("src"), Seq("id"), "Person",
+        Seq("dst"), Seq("id"), "Person", edgeIdCol = Some("createdate"))))
+    val df = GraphTableCompiler.compile(s, MatchSpec("pgids",
+      Seq(PathPattern(Some("p"), Some(SearchPrefix.AnyShortest),
+        PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("Person"),
+            where = Some("a.name = 'Daniel'")),
+          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right,
+            Some(Quantifier(1, Some(1)))),
+          VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("element_id(p)", Some("p")),
+        ColumnSpec("b.id", Some("bid")))),
+      pgIds, TableResolver.catalog)
+    val got = df.collect()
+      .map(r => (r.getLong(1), r.getSeq[Long](0))).toMap
+    // know rows: (0,1,cd=10),(0,2,cd=11),(0,3,cd=12) — edge ids are the
+    // declared createdate values, vertices at even positions
+    assert(got(1L) == Seq(0L, 10L, 1L))
+    assert(got(2L) == Seq(0L, 11L, 2L))
+    assert(got(3L) == Seq(0L, 12L, 3L))
+  }
+
   test("unregistered property raises — match.cpp:925-967") {
     val e = intercept[GraphAnalysisException] {
       matchDF(MatchSpec("pg", Seq(PathPattern(None, None, PathMode.Walk,
