@@ -83,13 +83,29 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
     sb.toString
   }
 
-  /** True when `pos` falls inside a single-quoted SQL literal (an odd
-    * number of quotes precede it; '' escapes count as two). */
+  /** True when `pos` falls inside a single- or double-quoted SQL literal.
+    * Tracks quote state with backslash escapes (an apostrophe inside a
+    * double-quoted string must not flip single-quote state, and vice
+    * versa). */
   private def insideStringLiteral(s: CharSequence, pos: Int): Boolean = {
-    var quotes = 0
+    var state = 0 // 0 = outside, 1 = in single-quoted, 2 = in double-quoted
     var i = 0
-    while (i < pos) { if (s.charAt(i) == '\'') quotes += 1; i += 1 }
-    quotes % 2 == 1
+    while (i < pos) {
+      val c = s.charAt(i)
+      state match {
+        case 0 =>
+          if (c == '\'') state = 1
+          else if (c == '"') state = 2
+        case 1 =>
+          if (c == '\\') i += 1
+          else if (c == '\'') state = 0
+        case 2 =>
+          if (c == '\\') i += 1
+          else if (c == '"') state = 0
+      }
+      i += 1
+    }
+    state != 0
   }
 
   /** Index of the ')' balancing the '(' at `open` (quote-aware). */

@@ -302,7 +302,7 @@ object SparkEntry {
     val grams = t(s, d, "documents")
       // shingles() degrades to the whole text below k tokens — exclude
       // sub-bigram docs to match the oracle's len >= 2 semantics
-      .filter(size(TextAnalysis.tokens(lower(col("text")))) >= 2)
+      .filter(TextAnalysis.tokenCount(col("text")) >= 2)
       .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n"))
     // distributed top-k (sort+limit) first; the global rank window then

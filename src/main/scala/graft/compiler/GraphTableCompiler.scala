@@ -299,9 +299,20 @@ object GraphTableCompiler {
 
       // declared edge identity rides into the kernels so path arrays carry
       // real edge ids (reference rowid analogue); Left-swapped and
-      // undirected views keep the original id column
-      val eidCols: Seq[Column] =
-        et.edgeIdCol.map(c => col(c).cast("long").as("eid")).toSeq
+      // undirected views keep the original id column. Must be numeric —
+      // casting a string id to long would silently null every eid.
+      val eidCols: Seq[Column] = et.edgeIdCol.map { c =>
+        resolver(spark, et.tableName).schema(c).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType =>
+            col(c).cast("long").as("eid")
+          case other => throw GraphAnalysisException(
+            s"edgeIdCol '$c' of '${et.tableName}' must be an integral " +
+              s"column (found $other)")
+        }
+      }.toSeq
       val (edgeList, seedList, fromRowid) =
         if (keyIsNumeric) {
           (edges.select(Seq(col(srcKey).cast("long").as("src"),
@@ -369,14 +380,21 @@ object GraphTableCompiler {
           // or sub-label, restrict (and possibly early-stop) the BFS to
           // that target set — the distance join with b would drop other
           // rows anyway
+          // pruning is best-effort: a WHERE referencing other pattern
+          // variables can't filter a standalone vertex table — fall back
+          // to no pruning (the plan-level join still applies it)
           val targetsOpt: Option[DataFrame] =
             if (keyIsNumeric && (vp.where.isDefined ||
                 vp.label.exists(l =>
                   bVt.subLabels.exists(_.equalsIgnoreCase(l))))) {
-              var tDF = vertexDF(bVt, vp.label)
-                .alias(vp.varName.getOrElse(freshName("t")))
-              vp.where.foreach(w => tDF = tDF.filter(expr(w)))
-              Some(tDF.select(col(bRefKey).cast("long").as("id")))
+              try {
+                var tDF = vertexDF(bVt, vp.label)
+                  .alias(vp.varName.getOrElse(freshName("t")))
+                vp.where.foreach(w => tDF = tDF.filter(expr(w)))
+                Some(tDF.select(col(bRefKey).cast("long").as("id")))
+              } catch {
+                case _: org.apache.spark.sql.AnalysisException => None
+              }
             } else None
           fromRowid(PathFinder.bfsDistances(spark, edgeList, seedList,
             q.upper, targetsOpt)
@@ -449,7 +467,9 @@ object GraphTableCompiler {
     // match.cpp:1054-1080 expands against registered properties, so
     // PROPERTIES(...)/EXCEPT exclusions never leak through `*`)
     def starCols(alias: String): Seq[Column] =
-      bindings.get(alias) match {
+      // case-insensitive lookup: Spark resolves alias qualifiers
+      // case-insensitively, so `A.*` must hit binding `a`
+      bindings.find(_._1.equalsIgnoreCase(alias)).map(_._2) match {
         case Some(b) if b.isVertex =>
           pg.vertexTables.find(_.tableName == b.table) match {
             case Some(vt) if vt.properties.nonEmpty =>
