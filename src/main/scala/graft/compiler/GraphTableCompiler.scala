@@ -492,6 +492,10 @@ object GraphTableCompiler {
           vertexAliases.flatMap(starCols)
         case s if s.endsWith(".*") =>
           starCols(s.stripSuffix(".*").trim)
+        case s if bindings.keys.exists(_.equalsIgnoreCase(s)) =>
+          // bare element reference → whole row as a struct (reference
+          // basic_match.test:309-323, SURVEY §1.2 struct-valued columns)
+          Seq(struct(starCols(s): _*).as(cs.alias.getOrElse(s)))
         case s =>
           val rewritten = rewritePathFunctions(s, pathCols.toMap)
           val c = expr(rewritten)

@@ -293,6 +293,27 @@ class StudentFixtureSpec extends AnyFunSuite {
     assert(got(3L) == Seq(0L, 12L, 3L))
   }
 
+  test("bare element refs return row structs — basic_match.test:309-323") {
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(None, None, PathMode.Walk, Seq(
+        VertexPattern(Some("a"), Some("Person")),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("b"), Some("Person"))))),
+      where = Some("a.name = 'Daniel'"),
+      columns = Seq(ColumnSpec("a"), ColumnSpec("k"), ColumnSpec("b"))))
+    assert(df.columns.toSeq == Seq("a", "k", "b"))
+    val rows = df.collect().map { r =>
+      val a = r.getStruct(0); val k = r.getStruct(1); val b = r.getStruct(2)
+      (a.getLong(0), a.getString(1), k.getLong(0), k.getLong(1),
+        k.getLong(2), b.getString(1))
+    }.sortBy(_._5)
+    // golden rows for Daniel (basic_match.test:313-315)
+    assert(rows.toSeq == Seq(
+      (0L, "Daniel", 0L, 1L, 10L, "Tavneet"),
+      (0L, "Daniel", 0L, 2L, 11L, "Gabor"),
+      (0L, "Daniel", 0L, 3L, 12L, "Peter")))
+  }
+
   test("unregistered property raises — match.cpp:925-967") {
     val e = intercept[GraphAnalysisException] {
       matchDF(MatchSpec("pg", Seq(PathPattern(None, None, PathMode.Walk,
