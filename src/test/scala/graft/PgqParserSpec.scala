@@ -140,6 +140,20 @@ class PgqParserSpec extends AnyFunSuite {
       ("Daniel", "Tavneet")))
   }
 
+  test("bare element columns through the text front-end") {
+    val s = Fixture.init()
+    val g = Graft(s, graft.model.TableResolver.catalog)
+    g.registry.create(s, Fixture.pg, graft.model.TableResolver.catalog,
+      orReplace = true)
+    val df = g.graphTable(
+      """pg MATCH (a:Person)-[k:Knows]->(b:Person)
+         WHERE a.name = 'Daniel' COLUMNS (a, k, b)""")
+    assert(df.columns.toSeq == Seq("a", "k", "b"))
+    assert(df.schema.fields.forall(_.dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType]))
+    assert(df.count() == 3)
+  }
+
   test("full DDL-to-query round trip through Graft.sql") {
     val s = Fixture.init()
     val g = Graft(s, graft.model.TableResolver.catalog)
