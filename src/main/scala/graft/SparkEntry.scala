@@ -159,6 +159,22 @@ object SparkEntry {
       """trade MATCH p = ANY SHORTEST (a:Nation)-[e:NationNext]->{1,}(b:Nation)
          COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
                   path_length(p) AS dist, vertices(p) AS vpath)""")
+      // driver's pandas compare can't sort array cells — emit a scalar
+      .withColumn("vpath",
+        concat_ws(",", transform(col("vpath"), _.cast("string"))))
+
+  /** Multi-segment named path: fixed hop + quantified hop in ONE named path
+    * — reference concatenation semantics (`list_concat`/`array_pop_front`,
+    * match.cpp:573-616): the fixed hop contributes `[a, e, m]`, the
+    * quantified hop its kernel path with the shared head vertex dropped. */
+  private def q46_multiseg_path(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ANY SHORTEST (a:Nation)-[e0:NationNext]->(m:Nation)-[e:NationNext]->{1,3}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, m.n_nationkey AS mid,
+                  b.n_nationkey AS dst, path_length(p) AS plen,
+                  vertices(p) AS vpath)""")
+      .withColumn("vpath",
+        concat_ws(",", transform(col("vpath"), _.cast("string"))))
 
   private def q13_reachability(s: SparkSession, d: String): DataFrame =
     TradeGraph.graft(s, d).graphTable(
@@ -459,6 +475,7 @@ object SparkEntry {
     "q10_match_sublabel" -> (q10_match_sublabel _),
     "q11_varlen" -> (q11_varlen _),
     "q12_shortest_path" -> (q12_shortest_path _),
+    "q46_multiseg_path" -> (q46_multiseg_path _),
     "q13_reachability" -> (q13_reachability _),
     "q14_cheapest" -> (q14_cheapest _),
     "q15_pagerank" -> (q15_pagerank _),
@@ -783,8 +800,29 @@ object SparkEntry {
          sp AS (SELECT src, dst, min(dist) AS d,
                        arg_min(vpath, dist) AS vpath
                 FROM b GROUP BY src, dst)
-         SELECT src, dst, CAST(d AS BIGINT) AS dist, vpath
+         SELECT src, dst, CAST(d AS BIGINT) AS dist,
+                array_to_string(vpath, ',') AS vpath
          FROM sp WHERE d >= 1""",
+
+    "q46_multiseg_path" ->
+      s"""WITH RECURSIVE $sqlNationNext,
+         b(src, dst, dist, vpath) AS (
+           SELECT n_nationkey, n_nationkey, 0, [CAST(n_nationkey AS BIGINT)]
+           FROM nation
+           UNION
+           SELECT b.src, e.dst, b.dist + 1,
+                  list_append(b.vpath, CAST(e.dst AS BIGINT))
+           FROM b JOIN nation_next e ON b.dst = e.src WHERE b.dist < 3),
+         sp AS (SELECT src, dst, min(dist) AS d,
+                       arg_min(vpath, dist) AS vpath
+                FROM b GROUP BY src, dst)
+         SELECT nn.src AS src, nn.dst AS mid, sp.dst AS dst,
+                CAST(1 + sp.d AS BIGINT) AS plen,
+                array_to_string(
+                  list_prepend(CAST(nn.src AS BIGINT), sp.vpath), ',')
+                  AS vpath
+         FROM nation_next nn JOIN sp ON sp.src = nn.dst
+         WHERE sp.d BETWEEN 1 AND 3""",
 
     "q13_reachability" ->
       s"""WITH RECURSIVE $sqlNationNext,
@@ -953,7 +991,8 @@ object SparkEntry {
 
     "q30_sessionize" ->
       """SELECT user_id,
-           1 + sum(CASE WHEN gap_ms > 1800000 THEN 1 ELSE 0 END) AS n_sessions
+           CAST(1 + sum(CASE WHEN gap_ms > 1800000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_sessions
          FROM (SELECT user_id,
                  epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms

@@ -101,6 +101,15 @@ object GraphTableCompiler {
       }
     }
 
+    def numericKey(vt: VertexTable, key: String): Boolean =
+      resolver(spark, vt.tableName).schema(key).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+
     def keysEq(aAlias: String, aCols: Seq[String], bAlias: String,
         bCols: Seq[String]): Column =
       aCols.zip(bCols).map { case (ac, bc) =>
@@ -126,7 +135,12 @@ object GraphTableCompiler {
     }
 
     /** Process one alternating vertex/edge element list
-      * (reference `ProcessPathList` match.cpp:792-885). */
+      * (reference `ProcessPathList` match.cpp:792-885). For a named path,
+      * every edge segment contributes a `[v, e, …, v]` id array — fixed hops
+      * as 3-element lists from the join itself, quantified hops from the BFS
+      * kernel — and the segments are concatenated dropping each subsequent
+      * segment's overlapping head vertex, mirroring the reference's
+      * `list_concat`/`array_pop_front` assembly (match.cpp:573-616). */
     def processPattern(p: PathPattern): Unit = {
       // mode/prefix guards apply to every pattern, quantified or not
       // (reference PGQCheckPathModeSupport runs unconditionally)
@@ -135,29 +149,104 @@ object GraphTableCompiler {
         throw GraphAnalysisException(
           s"Named path '${p.pathVar.get}' requires a search prefix " +
             "(e.g. ANY SHORTEST)")
+      val needPath = p.pathVar.isDefined && p.prefix.isDefined
+      if (needPath && pathCols.contains(p.pathVar.get))
+        throw GraphAnalysisException(
+          s"Path variable '${p.pathVar.get}' is bound twice")
       val elems = p.elements
       require(elems.nonEmpty && elems.head.isInstanceOf[VertexPattern],
         "pattern must start with a vertex")
       var prevV = bindVertex(elems.head.asInstanceOf[VertexPattern], None)
 
+      val segCols = scala.collection.mutable.ArrayBuffer[Column]()
       var i = 1
       while (i < elems.length) {
         val ep = elems(i).asInstanceOf[EdgePattern]
         val vp = elems(i + 1).asInstanceOf[VertexPattern]
 
-        if (ep.quantifier.isDefined || p.prefix.isDefined) {
-          prevV = bindPathEdge(p, ep, vp, prevV)
+        if (ep.quantifier.isDefined) {
+          val (bAlias, pcol) = bindPathEdge(p, ep, vp, prevV)
+          pcol.foreach(c => segCols += col(c))
+          prevV = bAlias
+        } else if (needPath) {
+          // fixed hop inside a named path: ordinary join (multiplicity
+          // preserved, like the reference's list_value over plain aliases)
+          // plus its 3-element path segment
+          val aAlias = prevV
+          val (bAlias, eAlias, et) = bindFixedEdgeEx(ep, vp, prevV)
+          segCols += fixedSegment(p, ep, et, aAlias, eAlias, bAlias)
+          prevV = bAlias
+        } else if (p.prefix.isDefined) {
+          // prefix without a path variable: shortest semantics dedup pairs
+          val (bAlias, _) = bindPathEdge(p, ep, vp, prevV)
+          prevV = bAlias
         } else {
           prevV = bindFixedEdge(ep, vp, prevV)
         }
         i += 2
       }
+
+      if (needPath) {
+        val pv = p.pathVar.get
+        val combined = segCols.toSeq.reduceLeft { (acc, seg) =>
+          // drop the segment's head vertex (shared with the previous
+          // segment's tail) — array_pop_front analogue
+          concat(acc, slice(seg, lit(2), greatest(size(seg) - 1, lit(0))))
+        }
+        val pcol = s"__path_$pv"
+        plan = plan.withColumn(pcol, combined)
+        pathCols(pv) = pcol
+      }
+    }
+
+    /** Path segment of a fixed hop inside a named path: the reference's
+      * `list_value(a.rowid, e.rowid, b.rowid)` (match.cpp:598-616), built
+      * from the already-joined aliases. Synthesizes the same
+      * `xxhash64(src, dst)` edge id as [[PathFinder.shortestPaths]] when no
+      * edge-id column is declared, so mixed fixed/quantified segments stay
+      * consistent. */
+    def fixedSegment(p: PathPattern, ep: EdgePattern, et: EdgeTable,
+        aAlias: String, eAlias: String, bAlias: String): Column = {
+      if (et.srcKeys.length > 1 || et.dstKeys.length > 1)
+        throw GraphAnalysisException(
+          "named paths over composite edge keys are not yet supported")
+      val (aKey, bKey, aVt, bVt) = ep.direction match {
+        case EdgeDirection.Left =>
+          (et.dstRefKeys.head, et.srcRefKeys.head,
+            pg.vertexLabel(et.dstLabel), pg.vertexLabel(et.srcLabel))
+        case _ =>
+          (et.srcRefKeys.head, et.dstRefKeys.head,
+            pg.vertexLabel(et.srcLabel), pg.vertexLabel(et.dstLabel))
+      }
+      if (!numericKey(aVt, aKey) || !numericKey(bVt, bKey))
+        throw GraphAnalysisException(
+          "fixed hops in a named path require numeric vertex keys — the " +
+            "path array would contain nulls for string keys")
+      val aCol = col(s"$aAlias.$aKey").cast("long")
+      val bCol = col(s"$bAlias.$bKey").cast("long")
+      val eid: Column = et.edgeIdCol match {
+        case Some(c) => col(s"$eAlias.$c").cast("long")
+        case None =>
+          // pattern-order-independent: hash the edge's stored (src, dst)
+          val (s0, d0) = ep.direction match {
+            case EdgeDirection.Left => (bCol, aCol)
+            case _                  => (aCol, bCol)
+          }
+          xxhash64(s0, d0)
+      }
+      array(aCol, eid, bCol)
     }
 
     /** Fixed-length edge hop: explicit equi-joins per direction
       * (reference A2-A5, match.cpp:365-444). */
     def bindFixedEdge(ep: EdgePattern, vp: VertexPattern,
-        aAlias: String): String = {
+        aAlias: String): String =
+      bindFixedEdgeEx(ep, vp, aAlias)._1
+
+    /** As [[bindFixedEdge]], additionally returning the edge alias and
+      * resolved edge table (needed for named-path segment assembly). */
+    def bindFixedEdgeEx(ep: EdgePattern, vp: VertexPattern,
+        aAlias: String): (String, String, EdgeTable) = {
       val eName = ep.varName.getOrElse(freshName("e"))
       val label = ep.label.getOrElse(throw GraphAnalysisException(
         s"Edge '$eName' needs a label"))
@@ -202,7 +291,7 @@ object GraphTableCompiler {
           keysEq(e2, et.dstKeys, aAlias, et.dstRefKeys)
         plan = plan.join(e2DF, cond, "inner")
       }
-      bAlias
+      (bAlias, eName, et)
     }
 
     /** Variable-length / shortest-path hop: compute a (src, dst, dist[, path])
@@ -210,7 +299,7 @@ object GraphTableCompiler {
       * Spark-plan mirror of reference `AddPathFinding` match.cpp:673-707 and
       * `CheckNamedSubpath`/shortest-path CTE :709-790. */
     def bindPathEdge(p: PathPattern, ep: EdgePattern, vp: VertexPattern,
-        aAlias: String): String = {
+        aAlias: String): (String, Option[String]) = {
       PathFinder.checkSupported(p)
       val label = ep.label.getOrElse(throw GraphAnalysisException(
         "quantified edge needs a label"))
@@ -281,15 +370,7 @@ object GraphTableCompiler {
       // kernels apply; results are mapped back to raw keys before the
       // plan join. Both endpoints must be numeric to skip the mapping
       // (a string dst cast to long would silently null out every edge).
-      def numeric(vt: VertexTable, key: String): Boolean =
-        resolver(spark, vt.tableName).schema(key).dataType match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType => true
-          case _ => false
-        }
-      val keyIsNumeric = numeric(srcVt, vKey) && numeric(dstVt, dstVKey)
+      val keyIsNumeric = numericKey(srcVt, vKey) && numericKey(dstVt, dstVKey)
 
       // seeds for the non-numeric branch come from the filtered seed DF
       def seedsViaRowid(ids: DataFrame): DataFrame =
@@ -367,14 +448,17 @@ object GraphTableCompiler {
             .withColumnRenamed("__rawdst", "dst"))
         }
 
+      // per-segment path column; processPattern concatenates the segments
+      // and registers the combined array under the path variable
+      val segColOpt: Option[String] =
+        if (needPath) Some(freshName(s"seg_${p.pathVar.get}_")) else None
       val joined =
         if (needPath) {
           val paths = fromRowid(PathFinder.shortestPaths(spark, edgeList,
             seedList, q.lower, q.upper))
-          val pcol = s"__path_${p.pathVar.get}"
-          pathCols(p.pathVar.get) = pcol
           paths.select(col("src").as("__psrc"), col("dst").as("__pdst"),
-            col("path").as(pcol), col("dist").as(s"__dist_${p.pathVar.get}"))
+            col("path").as(segColOpt.get),
+            col("dist").as(freshName("dist")))
         } else {
           // selective-destination pruning: if `b` carries an inline WHERE
           // or sub-label, restrict (and possibly early-stop) the BFS to
@@ -413,7 +497,7 @@ object GraphTableCompiler {
           col(s"$b.$dstVKey").cast("long") === col("__pdst")
         else col(s"$b.$dstVKey") === col("__pdst")))
       plan = plan.drop("__psrc", "__pdst")
-      bAlias
+      (bAlias, segColOpt)
     }
 
     spec.patterns.foreach(processPattern)

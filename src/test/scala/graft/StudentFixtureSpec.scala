@@ -314,6 +314,63 @@ class StudentFixtureSpec extends AnyFunSuite {
       (0L, "Daniel", 0L, 3L, 12L, "Peter")))
   }
 
+  test("multi-segment named path concatenates segments — match.cpp:573-616") {
+    // fixed hop + quantified hop in ONE named path: the fixed hop
+    // contributes [a, e, b], the kernel path loses its duplicated head
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(Some("p"), Some(SearchPrefix.AnyShortest),
+        PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("Person"),
+            where = Some("a.name = 'Daniel'")),
+          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right),
+          VertexPattern(Some("b"), Some("Person")),
+          EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right,
+            Some(Quantifier(1, Some(2)))),
+          VertexPattern(Some("c"), Some("Person"))))),
+      columns = Seq(ColumnSpec("b.id", Some("bid")),
+        ColumnSpec("c.id", Some("cid")),
+        ColumnSpec("path_length(p)", Some("plen")),
+        ColumnSpec("vertices(p)", Some("vp")))))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getSeq[Long](3).mkString(","))).toSet
+    assert(got == Set(
+      (1L, 2L, 2L, "0,1,2"), (1L, 3L, 2L, "0,1,3"), (1L, 0L, 3L, "0,1,3,0"),
+      (2L, 3L, 2L, "0,2,3"), (2L, 0L, 3L, "0,2,3,0"),
+      (3L, 0L, 2L, "0,3,0"), (3L, 1L, 3L, "0,3,0,1"),
+      (3L, 2L, 3L, "0,3,0,2")))
+  }
+
+  test("multi-segment element_id carries declared edge ids across segments") {
+    val s = init()
+    val pgIds = PropertyGraph("pgids2",
+      Seq(VertexTable("student", "Person", Seq("id"), Seq("id", "name"))),
+      Seq(EdgeTable("know", "Knows", Seq("src"), Seq("id"), "Person",
+        Seq("dst"), Seq("id"), "Person", edgeIdCol = Some("createdate"))))
+    val df = GraphTableCompiler.compile(s, MatchSpec("pgids2",
+      Seq(PathPattern(Some("p"), Some(SearchPrefix.AnyShortest),
+        PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("Person"),
+            where = Some("a.name = 'Daniel'")),
+          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right),
+          VertexPattern(Some("b"), Some("Person")),
+          EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right,
+            Some(Quantifier(1, Some(2)))),
+          VertexPattern(Some("c"), Some("Person"))))),
+      columns = Seq(ColumnSpec("b.id", Some("bid")),
+        ColumnSpec("c.id", Some("cid")),
+        ColumnSpec("element_id(p)", Some("path")))),
+      pgIds, TableResolver.catalog)
+    val got = df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+      r.getSeq[Long](2).mkString(","))).toMap
+    // interleaved [v,e,v,…] with createdate edge ids, fixed+kernel segments
+    assert(got == Map(
+      (1L, 2L) -> "0,10,1,14,2", (1L, 3L) -> "0,10,1,15,3",
+      (1L, 0L) -> "0,10,1,15,3,13,0",
+      (2L, 3L) -> "0,11,2,16,3", (2L, 0L) -> "0,11,2,16,3,13,0",
+      (3L, 0L) -> "0,12,3,13,0", (3L, 1L) -> "0,12,3,13,0,10,1",
+      (3L, 2L) -> "0,12,3,13,0,11,2"))
+  }
+
   test("unregistered property raises — match.cpp:925-967") {
     val e = intercept[GraphAnalysisException] {
       matchDF(MatchSpec("pg", Seq(PathPattern(None, None, PathMode.Walk,
