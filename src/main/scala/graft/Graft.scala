@@ -29,7 +29,7 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
         orReplace = c.orReplace, ifNotExists = c.ifNotExists)
       spark.emptyDataFrame
     case d: DropPropertyGraphSpec =>
-      registry.drop(d.name, d.ifExists)
+      registry.drop(spark, d.name, d.ifExists)
       spark.emptyDataFrame
     case GraphTableStatement(spec) => compile(spec)
   }
@@ -146,8 +146,8 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
   def compile(spec: MatchSpec): DataFrame =
-    GraphTableCompiler.compile(spark, spec, registry.get(spec.graphName),
-      resolver)
+    GraphTableCompiler.compile(spark, spec,
+      registry.get(spark, spec.graphName), resolver)
 
   /** DDL spec → registered model; expands `PROPERTIES ARE ALL COLUMNS
     * EXCEPT (…)` against the live schema (reference
@@ -199,7 +199,8 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
           s"Referenced vertex table '${e.dstRefTable}' of edge '${e.table}' is not registered!"))
       EdgeTable(e.table, e.effectiveLabel, e.srcKeys, e.srcRefKeys, srcLabel,
         e.dstKeys, e.dstRefKeys, dstLabel,
-        expandProps(e.table, e.propsMode, e.props))
+        expandProps(e.table, e.propsMode, e.props),
+        discriminator = e.discriminator, subLabels = e.subLabels)
     }
     PropertyGraph(c.name, vts, ets)
   }

@@ -135,6 +135,38 @@ object SparkEntry {
       """trade MATCH (p:OddSizePart)
          COLUMNS (p.p_partkey AS partkey, p.p_size AS size)""")
 
+  /** Edge sub-label (`IN typemask` on an edge table): `-[ct:OddLine]->`
+    * applies the discriminator bitmask to the edge scan, same semantics
+    * as vertex inheritance (reference match.cpp:278-296). */
+  private def q47_edge_sublabel(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH (o:Order)-[ct:OddLine]->(p:Part)
+         WHERE o.o_totalprice > 500000.0
+         COLUMNS (o.o_orderkey AS orderkey, p.p_partkey AS partkey)""")
+
+  /** Property-graph persistence round trip: CREATE writes the `__graft_pg`
+    * catalog table; a FRESH registry (a new session/process in production)
+    * lazily reloads it — reference `__duckpgq_internal` semantics
+    * (duckpgq_state.cpp:5-32, :34-160). The describe of the RELOADED model
+    * must hash-match the model-generated oracle. */
+  private def q48_persisted_pg(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_catalog_q48"
+    val prev = s.conf.getOption(graft.model.GraftCatalog.ConfKey)
+    s.conf.set(graft.model.GraftCatalog.ConfKey, dir)
+    try {
+      val writer = new graft.model.PropertyGraphRegistry
+      writer.create(s, TradeGraph.graph, TradeGraph.resolver(d),
+        orReplace = true)
+      val fresh = new graft.model.PropertyGraphRegistry // "restart"
+      graft.ddl.Introspect.describe(s, fresh.get(s, "trade"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(graft.model.GraftCatalog.ConfKey, v)
+        case None => s.conf.unset(graft.model.GraftCatalog.ConfKey)
+      }
+    }
+  }
+
   /** 3-hop MATCH through the two big edge tables (orders 150k, lineitem
     * 600k rows at sf0.1) — the pattern-join scale anchor. */
   private def q42_match_3hop_big(s: SparkSession, d: String): DataFrame =
@@ -473,6 +505,8 @@ object SparkEntry {
     "q8_match_reverse" -> (q8_match_reverse _),
     "q9_match_undirected" -> (q9_match_undirected _),
     "q10_match_sublabel" -> (q10_match_sublabel _),
+    "q47_edge_sublabel" -> (q47_edge_sublabel _),
+    "q48_persisted_pg" -> (q48_persisted_pg _),
     "q11_varlen" -> (q11_varlen _),
     "q12_shortest_path" -> (q12_shortest_path _),
     "q46_multiseg_path" -> (q46_multiseg_path _),
@@ -516,7 +550,8 @@ object SparkEntry {
     val erows = TradeGraph.graph.edgeTables.map { e =>
       Seq(s("trade"), s(e.tableName), s(e.label), "false", s(e.srcLabel),
         s(e.srcKeys.mkString(",")), s(e.dstLabel),
-        s(e.dstKeys.mkString(",")), "NULL", "NULL",
+        s(e.dstKeys.mkString(",")), opt(e.discriminator),
+        if (e.subLabels.isEmpty) "NULL" else s(e.subLabels.mkString(",")),
         s(if (e.properties.isEmpty) "*" else e.properties.mkString(",")))
         .mkString("(", ", ", ")")
     }
@@ -776,6 +811,13 @@ object SparkEntry {
     "q10_match_sublabel" ->
       """SELECT p_partkey AS partkey, p_size AS size
          FROM part WHERE (p_size & 1) = 1""",
+
+    "q47_edge_sublabel" ->
+      """SELECT o_orderkey AS orderkey, l_partkey AS partkey
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 500000.0 AND (l_linenumber & 1) = 1""",
+
+    "q48_persisted_pg" -> describeOracle,
 
     "q11_varlen" ->
       s"""WITH RECURSIVE $sqlNationNext,

@@ -42,8 +42,13 @@ object TradeGraph {
         "Nation", Seq("n_regionkey"), Seq("r_regionkey"), "Region"),
       EdgeTable("orders", "Placed", Seq("o_custkey"), Seq("c_custkey"),
         "Customer", Seq("o_orderkey"), Seq("o_orderkey"), "Order"),
+      // edge sub-label demo (reference allows IN typemask on edge tables,
+      // pgq.gram:18-24): line items discriminated by the low bits of
+      // l_linenumber — `-[:OddLine]->` matches (l_linenumber & 1) = 1
       EdgeTable("lineitem", "Contains", Seq("l_orderkey"), Seq("o_orderkey"),
-        "Order", Seq("l_partkey"), Seq("p_partkey"), "Part"),
+        "Order", Seq("l_partkey"), Seq("p_partkey"), "Part",
+        discriminator = Some("l_linenumber"),
+        subLabels = Seq("OddLine", "Bit2Line")),
       EdgeTable("nation_next", "NationNext", Seq("src"), Seq("n_nationkey"),
         "Nation", Seq("dst"), Seq("n_nationkey"), "Nation"),
       EdgeTable("nation_adj", "NationAdj", Seq("src"), Seq("n_nationkey"),

@@ -101,6 +101,20 @@ object GraphTableCompiler {
       }
     }
 
+    /** Edge sub-label inheritance filter — same bitmask semantics as
+      * vertices (reference match.cpp:278-296; edge tables share the
+      * discriminator fields, property_graph_table.hpp:40-54). */
+    def edgeSubFilter(df: DataFrame, et: EdgeTable,
+        label: Option[String]): DataFrame = label match {
+      case Some(l) if et.subLabels.exists(_.equalsIgnoreCase(l)) =>
+        val idx = et.subLabels.indexWhere(_.equalsIgnoreCase(l))
+        val mask = 1L << idx
+        df.filter((col(et.discriminator.getOrElse(throw GraphAnalysisException(
+          s"Label '$l' needs a discriminator column on '${et.tableName}'")))
+          .bitwiseAND(lit(mask))) === lit(mask))
+      case _ => df
+    }
+
     def numericKey(vt: VertexTable, key: String): Boolean =
       resolver(spark, vt.tableName).schema(key).dataType match {
         case org.apache.spark.sql.types.ByteType |
@@ -255,7 +269,7 @@ object GraphTableCompiler {
         throw GraphAnalysisException(s"Edge variable '$eName' is bound twice")
       bindings(eName) = Binding(eName, isVertex = false, et.tableName)
 
-      val baseDF = resolver(spark, et.tableName)
+      val baseDF = edgeSubFilter(resolver(spark, et.tableName), et, ep.label)
       val eDF0 = ep.direction match {
         case EdgeDirection.Undirected => undirectedView(baseDF, et)
         case _                        => baseDF
@@ -326,7 +340,7 @@ object GraphTableCompiler {
         throw GraphAnalysisException(
           "bidirectional (<-[e]->) quantified edges are not yet supported")
       val eName = ep.varName.getOrElse(freshName("e"))
-      val edgesRaw = resolver(spark, et.tableName)
+      val edgesRaw = edgeSubFilter(resolver(spark, et.tableName), et, ep.label)
       def applyWhere(df: DataFrame): DataFrame =
         ep.where.foldLeft(df.alias(eName))((d, w) => d.filter(expr(w)))
       val (edges, srcKey, dstKey, aVt, aRefKey, bVt, bRefKey) =

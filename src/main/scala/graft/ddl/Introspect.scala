@@ -1,6 +1,7 @@
 package graft.ddl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{PropertyGraph, PropertyGraphRegistry, TableResolver}
@@ -32,7 +33,8 @@ object Introspect {
     val erows = pg.edgeTables.map { e =>
       (pg.name, e.tableName, e.label, false, e.srcLabel,
         e.srcKeys.mkString(","), e.dstLabel, e.dstKeys.mkString(","),
-        null.asInstanceOf[String], null.asInstanceOf[String],
+        e.discriminator.orNull,
+        if (e.subLabels.isEmpty) null else e.subLabels.mkString(","),
         if (e.properties.isEmpty) "*" else e.properties.mkString(","))
     }
     (vrows ++ erows).toDF("property_graph", "table_name", "label",
@@ -65,21 +67,44 @@ object Introspect {
       val srcV = pg.vertexLabel(e.srcLabel)
       val vkeys = resolver(spark, srcV.tableName)
         .select(col(srcV.keyCols.head).as("vk"))
-      // pass 1: edge count + distinct dst; pass 2: all src-side degree
-      // stats from ONE groupBy (count == sum of degrees, distinct src ==
-      // group count — no extra scans); pass 3: isolated vertices
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-      val degStats = deg.agg(sum("d").as("cnt"),
+      // two edge scans total: a groupBy per endpoint. The src groupBy
+      // yields edge count (= Σ degree), distinct src (= group count) and
+      // all degree stats; the dst groupBy yields distinct dst; their key
+      // sets union into the touched-vertex set for the isolated anti-join
+      // — no third scan of the edge table.
+      val sdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ddeg = edges.groupBy("dst").agg(count(lit(1)).as("d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Exact interpolated median WITHOUT a full sort (the reference uses
+      // approx_quantile to dodge that sort, summarize_property_graph.cpp:54-98;
+      // we can stay exact AND scale): degrees are integers, so aggregate
+      // the degree HISTOGRAM (≤ max-degree distinct values — tiny even at
+      // 100 TB) and read the two middle ranks off the cumulative counts.
+      val hist = sdeg.groupBy("d").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("d") // tiny relation: single partition is fine
+      val cum = hist.withColumn("hi", sum("c").over(w))
+        .withColumn("lo", col("hi") - col("c") + 1)
+      // median rank r = (W+1)/2; interpolate the values at ⌊r⌋ and ⌈r⌉
+      // (equal for odd W) — identical to quantile_cont(0.5) on integers
+      val medd = cum.crossJoin(
+          hist.agg(((sum("c") + lit(1)).cast("double") / 2.0).as("r")))
+        .select(
+          sum(when(col("lo") <= floor(col("r")) &&
+            floor(col("r")) <= col("hi"), col("d") * 0.5)).as("m1"),
+          sum(when(col("lo") <= ceil(col("r")) &&
+            ceil(col("r")) <= col("hi"), col("d") * 0.5)).as("m2"))
+        .select(round(col("m1") + col("m2"), 4).as("medd"))
+      val degStats = sdeg.agg(sum("d").as("cnt"),
         count(lit(1)).as("dsrc"),
         round(avg("d"), 4).as("avgd"),
-        round(percentile(col("d"), lit(0.5)), 4).as("medd"),
         max("d").as("maxd"))
-      val dstStats = edges.agg(countDistinct("dst").as("ddst"))
+      val dstStats = ddeg.agg(count(lit(1)).as("ddst"))
       val isolated = vkeys.join(
-        edges.select(col("src").as("vk"))
-          .union(edges.select(col("dst").as("vk"))).distinct(),
+        sdeg.select(col("src").as("vk"))
+          .union(ddeg.select(col("dst").as("vk"))).distinct(),
         Seq("vk"), "left_anti").agg(count(lit(1)).as("iso"))
-      degStats.crossJoin(dstStats).crossJoin(isolated)
+      degStats.crossJoin(medd).crossJoin(dstStats).crossJoin(isolated)
         .select(lit(pg.name).as("property_graph"),
           lit(e.label).as("label"), lit("edge").as("kind"),
           coalesce(col("cnt"), lit(0L)).as("n_rows"),
@@ -96,7 +121,8 @@ object Introspect {
   /** `PRAGMA show_property_graphs` analogue. */
   def showPropertyGraphs(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    PropertyGraphRegistry.forSession(spark).list().toDF("property_graph")
+    PropertyGraphRegistry.forSession(spark).list(spark)
+      .toDF("property_graph")
   }
 
   /** `PRAGMA create_vertex_table` analogue: derive the distinct vertex set

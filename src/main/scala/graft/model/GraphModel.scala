@@ -51,7 +51,14 @@ final case class EdgeTable(
       * edge rowids in `[v,e,v,…]` lists, shortest_path.cpp:212-217);
       * otherwise a deterministic hash id is synthesized and parallel
       * edges collapse. */
-    edgeIdCol: Option[String] = None)
+    edgeIdCol: Option[String] = None,
+    /** Edge sub-labels share the reference grammar/fields with vertex
+      * tables (`pgq.gram:18-24`, `property_graph_table.hpp:40-54`):
+      * `LABEL x IN disc (a, b)` — bitmask discriminator column. */
+    discriminator: Option[String] = None,
+    subLabels: Seq[String] = Nil) {
+  def allLabels: Seq[String] = label +: subLabels
+}
 
 final case class PropertyGraph(
     name: String,
@@ -64,7 +71,7 @@ final case class PropertyGraph(
     vertexTables.flatMap(v => v.allLabels.map(l => l.toLowerCase -> v)).toMap
 
   lazy val edgeByLabel: Map[String, EdgeTable] =
-    edgeTables.map(e => e.label.toLowerCase -> e).toMap
+    edgeTables.flatMap(e => e.allLabels.map(l => l.toLowerCase -> e)).toMap
 
   def vertexLabel(label: String): VertexTable =
     vertexByLabel.getOrElse(label.toLowerCase,
@@ -122,14 +129,122 @@ object TableResolver {
   }
 }
 
+/** Persistent property-graph catalog — the analogue of the reference's
+  * `__duckpgq_internal` table (DDL `src/duckpgq_state.cpp:5-32`, insert
+  * `create_property_graph.cpp:346-449`, reload `duckpgq_state.cpp:34-160`):
+  * one row per registered vertex/edge table, written as a tiny JSON table
+  * under a user-configured location (`spark.graft.catalog`) and lazily
+  * reloaded by fresh sessions, so CREATE PROPERTY GRAPH survives process
+  * restarts just like the reference's cross-connection persistence.
+  */
+object GraftCatalog {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  /** Spark conf key holding the catalog directory; unset ⇒ in-memory only. */
+  val ConfKey = "spark.graft.catalog"
+
+  private def arr = ArrayType(StringType)
+  private val schema = StructType(Seq(
+    StructField("property_graph", StringType),
+    StructField("table_name", StringType),
+    StructField("label", StringType),
+    StructField("is_vertex_table", BooleanType),
+    StructField("key_cols", arr),
+    StructField("properties", arr),
+    StructField("discriminator", StringType),
+    StructField("sub_labels", arr),
+    StructField("source_key", arr),
+    StructField("source_ref_key", arr),
+    StructField("source_label", StringType),
+    StructField("destination_key", arr),
+    StructField("destination_ref_key", arr),
+    StructField("destination_label", StringType),
+    StructField("weight_col", StringType),
+    StructField("edge_id_col", StringType),
+    StructField("table_index", IntegerType)))
+
+  def save(spark: SparkSession, dir: String,
+      graphs: Seq[PropertyGraph]): Unit = {
+    val rows: Seq[Row] = graphs.flatMap { pg =>
+      pg.vertexTables.zipWithIndex.map { case (v, i) =>
+        Row(pg.name, v.tableName, v.label, true, v.keyCols, v.properties,
+          v.discriminator.orNull, v.subLabels, null, null, null, null, null,
+          null, null, null, i)
+      } ++ pg.edgeTables.zipWithIndex.map { case (e, i) =>
+        Row(pg.name, e.tableName, e.label, false, null, e.properties,
+          e.discriminator.orNull, e.subLabels, e.srcKeys, e.srcRefKeys,
+          e.srcLabel, e.dstKeys, e.dstRefKeys, e.dstLabel,
+          e.weightCol.orNull, e.edgeIdCol.orNull, i)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+      .coalesce(1).write.mode("overwrite").json(dir)
+  }
+
+  def load(spark: SparkSession, dir: String): Seq[PropertyGraph] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val rows = spark.read.schema(schema).json(dir).collect()
+    def strs(r: Row, f: String): Seq[String] =
+      Option(r.getAs[scala.collection.Seq[String]](f))
+        .map(_.toSeq).getOrElse(Nil)
+    rows.groupBy(_.getAs[String]("property_graph")).map { case (name, rs) =>
+      val (vs, es) = rs.partition(_.getAs[Boolean]("is_vertex_table"))
+      PropertyGraph(name,
+        vs.sortBy(_.getAs[Int]("table_index")).toSeq.map(r =>
+          VertexTable(r.getAs[String]("table_name"), r.getAs[String]("label"),
+            strs(r, "key_cols"), strs(r, "properties"),
+            Option(r.getAs[String]("discriminator")), strs(r, "sub_labels"))),
+        es.sortBy(_.getAs[Int]("table_index")).toSeq.map(r =>
+          EdgeTable(r.getAs[String]("table_name"), r.getAs[String]("label"),
+            strs(r, "source_key"), strs(r, "source_ref_key"),
+            r.getAs[String]("source_label"),
+            strs(r, "destination_key"), strs(r, "destination_ref_key"),
+            r.getAs[String]("destination_label"),
+            strs(r, "properties"),
+            Option(r.getAs[String]("weight_col")),
+            Option(r.getAs[String]("edge_id_col")),
+            Option(r.getAs[String]("discriminator")),
+            strs(r, "sub_labels"))))
+    }.toSeq
+  }
+}
+
 /** Session-scoped property-graph registry — the analogue of
   * `DuckPGQState` (reference `src/include/duckpgq_state.hpp:12-39`) +
   * the `__duckpgq_internal` persistence table
   * (`src/duckpgq_state.cpp:5-32`). Thread-safe; one namespace per
-  * SparkSession (keyed weakly by session hash).
+  * SparkSession (keyed weakly by session hash). When
+  * `spark.graft.catalog` is set, graphs persist to that directory and a
+  * fresh registry lazily reloads them (reference
+  * `RetrievePropertyGraphs`, duckpgq_state.cpp:34-160).
   */
 final class PropertyGraphRegistry {
   private val graphs = new TrieMap[String, PropertyGraph]()
+  @volatile private var loaded = false
+
+  private def catalogDir(spark: SparkSession): Option[String] =
+    spark.conf.getOption(GraftCatalog.ConfKey)
+
+  /** Lazy reload from the persistent catalog, once per registry —
+    * in-memory registrations take precedence on name collision. */
+  private def ensureLoaded(spark: SparkSession): Unit =
+    if (!loaded) synchronized {
+      if (!loaded) {
+        catalogDir(spark).foreach { dir =>
+          GraftCatalog.load(spark, dir)
+            .foreach(g => graphs.putIfAbsent(g.name.toLowerCase, g))
+        }
+        loaded = true
+      }
+    }
+
+  private def persist(spark: SparkSession): Unit =
+    catalogDir(spark).foreach(dir =>
+      GraftCatalog.save(spark, dir, graphs.values.toSeq.sortBy(_.name)))
 
   /** CREATE [OR REPLACE] PROPERTY GRAPH [IF NOT EXISTS]
     * (reference `create_property_graph.cpp:193-305`, conflict handling
@@ -140,6 +255,7 @@ final class PropertyGraphRegistry {
       resolver: TableResolver,
       orReplace: Boolean = false,
       ifNotExists: Boolean = false): Unit = {
+    ensureLoaded(spark)
     if (graphs.contains(pg.name.toLowerCase) && !orReplace) {
       if (ifNotExists) return
       throw GraphAnalysisException(
@@ -147,13 +263,27 @@ final class PropertyGraphRegistry {
     }
     validate(spark, pg, resolver)
     graphs.put(pg.name.toLowerCase, pg)
+    persist(spark)
   }
 
   /** DROP PROPERTY GRAPH [IF EXISTS]
     * (reference `drop_property_graph.cpp:11-58`). */
+  def drop(spark: SparkSession, name: String, ifExists: Boolean): Unit = {
+    ensureLoaded(spark)
+    if (graphs.remove(name.toLowerCase).isEmpty && !ifExists)
+      throw GraphAnalysisException(s"Property graph '$name' does not exist!")
+    else persist(spark)
+  }
+
+  /** In-memory-only drop (no catalog interaction). */
   def drop(name: String, ifExists: Boolean = false): Unit = {
     if (graphs.remove(name.toLowerCase).isEmpty && !ifExists)
       throw GraphAnalysisException(s"Property graph '$name' does not exist!")
+  }
+
+  def get(spark: SparkSession, name: String): PropertyGraph = {
+    ensureLoaded(spark)
+    get(name)
   }
 
   def get(name: String): PropertyGraph =
@@ -161,9 +291,14 @@ final class PropertyGraphRegistry {
       throw GraphAnalysisException(
         s"Property graph '$name' does not exist!"))
 
+  def list(spark: SparkSession): Seq[String] = {
+    ensureLoaded(spark)
+    list()
+  }
+
   def list(): Seq[String] = graphs.keys.toSeq.sorted
 
-  def clear(): Unit = graphs.clear()
+  def clear(): Unit = { graphs.clear(); loaded = false }
 
   /** DDL-time schema validation, mirroring reference
     * `create_property_graph.cpp:57-191`: every key/property/discriminator
@@ -187,10 +322,11 @@ final class PropertyGraphRegistry {
       checkCols(v.tableName, cols, v.keyCols ++ v.properties ++ v.discriminator)
     }
     pg.edgeTables.foreach { e =>
-      checkLabel(e.label)
+      e.allLabels.foreach(checkLabel)
       val cols = r(spark, e.tableName).columns.toSeq
       checkCols(e.tableName, cols,
-        e.srcKeys ++ e.dstKeys ++ e.properties ++ e.weightCol)
+        e.srcKeys ++ e.dstKeys ++ e.properties ++ e.weightCol ++
+          e.discriminator)
       val srcV = pg.vertexByLabel.getOrElse(e.srcLabel.toLowerCase,
         throw GraphAnalysisException(
           s"Referenced vertex label '${e.srcLabel}' of edge '${e.label}' is not registered!"))

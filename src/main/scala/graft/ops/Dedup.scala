@@ -147,6 +147,10 @@ object Dedup {
     * exact Hamming distance. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucketSize: Int = 20000): DataFrame = {
+    // 4 bands of 16 bits guarantee a shared band only for Hamming ≤ 3
+    // (pigeonhole); a larger radius would silently lose recall
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0, 3] for 4-band blocking (got $maxDist)")
     val withSig = simHashSignatures(df, idCol, textCol)
     val banded0 = withSig.select(col("id"), col("sig"),
         posexplode(array((0 until 4).map(b =>
@@ -196,14 +200,29 @@ object Dedup {
     * pair) instead of a nested-loop pair join evaluating set intersections.
     * Pairs with zero overlap never materialize (their Jaccard is 0 <
     * threshold). */
+  /** @param maxDocFreq skew guard on the join key (the analogue of
+    *   `maxBucketSize` in the LSH paths): a shingle contained in m
+    *   documents contributes m²/2 join rows, so one hot shingle ("the")
+    *   would dominate the whole job at corpus scale. Shingles with
+    *   document frequency above the cap are dropped BEFORE the self-join;
+    *   affected pairs lose those shingles from the intersection (union
+    *   sizes keep the full sets), so reported Jaccard is a lower bound —
+    *   conservative for a ≥-threshold filter on near-dup shingles, which
+    *   are precisely the ones that are NOT corpus-hot. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Int = 100000): DataFrame = {
     require(threshold > 0.0, "threshold must be positive")
     val base = df.select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol), k)).as("sh"))
       .withColumn("sz", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val toks = base.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val toks0 = base.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val hot = toks0.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq).select("s")
+    // hot set is tiny by construction (few shingles exceed a large cap) —
+    // broadcast anti-join, no shuffle of the exploded relation
+    val toks = toks0.join(broadcast(hot), Seq("s"), "left_anti")
     val inter = toks.as("x").join(toks.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -125,4 +125,42 @@ class OpsSpec extends AnyFunSuite {
     val q = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(q(1L) > q(2L))
   }
+
+  test("jaccard doc-frequency cap bounds hot-shingle candidates") {
+    val s = init()
+    import s.implicits._
+    // 40 docs all share the hot token "the"; only docs 0/1 are near-dups
+    val docs = (0 until 40).map { i =>
+      val tail = if (i <= 1) "alpha beta gamma delta" else s"unique$i t$i u$i"
+      (i.toLong, s"the $tail")
+    }.toDF("doc_id", "text")
+    // cap 10 < 40 drops "the" as a join key: without the cap the hot
+    // token alone creates 40·39/2 = 780 candidate rows
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 1, threshold = 0.5, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+    // reported jaccard is a lower bound under the cap: identical sets
+    // {the,alpha,beta,gamma,delta} but the capped "the" is lost from the
+    // intersection only → 4 / (5 + 5 − 4) = 4/6
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 1, threshold = 0.5, maxDocFreq = 10)
+      .collect().head.getDouble(2)
+    assert(math.abs(j - 4.0 / 6.0) < 1e-6)
+    // cap above the max df ⇒ exact value (identical sets → 1.0)
+    val jFull = Dedup.ngramJaccardPairs(
+      docs.filter(col("doc_id") <= 1), "doc_id", "text",
+      k = 1, threshold = 0.5)
+      .collect().head.getDouble(2)
+    assert(math.abs(jFull - 1.0) < 1e-6)
+  }
+
+  test("simhash maxDist above the blocking guarantee is rejected") {
+    val s = init()
+    import s.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 4).collect()
+    }
+  }
 }
