@@ -229,10 +229,73 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** All hyperplane sign bits of an LSH signature in ONE fused loop: the
+  * constant plane matrix is embedded as a codegen reference object, so a
+  * `planes`-bit signature costs a single pass of primitive multiply-adds
+  * instead of `planes` interpreted `aggregate(zip_with(...))` projections
+  * per row. Sign convention matches
+  * [[graft.ops.Similarity.signatureLsh]]: bit p set iff vec·plane_p ≥ 0. */
+case class HyperplaneSignBits(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def prettyName: String = "lsh_sign_bits"
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var sig = 0L
+    var p = 0
+    while (p < planeArr.length) {
+      val pl = planeArr(p)
+      val n = math.min(x.numElements(), pl.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * pl(i); i += 1 }
+      if (s >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val p = ctx.freshName("p")
+      val pl = ctx.freshName("pl")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      s"""
+        long $sig = 0L;
+        for (int $p = 0; $p < $planesRef.length; $p++) {
+          double[] $pl = $planesRef[$p];
+          int $n = java.lang.Math.min($x.numElements(), $pl.length);
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += $x.getDouble($i) * $pl[$i];
+          }
+          if ($s >= 0.0) $sig |= (1L << $p);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Inputs must already be `array<double>` (call sites cast). */
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def lsh_sign_bits(vec: Column, planes: Seq[Seq[Double]]): Column =
+    Bridge.column(HyperplaneSignBits(Bridge.expression(vec), planes))
   def vec_norm(a: Column): Column =
     Bridge.column(L2Norm(Bridge.expression(a)))
   def minhash_signature(hashed: Column, numHashes: Int): Column =

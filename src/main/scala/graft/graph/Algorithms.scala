@@ -80,11 +80,12 @@ object Algorithms {
     var iter = 0
     var delta = Double.MaxValue
     val iters = fixedIter.getOrElse(maxIter)
+    // dangling mass of the initial uniform ranks: one startup count, then
+    // each iteration's fused stats action keeps it current
+    var danglingReal = vd.filter(col("outdeg") === 0).count() / n
     while (iter < iters && (fixedIter.isDefined || delta > tol)) {
       iter += 1
       // dangling mass redistributed uniformly (reference pagerank.cpp:50-71)
-      val danglingReal = ranks.filter(col("outdeg") === 0)
-        .agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
       val corr = (danglingReal + phantomNodes * phantomRank) / n
       val contribs = ranks.filter(col("outdeg") > 0)
         .join(e, ranks("id") === e("src"))
@@ -98,11 +99,18 @@ object Algorithms {
           col("rank").as("prev"))
         .localCheckpoint()
       val phantomNext = (1.0 - damping) / n + damping * corr
-      if (fixedIter.isEmpty) {
-        delta = math.max(
-          next.agg(max(abs(col("rank") - col("prev")))).first().getDouble(0),
+      // ONE fused action per iteration over the checkpointed result:
+      // next iteration's dangling mass + this iteration's convergence
+      // delta (previously two separate driver actions ⇒ two extra full
+      // passes over the rank table per iteration at scale)
+      val stats = next.agg(
+        coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0.0))
+          .as("dang"),
+        max(abs(col("rank") - col("prev"))).as("delta")).first()
+      danglingReal = stats.getDouble(0)
+      if (fixedIter.isEmpty)
+        delta = math.max(stats.getDouble(1),
           math.abs(phantomNext - phantomRank))
-      }
       phantomRank = phantomNext
       ranks = next.drop("prev")
     }
@@ -188,12 +196,39 @@ object Algorithms {
       .filter(col("src") =!= col("dst")) // self-loops never count as links
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val deg = nbr.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    // ordered neighbor pairs (a,b) of v with an undirected edge a—b
-    val tri = nbr.as("x").join(nbr.as("y"), col("x.src") === col("y.src"))
-      .filter(col("x.dst") =!= col("y.dst"))
-      .join(nbr.as("z"),
-        col("x.dst") === col("z.src") && col("y.dst") === col("z.dst"))
-      .groupBy(col("x.src").as("id")).agg(count(lit(1)).as("links"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Degree-ordered (node-iterator++) triangle counting: orient every
+    // undirected edge from the lower-(degree, id)-ranked endpoint to the
+    // higher, enumerate wedges only at each triangle's LOWEST-ranked
+    // vertex, and close them against the oriented edge set. Wedge count is
+    // Σ d_out(v)² with d_out = O(√m) — a celebrity vertex of degree 10⁶
+    // contributes almost no wedges (its edges are oriented INTO it),
+    // unlike the naive nbr⋈nbr⋈nbr which is Θ(Σ d²).
+    val ranked = nbr
+      .join(deg.select(col("id").as("src"), col("deg").as("sdeg")),
+        Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("ddeg")),
+        Seq("dst"))
+    val oriented = ranked.filter(
+        col("sdeg") < col("ddeg") ||
+        (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("ddeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges (u; a, b) with rank(a) < rank(b), closed iff oriented a→b
+    val tris = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") &&
+        (col("x.ddeg") < col("y.ddeg") ||
+          (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))))
+      .select(col("x.src").as("u"), col("x.dst").as("a"),
+        col("y.dst").as("b"))
+      .join(oriented.as("z").select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_semi")
+    // each triangle found exactly once → credit all three corners; the
+    // reference counts directed neighbor→neighbor links on the doubled
+    // CSR, i.e. links = 2 · triangles(v)
+    val tri = tris.select(explode(array(col("u"), col("a"), col("b")))
+        .as("id"))
+      .groupBy("id").agg((count(lit(1)) * 2).as("links"))
     val out = vertices.select(col("id")).distinct()
       .join(deg, Seq("id"), "left_outer")
       .join(tri, Seq("id"), "left_outer")

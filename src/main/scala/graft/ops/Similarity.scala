@@ -74,19 +74,15 @@ object Similarity {
   }
 
   /** Sign-bit LSH signature: `planes` constant hyperplanes (dim `dims`)
-    * → one long. `planeOffset` selects an independent plane family (one
-    * per LSH table). */
+    * → one long, via the fused codegen'd
+    * [[graft.functions.HyperplaneSignBits]] expression (one primitive
+    * loop per row; the former `aggregate(zip_with(...))` form evaluated
+    * `planes` interpreted per-element lambdas). */
   def signatureLsh(vec: Column, planes: Int, dims: Int = 64,
-      planeOffset: Int = 0): Column = {
-    val bits = (0 until planes).map { p =>
-      val plane = typedLit((0 until dims).map(d =>
-        planeComponent(planeOffset + p, d)))
-      val proj = aggregate(zip_with(vec, plane, (x, h) => x * h),
-        lit(0.0d), _ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+      planeOffset: Int = 0): Column =
+    graft.functions.VectorFunctions.lsh_sign_bits(vec,
+      (0 until planes).map(p =>
+        (0 until dims).map(d => planeComponent(planeOffset + p, d))))
 
   /** LSH-bucketed approximate near-neighbor pairs with cosine ≥ threshold.
     * Pairs must collide on at least one of `tables` independent

@@ -233,4 +233,64 @@ class DistributedKernelsSpec extends AnyFunSuite {
       assert(got == Map(1L -> 0.0, 2L -> 10.0, 3L -> 11.0))
     }
   }
+
+  test("pagerank runs ONE stats action per iteration (fused dangling+delta)") {
+    withDistributed {
+      val s = init()
+      import s.implicits._
+      val v = (0L until 30L).toDF("id")
+      val e = (0L until 29L).map(i => (i, i + 1)).toDF("src", "dst")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      // AQE materializes each shuffle stage as its own job — disable so
+      // the count reflects driver ACTIONS, which is what fusion reduces
+      val aqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.sparkContext.addSparkListener(listener)
+      try {
+        val n5 = {
+          jobs.set(0)
+          Algorithms.pageRank(v, e, fixedIter = Some(5)).count()
+          Thread.sleep(1500); jobs.get()
+        }
+        val n10 = {
+          jobs.set(0)
+          Algorithms.pageRank(v, e, fixedIter = Some(10)).count()
+          Thread.sleep(1500); jobs.get()
+        }
+        // marginal jobs per iteration: localCheckpoint materialization +
+        // ONE fused stats action + the broadcast-exchange build the join
+        // submits asynchronously = 3; the unfused dangling+delta form ran 4
+        val perIter = (n10 - n5) / 5.0
+        assert(perIter <= 3.2,
+          s"pagerank marginal cost $perIter jobs/iteration (n5=$n5, n10=$n10)")
+      } finally {
+        s.sparkContext.removeSparkListener(listener)
+        s.conf.set("spark.sql.adaptive.enabled", aqe)
+      }
+    }
+  }
+
+  test("degree-ordered LCC handles a celebrity hub and credits all corners") {
+    withDistributed {
+      val s = init()
+      import s.implicits._
+      // star: hub 0 with 300 leaves, plus one leaf-leaf edge (1,2) forming
+      // a single triangle {0,1,2}; the old Θ(Σd²) wedge join exploded on
+      // the hub, the oriented join enumerates wedges at the LOW-rank corner
+      val star = (1L to 300L).map(i => (0L, i))
+      val e = (star :+ (1L, 2L)).toDF("src", "dst")
+      val v = (0L to 300L).toDF("id")
+      val got = Algorithms.localClusteringCoefficient(v, e).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // hub: links=2, d=300 → 2/(300·299); leaves 1,2: d=2 → 2/(2·1)=1.0
+      assert(math.abs(got(0L) - 2.0 / (300.0 * 299.0)) < 1e-12)
+      assert(got(1L) == 1.0 && got(2L) == 1.0)
+      assert(got(3L) == 0.0 && got(300L) == 0.0)
+    }
+  }
 }
