@@ -93,16 +93,19 @@ object SparkEntry {
         col("total"))
 
   /** CTE + scalar subquery: nations whose average order value beats the
-    * global average. */
+    * global average. The global average rides as a broadcast single-row
+    * join (a literal scalar subquery) — one job, no driver-side action. */
   private def q41_scalar_subquery(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders"); val c = t(s, d, "customer")
     val n = t(s, d, "nation")
-    val globalAvg = o.agg(avg("o_totalprice")).first().getDouble(0)
+    val globalAvg = o.agg(avg("o_totalprice").as("__ga"))
     o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
       .agg(round(avg("o_totalprice"), 2).as("avg_price"))
-      .filter(col("avg_price") > globalAvg)
+      .crossJoin(broadcast(globalAvg))
+      .filter(col("avg_price") > col("__ga"))
+      .drop("__ga")
   }
 
   // =========================================================================

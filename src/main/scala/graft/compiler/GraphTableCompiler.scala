@@ -61,9 +61,13 @@ object GraphTableCompiler {
     }
 
     /** Bind a vertex pattern: join (or reuse) its table; returns alias.
-      * `joinCond` builds the join condition given the final alias. */
+      * `joinCond` builds the join condition given the final alias.
+      * `hint` resolves a label-less vertex from its adjacent edge's
+      * declared endpoint (the reference resolves unlabeled bindings the
+      * same way — grammar permits omission, pgq.gram:54-63). */
     def bindVertex(vp: VertexPattern,
-        joinCond: Option[String => Column]): String = {
+        joinCond: Option[String => Column],
+        hint: Option[String] = None): String = {
       val name = vp.varName.getOrElse(freshName("v"))
       bindings.get(name) match {
         case Some(b) =>
@@ -86,8 +90,13 @@ object GraphTableCompiler {
           vp.where.foreach(w => plan = plan.filter(expr(w)))
           b.alias
         case None =>
-          val label = vp.label.getOrElse(throw GraphAnalysisException(
-            s"Vertex '$name' needs a label (label-less vertices not yet supported)"))
+          // label-less vertex: the adjacent edge's endpoint table, or the
+          // graph's only vertex table when unambiguous
+          val label = vp.label.orElse(hint).getOrElse(
+            if (pg.vertexTables.length == 1) pg.vertexTables.head.label
+            else throw GraphAnalysisException(
+              s"Vertex '$name' needs a label (no adjacent edge determines " +
+                "it and multiple vertex tables are registered)"))
           val vt = pg.vertexLabel(label)
           var df = vertexDF(vt, vp.label).alias(name)
           vp.where.foreach(w => df = df.filter(expr(w)))
@@ -100,6 +109,16 @@ object GraphTableCompiler {
           name
       }
     }
+
+    /** Label-less edges resolve to the graph's only edge table when
+      * unambiguous (mirrors the vertex-side hint resolution). */
+    def resolveEdge(eName: String, label: Option[String]): EdgeTable =
+      label match {
+        case Some(l) => pg.edgeLabel(l)
+        case None if pg.edgeTables.length == 1 => pg.edgeTables.head
+        case None => throw GraphAnalysisException(
+          s"Edge '$eName' needs a label (multiple edge tables registered)")
+      }
 
     /** Edge sub-label inheritance filter — same bitmask semantics as
       * vertices (reference match.cpp:278-296; edge tables share the
@@ -170,7 +189,20 @@ object GraphTableCompiler {
       val elems = p.elements
       require(elems.nonEmpty && elems.head.isInstanceOf[VertexPattern],
         "pattern must start with a vertex")
-      var prevV = bindVertex(elems.head.asInstanceOf[VertexPattern], None)
+      // a label-less head vertex resolves from the first edge's endpoint
+      val headHint: Option[String] = elems.lift(1)
+        .collect { case e: EdgePattern => e }
+        .flatMap { e =>
+          e.label.map(l => pg.edgeLabel(l))
+            .orElse(if (pg.edgeTables.length == 1) Some(pg.edgeTables.head)
+              else None)
+            .map(et => e.direction match {
+              case EdgeDirection.Left => et.dstLabel
+              case _                  => et.srcLabel
+            })
+        }
+      var prevV = bindVertex(elems.head.asInstanceOf[VertexPattern], None,
+        headHint)
 
       val segCols = scala.collection.mutable.ArrayBuffer[Column]()
       var i = 1
@@ -262,9 +294,7 @@ object GraphTableCompiler {
     def bindFixedEdgeEx(ep: EdgePattern, vp: VertexPattern,
         aAlias: String): (String, String, EdgeTable) = {
       val eName = ep.varName.getOrElse(freshName("e"))
-      val label = ep.label.getOrElse(throw GraphAnalysisException(
-        s"Edge '$eName' needs a label"))
-      val et = pg.edgeLabel(label)
+      val et = resolveEdge(eName, ep.label)
       if (bindings.contains(eName))
         throw GraphAnalysisException(s"Edge variable '$eName' is bound twice")
       bindings(eName) = Binding(eName, isVertex = false, et.tableName)
@@ -293,7 +323,11 @@ object GraphTableCompiler {
         case _ =>
           b => keysEq(eName, et.dstKeys, b, et.dstRefKeys)
       }
-      val bAlias = bindVertex(vp, Some(condB))
+      val bHint = ep.direction match {
+        case EdgeDirection.Left => et.srcLabel
+        case _                  => et.dstLabel
+      }
+      val bAlias = bindVertex(vp, Some(condB), Some(bHint))
 
       // Bidirectional `<-[e]->`: additionally join a second copy of the edge
       // table in the reverse direction (reference `EdgeTypeLeftRight`
@@ -315,9 +349,7 @@ object GraphTableCompiler {
     def bindPathEdge(p: PathPattern, ep: EdgePattern, vp: VertexPattern,
         aAlias: String): (String, Option[String]) = {
       PathFinder.checkSupported(p)
-      val label = ep.label.getOrElse(throw GraphAnalysisException(
-        "quantified edge needs a label"))
-      val et = pg.edgeLabel(label)
+      val et = resolveEdge(ep.varName.getOrElse("(edge)"), ep.label)
       val q = ep.quantifier.getOrElse(Quantifier(1, Some(1)))
       val needPath = p.pathVar.isDefined && p.prefix.isDefined
       if (et.srcKeys.length > 1 || et.dstKeys.length > 1)
@@ -509,7 +541,7 @@ object GraphTableCompiler {
       val bAlias = bindVertex(vp, Some(b =>
         if (keyIsNumeric)
           col(s"$b.$dstVKey").cast("long") === col("__pdst")
-        else col(s"$b.$dstVKey") === col("__pdst")))
+        else col(s"$b.$dstVKey") === col("__pdst")), Some(bVt.label))
       plan = plan.drop("__psrc", "__pdst")
       (bAlias, segColOpt)
     }

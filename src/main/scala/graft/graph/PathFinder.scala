@@ -80,9 +80,11 @@ object PathFinder {
     bfsDistances(spark, edges, seeds, maxDepth, None)
 
   /** As above; when `targets` is set, only pairs whose `dst` is in the
-    * target set are returned, and the search may stop as soon as every
-    * target is settled (BFS distances are monotone per level, so early
-    * stop cannot miss a shorter path) — the selective-destination
+    * target set are returned, and the search runs BIDIRECTIONALLY
+    * (meet-in-the-middle, the distributed analogue of the reference's
+    * `iterativelengthbidirectional`, iterativelength_bidirectional.cpp:43-153):
+    * it stops as soon as every (seed, target) pair is settled instead of
+    * expanding the seeds' full component — the selective-destination
     * optimization for IC13-shaped queries. */
   def bfsDistances(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
       maxDepth: Option[Long], targets: Option[DataFrame]): DataFrame = {
@@ -104,32 +106,96 @@ object PathFinder {
         return res.toSeq.toDF("src", "dst", "dist")
       }
     }
-    var seen = seeds.select(col("id").as("src"), col("id").as("dst"),
-      lit(0L).as("dist")).distinct().localCheckpoint()
-    var frontier = seen
-    var d = 0L
-    var done = false
-    val limit = maxDepth.getOrElse(Long.MaxValue)
-    while (!done && d < limit) {
-      d += 1
-      val next = frontier.join(e, frontier("dst") === e("src"))
-        .select(frontier("src"), e("dst").as("dst"))
-        .groupBy("src", "dst").agg(lit(d).as("dist"))
-      val fresh = next.join(seen, Seq("src", "dst"), "left_anti")
-        .localCheckpoint()
-      if (fresh.isEmpty) done = true
-      else {
-        seen = seen.union(fresh).localCheckpoint()
-        frontier = fresh
-      }
-    }
-    e.unpersist()
     targets match {
       case Some(t) =>
-        seen.join(t.select(col(t.columns.head).cast("long").as("dst"))
-          .distinct(), Seq("dst"), "left_semi")
-      case None => seen
+        val res = bidirectionalDistances(spark, e, seeds,
+          t.select(col(t.columns.head).cast("long").as("id")),
+          maxDepth.getOrElse(Long.MaxValue))
+        e.unpersist()
+        res
+      case None =>
+        var seen = seeds.select(col("id").as("src"), col("id").as("dst"),
+          lit(0L).as("dist")).distinct().localCheckpoint()
+        var frontier = seen
+        var d = 0L
+        var done = false
+        val limit = maxDepth.getOrElse(Long.MaxValue)
+        while (!done && d < limit) {
+          d += 1
+          val next = frontier.join(e, frontier("dst") === e("src"))
+            .select(frontier("src"), e("dst").as("dst"))
+            .groupBy("src", "dst").agg(lit(d).as("dist"))
+          val fresh = next.join(seen, Seq("src", "dst"), "left_anti")
+            .localCheckpoint()
+          if (fresh.isEmpty) done = true
+          else {
+            seen = seen.union(fresh).localCheckpoint()
+            frontier = fresh
+          }
+        }
+        e.unpersist()
+        seen
     }
+  }
+
+  /** Bidirectional multi-source × multi-target BFS. Forward frontiers are
+    * labeled by seed origin, backward frontiers (over reversed edges) by
+    * target origin; each level expands the SMALLER side. A (seed, target)
+    * pair "meets" at any vertex in both seen-sets, and with the forward
+    * side complete to depth f and backward to depth b, every pair with
+    * true distance d ≤ f+b has a meet whose minimum sum is exactly d (a
+    * shortest path splits as f′+b′ with f′ ≤ f, b′ ≤ b) — so a pair with
+    * any meet is already exact, and the loop stops once every pair has
+    * met, a side exhausts (that side's seen-set is then complete, making
+    * all remaining reachable pairs meet immediately), or f+b reaches the
+    * depth limit.
+    *
+    * @return (src, dst, dist) for every (seed, target) pair with
+    *         dist ≤ limit
+    */
+  private def bidirectionalDistances(spark: SparkSession, e: DataFrame,
+      seeds: DataFrame, targets: DataFrame, limit: Long): DataFrame = {
+    val eRev = e.select(col("dst").as("src"), col("src").as("dst"))
+    def expand(frontier: DataFrame, seen: DataFrame, edges: DataFrame,
+        d: Long): DataFrame = {
+      val next = frontier.join(edges, frontier("v") === edges("src"))
+        .select(frontier("origin"), edges("dst").as("v"))
+        .groupBy("origin", "v").agg(lit(d).as("d"))
+      next.join(seen, Seq("origin", "v"), "left_anti").localCheckpoint()
+    }
+    var fSeen = seeds.select(col("id").as("origin"), col("id").as("v"),
+      lit(0L).as("d")).distinct().localCheckpoint()
+    var bSeen = targets.select(col("id").as("origin"), col("id").as("v"),
+      lit(0L).as("d")).distinct().localCheckpoint()
+    var fFront = fSeen
+    var bFront = bSeen
+    var fSize = fFront.count()
+    var bSize = bFront.count()
+    val nPairs = fSize * bSize
+    var fD = 0L
+    var bD = 0L
+    def settled(): Long =
+      fSeen.as("f").join(bSeen.as("b"), col("f.v") === col("b.v"))
+        .select(col("f.origin").as("s"), col("b.origin").as("t"))
+        .distinct().count()
+    while (fSize > 0 && bSize > 0 && fD + bD < limit &&
+        settled() < nPairs) {
+      if (fSize <= bSize) {
+        fD += 1
+        fFront = expand(fFront, fSeen, e, fD)
+        fSize = fFront.count()
+        if (fSize > 0) fSeen = fSeen.union(fFront).localCheckpoint()
+      } else {
+        bD += 1
+        bFront = expand(bFront, bSeen, eRev, bD)
+        bSize = bFront.count()
+        if (bSize > 0) bSeen = bSeen.union(bFront).localCheckpoint()
+      }
+    }
+    fSeen.as("f").join(bSeen.as("b"), col("f.v") === col("b.v"))
+      .groupBy(col("f.origin").as("src"), col("b.origin").as("dst"))
+      .agg(min(col("f.d") + col("b.d")).as("dist"))
+      .filter(col("dist") <= limit)
   }
 
   /** BFS with path reconstruction — semantics of reference `shortestpath`

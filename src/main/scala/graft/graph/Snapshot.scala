@@ -49,6 +49,16 @@ final case class GraphSnapshot(
   /** `get_csr_e` analogue: neighbor rowids ordered by (src, dst). */
   def csrEdges: DataFrame =
     edges.select(col("src"), col("dst")).orderBy("src", "dst")
+
+  /** `get_csr_w` analogue (`pgq_scan.cpp:113-153`): the weight array in
+    * the same (src, dst) order as [[csrEdges]]; raises like the reference
+    * when the snapshot is unweighted. */
+  def csrWeights: DataFrame = {
+    if (weightType == 0)
+      throw GraphAnalysisException(
+        "CSR weights were not requested for this snapshot")
+    edges.select(col("src"), col("dst"), col("w")).orderBy("src", "dst")
+  }
 }
 
 object Snapshot {

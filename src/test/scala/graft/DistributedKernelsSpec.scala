@@ -234,6 +234,61 @@ class DistributedKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("bidirectional target BFS matches the local kernel (incl. unreachable pairs)") {
+    val s = init()
+    import s.implicits._
+    // branched graph: chain 0→1→2→3, side branch 1→10→11, island 20→21
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 10L), (10L, 11L),
+      (20L, 21L)).toDF("src", "dst")
+    val seeds = Seq(0L, 20L).toDF("id")
+    val targets = Seq(3L, 11L, 21L, 0L).toDF("id")
+    val local = PathFinder.bfsDistances(s, e, seeds, None, Some(targets))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dist = withDistributed {
+      PathFinder.bfsDistances(s, e, seeds, None, Some(targets))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(dist == local)
+    assert(dist == Set((0L, 0L, 0L), (0L, 3L, 3L), (0L, 11L, 3L),
+      (20L, 21L, 1L)))
+    // depth limit cuts long pairs in both strategies
+    val dist2 = withDistributed {
+      PathFinder.bfsDistances(s, e, seeds, Some(2L), Some(targets))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(dist2 == Set((0L, 0L, 0L), (20L, 21L, 1L)))
+  }
+
+  test("bidirectional target BFS settles early instead of expanding the component") {
+    withDistributed {
+      val s = init()
+      import s.implicits._
+      // chain 0→1→…→40; seed 0, target 1: unidirectional BFS walks 40
+      // levels before the final semi-join, meet-in-the-middle settles
+      // after one expansion
+      val e = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+      val seeds = Seq(0L).toDF("id")
+      val targets = Seq(1L).toDF("id")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      s.sparkContext.addSparkListener(listener)
+      try {
+        val got = PathFinder.bfsDistances(s, e, seeds, None, Some(targets))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        assert(got == Set((0L, 1L, 1L)))
+        Thread.sleep(1500)
+        // one or two expansions ⇒ a handful of jobs; 40 unidirectional
+        // levels would exceed this by an order of magnitude
+        assert(jobs.get() < 30, s"ran ${jobs.get()} jobs")
+      } finally s.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("pagerank runs ONE stats action per iteration (fused dangling+delta)") {
     withDistributed {
       val s = init()

@@ -63,6 +63,19 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
       .weightType == 2)
   }
 
+  test("get_csr_w view streams weights in edge order — pgq_scan.cpp:113-153") {
+    val s = init()
+    import s.implicits._
+    val v = Seq(1L, 2L, 3L).toDF("id")
+    val ei = Seq((2L, 3L, 7L), (1L, 2L, 5L)).toDF("src", "dst", "w")
+    val snap = Snapshot.build(s, v, "id", ei, "src", "dst", Some("w"))
+    // dense rowids: 1→0, 2→1, 3→2; (src,dst) order ⇒ weights 5 then 7
+    assert(snap.csrWeights.collect().map(r => r.getLong(2)).toSeq ==
+      Seq(5L, 7L))
+    val unweighted = Snapshot.build(s, v, "id", ei, "src", "dst")
+    intercept[GraphAnalysisException] { unweighted.csrWeights }
+  }
+
   test("streaming hourly aggregates match the batch equivalent") {
     val s = init()
     val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001")

@@ -371,6 +371,44 @@ class StudentFixtureSpec extends AnyFunSuite {
       (3L, 2L) -> "0,12,3,13,0,11,2"))
   }
 
+  test("label-less vertices resolve from the adjacent edge's endpoints") {
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(None, None, PathMode.Walk, Seq(
+        VertexPattern(Some("a"), None),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("b"), None)))),
+      where = Some("a.name = 'Daniel'"),
+      columns = Seq(ColumnSpec("b.name", Some("b_name")))))
+    assert(names(df).flatten == Seq("Gabor", "Peter", "Tavneet"))
+  }
+
+  test("fully bare pattern resolves when the graph has one edge table") {
+    val s = init()
+    val pg1 = PropertyGraph("pg1e",
+      Seq(VertexTable("student", "Person", Seq("id"), Seq("id", "name"))),
+      Seq(EdgeTable("know", "Knows", Seq("src"), Seq("id"), "Person",
+        Seq("dst"), Seq("id"), "Person")))
+    val df = GraphTableCompiler.compile(s, MatchSpec("pg1e",
+      Seq(PathPattern(None, None, PathMode.Walk, Seq(
+        VertexPattern(Some("a"), None),
+        EdgePattern(Some("k"), None, EdgeDirection.Right),
+        VertexPattern(Some("b"), None)))),
+      columns = Seq(ColumnSpec("a.id", Some("aid")),
+        ColumnSpec("b.id", Some("bid")))),
+      pg1, TableResolver.catalog)
+    assert(df.count() == 8)
+  }
+
+  test("ambiguous label-less edge still raises") {
+    val e = intercept[GraphAnalysisException] {
+      matchDF(MatchSpec("pg", Seq(PathPattern(None, None, PathMode.Walk,
+        Seq(VertexPattern(Some("a"), Some("Person")),
+          EdgePattern(Some("k"), None, EdgeDirection.Right),
+          VertexPattern(Some("b"), Some("Person")))))))
+    }
+    assert(e.msg.contains("needs a label"))
+  }
+
   test("unregistered property raises — match.cpp:925-967") {
     val e = intercept[GraphAnalysisException] {
       matchDF(MatchSpec("pg", Seq(PathPattern(None, None, PathMode.Walk,
