@@ -1,7 +1,7 @@
 package graft.ddl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 import graft.model.{PropertyGraph, PropertyGraphRegistry, TableResolver}
@@ -67,34 +67,22 @@ object Introspect {
       val srcV = pg.vertexLabel(e.srcLabel)
       val vkeys = resolver(spark, srcV.tableName)
         .select(col(srcV.keyCols.head).as("vk"))
-      // two edge scans total: a groupBy per endpoint. The src groupBy
-      // yields edge count (= Σ degree), distinct src (= group count) and
-      // all degree stats; the dst groupBy yields distinct dst; their key
-      // sets union into the touched-vertex set for the isolated anti-join
-      // — no third scan of the edge table.
+      // two edge scans total: a groupBy per endpoint (Catalyst reuses
+      // each exchange across its consumers). The src groupBy yields edge
+      // count (= Σ degree), distinct src (= group count) and all degree
+      // stats; the dst groupBy yields distinct dst; their key sets union
+      // into the touched-vertex set for the isolated anti-join — no third
+      // scan of the edge table.
       val sdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ddeg = edges.groupBy("dst").agg(count(lit(1)).as("d"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Exact interpolated median WITHOUT a full sort (the reference uses
       // approx_quantile to dodge that sort, summarize_property_graph.cpp:54-98;
-      // we can stay exact AND scale): degrees are integers, so aggregate
+      // we can stay exact AND scale): degrees are integers, so reduce to
       // the degree HISTOGRAM (≤ max-degree distinct values — tiny even at
-      // 100 TB) and read the two middle ranks off the cumulative counts.
-      val hist = sdeg.groupBy("d").agg(count(lit(1)).as("c"))
-      val w = Window.orderBy("d") // tiny relation: single partition is fine
-      val cum = hist.withColumn("hi", sum("c").over(w))
-        .withColumn("lo", col("hi") - col("c") + 1)
-      // median rank r = (W+1)/2; interpolate the values at ⌊r⌋ and ⌈r⌉
-      // (equal for odd W) — identical to quantile_cont(0.5) on integers
-      val medd = cum.crossJoin(
-          hist.agg(((sum("c") + lit(1)).cast("double") / 2.0).as("r")))
-        .select(
-          sum(when(col("lo") <= floor(col("r")) &&
-            floor(col("r")) <= col("hi"), col("d") * 0.5)).as("m1"),
-          sum(when(col("lo") <= ceil(col("r")) &&
-            ceil(col("r")) <= col("hi"), col("d") * 0.5)).as("m2"))
-        .select(round(col("m1") + col("m2"), 4).as("medd"))
+      // 100 TB) and take the frequency-weighted exact percentile of it,
+      // identical to quantile_cont(0.5) over the raw degrees.
+      val medd = sdeg.groupBy("d").agg(count(lit(1)).as("c"))
+        .agg(round(percentile(col("d"), lit(0.5), col("c")), 4).as("medd"))
       val degStats = sdeg.agg(sum("d").as("cnt"),
         count(lit(1)).as("dsrc"),
         round(avg("d"), 4).as("avgd"),
