@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the compiler must produce plans Catalyst can
+  * fully optimize — broadcast hash joins (never CartesianProduct),
+  * predicate pushdown into the parquet scans, and column-pruned read
+  * schemas. These lock in the "declarative first" posture (SURVEY §4)
+  * that makes the same plans scale on a real cluster.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("3-hop MATCH: broadcast joins, pushed predicate, pruned schemas") {
+    val s = Fixture.init()
+    val plan = TradeGraph.graft(s, sf).explain(
+      """trade MATCH (c:Customer)-[pl:Placed]->(o:Order)-[ct:Contains]->(p:OddSizePart)
+         WHERE o.o_totalprice > 400000.0
+         COLUMNS (c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+                  p.p_partkey AS partkey, p.p_size AS size)""")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // WHERE pushed down into the orders parquet scan
+    assert(plan.contains("GreaterThan(o_totalprice,400000.0)"))
+    // column pruning: the customer scan reads ONLY the join key
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint>"))
+  }
+
+  test("element WHERE reaches the scan as a pushed filter") {
+    val s = Fixture.init()
+    val plan = TradeGraph.graft(s, sf).explain(
+      """trade MATCH (c:Customer WHERE c.c_acctbal > 5000.0)-[e:InNation]->(n:Nation)
+         COLUMNS (c.c_custkey AS custkey, n.n_name AS nation)""")
+    assert(plan.contains("GreaterThan(c_acctbal,5000.0)"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("edge sub-label bitmask stays in the scan stage, no extra shuffle") {
+    val s = Fixture.init()
+    val plan = TradeGraph.graft(s, sf).explain(
+      """trade MATCH (o:Order)-[ct:OddLine]->(p:Part)
+         COLUMNS (o.o_orderkey AS orderkey, p.p_partkey AS partkey)""")
+    // bitmask filter evaluates pre-join (in a Filter over the lineitem
+    // scan), and the join plan stays hash-based
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.toLowerCase.contains("l_linenumber"))
+  }
+
+  test("projection-only query scans a pruned schema") {
+    val s = Fixture.init()
+    val plan = TradeGraph.graft(s, sf).explain(
+      """trade MATCH (n:Nation) COLUMNS (n.n_name AS name)""")
+    assert(plan.contains("ReadSchema: struct<n_name:string>"))
+  }
+}
