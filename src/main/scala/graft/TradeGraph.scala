@@ -69,34 +69,62 @@ object TradeGraph {
   private def nation(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/nation.parquet")
 
-  /** Ring within each region: successor by n_nationkey, wrapping to min. */
-  def nationNext(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
-    nation(spark, sfDir)
-      .select(col("n_nationkey").as("src"),
-        coalesce(lead("n_nationkey", 1).over(w),
-          min("n_nationkey").over(Window.partitionBy("n_regionkey")))
-          .as("dst"))
+  // derived views are rebuilt by every query that touches them (the
+  // registry stores names, not plans) — persist one copy per
+  // (session, sfDir); weak session keys keep stopped sessions collectable
+  private val views = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def cachedView(spark: SparkSession, key: String)
+      (build: => DataFrame): DataFrame = {
+    val perSession = views.synchronized {
+      val existing = views.get(spark)
+      if (existing != null) existing
+      else {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        views.put(spark, m)
+        m
+      }
+    }
+    perSession.computeIfAbsent(key, { _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   }
+
+  /** Ring within each region: successor by n_nationkey, wrapping to min. */
+  def nationNext(spark: SparkSession, sfDir: String): DataFrame =
+    cachedView(spark, s"nation_next:$sfDir") {
+      val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+      nation(spark, sfDir)
+        .select(col("n_nationkey").as("src"),
+          coalesce(lead("n_nationkey", 1).over(w),
+            min("n_nationkey").over(Window.partitionBy("n_regionkey")))
+            .as("dst"))
+    }
 
   /** Same-region complete digraph (no self-loops). */
-  def nationAdj(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = nation(spark, sfDir)
-    n.as("a").join(n.as("b"),
-        col("a.n_regionkey") === col("b.n_regionkey") &&
-        col("a.n_nationkey") =!= col("b.n_nationkey"))
-      .select(col("a.n_nationkey").as("src"), col("b.n_nationkey").as("dst"))
-  }
+  def nationAdj(spark: SparkSession, sfDir: String): DataFrame =
+    cachedView(spark, s"nation_adj:$sfDir") {
+      val n = nation(spark, sfDir)
+      n.as("a").join(n.as("b"),
+          col("a.n_regionkey") === col("b.n_regionkey") &&
+          col("a.n_nationkey") =!= col("b.n_nationkey"))
+        .select(col("a.n_nationkey").as("src"),
+          col("b.n_nationkey").as("dst"))
+    }
 
   /** Same-region pairs with |Δ n_nationkey| ≤ 2 — contains triangles. */
-  def nationNear(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = nation(spark, sfDir)
-    n.as("a").join(n.as("b"),
-        col("a.n_regionkey") === col("b.n_regionkey") &&
-        col("a.n_nationkey") =!= col("b.n_nationkey") &&
-        abs(col("a.n_nationkey") - col("b.n_nationkey")) <= 2)
-      .select(col("a.n_nationkey").as("src"), col("b.n_nationkey").as("dst"))
-  }
+  def nationNear(spark: SparkSession, sfDir: String): DataFrame =
+    cachedView(spark, s"nation_near:$sfDir") {
+      val n = nation(spark, sfDir)
+      n.as("a").join(n.as("b"),
+          col("a.n_regionkey") === col("b.n_regionkey") &&
+          col("a.n_nationkey") =!= col("b.n_nationkey") &&
+          abs(col("a.n_nationkey") - col("b.n_nationkey")) <= 2)
+        .select(col("a.n_nationkey").as("src"),
+          col("b.n_nationkey").as("dst"))
+    }
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet (see SparkEntry.events). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
@@ -108,16 +136,17 @@ object TradeGraph {
     * u→v whenever v's event directly follows u's within the same hour
     * (~1.5k vertices / ~100k edges at sf0.1 — a real, skewed graph for
     * the path kernels, unlike the 25-node nation views). */
-  def userEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("hr").orderBy("ts", "event_id")
-    events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        expr("ts DIV 3600000000000").as("hr"))
-      .withColumn("prev", lag("user_id", 1).over(w))
-      .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
-      .select(col("prev").as("src"), col("user_id").as("dst"))
-      .distinct()
-  }
+  def userEdges(spark: SparkSession, sfDir: String): DataFrame =
+    cachedView(spark, s"user_edges:$sfDir") {
+      val w = Window.partitionBy("hr").orderBy("ts", "event_id")
+      events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("ts DIV 3600000000000").as("hr"))
+        .withColumn("prev", lag("user_id", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+        .select(col("prev").as("src"), col("user_id").as("dst"))
+        .distinct()
+    }
 
   val sqlUserEdges: String =
     """user_edges AS (
