@@ -136,6 +136,36 @@ class SnbSpec extends AnyFunSuite {
     assert(n >= 0 && n % 2 == 0)
   }
 
+  test("SNB 3-segment named path — complex_matching.test:57-80 golden") {
+    assume(available)
+    // the reference golden anchors p4.rowid = 0, whose id the golden
+    // itself shows as 19791209299968 (its single knows-edge leads to
+    // 24189255811081); vertices/edges in the golden are DuckDB rowids, so
+    // the id-space assertions here are the id columns + path lengths
+    val df = g.graphTable(
+      """snb MATCH o = ANY SHORTEST (p4:Person WHERE p4.id = 19791209299968)
+           -[w3:Knows]->(p:Person)-[w:Knows]->{1,3}(p2:Person)-[w2:Knows]->(p3:Person)
+         COLUMNS (p3.id AS p3_id, path_length(o) AS plen,
+                  vertices(o) AS vs, p4.id AS p4_id, p.id AS p_id)""")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getSeq[Long](2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 11)
+    assert(rows.forall(t => t._4 == 19791209299968L &&
+      t._5 == 24189255811081L))
+    // concatenated path invariants: |vertices| = plen + 1, endpoints match
+    assert(rows.forall(t => t._3.length == t._2 + 1))
+    assert(rows.forall(t =>
+      t._3.head == 19791209299968L && t._3.last == t._1))
+    val multiset = rows.map(t => (t._1, t._2)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(multiset == Map(
+      (28587302322180L, 3L) -> 1, (28587302322196L, 3L) -> 1,
+      (28587302322204L, 3L) -> 2, (28587302322223L, 3L) -> 1,
+      (30786325577731L, 3L) -> 1, (30786325577740L, 3L) -> 1,
+      (32985348833329L, 3L) -> 1, (35184372088850L, 4L) -> 1,
+      (35184372088850L, 3L) -> 1, (35184372088856L, 3L) -> 1))
+  }
+
   test("SNB IC2-lite: friends' messages before a date — snb.test:76-80 shape") {
     assume(available)
     val df = g.graphTable(
