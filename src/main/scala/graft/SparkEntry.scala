@@ -212,8 +212,9 @@ object SparkEntry {
         concat_ws(",", transform(col("vpath"), _.cast("string"))))
 
   private def q13_reachability(s: SparkSession, d: String): DataFrame =
+    // unbounded + requires a search prefix (reference match.cpp:100-104)
     TradeGraph.graft(s, d).graphTable(
-      """trade MATCH (a:Nation)-[e:NationNext]->+(b:Nation)
+      """trade MATCH ANY SHORTEST (a:Nation)-[e:NationNext]->+(b:Nation)
          WHERE a.n_regionkey = 0
          COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst)""")
 

@@ -351,6 +351,14 @@ object GraphTableCompiler {
       PathFinder.checkSupported(p)
       val et = resolveEdge(ep.varName.getOrElse("(edge)"), ep.label)
       val q = ep.quantifier.getOrElse(Quantifier(1, Some(1)))
+      // reference guard (match.cpp:100-104, subpath_match.test): an
+      // unbounded quantifier without a search prefix enumerates ALL
+      // walks — infinite on any cyclic graph
+      if (q.upper.isEmpty && p.prefix.isEmpty)
+        throw GraphAnalysisException(
+          "ALL unbounded with path mode WALK is not possible as this " +
+            "could lead to infinite results. Consider specifying an " +
+            "upper bound or path mode other than WALK")
       val needPath = p.pathVar.isDefined && p.prefix.isDefined
       if (et.srcKeys.length > 1 || et.dstKeys.length > 1)
         throw GraphAnalysisException(

@@ -112,7 +112,7 @@ class DistributedKernelsSpec extends AnyFunSuite {
     val s = init()
     val sf = "/root/testdata/sf0.001"
     val df = TradeGraph.graft(s, sf).graphTable(
-      """trade MATCH (a:Nation)-[e:NationNext]->+(b:Nation WHERE b.n_nationkey = 15)
+      """trade MATCH ANY SHORTEST (a:Nation)-[e:NationNext]->+(b:Nation WHERE b.n_nationkey = 15)
          WHERE a.n_regionkey = 0
          COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst)""")
     val got = df.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
@@ -121,7 +121,7 @@ class DistributedKernelsSpec extends AnyFunSuite {
     // identical through the distributed path (target semi-join)
     withDistributed {
       val got2 = TradeGraph.graft(s, sf).graphTable(
-        """trade MATCH (a:Nation)-[e:NationNext]->+(b:Nation WHERE b.n_nationkey = 15)
+        """trade MATCH ANY SHORTEST (a:Nation)-[e:NationNext]->+(b:Nation WHERE b.n_nationkey = 15)
            WHERE a.n_regionkey = 0
            COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst)""")
         .collect().map(r => (r.getInt(0), r.getInt(1))).toSet

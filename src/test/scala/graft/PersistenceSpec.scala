@@ -121,7 +121,7 @@ class PersistenceSpec extends AnyFunSuite {
         LABEL Typed IN kind (FriendOf, ColleagueOf))""")
     // only kind&1 edges traversed: 0→1→2 reachable, 3 is not
     val got = g.graphTable(
-      """pgsub2 MATCH (a:Person)-[e:FriendOf]->+(b:Person)
+      """pgsub2 MATCH ANY SHORTEST (a:Person)-[e:FriendOf]->+(b:Person)
          WHERE a.id = 0
          COLUMNS (b.id AS bid)""")
       .collect().map(_.getLong(0)).toSet
