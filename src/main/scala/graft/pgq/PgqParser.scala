@@ -274,14 +274,22 @@ final class PgqParser(input: String) {
     // closing arrow. For the bare (bracket-less) forms the leading dash of
     // "->" was already consumed above, so a lone '>' completes it. A
     // bracketed body MUST be closed by '-' or '->' — `[e](b)` is a typo,
-    // not an undirected edge.
+    // not an undirected edge, and `] >` without the dash is a syntax
+    // error (reference parser_arrow_kleene.test). Whitespace may split
+    // the dash and the head: `- >` ≡ `->` (the reference's PEG tokens
+    // are independently skippable — parser_arrow_kleene.test:28-37).
     ws()
     val rightArrow =
-      if (pos < n && input(pos) == '>') { pos += 1; true }
-      else if (accept("->")) true
-      else if (accept("-")) false
-      else if (hadBracket) err("expected closing '-' or '->' after ']'")
-      else false
+      if (hadBracket) {
+        if (accept("->")) true
+        else if (accept("-")) {
+          ws()
+          if (pos < n && input(pos) == '>') { pos += 1; true } else false
+        } else err("expected closing '-' or '->' after ']'")
+      } else {
+        if (pos < n && input(pos) == '>') { pos += 1; true }
+        else false
+      }
     val dir =
       if (leftArrow && rightArrow) EdgeDirection.Both
       else if (leftArrow) EdgeDirection.Left

@@ -70,6 +70,25 @@ class PathGoldenSpec extends AnyFunSuite {
       ("Peter", "Gabor")))
   }
 
+  test("arrow token spacing variants — parser_arrow_kleene.test") {
+    val g = graftWithFixture()
+    // all legal spacings of `]-> *` parse to the same query
+    for (arrow <- Seq("]->*", "]-> *", "]- > *", "] - > *", "] -> *")) {
+      val got = g.graphTable(
+        s"""pg9 MATCH ANY SHORTEST (a:Person WHERE a.id = 0)-[e:Knows$arrow(b:Person)
+           COLUMNS (a.id AS a_id, b.id AS b_id)""")
+      assert(got.count() == 5, s"arrow form '$arrow'")
+    }
+    // malformed forms are syntax errors, as in the reference
+    for (bad <- Seq(
+        "pg9 MATCH ANY SHORTEST (a:Person)-[e:Knows]< -> *(b:Person) COLUMNS (a.id)",
+        "pg9 MATCH ANY SHORTEST (a:Person)-[e:Knows] /-> *(b:Person) COLUMNS (a.id)",
+        "pg9 MATCH ANY SHORTEST (a:Person)-[e2:Knows] > *(b:Person) COLUMNS (a.id)",
+        "pg9 MATCH ANY SHORTEST (a:Person)-[e:Knows]*(b:Person) COLUMNS (a.id)")) {
+      intercept[Exception] { g.graphTable(bad) }
+    }
+  }
+
   test("undirected ANY SHORTEST * from 0 and 4 — undirected_paths.test:23-49") {
     val g = graftWithFixture()
     val from0 = g.graphTable(
