@@ -234,6 +234,9 @@ object GraphTableCompiler {
 
       if (needPath) {
         val pv = p.pathVar.get
+        if (segCols.isEmpty)
+          throw GraphAnalysisException(
+            s"Named path '$pv' must contain at least one edge")
         val combined = segCols.toSeq.reduceLeft { (acc, seg) =>
           // drop the segment's head vertex (shared with the previous
           // segment's tail) — array_pop_front analogue

@@ -98,4 +98,16 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(byId(2L)._1 == 0L)
     assert(byId(3L)._1 == 2L)
   }
+
+  test("named path with no edges raises a clear error") {
+    val e = intercept[graft.model.GraphAnalysisException] {
+      graft.compiler.GraphTableCompiler.compile(init(),
+        graft.pgq.MatchSpec("pg", Seq(graft.pgq.PathPattern(Some("p"),
+          Some(graft.pgq.SearchPrefix.AnyShortest), graft.pgq.PathMode.Walk,
+          Seq(graft.pgq.VertexPattern(Some("a"), Some("Person"))))),
+          columns = Seq(graft.pgq.ColumnSpec("a.id", Some("aid")))),
+        pg, graft.model.TableResolver.catalog)
+    }
+    assert(e.msg.contains("at least one edge"))
+  }
 }
