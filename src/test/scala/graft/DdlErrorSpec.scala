@@ -107,6 +107,22 @@ class DdlErrorSpec extends AnyFunSuite {
       Seq((200L, "After")))
   }
 
+  test("vertex-only graph (no EDGE TABLES) — optional_edge_table_clause.test") {
+    val s = init()
+    val g = Graft(s, TableResolver.catalog)
+    g.sql("DROP PROPERTY GRAPH IF EXISTS vonly")
+    g.sql("CREATE PROPERTY GRAPH vonly VERTEX TABLES (student LABEL Person)")
+    assert(g.graphTable(
+      "vonly MATCH (m:Person) COLUMNS (m.id AS id)").count() == 5)
+    // edge labels are unresolvable, with the reference's error shape
+    val e = intercept[GraphAnalysisException] {
+      g.graphTable(
+        """vonly MATCH (p:Person)-[k:Knows]->(p2:Person)
+           COLUMNS (p.id AS id)""")
+    }
+    assert(e.msg.contains("not registered"))
+  }
+
   test("edge properties project in COLUMNS — basic_match edge columns") {
     val df = GraphTableCompiler.compile(init(), MatchSpec("pg",
       Seq(PathPattern(None, None, PathMode.Walk, Seq(
