@@ -406,16 +406,17 @@ object GraphTableCompiler {
               pg.vertexLabel(et.dstLabel), et.dstRefKeys.head)
         }
 
-      // Filter-before-pathfinding (SURVEY §4): seed the BFS only from
-      // vertices that can match `a` (its inline WHERE + sub-label filter),
-      // strictly better than the reference which runs the kernel over the
-      // full a×b cross product.
-      val aPat = p.elements.collectFirst {
-        case v: VertexPattern if v.varName.contains(aAlias) => v
-      }
-      var seedDF = vertexDF(aVt, aPat.flatMap(_.label)).alias(aAlias)
-      aPat.flatMap(_.where).foreach(w => seedDF = seedDF.filter(expr(w)))
-      val seeds = seedDF.select(col(aRefKey).cast("long").as("id"))
+      // Filter-before-pathfinding (SURVEY §4), extended to the whole
+      // pattern prefix: seed the BFS from the DISTINCT `a` keys of the
+      // partial plan, so everything accumulated so far — earlier fixed
+      // hops, element WHEREs, sub-label masks, cross-pattern bindings —
+      // prunes the seed set. An IC13-style selective prefix seeds a
+      // handful of vertices instead of the whole vertex table; strictly
+      // better than the reference, which runs the kernel over the full
+      // a×b cross product.
+      require(plan != null, "pattern prefix must be bound before a path edge")
+      val seedKeys = plan.select(col(s"$aAlias.$aRefKey")).distinct()
+      val seeds = seedKeys.select(col(aRefKey).cast("long").as("id"))
 
       val srcVt = aVt
       val vKey = aRefKey
@@ -429,9 +430,9 @@ object GraphTableCompiler {
       // (a string dst cast to long would silently null out every edge).
       val keyIsNumeric = numericKey(srcVt, vKey) && numericKey(dstVt, dstVKey)
 
-      // seeds for the non-numeric branch come from the filtered seed DF
+      // seeds for the non-numeric branch come from the same pruned keys
       def seedsViaRowid(ids: DataFrame): DataFrame =
-        seedDF.select(col(s"$aAlias.$vKey").as("__raw"))
+        seedKeys.select(col(vKey).as("__raw"))
           .join(ids, Seq("__raw"))
           .select(col("__rowid").as("id"))
 
