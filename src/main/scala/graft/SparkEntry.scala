@@ -399,6 +399,20 @@ object SparkEntry {
   private def q27_sim_lsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshNearPairs(t(s, d, "embeddings"), threshold = 0.3)
 
+  /** Embedding-cosine near-duplicate GROUPS: exact cosine pairs on the
+    * verifiable slice → transitive closure via distributed WCC — the
+    * embedding-side analogue of q39's text dedup groups. */
+  private def q49_embed_dedup_groups(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
+      .withColumn("cosine", Similarity.cosine(col("x.v"), col("y.v")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    Dedup.duplicateGroups(e.select("id"), pairs)
+  }
+
   // =========================================================================
   // Multimodal plumbing
   // =========================================================================
@@ -529,6 +543,7 @@ object SparkEntry {
     "q25_sim_topk" -> (q25_sim_topk _),
     "q26_sim_pairs" -> (q26_sim_pairs _),
     "q27_sim_lsh" -> (q27_sim_lsh _),
+    "q49_embed_dedup_groups" -> (q49_embed_dedup_groups _),
     "q28_multimodal" -> (q28_multimodal _),
     "q29_events_window" -> (q29_events_window _),
     "q30_sessionize" -> (q30_sessionize _))
@@ -1012,6 +1027,23 @@ object SparkEntry {
            round(list_cosine_similarity(x.v, y.v), 6) AS cosine
          FROM e x JOIN e y ON x.id < y.id
          WHERE list_cosine_similarity(x.v, y.v) >= 0.35""",
+
+    "q49_embed_dedup_groups" ->
+      """WITH RECURSIVE e AS (
+           SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id < 300),
+         pr AS (
+           SELECT x.id AS ia, y.id AS ib
+           FROM e x JOIN e y ON x.id < y.id
+           WHERE list_cosine_similarity(x.v, y.v) >= 0.35),
+         und(a, b) AS (SELECT ia, ib FROM pr UNION SELECT ib, ia FROM pr),
+         r(a, b) AS (
+           SELECT id, id FROM e
+           UNION
+           SELECT r.a, und.b FROM r JOIN und ON r.b = und.a)
+         SELECT CAST(a AS BIGINT) AS id, CAST(min(b) AS BIGINT) AS canonical_id,
+                a <> min(b) AS is_duplicate
+         FROM r GROUP BY a""",
 
     "q28_multimodal" ->
       """SELECT doc_id,
