@@ -49,8 +49,10 @@ object Algorithms {
     // small graphs: run the exact same iteration on driver arrays (the
     // reference's in-memory-kernel strategy, size-gated — see LocalKernels)
     if (nReal <= PathFinder.localMaxSeeds * 16) {
-      val eCount = edges.count()
-      if (eCount <= PathFinder.localMaxEdges) {
+      // limit-probe, not a full count (see PathFinder strategy gates)
+      val eSmall = edges.limit(PathFinder.localMaxEdges.toInt + 1)
+        .count() <= PathFinder.localMaxEdges
+      if (eSmall) {
         val ids = v.select(col("id").cast("long")).collect().map(_.getLong(0))
         val earr = edges.select(col("src").cast("long"),
           col("dst").cast("long")).collect()
@@ -129,11 +131,11 @@ object Algorithms {
     */
   def weaklyConnectedComponents(vertices: DataFrame,
       edges: DataFrame): DataFrame = {
-    // small-graph strategy: union-find on driver arrays (size-gated)
-    val eCount = edges.count()
-    if (eCount <= PathFinder.localMaxEdges) {
-      val vCount = vertices.count()
-      if (vCount <= PathFinder.localMaxEdges) {
+    // small-graph strategy: union-find on driver arrays (size-gated by
+    // limit-probes, not full counts — see PathFinder strategy gates)
+    val probe = PathFinder.localMaxEdges.toInt + 1
+    if (edges.limit(probe).count() <= PathFinder.localMaxEdges) {
+      if (vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
         val ids = vertices.select(col("id").cast("long")).distinct()
           .collect().map(_.getLong(0))
         val earr = edges.select(col("src").cast("long"),

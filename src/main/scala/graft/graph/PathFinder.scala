@@ -91,8 +91,10 @@ object PathFinder {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // strategy choice by statistics: small graph + small seed set → local
-    val eCount = e.count()
-    if (eCount <= localMaxEdges &&
+    // limit-probe, not a full count: at 100 TB a complete pass over the
+    // edge table just to pick a strategy would itself be a major job
+    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
+    if (eSmall &&
         seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
       val seedArr = collectSeeds(seeds)
       locally {
@@ -215,8 +217,10 @@ object PathFinder {
       else edges.withColumn("eid", xxhash64(col("src"), col("dst")))
     val e = e0.select(col("src"), col("dst"), col("eid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val eCount = e.count()
-    if (eCount <= localMaxEdges &&
+    // limit-probe, not a full count: at 100 TB a complete pass over the
+    // edge table just to pick a strategy would itself be a major job
+    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
+    if (eSmall &&
         seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
       val seedArr = collectSeeds(seeds)
       locally {
@@ -269,8 +273,10 @@ object PathFinder {
       seeds: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val eCount = e.count()
-    if (eCount <= localMaxEdges &&
+    // limit-probe, not a full count: at 100 TB a complete pass over the
+    // edge table just to pick a strategy would itself be a major job
+    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
+    if (eSmall &&
         seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
       val seedArr = collectSeeds(seeds)
       locally {
