@@ -70,26 +70,21 @@ object TradeGraph {
     spark.read.parquet(s"$sfDir/nation.parquet")
 
   // derived views are rebuilt by every query that touches them (the
-  // registry stores names, not plans) — persist one copy per
-  // (session, sfDir); weak session keys keep stopped sessions collectable
-  private val views = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
-
+  // registry stores names, not plans) — cache one copy per
+  // (session, sfDir) INSIDE the session's own catalog (temp view +
+  // cacheTable), so the cache lives and dies with the session instead of
+  // pinning it from a driver-global map (a map value holding a DataFrame
+  // would strongly reference the session and defeat weak keys)
   private def cachedView(spark: SparkSession, key: String)
       (build: => DataFrame): DataFrame = {
-    val perSession = views.synchronized {
-      val existing = views.get(spark)
-      if (existing != null) existing
-      else {
-        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        views.put(spark, m)
-        m
+    val name = "__graft_view_" + key.replaceAll("[^A-Za-z0-9_]", "_")
+    this.synchronized {
+      if (!spark.catalog.tableExists(name)) {
+        build.createOrReplaceTempView(name)
+        spark.catalog.cacheTable(name)
       }
     }
-    perSession.computeIfAbsent(key, { _ =>
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    spark.table(name)
   }
 
   /** Ring within each region: successor by n_nationkey, wrapping to min. */
@@ -157,31 +152,22 @@ object TradeGraph {
            FROM events)
          WHERE prev IS NOT NULL AND prev <> user_id)"""
 
-  // weak session keys (see PropertyGraphRegistry): sessions must stay
-  // collectable; the per-session inner map is tiny (one entry per sfDir)
-  private val memo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, Graft]]())
-
-  /** Registers `trade` for the session (memoized per (session, sfDir):
-    * schema validation reads every table's parquet footer, so doing it once
-    * per session instead of once per query saves ~2 s/query) and returns a
-    * Graft facade bound to the sfDir resolver. */
+  /** Registers `trade` for the session once (schema validation reads
+    * every table's parquet footer, so doing it once per session instead
+    * of once per query saves ~2 s/query) and returns a Graft facade
+    * bound to the sfDir resolver. The "already registered" state is the
+    * session registry itself — no driver-global map holding
+    * session-referencing values (which would pin stopped sessions; the
+    * registry map's values are plain metadata, so its weak keys work).
+    * The graph metadata is sfDir-independent; the resolver carries the
+    * data location. */
   def graft(spark: SparkSession, sfDir: String): Graft = {
-    val perSession = memo.synchronized {
-      val existing = memo.get(spark)
-      if (existing != null) existing
-      else {
-        val m = new java.util.concurrent.ConcurrentHashMap[String, Graft]()
-        memo.put(spark, m)
-        m
-      }
+    val g = Graft(spark, resolver(sfDir))
+    if (!g.registry.list().contains("trade")) this.synchronized {
+      if (!g.registry.list().contains("trade"))
+        g.registry.create(spark, graph, resolver(sfDir), orReplace = true)
     }
-    perSession.computeIfAbsent(sfDir, { _ =>
-      val g = Graft(spark, resolver(sfDir))
-      g.registry.create(spark, graph, resolver(sfDir), orReplace = true)
-      g
-    })
+    g
   }
 
   /** Matching SQL CTE texts for the derived views (same logic, ANSI SQL) —

@@ -45,20 +45,28 @@ object GraphTableCompiler {
       anonCounter += 1; s"__${prefix}$anonCounter"
     }
 
-    def vertexDF(v: VertexTable, label: Option[String]): DataFrame = {
-      val df = resolver(spark, v.tableName)
-      // Sub-label inheritance filter (reference match.cpp:278-296):
-      // (discriminator & 2^idx) = 2^idx
+    /** Sub-label inheritance filter (reference match.cpp:278-296):
+      * (discriminator & 2^idx) = 2^idx. Shared by vertex and edge tables
+      * — the reference stores the discriminator fields on the common
+      * table struct (property_graph_table.hpp:40-54). `qualifier` scopes
+      * the column for already-aliased plans (re-labeled bindings). */
+    def subLabelFilter(df: DataFrame, subLabels: Seq[String],
+        discriminator: Option[String], label: Option[String],
+        tableName: String, qualifier: Option[String] = None): DataFrame =
       label match {
-        case Some(l) if v.subLabels.exists(_.equalsIgnoreCase(l)) =>
-          val idx = v.subLabels.indexWhere(_.equalsIgnoreCase(l))
+        case Some(l) if subLabels.exists(_.equalsIgnoreCase(l)) =>
+          val idx = subLabels.indexWhere(_.equalsIgnoreCase(l))
           val mask = 1L << idx
-          df.filter((col(v.discriminator.getOrElse(throw GraphAnalysisException(
-            s"Label '$l' needs a discriminator column on '${v.tableName}'")))
-            .bitwiseAND(lit(mask))) === lit(mask))
+          val disc = discriminator.getOrElse(throw GraphAnalysisException(
+            s"Label '$l' needs a discriminator column on '$tableName'"))
+          val c = qualifier.map(q => col(s"$q.$disc")).getOrElse(col(disc))
+          df.filter((c.bitwiseAND(lit(mask))) === lit(mask))
         case _ => df
       }
-    }
+
+    def vertexDF(v: VertexTable, label: Option[String]): DataFrame =
+      subLabelFilter(resolver(spark, v.tableName), v.subLabels,
+        v.discriminator, label, v.tableName)
 
     /** Bind a vertex pattern: join (or reuse) its table; returns alias.
       * `joinCond` builds the join condition given the final alias.
@@ -80,12 +88,8 @@ object GraphTableCompiler {
               throw GraphAnalysisException(
                 s"Variable '$name' is bound to '${b.table}' but re-labeled " +
                   s"'$l' (table '${vt.tableName}')")
-            if (vt.subLabels.exists(_.equalsIgnoreCase(l))) {
-              val idx = vt.subLabels.indexWhere(_.equalsIgnoreCase(l))
-              val mask = 1L << idx
-              plan = plan.filter((col(s"${b.alias}.${vt.discriminator.get}")
-                .bitwiseAND(lit(mask))) === lit(mask))
-            }
+            plan = subLabelFilter(plan, vt.subLabels, vt.discriminator,
+              Some(l), vt.tableName, qualifier = Some(b.alias))
           }
           vp.where.foreach(w => plan = plan.filter(expr(w)))
           b.alias
@@ -124,15 +128,21 @@ object GraphTableCompiler {
       * vertices (reference match.cpp:278-296; edge tables share the
       * discriminator fields, property_graph_table.hpp:40-54). */
     def edgeSubFilter(df: DataFrame, et: EdgeTable,
-        label: Option[String]): DataFrame = label match {
-      case Some(l) if et.subLabels.exists(_.equalsIgnoreCase(l)) =>
-        val idx = et.subLabels.indexWhere(_.equalsIgnoreCase(l))
-        val mask = 1L << idx
-        df.filter((col(et.discriminator.getOrElse(throw GraphAnalysisException(
-          s"Label '$l' needs a discriminator column on '${et.tableName}'")))
-          .bitwiseAND(lit(mask))) === lit(mask))
-      case _ => df
-    }
+        label: Option[String]): DataFrame =
+      subLabelFilter(df, et.subLabels, et.discriminator, label, et.tableName)
+
+    /** Declared edge-id columns must be integral — casting a string id to
+      * long would silently null every eid in the path arrays. */
+    def requireIntegralEdgeId(et: EdgeTable, c: String): Unit =
+      resolver(spark, et.tableName).schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other => throw GraphAnalysisException(
+          s"edgeIdCol '$c' of '${et.tableName}' must be an integral " +
+            s"column (found $other)")
+      }
 
     def numericKey(vt: VertexTable, key: String): Boolean =
       resolver(spark, vt.tableName).schema(key).dataType match {
@@ -274,7 +284,9 @@ object GraphTableCompiler {
       val aCol = col(s"$aAlias.$aKey").cast("long")
       val bCol = col(s"$bAlias.$bKey").cast("long")
       val eid: Column = et.edgeIdCol match {
-        case Some(c) => col(s"$eAlias.$c").cast("long")
+        case Some(c) =>
+          requireIntegralEdgeId(et, c)
+          col(s"$eAlias.$c").cast("long")
         case None =>
           // pattern-order-independent: hash the edge's stored (src, dst)
           val (s0, d0) = ep.direction match {
@@ -337,7 +349,12 @@ object GraphTableCompiler {
       // match.cpp:416-444 — multiplicity semantics preserved).
       if (ep.direction == EdgeDirection.Both) {
         val e2 = freshName("e")
-        val e2DF = resolver(spark, et.tableName).alias(e2)
+        // the reverse copy matches the same labeled edge set: the
+        // sub-label bitmask applies to it too (the element's inline WHERE
+        // references the first alias and is hoisted there only, like the
+        // reference's element-WHERE handling)
+        val e2DF = edgeSubFilter(resolver(spark, et.tableName), et,
+          ep.label).alias(e2)
         val cond = keysEq(e2, et.srcKeys, bAlias, et.srcRefKeys) &&
           keysEq(e2, et.dstKeys, aAlias, et.dstRefKeys)
         plan = plan.join(e2DF, cond, "inner")
@@ -394,10 +411,20 @@ object GraphTableCompiler {
               pg.vertexLabel(et.srcLabel), et.srcRefKeys.head,
               pg.vertexLabel(et.dstLabel), et.dstRefKeys.head)
           case EdgeDirection.Left =>
+            // synthesize the eid from the STORED (src, dst) orientation
+            // before swapping the traversal direction, so it matches the
+            // hash a fixed hop over the same physical edge would emit
+            // (PathFinder would otherwise hash the swapped pair)
+            val syntheticEid: Seq[Column] =
+              if (et.edgeIdCol.isEmpty && needPath)
+                Seq(xxhash64(col(et.srcKeys.head).cast("long"),
+                  col(et.dstKeys.head).cast("long")).as("eid"))
+              else Nil
             (applyWhere(edgesRaw).select(
               Seq(col(et.dstKeys.head).as("__s"),
                 col(et.srcKeys.head).as("__d")) ++
-                et.edgeIdCol.map(c => col(c).as(c)): _*), "__s", "__d",
+                et.edgeIdCol.map(c => col(c).as(c)) ++ syntheticEid: _*),
+              "__s", "__d",
               pg.vertexLabel(et.dstLabel), et.dstRefKeys.head,
               pg.vertexLabel(et.srcLabel), et.srcRefKeys.head)
           case _ =>
@@ -440,18 +467,14 @@ object GraphTableCompiler {
       // real edge ids (reference rowid analogue); Left-swapped and
       // undirected views keep the original id column. Must be numeric —
       // casting a string id to long would silently null every eid.
-      val eidCols: Seq[Column] = et.edgeIdCol.map { c =>
-        resolver(spark, et.tableName).schema(c).dataType match {
-          case org.apache.spark.sql.types.ByteType |
-               org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType |
-               org.apache.spark.sql.types.LongType =>
-            col(c).cast("long").as("eid")
-          case other => throw GraphAnalysisException(
-            s"edgeIdCol '$c' of '${et.tableName}' must be an integral " +
-              s"column (found $other)")
-        }
-      }.toSeq
+      val eidCols: Seq[Column] = et.edgeIdCol match {
+        case Some(c) =>
+          requireIntegralEdgeId(et, c)
+          Seq(col(c).cast("long").as("eid"))
+        case None if edges.columns.contains("eid") =>
+          Seq(col("eid")) // pre-synthesized (Left stored-orientation hash)
+        case None => Nil
+      }
       val (edgeList, seedList, fromRowid) =
         if (keyIsNumeric) {
           (edges.select(Seq(col(srcKey).cast("long").as("src"),

@@ -176,23 +176,37 @@ object PathFinder {
     val nPairs = fSize * bSize
     var fD = 0L
     var bD = 0L
-    def settled(): Long =
-      fSeen.as("f").join(bSeen.as("b"), col("f.v") === col("b.v"))
-        .select(col("f.origin").as("s"), col("b.origin").as("t"))
-        .distinct().count()
+    def meets(front: DataFrame, otherSeen: DataFrame,
+        frontIsFwd: Boolean): DataFrame =
+      front.as("f").join(otherSeen.as("o"), col("f.v") === col("o.v"))
+        .select((if (frontIsFwd) col("f.origin") else col("o.origin"))
+          .as("s"),
+          (if (frontIsFwd) col("o.origin") else col("f.origin")).as("t"))
+        .distinct()
+    // settled pairs accumulate INCREMENTALLY: a new meet always involves
+    // the freshly-expanded frontier, so each level joins only that
+    // frontier against the other side's seen-set (`met` itself is
+    // bounded by nPairs rows)
+    var met = meets(fFront, bSeen, frontIsFwd = true).localCheckpoint()
+    var metCount = met.count()
     while (fSize > 0 && bSize > 0 && fD + bD < limit &&
-        settled() < nPairs) {
-      if (fSize <= bSize) {
-        fD += 1
-        fFront = expand(fFront, fSeen, e, fD)
-        fSize = fFront.count()
-        if (fSize > 0) fSeen = fSeen.union(fFront).localCheckpoint()
-      } else {
-        bD += 1
-        bFront = expand(bFront, bSeen, eRev, bD)
-        bSize = bFront.count()
-        if (bSize > 0) bSeen = bSeen.union(bFront).localCheckpoint()
-      }
+        metCount < nPairs) {
+      val fresh =
+        if (fSize <= bSize) {
+          fD += 1
+          fFront = expand(fFront, fSeen, e, fD)
+          fSize = fFront.count()
+          if (fSize > 0) fSeen = fSeen.union(fFront).localCheckpoint()
+          meets(fFront, bSeen, frontIsFwd = true)
+        } else {
+          bD += 1
+          bFront = expand(bFront, bSeen, eRev, bD)
+          bSize = bFront.count()
+          if (bSize > 0) bSeen = bSeen.union(bFront).localCheckpoint()
+          meets(bFront, fSeen, frontIsFwd = false)
+        }
+      met = met.union(fresh).distinct().localCheckpoint()
+      metCount = met.count()
     }
     fSeen.as("f").join(bSeen.as("b"), col("f.v") === col("b.v"))
       .groupBy(col("f.origin").as("src"), col("b.origin").as("dst"))

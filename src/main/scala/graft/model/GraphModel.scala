@@ -230,15 +230,19 @@ final class PropertyGraphRegistry {
     spark.conf.getOption(GraftCatalog.ConfKey)
 
   /** Lazy reload from the persistent catalog, once per registry —
-    * in-memory registrations take precedence on name collision. */
+    * in-memory registrations take precedence on name collision. The
+    * loaded latch is only set when a catalog dir was actually read:
+    * latching with no dir configured would skip the load forever and a
+    * later persist() would overwrite the catalog with only the in-memory
+    * graphs, silently erasing previously saved ones. */
   private def ensureLoaded(spark: SparkSession): Unit =
     if (!loaded) synchronized {
       if (!loaded) {
         catalogDir(spark).foreach { dir =>
           GraftCatalog.load(spark, dir)
             .foreach(g => graphs.putIfAbsent(g.name.toLowerCase, g))
+          loaded = true
         }
-        loaded = true
       }
     }
 

@@ -199,8 +199,9 @@ object Dedup {
     * per-doc set sizes — the shape that scales (shuffle on shingle, then on
     * pair) instead of a nested-loop pair join evaluating set intersections.
     * Pairs with zero overlap never materialize (their Jaccard is 0 <
-    * threshold). */
-  /** @param maxDocFreq skew guard on the join key (the analogue of
+    * threshold).
+    *
+    * @param maxDocFreq skew guard on the join key (the analogue of
     *   `maxBucketSize` in the LSH paths): a shingle contained in m
     *   documents contributes m²/2 join rows, so one hot shingle ("the")
     *   would dominate the whole job at corpus scale. Shingles with

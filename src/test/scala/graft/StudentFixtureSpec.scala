@@ -409,6 +409,41 @@ class StudentFixtureSpec extends AnyFunSuite {
     assert(e.msg.contains("needs a label"))
   }
 
+  test("Left-direction synthetic eids hash the STORED orientation in all segments") {
+    // (a)<-[k]-(m)<-[k2]-{1,1}(b): traversal follows reversed edges, so a
+    // combined path [v0, e0, v1, e1, v2] rides stored edges (v1→v0),
+    // (v2→v1) — every eid must be xxhash64(storedSrc, storedDst)
+    // regardless of whether its segment was a fixed join or the kernel
+    val s = init()
+    val df = matchDF(MatchSpec("pg",
+      Seq(PathPattern(Some("p"), Some(SearchPrefix.AnyShortest),
+        PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("Person"),
+            where = Some("a.id = 3")),
+          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Left),
+          VertexPattern(Some("m"), Some("Person")),
+          EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Left,
+            Some(Quantifier(1, Some(1)))),
+          VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("element_id(p)", Some("path")))))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows.nonEmpty)
+    def h(a: Long, b: Long): Long =
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(a),
+        org.apache.spark.sql.catalyst.expressions.Literal(b)), 42L)
+        .eval(null).asInstanceOf[Long]
+    rows.foreach { p =>
+      var i = 0
+      while (i + 2 < p.length) {
+        // stored orientation for a Left hop: (v_{i+2} → v_i)
+        assert(p(i + 1) == h(p(i + 2), p(i)),
+          s"eid mismatch at $i in ${p.mkString(",")}")
+        i += 2
+      }
+    }
+  }
+
   test("unregistered property raises — match.cpp:925-967") {
     val e = intercept[GraphAnalysisException] {
       matchDF(MatchSpec("pg", Seq(PathPattern(None, None, PathMode.Walk,
