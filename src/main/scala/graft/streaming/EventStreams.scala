@@ -64,6 +64,47 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .dropDuplicates("event_id")
 
+  /** Per-user event-count milestones via `flatMapGroupsWithState` —
+    * custom keyed state the built-in windowed aggregates can't express
+    * (emit-on-crossing rather than emit-per-window). State is one counter
+    * per user, expired by an event-time timeout one watermark horizon
+    * after the user's last activity, so state stays bounded. Emission is
+    * order-independent (pure count crossings), keeping the operator
+    * deterministic under micro-batch re-ordering.
+    *
+    * @return stream of (user_id, n_events) rows, one per crossed multiple
+    *         of `every`
+    */
+  def userMilestones(events: DataFrame, every: Int = 100,
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizonMs = 2L * 3600 * 1000
+    events
+      .withWatermark("event_time", watermark)
+      .select(col("user_id").as[Long], col("event_time"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(0L)
+            val next = prev + rows.size
+            state.update(next)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), 1L) + horizonMs)
+            // every multiple of `every` crossed inside this batch
+            ((prev / every + 1) to (next / every))
+              .map(k => (uid, k * every.toLong)).iterator
+          }
+      }
+      .toDF("user_id", "n_events")
+  }
+
   /** Session windows (native session_window, 30-minute gap): the streaming
     * analogue of SparkEntry.q30_sessionize. */
   def sessionWindows(events: DataFrame,

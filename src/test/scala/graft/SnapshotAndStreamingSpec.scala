@@ -113,6 +113,26 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState milestones match the batch counts") {
+    val s = init()
+    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001")
+    val q = EventStreams.userMilestones(stream, every = 50)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("milestones_out").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("milestones_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch oracle: user with n events crosses every multiple of 50 ≤ n
+      val batch = TradeGraph.events(s, "/root/testdata/sf0.001")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .collect().flatMap { r =>
+          (1L to r.getLong(1) / 50).map(k => (r.getLong(0), k * 50))
+        }.toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming session windows produce bounded sessions") {
     val s = init()
     val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001")
