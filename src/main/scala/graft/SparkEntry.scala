@@ -144,7 +144,7 @@ object SparkEntry {
   private def q47_edge_sublabel(s: SparkSession, d: String): DataFrame =
     TradeGraph.graft(s, d).graphTable(
       """trade MATCH (o:Order)-[ct:OddLine]->(p:Part)
-         WHERE o.o_totalprice > 500000.0
+         WHERE o.o_totalprice > 400000.0
          COLUMNS (o.o_orderkey AS orderkey, p.p_partkey AS partkey)""")
 
   /** Property-graph persistence round trip: CREATE writes the `__graft_pg`
@@ -834,7 +834,7 @@ object SparkEntry {
     "q47_edge_sublabel" ->
       """SELECT o_orderkey AS orderkey, l_partkey AS partkey
          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-         WHERE o_totalprice > 500000.0 AND (l_linenumber & 1) = 1""",
+         WHERE o_totalprice > 400000.0 AND (l_linenumber & 1) = 1""",
 
     "q48_persisted_pg" -> describeOracle,
 

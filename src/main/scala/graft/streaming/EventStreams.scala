@@ -25,11 +25,25 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based event stream from a directory of parquet drops. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  /** File-based event stream from a directory (or glob) of parquet drops.
+    *
+    * `path` must select event files ONLY (e.g. `dir/events.parquet` or a
+    * drop directory dedicated to the stream): Spark's file source applies
+    * the fixed schema to every matched file, so foreign parquet in the same
+    * glob would surface as all-null rows. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema).parquet(dir)
+    spark.readStream.schema(eventsSchema).parquet(path)
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Parse a watermark duration string ("2 hours", "30 minutes") to
+    * milliseconds, for sizing keyed-state expiry to the lateness horizon. */
+  private[streaming] def delayMs(watermark: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    require(iv.months == 0, s"month-based watermark unsupported: $watermark")
+    iv.days * 86400000L + iv.microseconds / 1000L
   }
 
   /** Tumbling-window counts/sums per event type with a bounded-state
@@ -80,9 +94,15 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val horizonMs = 2L * 3600 * 1000
+    // State expires one lateness horizon after the user's last activity —
+    // tied to the caller's watermark so a longer lateness bound never
+    // expires state that admissible late events could still touch.
+    val horizonMs = math.max(delayMs(watermark), 1L)
     events
       .withWatermark("event_time", watermark)
+      // keyed state needs a non-null key and a usable event time; null-user
+      // events can't cross a per-user milestone by definition
+      .where(col("user_id").isNotNull && col("event_time").isNotNull)
       .select(col("user_id").as[Long], col("event_time"))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)

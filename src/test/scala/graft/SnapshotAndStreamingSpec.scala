@@ -78,7 +78,7 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
 
   test("streaming hourly aggregates match the batch equivalent") {
     val s = init()
-    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001")
+    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
     // complete mode on a one-shot file stream processes everything; the
     // watermark never closes windows in processAllAvailable, so use
     // complete output to observe all windows
@@ -101,7 +101,7 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
 
   test("streaming dedup drops repeated ids within the watermark") {
     val s = init()
-    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001")
+    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
     val q = EventStreams.dedupEvents(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("dedup_out").start()
@@ -115,7 +115,7 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
 
   test("flatMapGroupsWithState milestones match the batch counts") {
     val s = init()
-    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001")
+    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
     val q = EventStreams.userMilestones(stream, every = 50)
       .writeStream.outputMode("append")
       .format("memory").queryName("milestones_out").start()
@@ -135,7 +135,7 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
 
   test("streaming session windows produce bounded sessions") {
     val s = init()
-    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001")
+    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
     val q = EventStreams.sessionWindows(stream)
       .writeStream.outputMode("complete")
       .format("memory").queryName("sessions_out").start()
