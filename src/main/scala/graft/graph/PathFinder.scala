@@ -116,9 +116,16 @@ object PathFinder {
         e.unpersist()
         res
       case None =>
-        var seen = seeds.select(col("id").as("src"), col("id").as("dst"),
+        // seen is a UNION of per-level checkpointed frontiers — never
+        // re-materialized per level (the old per-level
+        // `seen.union(fresh).localCheckpoint()` rewrote the whole
+        // accumulated set every level: O(levels × |seen|) cache I/O on
+        // deep graphs). Re-checkpoint only every `checkpointEvery` levels
+        // to keep the union plan bounded.
+        val seedRows = seeds.select(col("id").as("src"), col("id").as("dst"),
           lit(0L).as("dist")).distinct().localCheckpoint()
-        var frontier = seen
+        var seen = seedRows
+        var frontier = seedRows
         var d = 0L
         var done = false
         val limit = maxDepth.getOrElse(Long.MaxValue)
@@ -131,7 +138,8 @@ object PathFinder {
             .localCheckpoint()
           if (fresh.isEmpty) done = true
           else {
-            seen = seen.union(fresh).localCheckpoint()
+            seen = seen.union(fresh)
+            if (d % checkpointEvery == 0) seen = seen.localCheckpoint()
             frontier = fresh
           }
         }
@@ -139,6 +147,11 @@ object PathFinder {
         seen
     }
   }
+
+  /** Accumulated seen-sets are unions of per-level checkpointed frontiers;
+    * the union itself is re-checkpointed only this often, bounding plan
+    * growth without rewriting O(|seen|) cache blocks every level. */
+  private val checkpointEvery = 16
 
   /** Bidirectional multi-source × multi-target BFS. Forward frontiers are
     * labeled by seed origin, backward frontiers (over reversed edges) by
@@ -196,13 +209,19 @@ object PathFinder {
           fD += 1
           fFront = expand(fFront, fSeen, e, fD)
           fSize = fFront.count()
-          if (fSize > 0) fSeen = fSeen.union(fFront).localCheckpoint()
+          if (fSize > 0) {
+            fSeen = fSeen.union(fFront) // fFront already checkpointed
+            if (fD % checkpointEvery == 0) fSeen = fSeen.localCheckpoint()
+          }
           meets(fFront, bSeen, frontIsFwd = true)
         } else {
           bD += 1
           bFront = expand(bFront, bSeen, eRev, bD)
           bSize = bFront.count()
-          if (bSize > 0) bSeen = bSeen.union(bFront).localCheckpoint()
+          if (bSize > 0) {
+            bSeen = bSeen.union(bFront)
+            if (bD % checkpointEvery == 0) bSeen = bSeen.localCheckpoint()
+          }
           meets(bFront, fSeen, frontIsFwd = false)
         }
       met = met.union(fresh).distinct().localCheckpoint()
@@ -248,32 +267,127 @@ object PathFinder {
       }
     }
 
-    var seen = seeds.select(col("id").as("src"), col("id").as("dst"),
-        lit(0L).as("dist"), array(col("id")).as("path"))
+    // ---- parent-pointer BFS (reference shortest_path.cpp:148-204) ----
+    // The traversal shuffles only NARROW rows: (src, v, rank, pv, pe).
+    // Path arrays are rebuilt AFTER the traversal by backtracking the
+    // parent pointers — the old form carried the growing [v,e,…] array
+    // through every level's shuffle + min-aggregate, a shuffle-volume
+    // multiplier ∝ path length at scale.
+    //
+    // ANY-shortest tie-break stays the lexicographically-smallest path
+    // (deterministic, matching LocalKernels): `rank` orders each level's
+    // vertices by their minimal path, and by induction comparing
+    // (parentRank, eid) is exactly comparing the candidate full paths —
+    // equal-length arrays compare prefix-first, and a path determines its
+    // endpoint, so parent ranks order parent paths strictly.
+    val limit = upper.getOrElse(Long.MaxValue)
+    val seedRows = seeds.select(col("id").cast("long").as("src"))
       .distinct().localCheckpoint()
-    var frontier = seen
+    var frontier = seedRows
+      .select(col("src"), col("src").as("v"), lit(0L).as("rank"))
+      .localCheckpoint()
+    lastPathFrontierSchema = Some(frontier.schema)
+    var seen = frontier.select("src", "v")
+    val parentLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var d = 0L
     var done = false
-    val limit = upper.getOrElse(Long.MaxValue)
     while (!done && d < limit) {
       d += 1
-      val next = frontier.join(e, frontier("dst") === e("src"))
-        .select(frontier("src"),
-          e("dst").as("dst"),
-          concat(frontier("path"), array(e("eid"), e("dst"))).as("path"))
-        .groupBy("src", "dst")
-        .agg(min("path").as("path"))
-        .withColumn("dist", lit(d))
-      val fresh = next.join(seen, Seq("src", "dst"), "left_anti")
-        .select("src", "dst", "dist", "path").localCheckpoint()
-      if (fresh.isEmpty) done = true
+      val cand = frontier.join(e, frontier("v") === e("src"))
+        .select(frontier("src").as("src"), e("dst").as("v"),
+          frontier("rank").as("prank"), frontier("v").as("pv"),
+          e("eid").as("pe"))
+      // smallest parent per new vertex: structs compare field-by-field,
+      // so min(struct(prank, pe, …)) is the lexicographic-min candidate
+      val best = cand.join(seen, Seq("src", "v"), "left_anti")
+        .groupBy("src", "v")
+        .agg(min(struct(col("prank"), col("pe"), col("pv"))).as("b"))
+        .select(col("src"), col("v"), col("b.prank").as("prank"),
+          col("b.pe").as("pe"), col("b.pv").as("pv"))
+      // level rank via range-sort + zipWithIndex: a global index ordered
+      // by (src, prank, pe) ranks within each src too (only same-src
+      // comparisons ever happen), without a single-task per-src window
+      val ranked = rankByPathOrder(spark, best).localCheckpoint()
+      if (ranked.isEmpty) done = true
       else {
-        seen = seen.union(fresh).localCheckpoint()
-        frontier = fresh
+        parentLevels += ranked.select(col("src"), col("v"), lit(d).as("k"),
+          col("pv"), col("pe"))
+        seen = seen.union(ranked.select("src", "v"))
+        if (d % checkpointEvery == 0) seen = seen.localCheckpoint()
+        frontier = ranked.select("src", "v", "rank")
       }
     }
+    // ---- backtrack: rebuild [v0,e0,v1,…,vk] from parent pointers ----
+    // Segments stay narrow during the walk; ONE final groupBy assembles
+    // the arrays (sorted by depth k, each segment contributes [pv, pe]).
+    val parents =
+      if (parentLevels.isEmpty) null
+      else parentLevels.reduce(_ union _)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    def seedPaths = seedRows.select(col("src"), col("src").as("dst"),
+      lit(0L).as("dist"), array(col("src")).as("path"))
+    val zero = if (lower <= 0L) Seq(seedPaths) else Nil
+    val reconstructed =
+      if (parents == null) Nil
+      else {
+        val segments = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        var active = parents.filter(col("k") >= lower)
+          .select(col("src"), col("v").as("dst"), col("k").as("dist"),
+            col("v").as("cur"))
+          .localCheckpoint()
+        while (!active.isEmpty) {
+          val step = active.alias("a")
+            .join(parents.alias("p"),
+              col("a.src") === col("p.src") && col("a.cur") === col("p.v"))
+            .select(col("a.src").as("src"), col("a.dst").as("dst"),
+              col("a.dist").as("dist"), col("p.k").as("k"),
+              col("p.pv").as("pv"), col("p.pe").as("pe"))
+            .localCheckpoint()
+          segments += step
+          active = step.filter(col("k") > lit(1L))
+            .select(col("src"), col("dst"), col("dist"),
+              col("pv").as("cur"))
+        }
+        if (segments.isEmpty) Nil
+        else Seq(segments.reduce(_ union _)
+          .groupBy("src", "dst", "dist")
+          .agg(sort_array(collect_list(
+            struct(col("k"), col("pv"), col("pe")))).as("ss"))
+          .select(col("src"), col("dst"), col("dist"),
+            concat(
+              flatten(transform(col("ss"),
+                s => array(s.getField("pv"), s.getField("pe")))),
+              array(col("dst"))).as("path")))
+      }
+    val out = (zero ++ reconstructed).reduceOption(_ union _)
+      .getOrElse(seedPaths.limit(0)) // schema-correct empty result
     e.unpersist()
-    seen.filter(col("dist") >= lower)
+    out
+  }
+
+  /** Schema of the last distributed shortest-path frontier — test hook
+    * asserting the per-level shuffle carries no path arrays. */
+  @volatile private[graft] var lastPathFrontierSchema:
+      Option[org.apache.spark.sql.types.StructType] = None
+
+  /** Global dense rank ordered by (src, prank, pe) — deterministic (the
+    * key is unique: a parent rank identifies one parent, an eid one edge)
+    * and distributed: range-repartition + in-partition sort +
+    * `zipWithIndex`, instead of a `Window.partitionBy(src)` that would
+    * funnel each src's whole frontier through a single task. */
+  private def rankByPathOrder(spark: SparkSession, best: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = best
+      .repartitionByRange(col("src"), col("prank"), col("pe"))
+      .sortWithinPartitions("src", "prank", "pe")
+    val schema = StructType(sorted.schema.fields :+
+      StructField("rank", LongType, nullable = false))
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i)
+      }, schema)
   }
 
   /** Weighted cheapest-path distances — semantics of reference

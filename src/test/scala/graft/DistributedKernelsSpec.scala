@@ -58,6 +58,61 @@ class DistributedKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("parent-pointer shortest paths match the local kernel exactly, " +
+      "including lexicographic tie-breaks") {
+    val s = init()
+    import s.implicits._
+    // layered graph: many equal-length shortest paths per pair, explicit
+    // eids — the distributed (parentRank, eid) tie-break must pick the
+    // SAME lexicographically-minimal path arrays as the local kernel
+    val rnd = new scala.util.Random(7)
+    val edges = (for {
+      l <- 0 until 4; i <- 0 until 4; j <- 0 until 4
+    } yield (l * 10L + i, (l + 1) * 10L + j, rnd.nextInt(1000).toLong)) ++
+      Seq((40L, 0L, 77L), (40L, 1L, 78L)) // back edges → cycles
+    val eDF = edges.toDF("src", "dst", "eid")
+    val seeds = Seq(0L, 1L, 12L, 40L).toDF("id")
+    def run() = PathFinder.shortestPaths(s, eDF, seeds, 0L, Some(5L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList)).toSet
+    val local = run()
+    val dist = withDistributed(run())
+    assert(dist == local)
+    assert(local.size > 20)
+    // per-level frontier shuffles carry NO array columns (the path is
+    // reconstructed after the traversal, not dragged through the BFS)
+    val fs = PathFinder.lastPathFrontierSchema.get
+    assert(fs.fields.forall(f =>
+      !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"frontier schema carries an array: $fs")
+    assert(!fs.fieldNames.contains("path"))
+  }
+
+  test("deep-chain shortest paths survive periodic seen-set checkpointing") {
+    withDistributed {
+      val s = init()
+      import s.implicits._
+      // 40 levels — crosses the every-16-levels re-checkpoint boundary
+      val n = 40
+      val eDF = (0 until n).map(i => (i.toLong, i + 1L, 1000L + i))
+        .toDF("src", "dst", "eid")
+      val seeds = Seq(0L).toDF("id")
+      val got = PathFinder.shortestPaths(s, eDF, seeds, 2L, None)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList))
+      assert(got.length == n - 1) // dist 2..n, lower bound drops dist 0,1
+      val full = got.find(_._1 == n.toLong).get
+      assert(full._2 == n.toLong && full._3.length == 2 * n + 1)
+      assert(full._3 == (0 until n).flatMap(i =>
+        List(i.toLong, 1000L + i)).toList :+ n.toLong)
+      // distances too (separate kernel, same churn fix)
+      val d = PathFinder.bfsDistances(s, eDF, seeds, None)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+      assert(d.size == n + 1 && d(40L) == 40L && d(0L) == 0L)
+    }
+  }
+
   test("distributed pagerank matches reference goldens") {
     withDistributed {
       val s = init()
