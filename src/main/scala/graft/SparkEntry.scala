@@ -147,6 +147,17 @@ object SparkEntry {
          WHERE o.o_totalprice > 400000.0
          COLUMNS (o.o_orderkey AS orderkey, p.p_partkey AS partkey)""")
 
+  /** Variable-length path over a COMPOSITE-key edge table: (region,
+    * nation) tuples are mapped to dense rowids for the BFS kernel and
+    * mapped back before the plan join — the Spark analogue of the
+    * reference's PK/FK-tuple → rowid mapping at CSR-build time
+    * (compressed_sparse_row.cpp:194-204,238-250), which is what lets its
+    * kernels take composite keys for free. */
+  private def q50_composite_varlen(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH (a:CNation WHERE a.n_regionkey = 0)-[e:CNext]->{1,3}(b:CNation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst)""")
+
   /** Property-graph persistence round trip: CREATE writes the `__graft_pg`
     * catalog table; a FRESH registry (a new session/process in production)
     * lazily reloads it — reference `__duckpgq_internal` semantics
@@ -525,6 +536,7 @@ object SparkEntry {
     "q10_match_sublabel" -> (q10_match_sublabel _),
     "q47_edge_sublabel" -> (q47_edge_sublabel _),
     "q48_persisted_pg" -> (q48_persisted_pg _),
+    "q50_composite_varlen" -> (q50_composite_varlen _),
     "q11_varlen" -> (q11_varlen _),
     "q12_shortest_path" -> (q12_shortest_path _),
     "q46_multiseg_path" -> (q46_multiseg_path _),
@@ -552,7 +564,7 @@ object SparkEntry {
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
   // =========================================================================
 
-  import TradeGraph.{sqlNationAdj, sqlNationNear, sqlNationNext}
+  import TradeGraph.{sqlNationAdj, sqlNationCNext, sqlNationNear, sqlNationNext}
 
   /** Oracle for q31 generated from the registered model (static metadata →
     * a VALUES table). */
@@ -615,7 +627,7 @@ object SparkEntry {
              (SELECT 1 FROM $et WHERE $src = v.${vt.keyCols.head}
                 OR $dst = v.${vt.keyCols.head})) AS n_isolated"""
     }
-    s"""WITH $sqlNationNext, $sqlNationAdj, $sqlNationNear
+    s"""WITH $sqlNationNext, $sqlNationAdj, $sqlNationNear, $sqlNationCNext
         ${(vparts ++ eparts).mkString("\nUNION ALL\n")}"""
   }
 
@@ -837,6 +849,20 @@ object SparkEntry {
          WHERE o_totalprice > 400000.0 AND (l_linenumber & 1) = 1""",
 
     "q48_persisted_pg" -> describeOracle,
+
+    "q50_composite_varlen" ->
+      s"""WITH RECURSIVE $sqlNationNext, $sqlNationCNext,
+         b(sr, sn, dr, dn, dist) AS (
+           SELECT n_regionkey, n_nationkey, n_regionkey, n_nationkey, 0
+           FROM nation WHERE n_regionkey = 0
+           UNION
+           SELECT b.sr, b.sn, e.dst_r, e.dst_n, b.dist + 1
+           FROM b JOIN nation_cnext e
+             ON b.dr = e.src_r AND b.dn = e.src_n
+           WHERE b.dist < 3)
+         SELECT sn AS src, dn AS dst FROM (
+           SELECT sr, sn, dn, min(dist) AS d FROM b GROUP BY sr, sn, dn)
+         WHERE d BETWEEN 1 AND 3""",
 
     "q11_varlen" ->
       s"""WITH RECURSIVE $sqlNationNext,

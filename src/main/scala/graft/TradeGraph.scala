@@ -32,7 +32,12 @@ object TradeGraph {
       // match.cpp:278-296)
       VertexTable("part", "Part", Seq("p_partkey"),
         discriminator = Some("p_size"),
-        subLabels = Seq("OddSizePart", "Bit1Part"))),
+        subLabels = Seq("OddSizePart", "Bit1Part")),
+      // composite-key demo: nations keyed by (region, nation) tuples —
+      // exercises the dense-rowid tuple mapping in the path kernels
+      // (reference maps PK/FK tuples to rowids during CSR construction,
+      // compressed_sparse_row.cpp:194-204,238-250)
+      VertexTable("nation", "CNation", Seq("n_regionkey", "n_nationkey"))),
     edgeTables = Seq(
       EdgeTable("customer", "InNation", Seq("c_custkey"), Seq("c_custkey"),
         "Customer", Seq("c_nationkey"), Seq("n_nationkey"), "Nation"),
@@ -54,7 +59,12 @@ object TradeGraph {
       EdgeTable("nation_adj", "NationAdj", Seq("src"), Seq("n_nationkey"),
         "Nation", Seq("dst"), Seq("n_nationkey"), "Nation"),
       EdgeTable("nation_near", "NationNear", Seq("src"), Seq("n_nationkey"),
-        "Nation", Seq("dst"), Seq("n_nationkey"), "Nation")))
+        "Nation", Seq("dst"), Seq("n_nationkey"), "Nation"),
+      // composite-key ring: same edges as NationNext, endpoints declared
+      // as (region, nation) tuples
+      EdgeTable("nation_cnext", "CNext", Seq("src_r", "src_n"),
+        Seq("n_regionkey", "n_nationkey"), "CNation", Seq("dst_r", "dst_n"),
+        Seq("n_regionkey", "n_nationkey"), "CNation")))
 
   /** Resolver: parquet tables + the derived views above. */
   def resolver(sfDir: String): TableResolver = new TableResolver {
@@ -62,6 +72,7 @@ object TradeGraph {
       case "nation_next" => nationNext(spark, sfDir)
       case "nation_adj"  => nationAdj(spark, sfDir)
       case "nation_near" => nationNear(spark, sfDir)
+      case "nation_cnext" => nationCNext(spark, sfDir)
       case other => spark.read.parquet(s"$sfDir/$other.parquet")
     }
   }
@@ -121,6 +132,18 @@ object TradeGraph {
           col("b.n_nationkey").as("dst"))
     }
 
+  /** The nation ring with COMPOSITE (region, nation) endpoint keys — the
+    * ring stays within a region, so src/dst regions coincide. */
+  def nationCNext(spark: SparkSession, sfDir: String): DataFrame =
+    cachedView(spark, s"nation_cnext:$sfDir") {
+      val n = nation(spark, sfDir)
+      nationNext(spark, sfDir).as("nn")
+        .join(n.as("n1"), col("nn.src") === col("n1.n_nationkey"))
+        .join(n.as("n2"), col("nn.dst") === col("n2.n_nationkey"))
+        .select(col("n1.n_regionkey").as("src_r"), col("nn.src").as("src_n"),
+          col("n2.n_regionkey").as("dst_r"), col("nn.dst").as("dst_n"))
+    }
+
   /** `events.ts` is TIMESTAMP(NANOS) parquet (see SparkEntry.events). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -178,6 +201,14 @@ object TradeGraph {
                 coalesce(lead(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey),
                          min(n_nationkey) OVER (PARTITION BY n_regionkey)) AS dst
          FROM nation)"""
+
+  val sqlNationCNext: String =
+    """nation_cnext AS (
+         SELECT n1.n_regionkey AS src_r, nn.src AS src_n,
+                n2.n_regionkey AS dst_r, nn.dst AS dst_n
+         FROM nation_next nn
+         JOIN nation n1 ON nn.src = n1.n_nationkey
+         JOIN nation n2 ON nn.dst = n2.n_nationkey)"""
 
   val sqlNationAdj: String =
     """nation_adj AS (

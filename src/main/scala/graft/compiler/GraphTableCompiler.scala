@@ -45,6 +45,32 @@ object GraphTableCompiler {
       anonCounter += 1; s"__${prefix}$anonCounter"
     }
 
+    // Synthetic dense edge ids (`__geid`) for named paths over edge tables
+    // with no declared edgeIdCol — the Spark analogue of the reference's
+    // physical edge rowids in path arrays (shortest_path.cpp:212-217):
+    // multigraph parallel edges keep distinct ids, and a given physical
+    // edge carries the SAME id whether it is traversed by a fixed hop, a
+    // quantified kernel, or either orientation of an undirected/reversed
+    // view (the id is attached to the row before any view is built).
+    // One ranking job per referenced table per compile — the counterpart
+    // of the reference's per-query CSR build.
+    val denseEidCache = scala.collection.mutable.Map[String, DataFrame]()
+    def withDenseEid(et: EdgeTable): DataFrame =
+      denseEidCache.getOrElseUpdate(et.tableName, {
+        val df = resolver(spark, et.tableName)
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+        val sortable = df.schema.fields.collect {
+          case f if !f.dataType.isInstanceOf[ArrayType] &&
+            !f.dataType.isInstanceOf[MapType] &&
+            !f.dataType.isInstanceOf[StructType] => f.name
+        }.toSeq
+        // keys first for a stable, meaningful order; remaining sortable
+        // columns disambiguate parallel edges deterministically
+        val order = (et.srcKeys ++ et.dstKeys ++ sortable).distinct
+          .filter(sortable.contains)
+        graft.graph.Snapshot.denseEdgeIds(spark, df, order, "__geid")
+      })
+
     /** Sub-label inheritance filter (reference match.cpp:278-296):
       * (discriminator & 2^idx) = 2^idx. Shared by vertex and edge tables
       * — the reference stores the discriminator fields on the common
@@ -229,7 +255,8 @@ object GraphTableCompiler {
           // preserved, like the reference's list_value over plain aliases)
           // plus its 3-element path segment
           val aAlias = prevV
-          val (bAlias, eAlias, et) = bindFixedEdgeEx(ep, vp, prevV)
+          val (bAlias, eAlias, et) =
+            bindFixedEdgeEx(ep, vp, prevV, withEid = true)
           segCols += fixedSegment(p, ep, et, aAlias, eAlias, bAlias)
           prevV = bAlias
         } else if (p.prefix.isDefined) {
@@ -260,10 +287,11 @@ object GraphTableCompiler {
 
     /** Path segment of a fixed hop inside a named path: the reference's
       * `list_value(a.rowid, e.rowid, b.rowid)` (match.cpp:598-616), built
-      * from the already-joined aliases. Synthesizes the same
-      * `xxhash64(src, dst)` edge id as [[PathFinder.shortestPaths]] when no
-      * edge-id column is declared, so mixed fixed/quantified segments stay
-      * consistent. */
+      * from the already-joined aliases. When no edge-id column is declared
+      * the edge alias carries a synthetic dense id (`__geid`, see
+      * [[withDenseEid]]) — the same id the quantified kernel uses, so mixed
+      * fixed/quantified segments stay consistent and parallel edges stay
+      * distinct. */
     def fixedSegment(p: PathPattern, ep: EdgePattern, et: EdgeTable,
         aAlias: String, eAlias: String, bAlias: String): Column = {
       if (et.srcKeys.length > 1 || et.dstKeys.length > 1)
@@ -287,13 +315,7 @@ object GraphTableCompiler {
         case Some(c) =>
           requireIntegralEdgeId(et, c)
           col(s"$eAlias.$c").cast("long")
-        case None =>
-          // pattern-order-independent: hash the edge's stored (src, dst)
-          val (s0, d0) = ep.direction match {
-            case EdgeDirection.Left => (bCol, aCol)
-            case _                  => (aCol, bCol)
-          }
-          xxhash64(s0, d0)
+        case None => col(s"$eAlias.__geid")
       }
       array(aCol, eid, bCol)
     }
@@ -305,16 +327,21 @@ object GraphTableCompiler {
       bindFixedEdgeEx(ep, vp, aAlias)._1
 
     /** As [[bindFixedEdge]], additionally returning the edge alias and
-      * resolved edge table (needed for named-path segment assembly). */
+      * resolved edge table (needed for named-path segment assembly).
+      * `withEid` attaches the synthetic dense edge id (`__geid`) when the
+      * table declares no edgeIdCol — named-path hops only. */
     def bindFixedEdgeEx(ep: EdgePattern, vp: VertexPattern,
-        aAlias: String): (String, String, EdgeTable) = {
+        aAlias: String, withEid: Boolean = false)
+        : (String, String, EdgeTable) = {
       val eName = ep.varName.getOrElse(freshName("e"))
       val et = resolveEdge(eName, ep.label)
       if (bindings.contains(eName))
         throw GraphAnalysisException(s"Edge variable '$eName' is bound twice")
       bindings(eName) = Binding(eName, isVertex = false, et.tableName)
 
-      val baseDF = edgeSubFilter(resolver(spark, et.tableName), et, ep.label)
+      val table = if (withEid && et.edgeIdCol.isEmpty) withDenseEid(et)
+        else resolver(spark, et.tableName)
+      val baseDF = edgeSubFilter(table, et, ep.label)
       val eDF0 = ep.direction match {
         case EdgeDirection.Undirected => undirectedView(baseDF, et)
         case _                        => baseDF
@@ -380,14 +407,13 @@ object GraphTableCompiler {
             "could lead to infinite results. Consider specifying an " +
             "upper bound or path mode other than WALK")
       val needPath = p.pathVar.isDefined && p.prefix.isDefined
-      if (et.srcKeys.length > 1 || et.dstKeys.length > 1)
-        throw GraphAnalysisException(
-          "variable-length paths over composite edge keys are not yet " +
-            "supported")
 
       // Traversal endpoints. For a Left edge `(a)<-[e]-(b)` the pattern's
       // `a` sits on the edge's DESTINATION side (the traversal follows
-      // reversed edges), so the seed table / join keys swap accordingly.
+      // reversed edges), so the key roles swap — the synthetic dense edge
+      // id (`__geid`, [[withDenseEid]]) is attached to the row before any
+      // direction handling, so it is orientation-independent and matches
+      // what a fixed hop over the same physical edge emits.
       // The plan joins use the edge's declared reference keys, matching
       // bindFixedEdge (not the vertex tables' own key columns, which may
       // legitimately differ).
@@ -400,38 +426,25 @@ object GraphTableCompiler {
         throw GraphAnalysisException(
           "bidirectional (<-[e]->) quantified edges are not yet supported")
       val eName = ep.varName.getOrElse(freshName("e"))
-      val edgesRaw = edgeSubFilter(resolver(spark, et.tableName), et, ep.label)
+      val baseTable = if (needPath && et.edgeIdCol.isEmpty) withDenseEid(et)
+        else resolver(spark, et.tableName)
+      val edgesRaw = edgeSubFilter(baseTable, et, ep.label)
       def applyWhere(df: DataFrame): DataFrame =
         ep.where.foldLeft(df.alias(eName))((d, w) => d.filter(expr(w)))
-      val (edges, srcKey, dstKey, aVt, aRefKey, bVt, bRefKey) =
+      val (aEdgeKeys, bEdgeKeys, aVt, aRefKeys, bVt, bRefKeys) =
         ep.direction match {
-          case EdgeDirection.Undirected =>
-            (applyWhere(undirectedView(edgesRaw, et)),
-              et.srcKeys.head, et.dstKeys.head,
-              pg.vertexLabel(et.srcLabel), et.srcRefKeys.head,
-              pg.vertexLabel(et.dstLabel), et.dstRefKeys.head)
           case EdgeDirection.Left =>
-            // synthesize the eid from the STORED (src, dst) orientation
-            // before swapping the traversal direction, so it matches the
-            // hash a fixed hop over the same physical edge would emit
-            // (PathFinder would otherwise hash the swapped pair)
-            val syntheticEid: Seq[Column] =
-              if (et.edgeIdCol.isEmpty && needPath)
-                Seq(xxhash64(col(et.srcKeys.head).cast("long"),
-                  col(et.dstKeys.head).cast("long")).as("eid"))
-              else Nil
-            (applyWhere(edgesRaw).select(
-              Seq(col(et.dstKeys.head).as("__s"),
-                col(et.srcKeys.head).as("__d")) ++
-                et.edgeIdCol.map(c => col(c).as(c)) ++ syntheticEid: _*),
-              "__s", "__d",
-              pg.vertexLabel(et.dstLabel), et.dstRefKeys.head,
-              pg.vertexLabel(et.srcLabel), et.srcRefKeys.head)
+            (et.dstKeys, et.srcKeys, pg.vertexLabel(et.dstLabel),
+              et.dstRefKeys, pg.vertexLabel(et.srcLabel), et.srcRefKeys)
           case _ =>
-            (applyWhere(edgesRaw), et.srcKeys.head, et.dstKeys.head,
-              pg.vertexLabel(et.srcLabel), et.srcRefKeys.head,
-              pg.vertexLabel(et.dstLabel), et.dstRefKeys.head)
+            (et.srcKeys, et.dstKeys, pg.vertexLabel(et.srcLabel),
+              et.srcRefKeys, pg.vertexLabel(et.dstLabel), et.dstRefKeys)
         }
+      val edges = ep.direction match {
+        case EdgeDirection.Undirected =>
+          applyWhere(undirectedView(edgesRaw, et))
+        case _ => applyWhere(edgesRaw)
+      }
 
       // Filter-before-pathfinding (SURVEY §4), extended to the whole
       // pattern prefix: seed the BFS from the DISTINCT `a` keys of the
@@ -442,50 +455,46 @@ object GraphTableCompiler {
       // better than the reference, which runs the kernel over the full
       // a×b cross product.
       require(plan != null, "pattern prefix must be bound before a path edge")
-      val seedKeys = plan.select(col(s"$aAlias.$aRefKey")).distinct()
-      val seeds = seedKeys.select(col(aRefKey).cast("long").as("id"))
 
-      val srcVt = aVt
-      val vKey = aRefKey
-      val dstVt = bVt
-      val dstVKey = bRefKey
+      // Single-column numeric keys drive the long-typed kernels directly;
+      // composite OR non-numeric keys map through dense rowids below —
+      // the reference gets both cases for free because its kernels run on
+      // physical rowids and CSR construction maps PK/FK tuples to them
+      // (compressed_sparse_row.cpp:194-204,238-250).
+      val keyIsNumeric = aRefKeys.length == 1 && bRefKeys.length == 1 &&
+        numericKey(aVt, aRefKeys.head) && numericKey(bVt, bRefKeys.head)
 
-      // Non-numeric vertex keys: map through dense rowids (distributed
-      // sort + zipWithIndex — the Snapshot strategy) so the long-typed
-      // kernels apply; results are mapped back to raw keys before the
-      // plan join. Both endpoints must be numeric to skip the mapping
-      // (a string dst cast to long would silently null out every edge).
-      val keyIsNumeric = numericKey(srcVt, vKey) && numericKey(dstVt, dstVKey)
-
-      // seeds for the non-numeric branch come from the same pruned keys
-      def seedsViaRowid(ids: DataFrame): DataFrame =
-        seedKeys.select(col(vKey).as("__raw"))
-          .join(ids, Seq("__raw"))
-          .select(col("__rowid").as("id"))
+      // key tuple as a comparable struct with normalized field names (so
+      // vertex-side and edge-side structs are type-equal for joins)
+      def keyStruct(cols: Seq[String], qual: Option[String]): Column =
+        struct(cols.zipWithIndex.map { case (c, i) =>
+          qual.map(q => col(s"$q.$c")).getOrElse(col(c)).as(s"_k$i")
+        }: _*)
 
       // declared edge identity rides into the kernels so path arrays carry
-      // real edge ids (reference rowid analogue); Left-swapped and
-      // undirected views keep the original id column. Must be numeric —
+      // real edge ids (reference rowid analogue); otherwise the synthetic
+      // dense id attached by withDenseEid. Declared ids must be numeric —
       // casting a string id to long would silently null every eid.
       val eidCols: Seq[Column] = et.edgeIdCol match {
         case Some(c) =>
           requireIntegralEdgeId(et, c)
           Seq(col(c).cast("long").as("eid"))
-        case None if edges.columns.contains("eid") =>
-          Seq(col("eid")) // pre-synthesized (Left stored-orientation hash)
+        case None if needPath => Seq(col("__geid").as("eid"))
         case None => Nil
       }
       val (edgeList, seedList, fromRowid) =
         if (keyIsNumeric) {
-          (edges.select(Seq(col(srcKey).cast("long").as("src"),
-            col(dstKey).cast("long").as("dst")) ++ eidCols: _*),
-            seeds,
+          (edges.select(Seq(col(aEdgeKeys.head).cast("long").as("src"),
+            col(bEdgeKeys.head).cast("long").as("dst")) ++ eidCols: _*),
+            plan.select(col(s"$aAlias.${aRefKeys.head}").cast("long")
+              .as("id")).distinct(),
             identity[DataFrame] _)
         } else {
-          if (srcVt.tableName != dstVt.tableName)
+          if (aVt.tableName != bVt.tableName || aRefKeys != bRefKeys)
             throw GraphAnalysisException(
-              "variable-length paths over non-numeric keys require source " +
-                "and destination vertices from the same table")
+              "variable-length paths over composite or non-numeric keys " +
+                "require source and destination vertices from the same " +
+                "table and key columns")
           // path_length(p) is safe in dense-id space (pure length), but
           // element_id/vertices/edges would expose internal rowids
           if (needPath) {
@@ -496,12 +505,15 @@ object GraphTableCompiler {
             }
             if (exposing)
               throw GraphAnalysisException(
-                "element_id/vertices/edges over non-numeric vertex keys " +
-                  "are not yet supported — the path arrays would contain " +
-                  "internal dense ids (path_length is fine)")
+                "element_id/vertices/edges over composite or non-numeric " +
+                  "vertex keys are not yet supported — the path arrays " +
+                  "would contain internal dense ids (path_length is fine)")
           }
-          val keys = resolver(spark, srcVt.tableName)
-            .select(col(vKey).as("__raw")).distinct()
+          // dense rowids over the DISTINCT key tuples (distributed sort +
+          // zipWithIndex — the Snapshot strategy); struct sort order is
+          // field-by-field, deterministic
+          val keys = resolver(spark, aVt.tableName)
+            .select(keyStruct(aRefKeys, None).as("__raw")).distinct()
           val ids = spark.createDataFrame(
             keys.sort("__raw").rdd.zipWithIndex.map { case (r, i) =>
               org.apache.spark.sql.Row(r.get(0), i)
@@ -512,13 +524,28 @@ object GraphTableCompiler {
               org.apache.spark.sql.types.StructField("__rowid",
                 org.apache.spark.sql.types.LongType, nullable = false))))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // edge-side key structs cast field-wise to the vertex key types
+          // so the struct equality is exact (e.g. INT edge FK vs BIGINT
+          // vertex PK)
+          val vKeyTypes = aRefKeys.map(k =>
+            resolver(spark, aVt.tableName).schema(k).dataType)
+          def edgeKeyStruct(cols: Seq[String]): Column =
+            struct(cols.zipWithIndex.map { case (c, i) =>
+              col(c).cast(vKeyTypes(i)).as(s"_k$i")
+            }: _*)
+          // `__gsrc`/`__gdst` avoid colliding with edge tables whose key
+          // columns are literally named src/dst
           val e = edges
-            .join(ids.select(col("__raw"), col("__rowid").as("src")),
-              col(srcKey) === col("__raw")).drop("__raw")
-            .join(ids.select(col("__raw"), col("__rowid").as("dst")),
-              col(dstKey) === col("__raw")).drop("__raw")
-            .select(col("src"), col("dst"))
-          val sd = seedsViaRowid(ids)
+            .join(ids.select(col("__raw"), col("__rowid").as("__gsrc")),
+              edgeKeyStruct(aEdgeKeys) === col("__raw")).drop("__raw")
+            .join(ids.select(col("__raw"), col("__rowid").as("__gdst")),
+              edgeKeyStruct(bEdgeKeys) === col("__raw")).drop("__raw")
+            .select(Seq(col("__gsrc").as("src"),
+              col("__gdst").as("dst")) ++ eidCols: _*)
+          val sd = plan
+            .select(keyStruct(aRefKeys, Some(aAlias)).as("__raw")).distinct()
+            .join(ids, Seq("__raw"))
+            .select(col("__rowid").as("id"))
           (e, sd, (df: DataFrame) => df
             .join(ids.select(col("__raw").as("__rawsrc"),
               col("__rowid").as("src")), Seq("src"))
@@ -556,7 +583,7 @@ object GraphTableCompiler {
                 var tDF = vertexDF(bVt, vp.label)
                   .alias(vp.varName.getOrElse(freshName("t")))
                 vp.where.foreach(w => tDF = tDF.filter(expr(w)))
-                Some(tDF.select(col(bRefKey).cast("long").as("id")))
+                Some(tDF.select(col(bRefKeys.head).cast("long").as("id")))
               } catch {
                 case _: org.apache.spark.sql.AnalysisException => None
               }
@@ -570,13 +597,14 @@ object GraphTableCompiler {
         }
 
       val srcCond: Column =
-        if (keyIsNumeric) col(s"$aAlias.$vKey").cast("long") === col("__psrc")
-        else col(s"$aAlias.$vKey") === col("__psrc")
+        if (keyIsNumeric)
+          col(s"$aAlias.${aRefKeys.head}").cast("long") === col("__psrc")
+        else keyStruct(aRefKeys, Some(aAlias)) === col("__psrc")
       plan = plan.join(joined, srcCond, "inner")
       val bAlias = bindVertex(vp, Some(b =>
         if (keyIsNumeric)
-          col(s"$b.$dstVKey").cast("long") === col("__pdst")
-        else col(s"$b.$dstVKey") === col("__pdst")), Some(bVt.label))
+          col(s"$b.${bRefKeys.head}").cast("long") === col("__pdst")
+        else keyStruct(bRefKeys, Some(b)) === col("__pdst")), Some(bVt.label))
       plan = plan.drop("__psrc", "__pdst")
       (bAlias, segColOpt)
     }
@@ -633,19 +661,24 @@ object GraphTableCompiler {
     // PROPERTIES(...)/EXCEPT exclusions never leak through `*`)
     def starCols(alias: String): Seq[Column] =
       // case-insensitive lookup: Spark resolves alias qualifiers
-      // case-insensitively, so `A.*` must hit binding `a`
+      // case-insensitively, so `A.*` must hit binding `a`.
+      // ALL-COLUMNS (empty properties) expands from the table's physical
+      // schema, not `alias.*`, so synthetic plan columns (`__geid`) never
+      // leak through a star
       bindings.find(_._1.equalsIgnoreCase(alias)).map(_._2) match {
         case Some(b) if b.isVertex =>
           pg.vertexTables.find(_.tableName == b.table) match {
             case Some(vt) if vt.properties.nonEmpty =>
               vt.properties.map(c => col(s"$alias.$c"))
-            case _ => Seq(col(s"$alias.*"))
+            case _ => resolver(spark, b.table).columns.toSeq
+              .map(c => col(s"$alias.$c"))
           }
         case Some(b) =>
           pg.edgeTables.find(_.tableName == b.table) match {
             case Some(et) if et.properties.nonEmpty =>
               et.properties.map(c => col(s"$alias.$c"))
-            case _ => Seq(col(s"$alias.*"))
+            case _ => resolver(spark, b.table).columns.toSeq
+              .map(c => col(s"$alias.$c"))
           }
         case None => Seq(col(s"$alias.*"))
       }

@@ -45,65 +45,94 @@ object Introspect {
   /** Per-table statistics: vertex/edge counts, distinct endpoints, isolated
     * vertices, and degree stats — the reference's SUMMARIZE output shape
     * (vertex count, edge count, avg/min/max in/out degree, isolated nodes —
-    * `summarize_property_graph.cpp:54-177`), computed as one DataFrame of
-    * unioned aggregates. */
+    * `summarize_property_graph.cpp:54-177`).
+    *
+    * All tables are folded into LABEL-KEYED unions before aggregating, so
+    * the whole SUMMARIZE is a constant number of stages regardless of how
+    * many tables the graph registers (a per-table plan would be ~4 exchanges
+    * × N tables). Keys are cast to string for the union — injective, so
+    * grouping/distinct/anti-join semantics are unchanged. */
   def summarize(spark: SparkSession, pg: PropertyGraph,
       resolver: TableResolver): DataFrame = {
-    val vparts = pg.vertexTables.map { v =>
-      resolver(spark, v.tableName).agg(count(lit(1)).as("cnt"))
-        .select(lit(pg.name).as("property_graph"),
-          lit(v.label).as("label"), lit("vertex").as("kind"),
-          col("cnt").as("n_rows"),
-          lit(null).cast("long").as("n_distinct_src"),
-          lit(null).cast("long").as("n_distinct_dst"),
-          lit(null).cast("double").as("avg_out_degree"),
-          lit(null).cast("double").as("med_out_degree"),
-          lit(null).cast("long").as("max_out_degree"),
-          lit(null).cast("long").as("n_isolated"))
-    }
-    val eparts = pg.edgeTables.map { e =>
-      val edges = resolver(spark, e.tableName)
-        .select(col(e.srcKeys.head).as("src"), col(e.dstKeys.head).as("dst"))
-      val srcV = pg.vertexLabel(e.srcLabel)
-      val vkeys = resolver(spark, srcV.tableName)
-        .select(col(srcV.keyCols.head).as("vk"))
-      // two edge scans total: a groupBy per endpoint (Catalyst reuses
-      // each exchange across its consumers). The src groupBy yields edge
-      // count (= Σ degree), distinct src (= group count) and all degree
-      // stats; the dst groupBy yields distinct dst; their key sets union
-      // into the touched-vertex set for the isolated anti-join — no third
-      // scan of the edge table.
-      val sdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-      val ddeg = edges.groupBy("dst").agg(count(lit(1)).as("d"))
-      // Exact interpolated median WITHOUT a full sort (the reference uses
-      // approx_quantile to dodge that sort, summarize_property_graph.cpp:54-98;
-      // we can stay exact AND scale): degrees are integers, so reduce to
-      // the degree HISTOGRAM (≤ max-degree distinct values — tiny even at
-      // 100 TB) and take the frequency-weighted exact percentile of it,
-      // identical to quantile_cont(0.5) over the raw degrees.
-      val medd = sdeg.groupBy("d").agg(count(lit(1)).as("c"))
-        .agg(round(percentile(col("d"), lit(0.5), col("c")), 4).as("medd"))
-      val degStats = sdeg.agg(sum("d").as("cnt"),
-        count(lit(1)).as("dsrc"),
-        round(avg("d"), 4).as("avgd"),
+    import spark.implicits._
+
+    // ---- vertex side: one unioned scan, counts per label ----
+    val vLabels = pg.vertexTables.map(_.label).toDF("label")
+    val vCounts = pg.vertexTables
+      .map(v => resolver(spark, v.tableName).select(lit(v.label).as("label")))
+      .reduce(_ unionByName _)
+      .groupBy("label").agg(count(lit(1)).as("cnt"))
+    // left join from the label list so empty tables still get a 0-count row
+    val vparts = vLabels.join(vCounts, Seq("label"), "left")
+      .select(lit(pg.name).as("property_graph"),
+        col("label"), lit("vertex").as("kind"),
+        coalesce(col("cnt"), lit(0L)).as("n_rows"),
+        lit(null).cast("long").as("n_distinct_src"),
+        lit(null).cast("long").as("n_distinct_dst"),
+        lit(null).cast("double").as("avg_out_degree"),
+        lit(null).cast("double").as("med_out_degree"),
+        lit(null).cast("long").as("max_out_degree"),
+        lit(null).cast("long").as("n_isolated"))
+
+    // ---- edge side: one unioned edge scan, per-label degree pipeline ----
+    val eLabels = pg.edgeTables.map(_.label).toDF("label")
+    val allEdges = pg.edgeTables
+      .map(e => resolver(spark, e.tableName).select(
+        lit(e.label).as("label"),
+        col(e.srcKeys.head).cast("string").as("src"),
+        col(e.dstKeys.head).cast("string").as("dst")))
+      .reduce(_ unionByName _)
+    // two passes over the union total: a groupBy per endpoint (Catalyst
+    // reuses each exchange across its consumers). The src groupBy yields
+    // edge count (= Σ degree), distinct src (= group count) and all degree
+    // stats; the dst groupBy yields distinct dst; their key sets union
+    // into the touched-vertex set for the isolated anti-join.
+    val sdeg = allEdges.groupBy("label", "src").agg(count(lit(1)).as("d"))
+    val ddeg = allEdges.groupBy("label", "dst").agg(count(lit(1)).as("d"))
+    // Exact interpolated median WITHOUT a full sort (the reference uses
+    // approx_quantile to dodge that sort, summarize_property_graph.cpp:54-98;
+    // we can stay exact AND scale): degrees are integers, so reduce to
+    // the degree HISTOGRAM (≤ max-degree distinct values per label — tiny
+    // even at 100 TB) and take the frequency-weighted exact percentile,
+    // identical to quantile_cont(0.5) over the raw degrees. Count, sum,
+    // avg and max fold out of the same histogram — no separate stats pass.
+    val stats = sdeg.groupBy("label", "d").agg(count(lit(1)).as("c"))
+      .groupBy("label").agg(
+        sum(col("d") * col("c")).as("cnt"),
+        sum("c").as("dsrc"),
+        round(sum(col("d") * col("c")) / sum("c"), 4).as("avgd"),
+        round(percentile(col("d"), lit(0.5), col("c")), 4).as("medd"),
         max("d").as("maxd"))
-      val dstStats = ddeg.agg(count(lit(1)).as("ddst"))
-      val isolated = vkeys.join(
-        sdeg.select(col("src").as("vk"))
-          .union(ddeg.select(col("dst").as("vk"))).distinct(),
-        Seq("vk"), "left_anti").agg(count(lit(1)).as("iso"))
-      degStats.crossJoin(medd).crossJoin(dstStats).crossJoin(isolated)
-        .select(lit(pg.name).as("property_graph"),
-          lit(e.label).as("label"), lit("edge").as("kind"),
-          coalesce(col("cnt"), lit(0L)).as("n_rows"),
-          col("dsrc").as("n_distinct_src"),
-          col("ddst").as("n_distinct_dst"),
-          col("avgd").as("avg_out_degree"),
-          col("medd").as("med_out_degree"),
-          col("maxd").as("max_out_degree"),
-          col("iso").as("n_isolated"))
-    }
-    (vparts ++ eparts).reduce(_ unionByName _)
+    val dstStats = ddeg.groupBy("label").agg(count(lit(1)).as("ddst"))
+    // per-label vertex key sets of each edge's SOURCE vertex table (a
+    // vertex table referenced by k edge labels is scanned k times, as the
+    // reference's per-table isolated-nodes CTEs do)
+    val allVkeys = pg.edgeTables
+      .map { e =>
+        val srcV = pg.vertexLabel(e.srcLabel)
+        resolver(spark, srcV.tableName).select(
+          lit(e.label).as("label"),
+          col(srcV.keyCols.head).cast("string").as("vk"))
+      }
+      .reduce(_ unionByName _)
+    val touched = sdeg.select(col("label"), col("src").as("vk"))
+      .union(ddeg.select(col("label"), col("dst").as("vk"))).distinct()
+    val isolated = allVkeys.join(touched, Seq("label", "vk"), "left_anti")
+      .groupBy("label").agg(count(lit(1)).as("iso"))
+    val eparts = eLabels
+      .join(stats, Seq("label"), "left")
+      .join(dstStats, Seq("label"), "left")
+      .join(isolated, Seq("label"), "left")
+      .select(lit(pg.name).as("property_graph"),
+        col("label"), lit("edge").as("kind"),
+        coalesce(col("cnt"), lit(0L)).as("n_rows"),
+        coalesce(col("dsrc"), lit(0L)).as("n_distinct_src"),
+        coalesce(col("ddst"), lit(0L)).as("n_distinct_dst"),
+        col("avgd").as("avg_out_degree"),
+        col("medd").as("med_out_degree"),
+        col("maxd").as("max_out_degree"),
+        coalesce(col("iso"), lit(0L)).as("n_isolated"))
+    vparts.unionByName(eparts)
   }
 
   /** `PRAGMA show_property_graphs` analogue. */

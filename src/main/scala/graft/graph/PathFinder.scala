@@ -239,15 +239,17 @@ object PathFinder {
     * ANY-shortest tie-break: lexicographically smallest path (deterministic,
     * unlike the reference's arrival-order pick — documented divergence).
     *
-    * @param edges (src, dst[, eid]); if `eid` is absent a deterministic
-    *              synthetic id `xxhash64(src, dst)` is used (overflow-safe
-    *              for arbitrary 64-bit vertex ids; multigraph parallel
-    *              edges collapse — v1 limitation)
+    * @param edges (src, dst[, eid]); if `eid` is absent a dense per-edge
+    *              rank ordered by (src, dst) is synthesized
+    *              ([[Snapshot.denseEdgeIds]]) — multigraph parallel edges
+    *              keep DISTINCT ids, mirroring the reference's physical
+    *              edge rowids (shortest_path.cpp:212-217)
     */
   def shortestPaths(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
       lower: Long, upper: Option[Long]): DataFrame = {
     val e0 = if (edges.columns.contains("eid")) edges
-      else edges.withColumn("eid", xxhash64(col("src"), col("dst")))
+      else Snapshot.denseEdgeIds(spark, edges.select(col("src"), col("dst")),
+        Seq("src", "dst"))
     val e = e0.select(col("src"), col("dst"), col("eid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // limit-probe, not a full count: at 100 TB a complete pass over the

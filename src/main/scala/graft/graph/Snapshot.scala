@@ -113,13 +113,34 @@ object Snapshot {
     // materialize the dense-id edge list, then release the intermediate
     // join cache — GraphSnapshot.unpersist() must free what is actually
     // cached, not an unpersisted derived projection
-    val edges = joined.select(
-      Seq(col("src"), col("dst"),
-        xxhash64(col("src"), col("dst")).as("eid")) ++
-        weightCol.map(_ => col("w")): _*)
+    val edges = denseEdgeIds(spark,
+      joined.select(Seq(col("src"), col("dst")) ++
+        weightCol.map(_ => col("w")): _*),
+      Seq("src", "dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
     joined.unpersist()
     GraphSnapshot(rowids, edges, weightType)
+  }
+
+  /** Dense edge ids: a global rank over `sortCols` (distributed range-sort
+    * + `zipWithIndex` — no single-partition window). The reference's path
+    * kernels carry physical edge rowids (`shortest_path.cpp:212-217`), so
+    * multigraph parallel edges stay distinct; this is the Spark analogue —
+    * parallel edges (identical sort keys, or even fully identical rows)
+    * receive DISTINCT consecutive ids. Deterministic up to permutation
+    * among fully-tied rows (which are interchangeable by definition). */
+  def denseEdgeIds(spark: SparkSession, edges: DataFrame,
+      sortCols: Seq[String], eidCol: String = "eid"): DataFrame = {
+    require(sortCols.nonEmpty, "denseEdgeIds needs at least one sort column")
+    val sorted = edges
+      .repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(eidCol, LongType, nullable = false))
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
   }
 }

@@ -37,13 +37,25 @@ object EventStreams {
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** Parse a watermark duration string ("2 hours", "30 minutes") to
-    * milliseconds, for sizing keyed-state expiry to the lateness horizon. */
+  /** Parse a watermark duration string ("2 hours", "30 minutes",
+    * "1 day 12 hours") to milliseconds, for sizing keyed-state expiry to
+    * the lateness horizon. Self-contained (no Spark-internal interval
+    * APIs, which carry no compatibility guarantee across upgrades) and
+    * covers the calendar-free subset Spark accepts for `withWatermark`;
+    * month/year units are rejected — they have no fixed ms length. */
   private[streaming] def delayMs(watermark: String): Long = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
-    require(iv.months == 0, s"month-based watermark unsupported: $watermark")
-    iv.days * 86400000L + iv.microseconds / 1000L
+    val unit = Map(
+      "week" -> 604800000L, "day" -> 86400000L, "hour" -> 3600000L,
+      "minute" -> 60000L, "second" -> 1000L, "millisecond" -> 1L)
+    val token = "(\\d+)\\s*(week|day|hour|minute|second|millisecond)s?"
+    val all = s"(?i)\\s*(?:interval\\s+)?(?:$token\\s*)+"
+    require(watermark.matches(all),
+      s"unsupported watermark duration '$watermark' — use N " +
+        "weeks/days/hours/minutes/seconds/milliseconds (months/years have " +
+        "no fixed millisecond length)")
+    s"(?i)$token".r.findAllMatchIn(watermark)
+      .map(m => m.group(1).toLong * unit(m.group(2).toLowerCase))
+      .sum
   }
 
   /** Tumbling-window counts/sums per event type with a bounded-state
@@ -106,17 +118,29 @@ object EventStreams {
       .select(col("user_id").as[Long], col("event_time"))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, (Long, Long)](
+      // state = (event count, max event-time ms seen for this user)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
-            state: GroupState[Long]) =>
+            state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val prev = state.getOption.getOrElse(0L)
-            val next = prev + rows.size
-            state.update(next)
+            val (prev, prevMax) = state.getOption.getOrElse((0L, Long.MinValue))
+            var next = prev
+            var maxTs = prevMax
+            rows.foreach { r =>
+              next += 1
+              maxTs = math.max(maxTs, r._2.getTime)
+            }
+            state.update((next, maxTs))
+            // expire one lateness horizon after the user's LAST EVENT TIME
+            // (not the batch watermark, which can lag the event by up to
+            // the full delay — anchoring there could drop state while
+            // admissible late events are still due, restarting the counter
+            // and re-emitting crossed milestones). Timeouts must still sit
+            // strictly above the current watermark.
             state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs(), 1L) + horizonMs)
+              math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1L))
             // every multiple of `every` crossed inside this batch
             ((prev / every + 1) to (next / every))
               .map(k => (uid, k * every.toLong)).iterator

@@ -409,10 +409,19 @@ class StudentFixtureSpec extends AnyFunSuite {
     assert(e.msg.contains("needs a label"))
   }
 
-  test("Left-direction synthetic eids hash the STORED orientation in all segments") {
+  /** The know fixture's dense edge ids: rank by (src, dst, createdate) —
+    * the compiler's withDenseEid ordering for this table. */
+  private def knowDenseIds: Map[(Long, Long), Long] =
+    Seq((0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L), (3L, 0L, 13L),
+      (1L, 2L, 14L), (1L, 3L, 15L), (2L, 3L, 16L), (4L, 3L, 17L))
+      .sortBy(e => (e._1, e._2, e._3)).zipWithIndex
+      .map { case ((s, d, _), i) => (s, d) -> i.toLong }.toMap
+
+  test("Left-direction eids identify the STORED edge in all segments") {
     // (a)<-[k]-(m)<-[k2]-{1,1}(b): traversal follows reversed edges, so a
     // combined path [v0, e0, v1, e1, v2] rides stored edges (v1→v0),
-    // (v2→v1) — every eid must be xxhash64(storedSrc, storedDst)
+    // (v2→v1) — every eid must be the dense id of the stored edge
+    // (reference paths carry physical rowids, shortest_path.cpp:212-217)
     // regardless of whether its segment was a fixed join or the kernel
     val s = init()
     val df = matchDF(MatchSpec("pg",
@@ -428,20 +437,61 @@ class StudentFixtureSpec extends AnyFunSuite {
       columns = Seq(ColumnSpec("element_id(p)", Some("path")))))
     val rows = df.collect().map(_.getSeq[Long](0))
     assert(rows.nonEmpty)
-    def h(a: Long, b: Long): Long =
-      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-        org.apache.spark.sql.catalyst.expressions.Literal(a),
-        org.apache.spark.sql.catalyst.expressions.Literal(b)), 42L)
-        .eval(null).asInstanceOf[Long]
+    val ids = knowDenseIds
     rows.foreach { p =>
       var i = 0
       while (i + 2 < p.length) {
         // stored orientation for a Left hop: (v_{i+2} → v_i)
-        assert(p(i + 1) == h(p(i + 2), p(i)),
+        assert(p(i + 1) == ids((p(i + 2), p(i))),
           s"eid mismatch at $i in ${p.mkString(",")}")
         i += 2
       }
     }
+  }
+
+  test("multigraph parallel edges keep DISTINCT eids in named paths") {
+    // two (src,dst)-identical edges — the reference keeps them distinct
+    // via physical edge rowids (shortest_path.cpp:212-217); synthetic
+    // dense ids must too (an (src,dst) hash would collapse them)
+    val s = init()
+    import s.implicits._
+    Seq((0L, 1L, 100L), (0L, 1L, 200L), (1L, 2L, 300L))
+      .toDF("src", "dst", "createdate")
+      .createOrReplaceTempView("know_multi")
+    val mpg = PropertyGraph("pgm",
+      vertexTables = Seq(
+        VertexTable("student", "Person", Seq("id"), Seq("id", "name"))),
+      edgeTables = Seq(
+        EdgeTable("know_multi", "Knows", Seq("src"), Seq("id"), "Person",
+          Seq("dst"), Seq("id"), "Person")))
+    // fixed hop: one row per physical edge, each with its own eid
+    val fixed = GraphTableCompiler.compile(s, MatchSpec("pgm",
+      Seq(PathPattern(Some("p"), Some(SearchPrefix.AnyShortest),
+        PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("Person"), where = Some("a.id = 0")),
+          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right),
+          VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("element_id(p)", Some("path")))),
+      mpg, TableResolver.catalog)
+    val eids = fixed.collect().map(_.getSeq[Long](0)).map(p => p(1)).sorted
+    assert(eids.length == 2, s"expected 2 parallel-edge rows, got ${eids.length}")
+    assert(eids.distinct.length == 2,
+      s"parallel edges collapsed to one eid: ${eids.mkString(",")}")
+    // sorted by (src, dst, createdate): (0,1,100)→0, (0,1,200)→1, (1,2,300)→2
+    assert(eids.toSeq == Seq(0L, 1L))
+    // quantified kernel: ANY SHORTEST dedups the pair and picks the
+    // lexicographically-minimal path — the LOWEST-ranked parallel edge
+    val q = GraphTableCompiler.compile(s, MatchSpec("pgm",
+      Seq(PathPattern(Some("p2"), Some(SearchPrefix.AnyShortest),
+        PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("Person"), where = Some("a.id = 0")),
+          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right,
+            Some(Quantifier(1, Some(1)))),
+          VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("element_id(p2)", Some("path")))),
+      mpg, TableResolver.catalog)
+    val qpaths = q.collect().map(_.getSeq[Long](0))
+    assert(qpaths.length == 1 && qpaths.head == Seq(0L, 0L, 1L))
   }
 
   test("unregistered property raises — match.cpp:925-967") {
