@@ -158,6 +158,44 @@ object SparkEntry {
       """trade MATCH (a:CNation WHERE a.n_regionkey = 0)-[e:CNext]->{1,3}(b:CNation)
          COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst)""")
 
+  /** TRAIL enumeration (no search prefix): one row PER no-repeated-edge
+    * path — the reference raises NotImplemented for every non-WALK path
+    * mode (match.cpp:80-108); here the visited-set kernel implements the
+    * SQL/PGQ semantics directly. The vertex sequence identifies the trail
+    * (nation_near has no parallel edges), so the stringified vertices
+    * make each output row a distinct path for the oracle hash. */
+  private def q51_trail_enum(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = TRAIL (a:Nation WHERE a.n_regionkey = 0)-[e:NationNear]->{1,3}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
+                  path_length(p) AS dist, vertices(p) AS vpath)""")
+      .withColumn("vpath",
+        concat_ws(",", transform(col("vpath"), _.cast("string"))))
+
+  /** ACYCLIC enumeration with an UNBOUNDED quantifier and no prefix —
+    * rejected outright for WALK (infinite), finite for ACYCLIC because
+    * the visited set strictly grows; this is exactly the escape hatch the
+    * reference's own error message suggests ("path mode other than
+    * WALK") but never implemented. */
+  private def q52_acyclic_enum(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ACYCLIC (a:Nation WHERE a.n_regionkey = 0)-[e:NationNear]->*(b:Nation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
+                  path_length(p) AS dist, vertices(p) AS vpath)""")
+      .withColumn("vpath",
+        concat_ws(",", transform(col("vpath"), _.cast("string"))))
+
+  /** ALL SHORTEST (reference: NotImplemented, match.cpp:709-790): every
+    * shortest path per pair, one row each — the all-minimal-parents BFS
+    * multiplied out by the backtrack. */
+  private def q53_all_shortest(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ALL SHORTEST (a:Nation)-[e:NationNear]->{1,2}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
+                  path_length(p) AS dist, vertices(p) AS vpath)""")
+      .withColumn("vpath",
+        concat_ws(",", transform(col("vpath"), _.cast("string"))))
+
   /** Property-graph persistence round trip: CREATE writes the `__graft_pg`
     * catalog table; a FRESH registry (a new session/process in production)
     * lazily reloads it — reference `__duckpgq_internal` semantics
@@ -537,6 +575,9 @@ object SparkEntry {
     "q47_edge_sublabel" -> (q47_edge_sublabel _),
     "q48_persisted_pg" -> (q48_persisted_pg _),
     "q50_composite_varlen" -> (q50_composite_varlen _),
+    "q51_trail_enum" -> (q51_trail_enum _),
+    "q52_acyclic_enum" -> (q52_acyclic_enum _),
+    "q53_all_shortest" -> (q53_all_shortest _),
     "q11_varlen" -> (q11_varlen _),
     "q12_shortest_path" -> (q12_shortest_path _),
     "q46_multiseg_path" -> (q46_multiseg_path _),
@@ -863,6 +904,62 @@ object SparkEntry {
          SELECT sn AS src, dn AS dst FROM (
            SELECT sr, sn, dn, min(dist) AS d FROM b GROUP BY sr, sn, dn)
          WHERE d BETWEEN 1 AND 3""",
+
+    // Path-mode enumeration oracles: UNION ALL (multiplicity — one row
+    // per path) with explicit visited lists, the textbook SQL encoding of
+    // the visited-set semantics the kernels implement. nation_near has no
+    // parallel edges, so a visited-ARC list (src*100+dst) is exactly
+    // TRAIL's visited-edge set.
+    "q51_trail_enum" ->
+      s"""WITH RECURSIVE $sqlNationNear,
+         w(src, v, dist, vpath, ve) AS (
+           SELECT n_nationkey, n_nationkey, 0,
+                  [CAST(n_nationkey AS BIGINT)], CAST([] AS BIGINT[])
+           FROM nation WHERE n_regionkey = 0
+           UNION ALL
+           SELECT w.src, e.dst, w.dist + 1,
+                  list_append(w.vpath, CAST(e.dst AS BIGINT)),
+                  list_append(w.ve, CAST(e.src * 100 + e.dst AS BIGINT))
+           FROM w JOIN nation_near e ON w.v = e.src
+           WHERE w.dist < 3
+             AND NOT list_contains(w.ve, CAST(e.src * 100 + e.dst AS BIGINT)))
+         SELECT src, v AS dst, CAST(dist AS BIGINT) AS dist,
+                array_to_string(vpath, ',') AS vpath
+         FROM w WHERE dist >= 1""",
+
+    "q52_acyclic_enum" ->
+      s"""WITH RECURSIVE $sqlNationNear,
+         w(src, v, dist, vpath) AS (
+           SELECT n_nationkey, n_nationkey, 0, [CAST(n_nationkey AS BIGINT)]
+           FROM nation WHERE n_regionkey = 0
+           UNION ALL
+           SELECT w.src, e.dst, w.dist + 1,
+                  list_append(w.vpath, CAST(e.dst AS BIGINT))
+           FROM w JOIN nation_near e ON w.v = e.src
+           WHERE NOT list_contains(w.vpath, CAST(e.dst AS BIGINT)))
+         SELECT src, v AS dst, CAST(dist AS BIGINT) AS dist,
+                array_to_string(vpath, ',') AS vpath
+         FROM w""",
+
+    // every walk of minimal length per pair IS a shortest path (and all
+    // shortest walks are vertex-simple, so the bounded walk enumeration
+    // reaches them all)
+    "q53_all_shortest" ->
+      s"""WITH RECURSIVE $sqlNationNear,
+         w(src, v, dist, vpath) AS (
+           SELECT n_nationkey, n_nationkey, 0, [CAST(n_nationkey AS BIGINT)]
+           FROM nation
+           UNION ALL
+           SELECT w.src, e.dst, w.dist + 1,
+                  list_append(w.vpath, CAST(e.dst AS BIGINT))
+           FROM w JOIN nation_near e ON w.v = e.src
+           WHERE w.dist < 2)
+         SELECT src, dst, dist, vpath FROM (
+           SELECT src, v AS dst, CAST(dist AS BIGINT) AS dist,
+                  array_to_string(vpath, ',') AS vpath,
+                  min(dist) OVER (PARTITION BY src, v) AS md
+           FROM w)
+         WHERE dist = md AND dist >= 1""",
 
     "q11_varlen" ->
       s"""WITH RECURSIVE $sqlNationNext,

@@ -16,7 +16,7 @@ import graft.model._
   *  - `nation_next` — directed ring within each region (successor by key,
   *    wrapping): interesting BFS distances 1..4
   *  - `nation_adj`  — same-region complete digraph: dense algorithm input
-  *  - `nation_near` — same-region pairs with |Δkey| ≤ 2: triangles for LCC
+  *  - `nation_near` — same-region pairs with |Δkey| ≤ 10: triangles for LCC
   */
 object TradeGraph {
 
@@ -120,14 +120,19 @@ object TradeGraph {
           col("b.n_nationkey").as("dst"))
     }
 
-  /** Same-region pairs with |Δ n_nationkey| ≤ 2 — contains triangles. */
+  /** Same-region pairs with |Δ n_nationkey| ≤ 10. Region r holds nations
+    * {r, r+5, …, r+20} (strided by 5), so the band admits the 1- and
+    * 2-step neighbours: 14 directed edges and 3 triangles per region —
+    * branching AND cycles, the fixture for LCC and the path-mode
+    * enumeration queries. (A tighter band matches nothing: within a
+    * region, key gaps are multiples of 5.) */
   def nationNear(spark: SparkSession, sfDir: String): DataFrame =
     cachedView(spark, s"nation_near:$sfDir") {
       val n = nation(spark, sfDir)
       n.as("a").join(n.as("b"),
           col("a.n_regionkey") === col("b.n_regionkey") &&
           col("a.n_nationkey") =!= col("b.n_nationkey") &&
-          abs(col("a.n_nationkey") - col("b.n_nationkey")) <= 2)
+          abs(col("a.n_nationkey") - col("b.n_nationkey")) <= 10)
         .select(col("a.n_nationkey").as("src"),
           col("b.n_nationkey").as("dst"))
     }
@@ -221,5 +226,5 @@ object TradeGraph {
          SELECT a.n_nationkey AS src, b.n_nationkey AS dst
          FROM nation a JOIN nation b
            ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
-          AND abs(a.n_nationkey - b.n_nationkey) <= 2)"""
+          AND abs(a.n_nationkey - b.n_nationkey) <= 10)"""
 }

@@ -25,7 +25,7 @@ import graft.graph.PathFinder
 object GraphTableCompiler {
 
   private final case class Binding(alias: String, isVertex: Boolean,
-      table: String)
+      table: String, keyCols: Seq[String] = Nil)
 
   def compile(
       spark: SparkSession,
@@ -130,7 +130,8 @@ object GraphTableCompiler {
           val vt = pg.vertexLabel(label)
           var df = vertexDF(vt, vp.label).alias(name)
           vp.where.foreach(w => df = df.filter(expr(w)))
-          bindings(name) = Binding(name, isVertex = true, vt.tableName)
+          bindings(name) = Binding(name, isVertex = true, vt.tableName,
+            vt.keyCols)
           plan = (plan, joinCond) match {
             case (null, _)      => df
             case (p, Some(c))   => p.join(df, c(name), "inner")
@@ -203,6 +204,48 @@ object GraphTableCompiler {
       df.unionByName(swapped)
     }
 
+    /** Pairwise distinctness filters realizing TRAIL / ACYCLIC / SIMPLE
+      * over an ALL-FIXED pattern (quantified segments enforce their mode
+      * inside the kernel instead): TRAIL = every pair of edge elements
+      * over the same table must bind different physical edges (declared
+      * edge-id or synthetic `__geid`); ACYCLIC = every pair of vertex
+      * elements over the same table must bind different rows; SIMPLE =
+      * ACYCLIC except the first/last pair, which may close a cycle.
+      * Elements over different tables are distinct by construction.
+      * A repeated binding variable collapses to `NOT (x = x)` = false —
+      * exactly the semantics (a `(a)…(a)` cycle is never acyclic). */
+    def applyFixedModeFilters(p: PathPattern, vPos: Seq[String],
+        ePos: Seq[(String, EdgeTable)]): Unit = p.mode match {
+      case PathMode.Trail =>
+        def eid(a: String, et: EdgeTable): Column = et.edgeIdCol match {
+          case Some(c) => requireIntegralEdgeId(et, c); col(s"$a.$c")
+          case None => col(s"$a.__geid")
+        }
+        for {
+          i <- ePos.indices; j <- (i + 1) until ePos.length
+          if ePos(i)._2.tableName == ePos(j)._2.tableName
+        } plan = plan.filter(
+          eid(ePos(i)._1, ePos(i)._2) =!= eid(ePos(j)._1, ePos(j)._2))
+      case PathMode.Acyclic | PathMode.Simple =>
+        for {
+          i <- vPos.indices; j <- (i + 1) until vPos.length
+          // SIMPLE: the endpoints may coincide (closed path)
+          if !(p.mode == PathMode.Simple && i == 0 && j == vPos.length - 1)
+        } {
+          val (bi, bj) = (bindings(vPos(i)), bindings(vPos(j)))
+          if (bi.table == bj.table) {
+            if (bi.keyCols != bj.keyCols)
+              throw GraphAnalysisException(
+                s"Path mode ${p.mode}: vertices '${vPos(i)}' and " +
+                  s"'${vPos(j)}' bind table '${bi.table}' through " +
+                  "different key declarations — identity is ambiguous")
+            plan = plan.filter(
+              !keysEq(vPos(i), bi.keyCols, vPos(j), bj.keyCols))
+          }
+        }
+      case PathMode.Walk => ()
+    }
+
     /** Process one alternating vertex/edge element list
       * (reference `ProcessPathList` match.cpp:792-885). For a named path,
       * every edge segment contributes a `[v, e, …, v]` id array — fixed hops
@@ -211,20 +254,45 @@ object GraphTableCompiler {
       * segment's overlapping head vertex, mirroring the reference's
       * `list_concat`/`array_pop_front` assembly (match.cpp:573-616). */
     def processPattern(p: PathPattern): Unit = {
-      // mode/prefix guards apply to every pattern, quantified or not
+      // prefix guards apply to every pattern, quantified or not
       // (reference PGQCheckPathModeSupport runs unconditionally)
       PathFinder.checkSupported(p)
-      if (p.pathVar.isDefined && p.prefix.isEmpty)
+      // a named path needs either a prefix (ANY/ALL SHORTEST pick the
+      // path(s)) or a non-WALK mode (enumeration: each row IS one path)
+      if (p.pathVar.isDefined && p.prefix.isEmpty && p.mode == PathMode.Walk)
         throw GraphAnalysisException(
           s"Named path '${p.pathVar.get}' requires a search prefix " +
             "(e.g. ANY SHORTEST)")
-      val needPath = p.pathVar.isDefined && p.prefix.isDefined
+      val needPath = p.pathVar.isDefined &&
+        (p.prefix.isDefined || p.mode != PathMode.Walk)
       if (needPath && pathCols.contains(p.pathVar.get))
         throw GraphAnalysisException(
           s"Path variable '${p.pathVar.get}' is bound twice")
       val elems = p.elements
       require(elems.nonEmpty && elems.head.isInstanceOf[VertexPattern],
         "pattern must start with a vertex")
+      // Path-mode support matrix (the reference raises NotImplemented for
+      // every non-WALK mode, match.cpp:80-108 — implementing them exceeds
+      // parity): a single quantified segment is enforced inside the
+      // kernel (visited-set BFS / shortest-walks-are-simple); an all-fixed
+      // pattern by pairwise distinctness filters below. A pattern MIXING
+      // quantified and fixed edges (or several quantified segments) would
+      // need cross-element constraints against the kernels' interior
+      // vertices/edges — not yet wired.
+      val quantifiedEdges = elems.count {
+        case e: EdgePattern => e.quantifier.isDefined
+        case _ => false
+      }
+      if (p.mode != PathMode.Walk && quantifiedEdges > 0 && elems.length != 3)
+        throw GraphAnalysisException(
+          s"Path mode ${p.mode} over a pattern mixing quantified and " +
+            "fixed edges (or multiple quantified segments) is not yet " +
+            "supported — use a single quantified edge or an all-fixed " +
+            "pattern")
+      // per-position alias info for the fixed-pattern mode filters
+      val modeVertexPos = scala.collection.mutable.ArrayBuffer[String]()
+      val modeEdgePos =
+        scala.collection.mutable.ArrayBuffer[(String, EdgeTable)]()
       // a label-less head vertex resolves from the first edge's endpoint
       val headHint: Option[String] = elems.lift(1)
         .collect { case e: EdgePattern => e }
@@ -239,12 +307,19 @@ object GraphTableCompiler {
         }
       var prevV = bindVertex(elems.head.asInstanceOf[VertexPattern], None,
         headHint)
+      modeVertexPos += prevV
 
       val segCols = scala.collection.mutable.ArrayBuffer[Column]()
       var i = 1
       while (i < elems.length) {
         val ep = elems(i).asInstanceOf[EdgePattern]
         val vp = elems(i + 1).asInstanceOf[VertexPattern]
+
+        // a bidirectional fixed edge binds a second hidden edge copy whose
+        // identity the TRAIL filters cannot reach
+        if (p.mode == PathMode.Trail && ep.direction == EdgeDirection.Both)
+          throw GraphAnalysisException(
+            "TRAIL over a bidirectional (<-[e]->) edge is not yet supported")
 
         if (ep.quantifier.isDefined) {
           val (bAlias, pcol) = bindPathEdge(p, ep, vp, prevV)
@@ -258,16 +333,23 @@ object GraphTableCompiler {
           val (bAlias, eAlias, et) =
             bindFixedEdgeEx(ep, vp, prevV, withEid = true)
           segCols += fixedSegment(p, ep, et, aAlias, eAlias, bAlias)
+          modeEdgePos += ((eAlias, et))
           prevV = bAlias
         } else if (p.prefix.isDefined) {
           // prefix without a path variable: shortest semantics dedup pairs
           val (bAlias, _) = bindPathEdge(p, ep, vp, prevV)
           prevV = bAlias
         } else {
-          prevV = bindFixedEdge(ep, vp, prevV)
+          val (bAlias, eAlias, et) = bindFixedEdgeEx(ep, vp, prevV,
+            withEid = p.mode == PathMode.Trail)
+          modeEdgePos += ((eAlias, et))
+          prevV = bAlias
         }
+        modeVertexPos += prevV
         i += 2
       }
+      if (p.mode != PathMode.Walk && quantifiedEdges == 0)
+        applyFixedModeFilters(p, modeVertexPos.toSeq, modeEdgePos.toSeq)
 
       if (needPath) {
         val pv = p.pathVar.get
@@ -400,13 +482,22 @@ object GraphTableCompiler {
       val q = ep.quantifier.getOrElse(Quantifier(1, Some(1)))
       // reference guard (match.cpp:100-104, subpath_match.test): an
       // unbounded quantifier without a search prefix enumerates ALL
-      // walks — infinite on any cyclic graph
-      if (q.upper.isEmpty && p.prefix.isEmpty)
+      // walks — infinite on any cyclic graph. A non-WALK mode makes the
+      // set finite (visited sets strictly grow), which is exactly what
+      // the reference's own error message suggests.
+      if (q.upper.isEmpty && p.prefix.isEmpty && p.mode == PathMode.Walk)
         throw GraphAnalysisException(
           "ALL unbounded with path mode WALK is not possible as this " +
             "could lead to infinite results. Consider specifying an " +
             "upper bound or path mode other than WALK")
-      val needPath = p.pathVar.isDefined && p.prefix.isDefined
+      val needPath = p.pathVar.isDefined &&
+        (p.prefix.isDefined || p.mode != PathMode.Walk)
+      // enumeration (no prefix, non-WALK mode): one row PER mode-valid
+      // path; ALL SHORTEST: one row per shortest path. Both need edge
+      // identity for the arrays / TRAIL checks.
+      val isEnum = p.mode != PathMode.Walk && p.prefix.isEmpty
+      val isAllShortest = p.prefix.contains(SearchPrefix.AllShortest)
+      val needEid = needPath || isEnum || isAllShortest
 
       // Traversal endpoints. For a Left edge `(a)<-[e]-(b)` the pattern's
       // `a` sits on the edge's DESTINATION side (the traversal follows
@@ -426,7 +517,7 @@ object GraphTableCompiler {
         throw GraphAnalysisException(
           "bidirectional (<-[e]->) quantified edges are not yet supported")
       val eName = ep.varName.getOrElse(freshName("e"))
-      val baseTable = if (needPath && et.edgeIdCol.isEmpty) withDenseEid(et)
+      val baseTable = if (needEid && et.edgeIdCol.isEmpty) withDenseEid(et)
         else resolver(spark, et.tableName)
       val edgesRaw = edgeSubFilter(baseTable, et, ep.label)
       def applyWhere(df: DataFrame): DataFrame =
@@ -479,7 +570,7 @@ object GraphTableCompiler {
         case Some(c) =>
           requireIntegralEdgeId(et, c)
           Seq(col(c).cast("long").as("eid"))
-        case None if needPath => Seq(col("__geid").as("eid"))
+        case None if needEid => Seq(col("__geid").as("eid"))
         case None => Nil
       }
       val (edgeList, seedList, fromRowid) =
@@ -561,7 +652,24 @@ object GraphTableCompiler {
       val segColOpt: Option[String] =
         if (needPath) Some(freshName(s"seg_${p.pathVar.get}_")) else None
       val joined =
-        if (needPath) {
+        if (isEnum || isAllShortest) {
+          // one row PER PATH (multiplicity semantics). Under ANY SHORTEST
+          // a non-WALK mode is free — every shortest walk is vertex-simple
+          // (a repeated vertex would contain a removable cycle), hence
+          // trail/acyclic-valid — so only these two cases need the
+          // path-multiplicity kernels.
+          val paths =
+            if (isEnum)
+              fromRowid(PathFinder.enumerateModePaths(spark, edgeList,
+                seedList, q.lower, q.upper, p.mode))
+            else
+              fromRowid(PathFinder.allShortestPaths(spark, edgeList,
+                seedList, q.lower, q.upper))
+          paths.select(Seq(col("src").as("__psrc"),
+            col("dst").as("__pdst"),
+            col("dist").as(freshName("dist"))) ++
+            segColOpt.map(c => col("path").as(c)).toSeq: _*)
+        } else if (needPath) {
           val paths = fromRowid(PathFinder.shortestPaths(spark, edgeList,
             seedList, q.lower, q.upper))
           paths.select(col("src").as("__psrc"), col("dst").as("__pdst"),

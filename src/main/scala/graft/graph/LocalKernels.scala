@@ -2,6 +2,8 @@ package graft.graph
 
 import scala.collection.mutable
 
+import graft.pgq.PathMode
+
 /** Driver-local graph kernels for *small* graphs.
   *
   * The reference always runs its kernels over an in-memory CSR snapshot
@@ -93,6 +95,93 @@ private[graph] object LocalKernels {
       best.foreach { case (v, p) =>
         val dist = (p.length - 1L) / 2
         if (dist >= lower) out += ((s, v, dist, p))
+      }
+    }
+    out.toArray
+  }
+
+  /** Enumerate ALL mode-valid paths (one result per path — multiplicity
+    * semantics, unlike the pair-deduped BFS kernels) — mirrors
+    * [[PathFinder.enumerateModePaths]]. TRAIL forbids repeated edge ids,
+    * ACYCLIC repeated vertices, SIMPLE repeated vertices except closing
+    * back to the start (a closed path cannot extend further — any
+    * continuation would make the start an interior repeat). WALK requires
+    * a finite `upper` (the caller guards; on a cyclic graph the walk set
+    * is infinite). Explicit stack, not recursion — ACYCLIC depth is
+    * bounded by |V| and TRAIL by |E|, far past any safe JVM stack. */
+  def enumeratePaths(edges: Array[(Long, Long, Long)], seeds: Array[Long],
+      lower: Long, upper: Long, mode: PathMode)
+      : Array[(Long, Long, Long, Array[Long])] = {
+    require(mode != PathMode.Walk || upper != Long.MaxValue,
+      "WALK enumeration needs a finite upper bound")
+    val adj = adjacency(edges)
+    val out = mutable.ArrayBuffer[(Long, Long, Long, Array[Long])]()
+    final case class Frame(v: Long, path: Vector[Long], visV: Set[Long],
+        visE: Set[Long], closed: Boolean)
+    seeds.distinct.foreach { s =>
+      val stack = mutable.Stack(
+        Frame(s, Vector(s), Set(s), Set.empty, closed = false))
+      while (stack.nonEmpty) {
+        val f = stack.pop()
+        val d = (f.path.length - 1L) / 2
+        if (d >= lower) out += ((s, f.v, d, f.path.toArray))
+        if (d < upper && !f.closed) {
+          adj.getOrElse(f.v, Nil).foreach { case (w, eid) =>
+            val closes = mode == PathMode.Simple && w == s
+            val ok = mode match {
+              case PathMode.Walk    => true
+              case PathMode.Trail   => !f.visE(eid)
+              case PathMode.Acyclic => !f.visV(w)
+              case PathMode.Simple  => !f.visV(w) || closes
+            }
+            if (ok) stack.push(Frame(w, f.path :+ eid :+ w,
+              f.visV + w, f.visE + eid, closed = closes))
+          }
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** ALL SHORTEST — every shortest `[v,e,…,v]` path per reached (src, dst)
+    * pair (one row per path), mirrors [[PathFinder.allShortestPaths]].
+    * BFS records ALL minimal parents per vertex; enumeration multiplies
+    * the parent combinations out backwards. */
+  def allShortestPaths(edges: Array[(Long, Long, Long)], seeds: Array[Long],
+      lower: Long, upper: Long): Array[(Long, Long, Long, Array[Long])] = {
+    val adj = adjacency(edges)
+    val out = mutable.ArrayBuffer[(Long, Long, Long, Array[Long])]()
+    seeds.distinct.foreach { s =>
+      val dist = mutable.LongMap[Long](s -> 0L)
+      // v -> all (parentV, eid) reaching v on some shortest path
+      val parents = mutable.LongMap[mutable.ArrayBuffer[(Long, Long)]]()
+      var frontier = List(s)
+      var d = 0L
+      while (frontier.nonEmpty && d < upper) {
+        d += 1
+        val level = mutable.LongMap[mutable.ArrayBuffer[(Long, Long)]]()
+        frontier.foreach { u =>
+          adj.getOrElse(u, Nil).foreach { case (v, eid) =>
+            if (!dist.contains(v))
+              level.getOrElseUpdate(v, mutable.ArrayBuffer.empty) += ((u, eid))
+          }
+        }
+        level.foreach { case (v, ps) => dist(v) = d; parents(v) = ps }
+        frontier = level.keys.toList
+      }
+      // iterative backtrack (no recursion — chains can be |V| deep):
+      // partial = (terminal v, dist, current backtrack vertex, suffix)
+      var partial = dist.toList.collect { case (v, dd) if dd >= lower =>
+        (v, dd, v, Vector(v))
+      }
+      while (partial.nonEmpty) {
+        val (doneP, openP) = partial.partition(p => p._4.length == 2 * p._2 + 1)
+        doneP.foreach { case (v, dd, _, suf) => out += ((s, v, dd, suf.toArray)) }
+        partial = openP.flatMap { case (v, dd, cur, suf) =>
+          parents(cur).toSeq.map { case (pv, eid) =>
+            (v, dd, pv, pv +: eid +: suf)
+          }
+        }
       }
     }
     out.toArray

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -48,22 +48,18 @@ object PathFinder {
   private def collectSeeds(seeds: org.apache.spark.sql.DataFrame): Array[Long] =
     seeds.select(col("id").cast("long")).collect().map(_.getLong(0))
 
-  /** Same guard as reference `PGQCheckPathModeSupport` match.cpp:80-108 and
-    * top-k/ALL SHORTEST NotImplemented (match.cpp:709-790). */
-  def checkSupported(p: PathPattern): Unit = {
-    p.mode match {
-      case PathMode.Walk => ()
-      case m => throw GraphAnalysisException(
-        s"Path mode $m is not yet supported, only WALK")
-    }
+  /** Reject the prefixes still unimplemented. The reference raises
+    * NotImplemented for TRAIL/SIMPLE/ACYCLIC modes and for ALL SHORTEST /
+    * SHORTEST k (`PGQCheckPathModeSupport` match.cpp:80-108, :709-790);
+    * here modes and ALL SHORTEST are real (mode-valid enumeration and
+    * all-minimal-parent BFS — exceeds reference parity), so only
+    * SHORTEST k remains guarded. */
+  def checkSupported(p: PathPattern): Unit =
     p.prefix match {
-      case Some(SearchPrefix.AllShortest) => throw GraphAnalysisException(
-        "ALL SHORTEST is not yet supported")
       case Some(SearchPrefix.ShortestK(_)) => throw GraphAnalysisException(
         "SHORTEST k is not yet supported")
       case _ => ()
     }
-  }
 
   /** Multi-source BFS shortest *lengths* — semantics of reference
     * `iterativelength` (0 when src=dst, absent row = unreachable,
@@ -363,6 +359,210 @@ object PathFinder {
       }
     val out = (zero ++ reconstructed).reduceOption(_ union _)
       .getOrElse(seedPaths.limit(0)) // schema-correct empty result
+    e.unpersist()
+    out
+  }
+
+  /** Enumerate ALL mode-valid paths — one output row PER PATH (multiplicity
+    * semantics; the pair-deduped kernels above implement the shortest-length
+    * model instead). The reference raises NotImplemented for every non-WALK
+    * path mode (`PGQCheckPathModeSupport` match.cpp:80-108); this kernel
+    * implements the SQL/PGQ visited-set semantics directly:
+    * TRAIL = no repeated edge id, ACYCLIC = no repeated vertex, SIMPLE =
+    * no repeated vertex except closing back to the start (a closed path
+    * cannot extend — the start would become an interior repeat).
+    *
+    * Unlike [[shortestPaths]], the frontier necessarily carries the path
+    * array — each partial path IS distinct frontier state (the visited set
+    * decides which expansions are legal), so the narrow parent-pointer
+    * trick cannot apply; shuffle volume is proportional to the number of
+    * live partial paths, which is the output's own lower bound. Unbounded
+    * quantifiers terminate because the visited set strictly grows: ≤ |V|
+    * levels for ACYCLIC/SIMPLE, ≤ |E| for TRAIL. WALK mode requires a
+    * finite `upper` (on a cyclic graph the walk set is infinite) — used by
+    * bounded-quantifier enumeration only.
+    *
+    * @param edges (src, dst, eid)
+    * @return (src, dst, dist, path) — `path` interleaved `[v,e,…,v]`,
+    *         one row per distinct mode-valid path with lower ≤ dist ≤ upper
+    */
+  def enumerateModePaths(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, lower: Long, upper: Option[Long],
+      mode: PathMode): DataFrame = {
+    require(mode == PathMode.Walk || upper.forall(_ >= 0),
+      "negative upper bound")
+    if (mode == PathMode.Walk && upper.isEmpty)
+      throw GraphAnalysisException(
+        "WALK enumeration needs a finite upper bound")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("eid").cast("long").as("eid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
+    if (eSmall &&
+        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
+      val seedArr = collectSeeds(seeds)
+      locally {
+        val res = LocalKernels.enumeratePaths(
+          collectEdges(e, withEid = true), seedArr, lower,
+          upper.getOrElse(Long.MaxValue), mode)
+        e.unpersist()
+        import spark.implicits._
+        return res.toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
+          .toDF("src", "dst", "dist", "path")
+      }
+    }
+    val limit = upper.getOrElse(Long.MaxValue)
+    // the visited column tracks only what the mode consults (TRAIL: edge
+    // ids; ACYCLIC/SIMPLE: vertices; WALK: nothing) — the path column
+    // cannot serve double duty, vertex and edge ids interleave in it
+    val needVisV = mode == PathMode.Acyclic || mode == PathMode.Simple
+    val needVisE = mode == PathMode.Trail
+    var frontier = seeds.select(col("id").cast("long").as("src")).distinct()
+      .select(Seq(col("src"), col("src").as("v"),
+        array(col("src")).as("path")) ++
+        (if (needVisV) Seq(array(col("src")).as("vis")) else Nil) ++
+        (if (needVisE) Seq(array().cast("array<long>").as("vis")) else Nil)
+        : _*)
+      .localCheckpoint()
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def emit(df: DataFrame, d: Long): Unit =
+      if (d >= lower) emitted += df.select(col("src"), col("v").as("dst"),
+        lit(d).as("dist"), col("path"))
+    emit(frontier, 0L)
+    var d = 0L
+    while (!frontier.isEmpty && d < limit) {
+      d += 1
+      val cand = frontier.join(e, frontier("v") === e("src"))
+      val ok: Column = mode match {
+        case PathMode.Walk    => lit(true)
+        case PathMode.Trail   => !array_contains(frontier("vis"), e("eid"))
+        case PathMode.Acyclic => !array_contains(frontier("vis"), e("dst"))
+        case PathMode.Simple  =>
+          !array_contains(frontier("vis"), e("dst")) ||
+            e("dst") === frontier("src")
+      }
+      val next = cand.filter(ok)
+        .select(Seq(frontier("src").as("src"), e("dst").as("v"),
+          concat(frontier("path"), array(e("eid"), e("dst"))).as("path")) ++
+          (if (needVisV)
+            Seq(concat(frontier("vis"), array(e("dst"))).as("vis"))
+          else if (needVisE)
+            Seq(concat(frontier("vis"), array(e("eid"))).as("vis"))
+          else Nil): _*)
+        .localCheckpoint()
+      emit(next, d)
+      // SIMPLE: paths that closed the cycle were emitted but are terminal
+      frontier =
+        if (mode == PathMode.Simple)
+          next.filter(col("v") =!= col("src") || size(col("path")) === 1)
+        else next
+    }
+    val out = emitted.reduceOption(_ union _).getOrElse(
+      frontier.select(col("src"), col("v").as("dst"), lit(0L).as("dist"),
+        col("path")).limit(0))
+    e.unpersist()
+    out
+  }
+
+  /** ALL SHORTEST — every shortest path per reached (src, dst) pair, one
+    * row per path (the reference raises NotImplemented, match.cpp:709-790).
+    * Same narrow parent-pointer BFS as [[shortestPaths]], except each
+    * newly-reached vertex keeps ALL minimal parents instead of the
+    * lexicographic minimum; the backtrack then joins each level against
+    * the full parent relation, multiplying out every shortest combination.
+    * The backtrack carries the growing suffix arrays — unavoidable here,
+    * the distinct paths ARE the output — but the traversal itself still
+    * shuffles only narrow rows.
+    *
+    * @param edges (src, dst[, eid]) — synthesized dense ids when absent
+    * @return (src, dst, dist, path), one row per shortest path
+    */
+  def allShortestPaths(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, lower: Long, upper: Option[Long]): DataFrame = {
+    val e0 = if (edges.columns.contains("eid")) edges
+      else Snapshot.denseEdgeIds(spark, edges.select(col("src"), col("dst")),
+        Seq("src", "dst"))
+    val e = e0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("eid").cast("long").as("eid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
+    if (eSmall &&
+        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
+      val seedArr = collectSeeds(seeds)
+      locally {
+        val res = LocalKernels.allShortestPaths(
+          collectEdges(e, withEid = true), seedArr, lower,
+          upper.getOrElse(Long.MaxValue))
+        e.unpersist()
+        import spark.implicits._
+        return res.toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
+          .toDF("src", "dst", "dist", "path")
+      }
+    }
+    val limit = upper.getOrElse(Long.MaxValue)
+    val seedRows = seeds.select(col("id").cast("long").as("src"))
+      .distinct().localCheckpoint()
+    var frontier = seedRows.select(col("src"), col("src").as("v"))
+      .localCheckpoint()
+    var seen = frontier
+    val parentLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var d = 0L
+    while (!frontier.isEmpty && d < limit) {
+      d += 1
+      // ALL minimal parents: every edge from the previous level into a
+      // fresh vertex is part of some shortest path — no min-agg, only a
+      // distinct against duplicate physical edge rows
+      val cand = frontier.join(e, frontier("v") === e("src"))
+        .select(frontier("src").as("src"), e("dst").as("v"),
+          frontier("v").as("pv"), e("eid").as("pe"))
+      val fresh = cand.join(seen, Seq("src", "v"), "left_anti")
+        .distinct().localCheckpoint()
+      if (fresh.isEmpty) frontier = fresh.limit(0)
+      else {
+        parentLevels += fresh.select(col("src"), col("v"), lit(d).as("k"),
+          col("pv"), col("pe"))
+        val newV = fresh.select("src", "v").distinct().localCheckpoint()
+        seen = seen.union(newV)
+        if (d % checkpointEvery == 0) seen = seen.localCheckpoint()
+        frontier = newV
+      }
+    }
+    def seedPaths = seedRows.select(col("src"), col("src").as("dst"),
+      lit(0L).as("dist"), array(col("src")).as("path"))
+    val zero = if (lower <= 0L) Seq(seedPaths) else Nil
+    val reconstructed =
+      if (parentLevels.isEmpty) Nil
+      else {
+        val parents = parentLevels.reduce(_ union _)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        // suffix starts [pv, pe, dst] at the terminal vertex and extends
+        // leftward through every parent alternative (cartesian per level —
+        // the path fan-out itself)
+        var active = parents.filter(col("k") >= lower)
+          .select(col("src"), col("v").as("dst"), col("k").as("dist"),
+            lit(1L).as("back"), col("pv").as("cur"),
+            array(col("pv"), col("pe"), col("v")).as("suf"))
+          .localCheckpoint()
+        while (!active.isEmpty) {
+          val (fin, open) = (active.filter(col("back") === col("dist")),
+            active.filter(col("back") < col("dist")))
+          done += fin.select(col("src"), col("dst"), col("dist"),
+            col("suf").as("path"))
+          active = open.alias("a")
+            .join(parents.alias("p"),
+              col("a.src") === col("p.src") && col("a.cur") === col("p.v"))
+            .select(col("a.src").as("src"), col("a.dst").as("dst"),
+              col("a.dist").as("dist"), (col("a.back") + 1L).as("back"),
+              col("p.pv").as("cur"),
+              concat(array(col("p.pv"), col("p.pe")), col("a.suf"))
+                .as("suf"))
+            .localCheckpoint()
+        }
+        done.toSeq
+      }
+    val out = (zero ++ reconstructed).reduceOption(_ union _)
+      .getOrElse(seedPaths.limit(0))
     e.unpersist()
     out
   }

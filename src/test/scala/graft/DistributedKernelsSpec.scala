@@ -385,6 +385,70 @@ class DistributedKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed mode enumeration matches the local kernel exactly") {
+    val s = init()
+    import s.implicits._
+    val eDF = Seq((0L, 1L, 0L), (0L, 2L, 1L), (0L, 3L, 2L), (1L, 2L, 3L),
+      (1L, 3L, 4L), (2L, 3L, 5L), (3L, 0L, 6L), (4L, 3L, 7L))
+      .toDF("src", "dst", "eid")
+    val seeds = Seq(0L, 4L).toDF("id")
+    import graft.pgq.PathMode
+    for (mode <- Seq(PathMode.Trail, PathMode.Acyclic, PathMode.Simple)) {
+      def run() = PathFinder.enumerateModePaths(s, eDF, seeds, 1L, None, mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3).toList)).toSet
+      val local = run()
+      val dist = withDistributed(run())
+      assert(dist == local, s"mode $mode diverged")
+      assert(local.nonEmpty)
+      // every path respects the mode's visited-set invariant
+      local.foreach { case (_, _, _, p) =>
+        val vs = p.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }
+        val es = p.zipWithIndex.collect { case (v, i) if i % 2 == 1 => v }
+        mode match {
+          case PathMode.Trail => assert(es.distinct.length == es.length)
+          case PathMode.Acyclic => assert(vs.distinct.length == vs.length)
+          case PathMode.Simple =>
+            val interior = if (vs.head == vs.last) vs.init else vs
+            assert(interior.distinct.length == interior.length)
+          case _ => ()
+        }
+      }
+    }
+    // bounded WALK enumeration agrees too (and the row count is the walk
+    // count, not the pair count)
+    def walks() = PathFinder.enumerateModePaths(s, eDF, seeds, 1L, Some(3L),
+      PathMode.Walk).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](3).toList)).toSet
+    assert(withDistributed(walks()) == walks())
+  }
+
+  test("distributed ALL SHORTEST matches the local kernel on a multi-path grid") {
+    val s = init()
+    import s.implicits._
+    // 3×3 grid, edges right and down: the number of shortest (0,0)→(2,2)
+    // paths is C(4,2)=6 — real parent fan-out in the backtrack
+    def id(r: Long, c: Long) = r * 3 + c
+    val edges = (for { r <- 0L until 3L; c <- 0L until 3L } yield {
+      Seq((r, c, r, c + 1), (r, c, r + 1, c))
+    }).flatten.filter(t => t._3 < 3 && t._4 < 3)
+      .zipWithIndex
+      .map { case ((r1, c1, r2, c2), i) => (id(r1, c1), id(r2, c2), i.toLong) }
+    val eDF = edges.toDF("src", "dst", "eid")
+    val seeds = Seq(0L).toDF("id")
+    def run() = PathFinder.allShortestPaths(s, eDF, seeds, 0L, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList)).toSet
+    val local = run()
+    val dist = withDistributed(run())
+    assert(dist == local)
+    assert(local.count(t => t._2 == 8L) == 6) // six shortest corner paths
+    assert(local.count(t => t._2 == 4L) == 2) // two to the center
+    local.foreach { case (src, dst, d, p) =>
+      assert(p.head == src && p.last == dst && p.length == 2 * d + 1)
+    }
+  }
+
   test("degree-ordered LCC handles a celebrity hub and credits all corners") {
     withDistributed {
       val s = init()

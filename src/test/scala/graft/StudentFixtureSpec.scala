@@ -249,7 +249,7 @@ class StudentFixtureSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L)))
   }
 
-  test("unsupported path modes raise — path_modes.test / top_k.test") {
+  test("SHORTEST k still raises — top_k.test parity") {
     intercept[GraphAnalysisException] {
       matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"),
         Some(SearchPrefix.ShortestK(3)), PathMode.Walk, Seq(
@@ -258,13 +258,105 @@ class StudentFixtureSpec extends AnyFunSuite {
             Some(Quantifier(1, Some(3)))),
           VertexPattern(Some("b"), Some("Person")))))))
     }
-    intercept[GraphAnalysisException] {
-      matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"), None, PathMode.Trail,
-        Seq(VertexPattern(Some("a"), Some("Person")),
-          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right,
-            Some(Quantifier(1, Some(3)))),
-          VertexPattern(Some("b"), Some("Person")))))))
-    }
+  }
+
+  // ---- path modes: the reference raises NotImplemented
+  // (PGQCheckPathModeSupport match.cpp:80-108); these implement the SQL/PGQ
+  // visited-set semantics — capability beyond parity. Expected sets are
+  // hand-enumerated on the know graph; `know` declares no edgeIdCol, so
+  // paths carry synthetic dense ids ranked by (src, dst):
+  // 0→1(e0) 0→2(e1) 0→3(e2) 1→2(e3) 1→3(e4) 2→3(e5) 3→0(e6) 4→3(e7).
+
+  private def modePaths(mode: PathMode, lower: Long, upper: Option[Long])
+      : Set[Seq[Long]] = {
+    val df = matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"), None, mode,
+      Seq(VertexPattern(Some("a"), Some("Person"),
+          where = Some("a.name = 'Daniel'")),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right,
+          Some(Quantifier(lower, upper))),
+        VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("element_id(p)", Some("path")))))
+    val rows = df.collect().toSeq.map(_.getSeq[Long](0).toSeq)
+    assert(rows.distinct.length == rows.length,
+      s"enumeration emitted duplicate paths: $rows")
+    rows.toSet
+  }
+
+  test("TRAIL enumeration {1,2} from Daniel — one row per edge-distinct path") {
+    assert(modePaths(PathMode.Trail, 1, Some(2)) == Set(
+      Seq(0L, 0L, 1L), Seq(0L, 1L, 2L), Seq(0L, 2L, 3L),
+      Seq(0L, 0L, 1L, 3L, 2L), Seq(0L, 0L, 1L, 4L, 3L),
+      Seq(0L, 1L, 2L, 5L, 3L),
+      Seq(0L, 2L, 3L, 6L, 0L))) // revisits vertex 0: legal for TRAIL
+  }
+
+  test("ACYCLIC enumeration {1,3} from Daniel — no repeated vertices") {
+    assert(modePaths(PathMode.Acyclic, 1, Some(3)) == Set(
+      Seq(0L, 0L, 1L), Seq(0L, 1L, 2L), Seq(0L, 2L, 3L),
+      Seq(0L, 0L, 1L, 3L, 2L), Seq(0L, 0L, 1L, 4L, 3L),
+      Seq(0L, 1L, 2L, 5L, 3L),
+      Seq(0L, 0L, 1L, 3L, 2L, 5L, 3L)))
+  }
+
+  test("SIMPLE allows exactly the closing revisit; unbounded ACYCLIC terminates") {
+    // SIMPLE {1,2} = ACYCLIC {1,2} plus the cycle back to the start
+    assert(modePaths(PathMode.Simple, 1, Some(2)) ==
+      modePaths(PathMode.Acyclic, 1, Some(2)) + Seq(0L, 2L, 3L, 6L, 0L))
+    // unbounded enumeration is finite for non-WALK modes (visited sets
+    // strictly grow) — previously an error, per the reference's own hint
+    val unbounded = modePaths(PathMode.Acyclic, 1, None)
+    assert(unbounded.contains(Seq(0L, 0L, 1L, 3L, 2L, 5L, 3L)))
+    assert(unbounded.forall { p =>
+      val vs = p.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }
+      vs.distinct.length == vs.length
+    })
+  }
+
+  test("fixed-pattern modes: pairwise distinctness filters") {
+    def twoHop(mode: PathMode): Set[(Long, Long, Long)] =
+      matchDF(MatchSpec("pg", Seq(PathPattern(None, None, mode, Seq(
+        VertexPattern(Some("a"), Some("Person"),
+          where = Some("a.name = 'Daniel'")),
+        EdgePattern(Some("k1"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("b"), Some("Person")),
+        EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("c"), Some("Person"))))),
+        columns = Seq(ColumnSpec("a.id", Some("a")),
+          ColumnSpec("b.id", Some("b")), ColumnSpec("c.id", Some("c")))))
+        .collect().toSet.map((r: org.apache.spark.sql.Row) =>
+          (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val walk = Set((0L, 1L, 2L), (0L, 1L, 3L), (0L, 2L, 3L), (0L, 3L, 0L))
+    assert(twoHop(PathMode.Walk) == walk)
+    assert(twoHop(PathMode.Trail) == walk) // all 2-hop edge pairs distinct
+    assert(twoHop(PathMode.Acyclic) == walk - ((0L, 3L, 0L)))
+    assert(twoHop(PathMode.Simple) == walk) // closing the cycle is legal
+  }
+
+  test("ALL SHORTEST multiplies out every minimal parent combination") {
+    val s = init()
+    import s.implicits._
+    // diamond: 0→1→3, 0→2→3 — two shortest 0→3 paths
+    Seq(0L, 1L, 2L, 3L).toDF("id").createOrReplaceTempView("dnodes")
+    Seq((0L, 1L, 100L), (0L, 2L, 101L), (1L, 3L, 102L), (2L, 3L, 103L))
+      .toDF("src", "dst", "eid").createOrReplaceTempView("dedges")
+    val dpg = PropertyGraph("diamond",
+      Seq(VertexTable("dnodes", "N", Seq("id"))),
+      Seq(EdgeTable("dedges", "E", Seq("src"), Seq("id"), "N",
+        Seq("dst"), Seq("id"), "N", edgeIdCol = Some("eid"))))
+    val df = GraphTableCompiler.compile(s, MatchSpec("diamond",
+      Seq(PathPattern(Some("p"), Some(SearchPrefix.AllShortest),
+        PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("N"), where = Some("a.id = 0")),
+          EdgePattern(Some("e"), Some("E"), EdgeDirection.Right,
+            Some(Quantifier(1, None))),
+          VertexPattern(Some("b"), Some("N"))))),
+      columns = Seq(ColumnSpec("element_id(p)", Some("path")))),
+      dpg, TableResolver.catalog)
+    val paths = df.collect().toSeq.map(_.getSeq[Long](0).toSeq).toSet
+    assert(paths == Set(
+      Seq(0L, 100L, 1L), Seq(0L, 101L, 2L),
+      Seq(0L, 100L, 1L, 102L, 3L), Seq(0L, 101L, 2L, 103L, 3L)))
+    assert(df.count() == 4) // both 0→3 shortest paths, one row each
   }
 
   test("declared edge-id column appears in path arrays — shortest_path.test:47-59 shape") {
