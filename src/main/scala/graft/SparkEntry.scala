@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -352,14 +352,57 @@ object SparkEntry {
     Dedup.duplicateGroups(docs.select("doc_id"), pairs)
   }
 
-  private def q20_dedup_minhash(s: SparkSession, d: String): DataFrame =
-    Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
+  /** MinHash-LSH pairs + PRECISION gate (was rows-only): LSH recall is
+    * not SQL-expressible (xxhash banding), but every REPORTED pair must
+    * clear the Jaccard threshold — so the query emits each pair together
+    * with the Jaccard re-derived from the raw STRING shingle sets (an
+    * execution path independent of the pipeline's hashed-set verify) and
+    * keeps only violations. Expected output: EMPTY — and the oracle is
+    * the empty relation, so CORRECTNESS now verifies precision. The 0.02
+    * tolerance absorbs the ~1e-6/pair chance of a 2^31 shingle-hash
+    * collision perturbing the hashed-set Jaccard. */
+  private def q20_dedup_minhash(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
       shingleK = 3, numHashes = 16, bands = 4, threshold = 0.7)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("str_jaccard",
+        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") < 0.7 ||
+        abs(col("str_jaccard") - col("jaccard")) > 0.02)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"),
+        col("jaccard"), col("str_jaccard"))
+  }
 
-  // maxDist 3: the 4×16-bit band blocking guarantees ≥1 shared band only
-  // for Hamming distance ≤ 3; larger radii would silently lose recall
-  private def q21_dedup_simhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
+  /** SimHash pairs + consistency gate (was rows-only): each reported
+    * pair's distance is recomputed from signatures produced by the
+    * DECLARATIVE HOF simhash ([[Dedup.simHash]] — per-bit majority via
+    * filter/size expressions), which must agree bit-for-bit with the
+    * imperative [[graft.functions.SimHashAgg]] path the pipeline uses.
+    * Violations (expected: none) are emitted; maxDist 3 because 4×16-bit
+    * band blocking guarantees ≥1 shared band only for Hamming ≤ 3. */
+  private def q21_dedup_simhash(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+    val slow = docs.select(col("doc_id"),
+      Dedup.simHash(col("text")).as("ssig"))
+    pairs
+      .join(slow.select(col("doc_id").as("id_a"), col("ssig").as("sig_a2")),
+        "id_a")
+      .join(slow.select(col("doc_id").as("id_b"), col("ssig").as("sig_b2")),
+        "id_b")
+      .withColumn("dist2", Dedup.hamming64(col("sig_a2"), col("sig_b2")))
+      .filter(col("dist") > 3 || col("dist2") =!= col("dist"))
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"),
+        col("dist").cast("long").as("dist"),
+        col("dist2").cast("long").as("dist_recomputed"))
+  }
 
   // =========================================================================
   // Text analysis
@@ -444,9 +487,33 @@ object SparkEntry {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** LSH-bucketed near-pairs (approximate; scale path — rows-only check). */
-  private def q27_sim_lsh(s: SparkSession, d: String): DataFrame =
-    Similarity.lshNearPairs(t(s, d, "embeddings"), threshold = 0.3)
+  /** Hyperplane-LSH near-pairs + PRECISION gate (was rows-only): every
+    * reported pair's cosine is recomputed with Spark's interpreted HOFs
+    * (`aggregate`/`zip_with`/`transform` — independent of the codegen'd
+    * DotProduct/L2Norm kernels inside the pipeline) and violations
+    * (reported < threshold, or the two paths disagreeing beyond the
+    * 6-dp rounding) are emitted. Expected output: EMPTY; the oracle is
+    * the empty relation — recall stays non-SQL, precision is verified. */
+  private def q27_sim_lsh(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val pairs = Similarity.lshNearPairs(e, threshold = 0.3)
+    def hofDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def hofNorm(a: Column): Column =
+      sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val vecs = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cos2", hofDot(col("va"), col("vb")) /
+        (hofNorm(col("va")) * hofNorm(col("vb"))))
+      .filter(col("cosine") < 0.3 - 1e-6 ||
+        abs(col("cos2") - col("cosine")) > 2e-6)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"),
+        col("cosine"), round(col("cos2"), 6).as("cos_recomputed"))
+  }
 
   /** Embedding-cosine near-duplicate GROUPS: exact cosine pairs on the
     * verifiable slice → transitive closure via distributed WCC — the
@@ -1091,6 +1158,29 @@ object SparkEntry {
          FROM d a JOIN d b ON a.doc_id < b.doc_id
          WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                len(list_distinct(a.sh || b.sh)), 6) >= 0.8""",
+
+    // Hash-family precision gates: the queries emit VIOLATIONS of the
+    // invariant every reported pair must satisfy (see the q20/q21/q27
+    // Scaladoc), so the oracle is the typed empty relation. Recall stays
+    // non-SQL-expressible (xxhash banding), but a precision bug now turns
+    // the row green→red instead of hiding behind "no_oracle".
+    "q20_dedup_minhash" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+                CAST(NULL AS DOUBLE) AS jaccard,
+                CAST(NULL AS DOUBLE) AS str_jaccard
+         WHERE 1 = 0""",
+
+    "q21_dedup_simhash" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+                CAST(NULL AS BIGINT) AS dist,
+                CAST(NULL AS BIGINT) AS dist_recomputed
+         WHERE 1 = 0""",
+
+    "q27_sim_lsh" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+                CAST(NULL AS DOUBLE) AS cosine,
+                CAST(NULL AS DOUBLE) AS cos_recomputed
+         WHERE 1 = 0""",
 
     "q22_text_stats" ->
       """SELECT doc_id,
