@@ -196,6 +196,21 @@ object SparkEntry {
       .withColumn("vpath",
         concat_ws(",", transform(col("vpath"), _.cast("string"))))
 
+  /** SHORTEST k (reference: NotImplemented, match.cpp:709-790): the k
+    * smallest walks per pair under (length, lexicographic-path) order,
+    * one row each. The per-level per-vertex top-k prune keeps the
+    * distributed frontier at k·|V| instead of the walk fan-out. The
+    * oracle ranks by the vertex list — equivalent here because
+    * nation_near has no parallel edges and dense edge ids are ranked by
+    * (src, dst), so interleaved-path order equals vertex-list order. */
+  private def q54_shortest_k(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = SHORTEST 3 (a:Nation WHERE a.n_regionkey = 0)-[e:NationNear]->{1,3}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
+                  path_length(p) AS dist, vertices(p) AS vpath)""")
+      .withColumn("vpath",
+        concat_ws(",", transform(col("vpath"), _.cast("string"))))
+
   /** Property-graph persistence round trip: CREATE writes the `__graft_pg`
     * catalog table; a FRESH registry (a new session/process in production)
     * lazily reloads it — reference `__duckpgq_internal` semantics
@@ -365,13 +380,18 @@ object SparkEntry {
     val docs = t(s, d, "documents")
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
       shingleK = 3, numHashes = 16, bands = 4, threshold = 0.7)
-    val sh = docs.select(col("doc_id"),
-      array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+    // join the RAW text and derive the check columns ABOVE the join, so
+    // the independent recompute runs only on the reported pairs (a
+    // projection below the join would shingle the whole corpus)
+    val txt = docs.select(col("doc_id"), col("text"))
     pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("str_jaccard",
-        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+      .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")),
+        "id_a")
+      .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")),
+        "id_b")
+      .withColumn("str_jaccard", round(Dedup.jaccard(
+        array_distinct(Dedup.shingles(col("ta"), 3)),
+        array_distinct(Dedup.shingles(col("tb"), 3))), 6))
       .filter(col("jaccard") < 0.7 ||
         abs(col("str_jaccard") - col("jaccard")) > 0.02)
       .select(col("id_a").cast("long").as("id_a"),
@@ -389,14 +409,18 @@ object SparkEntry {
   private def q21_dedup_simhash(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
-    val slow = docs.select(col("doc_id"),
-      Dedup.simHash(col("text")).as("ssig"))
+    // join the RAW text, recompute ABOVE the join: the declarative
+    // simhash is 64 interpreted per-bit HOFs — evaluated for the ~dozens
+    // of pair rows it is free, evaluated under the join for the whole
+    // corpus it dominated the bench (3 s → 32 s at sf0.1)
+    val txt = docs.select(col("doc_id"), col("text"))
     pairs
-      .join(slow.select(col("doc_id").as("id_a"), col("ssig").as("sig_a2")),
+      .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")),
         "id_a")
-      .join(slow.select(col("doc_id").as("id_b"), col("ssig").as("sig_b2")),
+      .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")),
         "id_b")
-      .withColumn("dist2", Dedup.hamming64(col("sig_a2"), col("sig_b2")))
+      .withColumn("dist2", Dedup.hamming64(
+        Dedup.simHash(col("ta")), Dedup.simHash(col("tb"))))
       .filter(col("dist") > 3 || col("dist2") =!= col("dist"))
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"),
@@ -645,6 +669,7 @@ object SparkEntry {
     "q51_trail_enum" -> (q51_trail_enum _),
     "q52_acyclic_enum" -> (q52_acyclic_enum _),
     "q53_all_shortest" -> (q53_all_shortest _),
+    "q54_shortest_k" -> (q54_shortest_k _),
     "q11_varlen" -> (q11_varlen _),
     "q12_shortest_path" -> (q12_shortest_path _),
     "q46_multiseg_path" -> (q46_multiseg_path _),
@@ -1027,6 +1052,24 @@ object SparkEntry {
                   min(dist) OVER (PARTITION BY src, v) AS md
            FROM w)
          WHERE dist = md AND dist >= 1""",
+
+    "q54_shortest_k" ->
+      s"""WITH RECURSIVE $sqlNationNear,
+         w(src, v, dist, vpath) AS (
+           SELECT n_nationkey, n_nationkey, 0, [CAST(n_nationkey AS BIGINT)]
+           FROM nation WHERE n_regionkey = 0
+           UNION ALL
+           SELECT w.src, e.dst, w.dist + 1,
+                  list_append(w.vpath, CAST(e.dst AS BIGINT))
+           FROM w JOIN nation_near e ON w.v = e.src
+           WHERE w.dist < 3)
+         SELECT src, dst, dist, vpath FROM (
+           SELECT src, v AS dst, CAST(dist AS BIGINT) AS dist,
+                  array_to_string(vpath, ',') AS vpath,
+                  row_number() OVER (PARTITION BY src, v
+                    ORDER BY dist, vpath) AS rn
+           FROM w WHERE dist >= 1)
+         WHERE rn <= 3""",
 
     "q11_varlen" ->
       s"""WITH RECURSIVE $sqlNationNext,

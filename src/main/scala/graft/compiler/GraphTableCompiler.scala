@@ -289,6 +289,15 @@ object GraphTableCompiler {
             "fixed edges (or multiple quantified segments) is not yet " +
             "supported — use a single quantified edge or an all-fixed " +
             "pattern")
+      // SHORTEST k ranks whole paths — per-segment top-k of a multi-hop
+      // pattern would compose the wrong set, so restrict to one segment
+      val kShortest = p.prefix.collect {
+        case SearchPrefix.ShortestK(kk) => kk
+      }
+      if (kShortest.isDefined && elems.length != 3)
+        throw GraphAnalysisException(
+          "SHORTEST k over multi-segment patterns is not yet supported — " +
+            "use a single edge pattern")
       // per-position alias info for the fixed-pattern mode filters
       val modeVertexPos = scala.collection.mutable.ArrayBuffer[String]()
       val modeEdgePos =
@@ -321,7 +330,9 @@ object GraphTableCompiler {
           throw GraphAnalysisException(
             "TRAIL over a bidirectional (<-[e]->) edge is not yet supported")
 
-        if (ep.quantifier.isDefined) {
+        if (ep.quantifier.isDefined || kShortest.isDefined) {
+          // SHORTEST k routes even a fixed hop through the kernel ({1,1})
+          // — the plain join would emit ALL parallel edges, not the top k
           val (bAlias, pcol) = bindPathEdge(p, ep, vp, prevV)
           pcol.foreach(c => segCols += col(c))
           prevV = bAlias
@@ -497,7 +508,8 @@ object GraphTableCompiler {
       // identity for the arrays / TRAIL checks.
       val isEnum = p.mode != PathMode.Walk && p.prefix.isEmpty
       val isAllShortest = p.prefix.contains(SearchPrefix.AllShortest)
-      val needEid = needPath || isEnum || isAllShortest
+      val kOpt = p.prefix.collect { case SearchPrefix.ShortestK(kk) => kk }
+      val needEid = needPath || isEnum || isAllShortest || kOpt.isDefined
 
       // Traversal endpoints. For a Left edge `(a)<-[e]-(b)` the pattern's
       // `a` sits on the edge's DESTINATION side (the traversal follows
@@ -652,16 +664,19 @@ object GraphTableCompiler {
       val segColOpt: Option[String] =
         if (needPath) Some(freshName(s"seg_${p.pathVar.get}_")) else None
       val joined =
-        if (isEnum || isAllShortest) {
+        if (isEnum || isAllShortest || kOpt.isDefined) {
           // one row PER PATH (multiplicity semantics). Under ANY SHORTEST
           // a non-WALK mode is free — every shortest walk is vertex-simple
           // (a repeated vertex would contain a removable cycle), hence
-          // trail/acyclic-valid — so only these two cases need the
+          // trail/acyclic-valid — so only these cases need the
           // path-multiplicity kernels.
           val paths =
             if (isEnum)
               fromRowid(PathFinder.enumerateModePaths(spark, edgeList,
                 seedList, q.lower, q.upper, p.mode))
+            else if (kOpt.isDefined)
+              fromRowid(PathFinder.kShortestPaths(spark, edgeList,
+                seedList, q.lower, q.upper, p.mode, kOpt.get))
             else
               fromRowid(PathFinder.allShortestPaths(spark, edgeList,
                 seedList, q.lower, q.upper))

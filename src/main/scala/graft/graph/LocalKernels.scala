@@ -143,6 +143,44 @@ private[graph] object LocalKernels {
     out.toArray
   }
 
+  /** k-shortest WALKS (level-synchronous with a per-vertex top-k prune) —
+    * mirrors the distributed prune in [[PathFinder.kShortestPaths]]. The
+    * prune is sound because (dist, lexicographic-path) ordering is
+    * extension-monotone: if k same-level paths to `v` beat P, their
+    * extensions beat P's extensions, so P can never reach a final top-k.
+    * (NOT valid under TRAIL/ACYCLIC/SIMPLE — a lex-worse partial path may
+    * have a visited set that allows extensions the better ones lack — so
+    * mode-constrained k-shortest enumerates unpruned instead.) */
+  def kShortestWalks(edges: Array[(Long, Long, Long)], seeds: Array[Long],
+      lower: Long, upper: Long, k: Int)
+      : Array[(Long, Long, Long, Array[Long])] = {
+    val adj = adjacency(edges)
+    val ord = Ordering.Implicits.seqOrdering[Seq, Long]
+    val out = mutable.ArrayBuffer[(Long, Long, Long, Array[Long])]()
+    seeds.distinct.foreach { s =>
+      var frontier: Map[Long, Seq[Vector[Long]]] = Map(s -> Seq(Vector(s)))
+      if (lower <= 0L) out += ((s, s, 0L, Array(s)))
+      var d = 0L
+      while (frontier.nonEmpty && d < upper) {
+        d += 1
+        val cand = mutable.LongMap[mutable.ArrayBuffer[Vector[Long]]]()
+        frontier.foreach { case (v, paths) =>
+          adj.getOrElse(v, Nil).foreach { case (w, eid) =>
+            val bucket = cand.getOrElseUpdate(w, mutable.ArrayBuffer.empty)
+            paths.foreach(p => bucket += (p :+ eid :+ w))
+          }
+        }
+        frontier = cand.map { case (w, ps) =>
+          w -> ps.map(_.toSeq).sorted(ord).take(k).map(_.toVector).toSeq
+        }.toMap
+        if (d >= lower) frontier.foreach { case (w, ps) =>
+          ps.foreach(p => out += ((s, w, d, p.toArray)))
+        }
+      }
+    }
+    out.toArray
+  }
+
   /** ALL SHORTEST — every shortest `[v,e,…,v]` path per reached (src, dst)
     * pair (one row per path), mirrors [[PathFinder.allShortestPaths]].
     * BFS records ALL minimal parents per vertex; enumeration multiplies

@@ -48,18 +48,14 @@ object PathFinder {
   private def collectSeeds(seeds: org.apache.spark.sql.DataFrame): Array[Long] =
     seeds.select(col("id").cast("long")).collect().map(_.getLong(0))
 
-  /** Reject the prefixes still unimplemented. The reference raises
-    * NotImplemented for TRAIL/SIMPLE/ACYCLIC modes and for ALL SHORTEST /
-    * SHORTEST k (`PGQCheckPathModeSupport` match.cpp:80-108, :709-790);
-    * here modes and ALL SHORTEST are real (mode-valid enumeration and
-    * all-minimal-parent BFS — exceeds reference parity), so only
-    * SHORTEST k remains guarded. */
-  def checkSupported(p: PathPattern): Unit =
-    p.prefix match {
-      case Some(SearchPrefix.ShortestK(_)) => throw GraphAnalysisException(
-        "SHORTEST k is not yet supported")
-      case _ => ()
-    }
+  /** Every mode/prefix the reference raises NotImplemented for
+    * (`PGQCheckPathModeSupport` match.cpp:80-108; ALL SHORTEST /
+    * SHORTEST k match.cpp:709-790) is implemented here — mode-valid
+    * enumeration, all-minimal-parent BFS, pruned k-shortest — exceeding
+    * reference parity; nothing is guarded any more. Kept as the single
+    * seam for future prefix guards (pattern-shape restrictions live in
+    * the compiler, which knows the element structure). */
+  def checkSupported(p: PathPattern): Unit = ()
 
   /** Multi-source BFS shortest *lengths* — semantics of reference
     * `iterativelength` (0 when src=dst, absent row = unreachable,
@@ -388,7 +384,7 @@ object PathFinder {
     */
   def enumerateModePaths(spark: SparkSession, edges: DataFrame,
       seeds: DataFrame, lower: Long, upper: Option[Long],
-      mode: PathMode): DataFrame = {
+      mode: PathMode, pruneK: Option[Int] = None): DataFrame = {
     require(mode == PathMode.Walk || upper.forall(_ >= 0),
       "negative upper bound")
     if (mode == PathMode.Walk && upper.isEmpty)
@@ -402,9 +398,15 @@ object PathFinder {
         seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
       val seedArr = collectSeeds(seeds)
       locally {
-        val res = LocalKernels.enumeratePaths(
-          collectEdges(e, withEid = true), seedArr, lower,
-          upper.getOrElse(Long.MaxValue), mode)
+        val earr = collectEdges(e, withEid = true)
+        // the per-vertex top-k prune is only sound for WALK (see
+        // LocalKernels.kShortestWalks); mode-constrained sets are finite
+        val res = (mode, pruneK) match {
+          case (PathMode.Walk, Some(kk)) => LocalKernels.kShortestWalks(
+            earr, seedArr, lower, upper.getOrElse(Long.MaxValue), kk)
+          case _ => LocalKernels.enumeratePaths(
+            earr, seedArr, lower, upper.getOrElse(Long.MaxValue), mode)
+        }
         e.unpersist()
         import spark.implicits._
         return res.toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
@@ -441,7 +443,7 @@ object PathFinder {
           !array_contains(frontier("vis"), e("dst")) ||
             e("dst") === frontier("src")
       }
-      val next = cand.filter(ok)
+      val nextRaw = cand.filter(ok)
         .select(Seq(frontier("src").as("src"), e("dst").as("v"),
           concat(frontier("path"), array(e("eid"), e("dst"))).as("path")) ++
           (if (needVisV)
@@ -449,7 +451,18 @@ object PathFinder {
           else if (needVisE)
             Seq(concat(frontier("vis"), array(e("eid"))).as("vis"))
           else Nil): _*)
-        .localCheckpoint()
+      // WALK k-shortest: keep only the k lexicographically-best paths per
+      // (src, v) each level — sound by extension monotonicity (see
+      // LocalKernels.kShortestWalks), and it bounds the frontier at
+      // k·|V| rows instead of the full walk fan-out
+      val next = (pruneK match {
+        case Some(kk) if mode == PathMode.Walk =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("src", "v").orderBy("path")
+          nextRaw.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= kk).drop("__rn")
+        case _ => nextRaw
+      }).localCheckpoint()
       emit(next, d)
       // SIMPLE: paths that closed the cycle were emitted but are terminal
       frontier =
@@ -462,6 +475,28 @@ object PathFinder {
         col("path")).limit(0))
     e.unpersist()
     out
+  }
+
+  /** SHORTEST k — the k smallest mode-valid paths per (src, dst) pair
+    * under (length, lexicographic-path) order, one row per path (the
+    * reference raises NotImplemented, match.cpp:709-790). WALK mode
+    * requires a finite upper bound (the admissible walk set must be
+    * finite) and gets the per-level per-vertex top-k prune; the
+    * visited-set modes enumerate their (finite) path sets and rank. */
+  def kShortestPaths(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, lower: Long, upper: Option[Long],
+      mode: PathMode, k: Int): DataFrame = {
+    require(k >= 1, s"SHORTEST k needs k >= 1 (got $k)")
+    if (mode == PathMode.Walk && upper.isEmpty)
+      throw GraphAnalysisException(
+        "SHORTEST k over path mode WALK needs a finite upper bound — " +
+          "bound the quantifier or use a non-WALK path mode")
+    val all = enumerateModePaths(spark, edges, seeds, lower, upper, mode,
+      pruneK = Some(k))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src", "dst").orderBy(col("dist"), col("path"))
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
   }
 
   /** ALL SHORTEST — every shortest path per reached (src, dst) pair, one

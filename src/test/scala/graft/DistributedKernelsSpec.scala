@@ -421,6 +421,20 @@ class DistributedKernelsSpec extends AnyFunSuite {
       PathMode.Walk).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](3).toList)).toSet
     assert(withDistributed(walks()) == walks())
+    // SHORTEST k: the pruned walk path and the mode-constrained path both
+    // agree across strategies, and every pair carries ≤ k rows
+    for ((mode, upper) <- Seq((PathMode.Walk, Some(3L)),
+        (PathMode.Trail, None))) {
+      def topk() = PathFinder.kShortestPaths(s, eDF, seeds, 1L, upper,
+        mode, 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3).toList)).toSet
+      val localK = topk()
+      assert(withDistributed(topk()) == localK, s"SHORTEST k $mode diverged")
+      localK.groupBy(t => (t._1, t._2)).foreach { case (pair, ps) =>
+        assert(ps.size <= 2, s"pair $pair has ${ps.size} rows")
+      }
+    }
   }
 
   test("distributed ALL SHORTEST matches the local kernel on a multi-path grid") {

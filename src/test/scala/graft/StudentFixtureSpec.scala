@@ -249,15 +249,48 @@ class StudentFixtureSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L)))
   }
 
-  test("SHORTEST k still raises — top_k.test parity") {
+  test("SHORTEST k: top-k walks per pair by (length, lex) — top_k.test, " +
+      "beyond parity (reference raises NotImplemented)") {
+    val df = matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"),
+      Some(SearchPrefix.ShortestK(2)), PathMode.Walk, Seq(
+        VertexPattern(Some("a"), Some("Person"),
+          where = Some("a.name = 'Daniel'")),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right,
+          Some(Quantifier(1, Some(3)))),
+        VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("element_id(p)", Some("path")))))
+    val got = df.collect().toSeq.map(_.getSeq[Long](0).toSeq).toSet
+    // hand-enumerated: 2 best walks from Daniel(0) per destination
+    assert(got == Set(
+      Seq(0L, 0L, 1L), Seq(0L, 2L, 3L, 6L, 0L, 0L, 1L), // → 1
+      Seq(0L, 1L, 2L), Seq(0L, 0L, 1L, 3L, 2L),         // → 2
+      Seq(0L, 2L, 3L), Seq(0L, 0L, 1L, 4L, 3L),         // → 3
+      Seq(0L, 2L, 3L, 6L, 0L), Seq(0L, 0L, 1L, 4L, 3L, 6L, 0L))) // → 0
+  }
+
+  test("SHORTEST k over WALK needs a bound; non-WALK modes do not") {
     intercept[GraphAnalysisException] {
       matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"),
-        Some(SearchPrefix.ShortestK(3)), PathMode.Walk, Seq(
+        Some(SearchPrefix.ShortestK(2)), PathMode.Walk, Seq(
           VertexPattern(Some("a"), Some("Person")),
           EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right,
-            Some(Quantifier(1, Some(3)))),
+            Some(Quantifier(1, None))),
           VertexPattern(Some("b"), Some("Person")))))))
+        .collect()
     }
+    // SHORTEST 2 TRAIL unbounded: finite; to Peter(3) from Daniel the two
+    // best trails are the direct edge and the lex-min 2-hop trail
+    val df = matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"),
+      Some(SearchPrefix.ShortestK(2)), PathMode.Trail, Seq(
+        VertexPattern(Some("a"), Some("Person"),
+          where = Some("a.name = 'Daniel'")),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right,
+          Some(Quantifier(1, None))),
+        VertexPattern(Some("b"), Some("Person"),
+          where = Some("b.name = 'Peter'"))))),
+      columns = Seq(ColumnSpec("element_id(p)", Some("path")))))
+    val got = df.collect().toSeq.map(_.getSeq[Long](0).toSeq).toSet
+    assert(got == Set(Seq(0L, 2L, 3L), Seq(0L, 0L, 1L, 4L, 3L)))
   }
 
   // ---- path modes: the reference raises NotImplemented
