@@ -445,8 +445,9 @@ object SparkEntry {
     t(s, d, "documents").select(col("doc_id"),
       TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
 
-  /** Order-sensitive rolling-hash fingerprint (xxhash64-based — no SQL
-    * oracle; rows-only check). */
+  /** Order-sensitive rolling-hash fingerprint — md5-derived token hashes
+    * make the Horner fold exactly SQL-reproducible, so this is
+    * value-checked against DuckDB (was rows-only when xxhash64-based). */
   private def q24_fingerprint_rolling(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"),
       TextAnalysis.fingerprintRolling(col("text")).as("fp_roll"))
@@ -1212,6 +1213,16 @@ object SparkEntry {
                 CAST(NULL AS DOUBLE) AS jaccard,
                 CAST(NULL AS DOUBLE) AS str_jaccard
          WHERE 1 = 0""",
+
+    // same base-31 Horner over md5-derived token hashes, SQL-exact
+    "q24_fingerprint_rolling" ->
+      """SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend('0', string_split_regex(trim(text), '\s+')),
+             (acc, t) -> CAST((CAST(acc AS BIGINT) * 31 +
+                CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 2147483647)
+                % 2147483647 AS VARCHAR)) AS BIGINT) AS fp_roll
+         FROM documents""",
 
     "q21_dedup_simhash" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,

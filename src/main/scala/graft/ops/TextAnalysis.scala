@@ -81,14 +81,19 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(lower(trim(text)))
 
-  /** Polynomial rolling-hash fingerprint over tokens (base-31 Horner over
-    * the token stream mod 2^31−1, each token pre-hashed with xxhash64) —
-    * order-sensitive, unlike the md5 of sorted tokens. Modular arithmetic
-    * keeps every intermediate < 2^36, safe under ANSI overflow checking. */
+  /** Polynomial rolling-hash fingerprint over tokens: base-31 Horner over
+    * the token stream mod 2^31−1, each token pre-hashed by its md5's
+    * first 12 hex digits — order-sensitive, unlike the md5 of sorted
+    * tokens, and EXACTLY reproducible in ANSI SQL (DuckDB:
+    * `list_reduce` + `('0x'||substr(md5(t),1,12))::BIGINT`), so q24 is
+    * value-checked instead of rows-only. Intermediates stay < 2^37,
+    * safe under ANSI overflow checking. */
   def fingerprintRolling(text: Column): Column = {
     val m = 2147483647L // 2^31 - 1
+    val tokHash = (t: Column) =>
+      pmod(conv(substring(md5(t), 1, 12), 16, 10).cast("long"), lit(m))
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(m)), lit(m)))
+      (acc, t) => pmod(acc * lit(31L) + tokHash(t), lit(m)))
   }
 
   /** TF-IDF scores per (document, term): tf = term count in doc,
