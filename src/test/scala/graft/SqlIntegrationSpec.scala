@@ -45,6 +45,32 @@ class SqlIntegrationSpec extends AnyFunSuite {
     assert(rows.length == 3 && rows.forall(_.getLong(1) == 8L))
   }
 
+  test("path modes and prefixes through the literal SQL text path") {
+    // TRAIL enumeration in GRAPH_TABLE-in-SQL: count trails per length
+    val trails = mkGraft.sqlGraph(
+      """SELECT len, count(*) AS n FROM GRAPH_TABLE (pg
+           MATCH p = TRAIL (a:Person WHERE a.name = 'Daniel')-[k:Knows]->{1,2}(b:Person)
+           COLUMNS (path_length(p) AS len)) t
+         GROUP BY len ORDER BY len""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(trails == Seq((1L, 3L), (2L, 4L))) // hand-enumerated fixture set
+    // ALL SHORTEST emits one row per shortest path (multiplicity)
+    val allsp = mkGraft.sqlGraph(
+      """SELECT count(*) AS n FROM GRAPH_TABLE (pg
+           MATCH p = ALL SHORTEST (a:Person WHERE a.name = 'Daniel')-[k:Knows]->{1,3}(b:Person)
+           COLUMNS (b.id AS bid)) t""")
+      .collect().head.getLong(0)
+    assert(allsp == 3L) // 0→1, 0→2, 0→3 each have ONE shortest path
+    // SHORTEST 2 caps each pair at two ranked walks
+    val topk = mkGraft.sqlGraph(
+      """SELECT bid, count(*) AS n FROM GRAPH_TABLE (pg
+           MATCH p = SHORTEST 2 (a:Person WHERE a.name = 'Daniel')-[k:Knows]->{1,3}(b:Person)
+           COLUMNS (b.id AS bid)) t
+         GROUP BY bid""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(topk == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("COPY TO csv — copy_to_duckpgq.test") {
     val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
     mkGraft.copyTo(
