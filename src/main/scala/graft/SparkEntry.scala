@@ -606,6 +606,23 @@ object SparkEntry {
     PathFinder.bfsDistances(s, TradeGraph.userEdges(s, d), seeds, Some(2L))
   }
 
+  /** SHORTEST k on the REAL skewed user graph (~1.5k vertices / ~100k
+    * edges at sf0.1) — exercises the per-level per-vertex top-k prune at
+    * data scale (the nation-graph mode queries are 25-node semantics
+    * checks). No parallel edges and (src,dst)-ranked dense eids make
+    * interleaved-path order equal vertex-list order, so the oracle ranks
+    * by the vertex list. */
+  private def q55_user_kshortest(s: SparkSession, d: String): DataFrame = {
+    val seeds = TradeGraph.events(s, d).select(col("user_id").as("id"))
+      .filter(col("id") < 5).distinct()
+    PathFinder.kShortestPaths(s, TradeGraph.userEdges(s, d), seeds,
+      1L, Some(2L), graft.pgq.PathMode.Walk, k = 2)
+      .select(col("src"), col("dst"), col("dist"),
+        concat_ws(",", transform(
+          expr("filter(path, (x, i) -> i % 2 == 0)"),
+          _.cast("string"))).as("vpath"))
+  }
+
   private def q36_user_wcc(s: SparkSession, d: String): DataFrame = {
     val users = TradeGraph.events(s, d).select(col("user_id").as("id"))
       .distinct()
@@ -640,6 +657,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_user_bfs" -> (q35_user_bfs _),
+    "q55_user_kshortest" -> (q55_user_kshortest _),
     "q36_user_wcc" -> (q36_user_wcc _),
     "q37_varlen_undirected" -> (q37_varlen_undirected _),
     "q38_optional_edge" -> (q38_optional_edge _),
@@ -775,6 +793,24 @@ object SparkEntry {
            FROM b JOIN user_edges e ON b.dst = e.src WHERE b.dist < 2)
          SELECT src, dst, CAST(min(dist) AS BIGINT) AS dist
          FROM b GROUP BY src, dst""",
+    "q55_user_kshortest" ->
+      s"""WITH RECURSIVE ${TradeGraph.sqlUserEdges},
+         w(src, v, dist, vpath) AS (
+           SELECT DISTINCT user_id, user_id, 0, [CAST(user_id AS BIGINT)]
+           FROM events WHERE user_id < 5
+           UNION ALL
+           SELECT w.src, e.dst, w.dist + 1,
+                  list_append(w.vpath, CAST(e.dst AS BIGINT))
+           FROM w JOIN user_edges e ON w.v = e.src
+           WHERE w.dist < 2)
+         SELECT src, dst, dist, vpath FROM (
+           SELECT src, v AS dst, CAST(dist AS BIGINT) AS dist,
+                  array_to_string(vpath, ',') AS vpath,
+                  row_number() OVER (PARTITION BY src, v
+                    ORDER BY dist, vpath) AS rn
+           FROM w WHERE dist >= 1)
+         WHERE rn <= 2""",
+
     "q36_user_wcc" ->
       s"""WITH RECURSIVE ${TradeGraph.sqlUserEdges},
          und(src, dst) AS (

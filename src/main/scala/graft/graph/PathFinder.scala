@@ -390,7 +390,10 @@ object PathFinder {
     if (mode == PathMode.Walk && upper.isEmpty)
       throw GraphAnalysisException(
         "WALK enumeration needs a finite upper bound")
-    val e = edges.select(col("src").cast("long").as("src"),
+    val e0 = if (edges.columns.contains("eid")) edges
+      else Snapshot.denseEdgeIds(spark, edges.select(col("src"), col("dst")),
+        Seq("src", "dst"))
+    val e = e0.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("eid").cast("long").as("eid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
