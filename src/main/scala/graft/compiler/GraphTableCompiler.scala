@@ -324,11 +324,14 @@ object GraphTableCompiler {
         val ep = elems(i).asInstanceOf[EdgePattern]
         val vp = elems(i + 1).asInstanceOf[VertexPattern]
 
-        // a bidirectional fixed edge binds a second hidden edge copy whose
-        // identity the TRAIL filters cannot reach
-        if (p.mode == PathMode.Trail && ep.direction == EdgeDirection.Both)
+        // a bidirectional FIXED edge binds a second hidden edge copy whose
+        // identity the TRAIL filters cannot reach (kernel-routed edges
+        // track the forward orientation's id instead)
+        if (p.mode == PathMode.Trail && ep.direction == EdgeDirection.Both &&
+            ep.quantifier.isEmpty && kShortest.isEmpty)
           throw GraphAnalysisException(
-            "TRAIL over a bidirectional (<-[e]->) edge is not yet supported")
+            "TRAIL over a bidirectional (<-[e]->) fixed edge is not yet " +
+              "supported")
 
         if (ep.quantifier.isDefined || kShortest.isDefined) {
           // SHORTEST k routes even a fixed hop through the kernel ({1,1})
@@ -525,9 +528,6 @@ object GraphTableCompiler {
       // edges). For Undirected the filter applies AFTER the orientation
       // doubling, exactly like bindFixedEdge, so the predicate sees both
       // orientations.
-      if (ep.direction == EdgeDirection.Both)
-        throw GraphAnalysisException(
-          "bidirectional (<-[e]->) quantified edges are not yet supported")
       val eName = ep.varName.getOrElse(freshName("e"))
       val baseTable = if (needEid && et.edgeIdCol.isEmpty) withDenseEid(et)
         else resolver(spark, et.tableName)
@@ -546,6 +546,36 @@ object GraphTableCompiler {
       val edges = ep.direction match {
         case EdgeDirection.Undirected =>
           applyWhere(undirectedView(edgesRaw, et))
+        case EdgeDirection.Both =>
+          // a bidirectional step exists iff BOTH orientations exist — the
+          // quantified extension of fixed-hop `<-[e]->` (reference
+          // EdgeTypeLeftRight match.cpp:416-444; for quantified edges the
+          // reference raises NotImplemented — this exceeds parity). The
+          // traversed set is the forward rows semi-joined against their
+          // reverses, so the kernel walks forward edges (and path arrays
+          // carry the FORWARD edge id; with parallel reverse edges the
+          // fixed-hop form would multiply rows, the kernel keeps one —
+          // documented divergence). Requires one key space, like
+          // undirected.
+          val sVt2 = pg.vertexLabel(et.srcLabel)
+          val dVt2 = pg.vertexLabel(et.dstLabel)
+          if (sVt2.tableName != dVt2.tableName ||
+              et.srcRefKeys != et.dstRefKeys)
+            throw GraphAnalysisException(
+              s"Bidirectional edge '${et.label}' requires source and " +
+                "destination to reference the same vertex table and keys")
+          val rev = edgesRaw.select(
+            et.dstKeys.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"__rs$i")
+            } ++ et.srcKeys.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"__rd$i")
+            }: _*)
+          val cond = et.srcKeys.zipWithIndex.map { case (c, i) =>
+            edgesRaw(c) === rev(s"__rs$i")
+          }.reduce(_ && _) && et.dstKeys.zipWithIndex.map { case (c, i) =>
+            edgesRaw(c) === rev(s"__rd$i")
+          }.reduce(_ && _)
+          applyWhere(edgesRaw.join(rev, cond, "left_semi"))
         case _ => applyWhere(edgesRaw)
       }
 

@@ -142,14 +142,10 @@ class SqlIntegrationSpec extends AnyFunSuite {
     assert(e.msg.contains("quantifier") || e.msg.contains("parse error"))
   }
 
-  test("guards: quantified bidirectional, prefix-less named path, missing arrow") {
+  test("guards: prefix-less named WALK path, missing arrow") {
     val s = Fixture.init()
     val g = Graft(s, TableResolver.catalog)
     g.registry.create(s, Fixture.pg, TableResolver.catalog, orReplace = true)
-    val e1 = intercept[GraphAnalysisException] {
-      g.graphTable("pg MATCH (a:Person)<-[k:Knows]->{1,2}(b:Person) COLUMNS (a.id)")
-    }
-    assert(e1.msg.contains("bidirectional"))
     val e2 = intercept[GraphAnalysisException] {
       g.graphTable("pg MATCH p = (a:Person)-[k:Knows]->{1,2}(b:Person) COLUMNS (a.id)")
     }
@@ -158,6 +154,33 @@ class SqlIntegrationSpec extends AnyFunSuite {
       PgqParser.graphTable("pg MATCH (a:Person)-[k:Knows](b:Person) COLUMNS (a.id)")
     }
     assert(e3.msg.contains("expected closing"))
+  }
+
+  test("quantified bidirectional <-[e]->: both orientations must exist " +
+      "(beyond parity — the reference raises NotImplemented)") {
+    val s = Fixture.init()
+    val g = Graft(s, TableResolver.catalog)
+    g.registry.create(s, Fixture.pg, TableResolver.catalog, orReplace = true)
+    // know has exactly one mutual pair: 0→3 and 3→0 — the bidirectional
+    // core is {0↔3}. ANY SHORTEST from Daniel(0) reaches only 3 (the
+    // 0→3→0 walk is not shortest: dist(0,0)=0 < lower bound 1)…
+    val got = g.graphTable(
+      """pg MATCH ANY SHORTEST (a:Person WHERE a.name = 'Daniel')<-[k:Knows]->{1,2}(b:Person)
+         COLUMNS (b.id AS bid)""")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L))
+    // …while TRAIL enumeration lists both core paths, [0,3] and [0,3,0]
+    val trails = g.graphTable(
+      """pg MATCH p = TRAIL (a:Person WHERE a.name = 'Daniel')<-[k:Knows]->{1,2}(b:Person)
+         COLUMNS (b.id AS bid, path_length(p) AS len)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trails == Set((3L, 1L), (0L, 2L)))
+    // fixed-hop equivalence on the same core
+    val fixed = g.graphTable(
+      """pg MATCH (a:Person WHERE a.name = 'Daniel')<-[k:Knows]->(b:Person)
+         COLUMNS (b.id AS bid)""")
+      .collect().map(_.getLong(0)).toSet
+    assert(fixed == Set(3L))
   }
 
   test("star expansion honors registered property subsets") {
