@@ -54,4 +54,19 @@ class PlanAuditSpec extends AnyFunSuite {
       """trade MATCH (n:Nation) COLUMNS (n.n_name AS name)""")
     assert(plan.contains("ReadSchema: struct<n_name:string>"))
   }
+
+  test("mode-enumeration query: hash joins only, seed filter pushed down") {
+    val s = Fixture.init()
+    val plan = TradeGraph.graft(s, sf).explain(
+      """trade MATCH p = TRAIL (a:Nation WHERE a.n_regionkey = 0)-[e:NationNear]->{1,3}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
+                  path_length(p) AS dist)""")
+    assert(!plan.contains("CartesianProduct"))
+    // the a-side WHERE prunes the seed set before the kernel ran (the
+    // kernel result is already materialized; the surviving plan joins it
+    // back through hash joins with the filter on the nation scan)
+    assert(plan.contains("EqualTo(n_regionkey,0)"))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"))
+  }
 }
