@@ -27,6 +27,13 @@ object GraphTableCompiler {
   private final case class Binding(alias: String, isVertex: Boolean,
       table: String, keyCols: Seq[String] = Nil)
 
+  /** One enumerated quantified segment of the current pattern, for the
+    * mixed-pattern mode filters: the in-plan interleaved path column plus
+    * the identity spaces its values live in. */
+  private final case class ModeSeg(pathCol: String, et: EdgeTable,
+      vtTable: String, refKey: String, keyNumeric: Boolean,
+      homo: Boolean, headAlias: String, tailAlias: String)
+
   def compile(
       spark: SparkSession,
       spec: MatchSpec,
@@ -204,6 +211,102 @@ object GraphTableCompiler {
       df.unionByName(swapped)
     }
 
+    // enumerated segments of the pattern being processed (cleared per
+    // pattern; filled by bindPathEdge on the enumeration route)
+    val currentModeSegs = scala.collection.mutable.ArrayBuffer[ModeSeg]()
+
+    def fixedEid(a: String, et: EdgeTable): Column = et.edgeIdCol match {
+      case Some(c) => requireIntegralEdgeId(et, c); col(s"$a.$c").cast("long")
+      case None => col(s"$a.__geid")
+    }
+
+    /** Cross-element distinctness filters for a MIXED pattern under a
+      * non-WALK mode, prefix-less enumeration only (each plan row is one
+      * concrete full path, so filtering rows IS whole-path mode
+      * semantics). Decomposition: intra-segment validity comes from the
+      * kernels (SIMPLE segments run ACYCLIC — an interior segment must
+      * not close a cycle; the whole path's closing exemption lives in
+      * the alias pair below); segment endpoints are ordinary vertex
+      * aliases, so alias↔alias pairs cover endpoint↔endpoint, and
+      * alias↔segment-INTERIOR plus interior↔interior overlap checks
+      * cover the rest. Edge identities compare only within one edge
+      * table (dense ids are per-table ranks); vertex identities need one
+      * single-column NUMERIC key space (segment arrays carry long key
+      * values). A zero-length segment merges its endpoints — one vertex
+      * occurrence, not a repeat — so its own (head, tail) pair is
+      * exempted while the segment is empty. */
+    def applyMixedModeFilters(p: PathPattern, vPos: Seq[String],
+        ePos: Seq[(String, EdgeTable)], segs: Seq[ModeSeg]): Unit = {
+      def segEdges(s: ModeSeg): Column =
+        expr(s"filter(${s.pathCol}, (x, i) -> i % 2 == 1)")
+      def segVerts(s: ModeSeg): Column =
+        expr(s"filter(${s.pathCol}, (x, i) -> i % 2 == 0)")
+      def segInterior(s: ModeSeg): Column = {
+        val vs = segVerts(s)
+        slice(vs, lit(2), greatest(size(vs) - 2, lit(0)))
+      }
+      p.mode match {
+        case PathMode.Trail =>
+          for {
+            i <- ePos.indices; j <- (i + 1) until ePos.length
+            if ePos(i)._2.tableName == ePos(j)._2.tableName
+          } plan = plan.filter(
+            fixedEid(ePos(i)._1, ePos(i)._2) =!=
+              fixedEid(ePos(j)._1, ePos(j)._2))
+          for {
+            s <- segs; (fa, fet) <- ePos
+            if fet.tableName == s.et.tableName
+          } plan = plan.filter(
+            !array_contains(segEdges(s), fixedEid(fa, fet)))
+          for {
+            i <- segs.indices; j <- (i + 1) until segs.length
+            if segs(i).et.tableName == segs(j).et.tableName
+          } plan = plan.filter(
+            !arrays_overlap(segEdges(segs(i)), segEdges(segs(j))))
+        case PathMode.Acyclic | PathMode.Simple =>
+          segs.find(s => !s.keyNumeric || !s.homo).foreach { s =>
+            throw GraphAnalysisException(
+              s"Path mode ${p.mode} over a mixed pattern requires every " +
+                "quantified segment to bind one single-column numeric " +
+                "vertex key space on both endpoints (cross-element vertex " +
+                "identity is otherwise ambiguous)")
+          }
+          val endpointPairs = segs.map(s => (s.headAlias, s.tailAlias))
+          for {
+            i <- vPos.indices; j <- (i + 1) until vPos.length
+            if !(p.mode == PathMode.Simple && i == 0 && j == vPos.length - 1)
+          } {
+            val (bi, bj) = (bindings(vPos(i)), bindings(vPos(j)))
+            if (bi.table == bj.table) {
+              if (bi.keyCols != bj.keyCols)
+                throw GraphAnalysisException(
+                  s"Path mode ${p.mode}: vertices '${vPos(i)}' and " +
+                    s"'${vPos(j)}' bind table '${bi.table}' through " +
+                    "different key declarations — identity is ambiguous")
+              val neq = !keysEq(vPos(i), bi.keyCols, vPos(j), bj.keyCols)
+              val guard = segs.zip(endpointPairs).collectFirst {
+                case (s, (h, t))
+                    if (h == vPos(i) && t == vPos(j)) ||
+                      (h == vPos(j) && t == vPos(i)) =>
+                  size(col(s.pathCol)) === 1
+              }
+              plan = plan.filter(guard.map(_ || neq).getOrElse(neq))
+            }
+          }
+          for {
+            s <- segs; v <- vPos
+            if bindings(v).table == s.vtTable
+          } plan = plan.filter(!array_contains(segInterior(s),
+            col(s"$v.${s.refKey}").cast("long")))
+          for {
+            i <- segs.indices; j <- (i + 1) until segs.length
+            if segs(i).vtTable == segs(j).vtTable
+          } plan = plan.filter(
+            !arrays_overlap(segInterior(segs(i)), segInterior(segs(j))))
+        case PathMode.Walk => ()
+      }
+    }
+
     /** Pairwise distinctness filters realizing TRAIL / ACYCLIC / SIMPLE
       * over an ALL-FIXED pattern (quantified segments enforce their mode
       * inside the kernel instead): TRAIL = every pair of edge elements
@@ -275,20 +378,25 @@ object GraphTableCompiler {
       // every non-WALK mode, match.cpp:80-108 — implementing them exceeds
       // parity): a single quantified segment is enforced inside the
       // kernel (visited-set BFS / shortest-walks-are-simple); an all-fixed
-      // pattern by pairwise distinctness filters below. A pattern MIXING
-      // quantified and fixed edges (or several quantified segments) would
-      // need cross-element constraints against the kernels' interior
-      // vertices/edges — not yet wired.
+      // pattern by pairwise distinctness filters; a MIXED pattern (fixed +
+      // quantified, or several quantified segments) is supported for
+      // prefix-less ENUMERATION, where every output row is one concrete
+      // full path and cross-element distinctness filters over the segment
+      // arrays are exact whole-path semantics. Under a search prefix the
+      // picked per-segment representatives cannot express "exists a
+      // mode-valid combination" — still guarded.
       val quantifiedEdges = elems.count {
         case e: EdgePattern => e.quantifier.isDefined
         case _ => false
       }
-      if (p.mode != PathMode.Walk && quantifiedEdges > 0 && elems.length != 3)
+      if (p.mode != PathMode.Walk && quantifiedEdges > 0 &&
+          elems.length != 3 && p.prefix.isDefined)
         throw GraphAnalysisException(
-          s"Path mode ${p.mode} over a pattern mixing quantified and " +
-            "fixed edges (or multiple quantified segments) is not yet " +
-            "supported — use a single quantified edge or an all-fixed " +
-            "pattern")
+          s"Path mode ${p.mode} with a search prefix over a pattern " +
+            "mixing quantified and fixed edges (or multiple quantified " +
+            "segments) is not yet supported — drop the prefix " +
+            "(enumeration) or use a single quantified edge")
+      currentModeSegs.clear()
       // SHORTEST k ranks whole paths — per-segment top-k of a multi-hop
       // pattern would compose the wrong set, so restrict to one segment
       val kShortest = p.prefix.collect {
@@ -362,8 +470,18 @@ object GraphTableCompiler {
         modeVertexPos += prevV
         i += 2
       }
-      if (p.mode != PathMode.Walk && quantifiedEdges == 0)
-        applyFixedModeFilters(p, modeVertexPos.toSeq, modeEdgePos.toSeq)
+      // all-fixed: pairwise filters, but only when NO kernel saw the
+      // pattern (a kernel enforces the mode itself, including the
+      // trivially-valid dist-0 self path that a pairwise a≠b filter would
+      // wrongly kill). Mixed enumeration: cross-element filters over the
+      // segment arrays (single-segment enumeration stays kernel-only).
+      if (p.mode != PathMode.Walk) {
+        if (quantifiedEdges == 0 && kShortest.isEmpty)
+          applyFixedModeFilters(p, modeVertexPos.toSeq, modeEdgePos.toSeq)
+        else if (p.prefix.isEmpty && elems.length != 3)
+          applyMixedModeFilters(p, modeVertexPos.toSeq, modeEdgePos.toSeq,
+            currentModeSegs.toSeq)
+      }
 
       if (needPath) {
         val pv = p.pathVar.get
@@ -692,7 +810,11 @@ object GraphTableCompiler {
       // per-segment path column; processPattern concatenates the segments
       // and registers the combined array under the path variable
       val segColOpt: Option[String] =
-        if (needPath) Some(freshName(s"seg_${p.pathVar.get}_")) else None
+        if (needPath) Some(freshName(s"seg_${p.pathVar.get}_"))
+        // enumeration always carries its path array: the mixed-pattern
+        // mode filters consult it; the final COLUMNS projection drops it
+        else if (isEnum) Some(freshName("modeseg"))
+        else None
       val joined =
         if (isEnum || isAllShortest || kOpt.isDefined) {
           // one row PER PATH (multiplicity semantics). Under ANY SHORTEST
@@ -700,10 +822,17 @@ object GraphTableCompiler {
           // (a repeated vertex would contain a removable cycle), hence
           // trail/acyclic-valid — so only these cases need the
           // path-multiplicity kernels.
+          // in a MIXED pattern a SIMPLE segment runs ACYCLIC: an interior
+          // segment must not close a cycle; the whole path's closing
+          // exemption is handled by the cross-element alias filters
+          val segMode =
+            if (p.mode == PathMode.Simple && p.elements.length != 3)
+              PathMode.Acyclic
+            else p.mode
           val paths =
             if (isEnum)
               fromRowid(PathFinder.enumerateModePaths(spark, edgeList,
-                seedList, q.lower, q.upper, p.mode))
+                seedList, q.lower, q.upper, segMode))
             else if (kOpt.isDefined)
               fromRowid(PathFinder.kShortestPaths(spark, edgeList,
                 seedList, q.lower, q.upper, p.mode, kOpt.get))
@@ -759,6 +888,10 @@ object GraphTableCompiler {
           col(s"$b.${bRefKeys.head}").cast("long") === col("__pdst")
         else keyStruct(bRefKeys, Some(b)) === col("__pdst")), Some(bVt.label))
       plan = plan.drop("__psrc", "__pdst")
+      if (isEnum) currentModeSegs += ModeSeg(segColOpt.get, et,
+        aVt.tableName, aRefKeys.head, keyIsNumeric,
+        aVt.tableName == bVt.tableName && aRefKeys == bRefKeys,
+        aAlias, bAlias)
       (bAlias, segColOpt)
     }
 

@@ -365,6 +365,77 @@ class StudentFixtureSpec extends AnyFunSuite {
     assert(twoHop(PathMode.Simple) == walk) // closing the cycle is legal
   }
 
+  test("repeated-binding cycles under modes: ACYCLIC empty, SIMPLE keeps them") {
+    def cycle(mode: PathMode): Set[(Long, Long)] =
+      matchDF(MatchSpec("pg", Seq(PathPattern(None, None, mode, Seq(
+        VertexPattern(Some("a"), Some("Person")),
+        EdgePattern(Some("k1"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("b"), Some("Person")),
+        EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("a"), None)))), // repeated binding: closes cycle
+        columns = Seq(ColumnSpec("a.id", Some("a")),
+          ColumnSpec("b.id", Some("b")))))
+        .collect().toSet.map((r: org.apache.spark.sql.Row) =>
+          (r.getLong(0), r.getLong(1)))
+    val walkCycles = cycle(PathMode.Walk)
+    assert(walkCycles == Set((0L, 3L), (3L, 0L))) // the 0↔3 mutual pair
+    // a (a)…(a) cycle is never acyclic — the filter reduces to false
+    assert(cycle(PathMode.Acyclic).isEmpty)
+    // SIMPLE exempts the closing endpoint pair
+    assert(cycle(PathMode.Simple) == walkCycles)
+    // TRAIL: the two edges are distinct rows — cycles stay
+    assert(cycle(PathMode.Trail) == walkCycles)
+  }
+
+  test("MIXED fixed+quantified pattern under modes: cross-element filters") {
+    // (Daniel)-[k1]->(b)-[k2]->{1,2}(c): the fixed hop's edge id must not
+    // recur inside the segment (TRAIL), and no vertex may repeat across
+    // the fixed alias and the segment interior (ACYCLIC/SIMPLE)
+    def mixed(mode: PathMode): Set[Seq[Long]] =
+      matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"), None, mode, Seq(
+        VertexPattern(Some("a"), Some("Person"),
+          where = Some("a.name = 'Daniel'")),
+        EdgePattern(Some("k1"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("b"), Some("Person")),
+        EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right,
+          Some(Quantifier(1, Some(2)))),
+        VertexPattern(Some("c"), Some("Person"))))),
+        columns = Seq(ColumnSpec("element_id(p)", Some("path")))))
+        .collect().toSeq.map(_.getSeq[Long](0).toSeq).toSet
+    val trail = mixed(PathMode.Trail)
+    assert(trail.size == 9)
+    assert(!trail.contains(Seq(0L, 2L, 3L, 6L, 0L, 2L, 3L))) // k1 reused
+    assert(trail.contains(Seq(0L, 2L, 3L, 6L, 0L, 0L, 1L))) // v-revisit OK
+    val acyc = mixed(PathMode.Acyclic)
+    assert(acyc == Set(Seq(0L, 0L, 1L, 3L, 2L), Seq(0L, 0L, 1L, 4L, 3L),
+      Seq(0L, 0L, 1L, 3L, 2L, 5L, 3L), Seq(0L, 1L, 2L, 5L, 3L)))
+    // SIMPLE = ACYCLIC + paths closing back to Daniel
+    assert(mixed(PathMode.Simple) == acyc +
+      Seq(0L, 0L, 1L, 4L, 3L, 6L, 0L) + Seq(0L, 1L, 2L, 5L, 3L, 6L, 0L) +
+      Seq(0L, 2L, 3L, 6L, 0L))
+  }
+
+  test("two {1,1} quantified segments enumerate like the fixed-fixed filters") {
+    def seg2(mode: PathMode): Set[(Long, Long, Long)] =
+      matchDF(MatchSpec("pg", Seq(PathPattern(None, None, mode, Seq(
+        VertexPattern(Some("a"), Some("Person"),
+          where = Some("a.name = 'Daniel'")),
+        EdgePattern(Some("k1"), Some("Knows"), EdgeDirection.Right,
+          Some(Quantifier(1, Some(1)))),
+        VertexPattern(Some("b"), Some("Person")),
+        EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right,
+          Some(Quantifier(1, Some(1)))),
+        VertexPattern(Some("c"), Some("Person"))))),
+        columns = Seq(ColumnSpec("a.id", Some("a")),
+          ColumnSpec("b.id", Some("b")), ColumnSpec("c.id", Some("c")))))
+        .collect().toSet.map((r: org.apache.spark.sql.Row) =>
+          (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val walkSet = Set((0L, 1L, 2L), (0L, 1L, 3L), (0L, 2L, 3L), (0L, 3L, 0L))
+    assert(seg2(PathMode.Trail) == walkSet)
+    assert(seg2(PathMode.Acyclic) == walkSet - ((0L, 3L, 0L)))
+    assert(seg2(PathMode.Simple) == walkSet)
+  }
+
   test("ALL SHORTEST multiplies out every minimal parent combination") {
     val s = init()
     import s.implicits._
