@@ -365,6 +365,27 @@ class StudentFixtureSpec extends AnyFunSuite {
     assert(twoHop(PathMode.Simple) == walk) // closing the cycle is legal
   }
 
+  test("undirected TRAIL: orientation-independent eids forbid walking back " +
+      "over the same physical edge") {
+    val df = matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"), None,
+      PathMode.Trail, Seq(
+        VertexPattern(Some("a"), Some("Person"),
+          where = Some("a.name = 'David'")),
+        EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Undirected,
+          Some(Quantifier(1, Some(2)))),
+        VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("element_id(p)", Some("path")))))
+    val got = df.collect().toSeq.map(_.getSeq[Long](0).toSeq).toSet
+    // David(4)'s only physical edge is 4→3 (e7); the undirected view
+    // doubles it with the SAME id, so [4,7,3,7,4] is NOT a trail. From 3
+    // the view has TWO distinct parallel edges to 0 (stored 3→0 e6 and
+    // stored 0→3 e2) — both legal continuations and distinct trails.
+    assert(got == Set(
+      Seq(4L, 7L, 3L),
+      Seq(4L, 7L, 3L, 6L, 0L), Seq(4L, 7L, 3L, 2L, 0L),
+      Seq(4L, 7L, 3L, 4L, 1L), Seq(4L, 7L, 3L, 5L, 2L)))
+  }
+
   test("repeated-binding cycles under modes: ACYCLIC empty, SIMPLE keeps them") {
     def cycle(mode: PathMode): Set[(Long, Long)] =
       matchDF(MatchSpec("pg", Seq(PathPattern(None, None, mode, Seq(
