@@ -540,6 +540,37 @@ object SparkEntry {
         col("cosine"), round(col("cos2"), 6).as("cos_recomputed"))
   }
 
+  /** IVF coarse-quantized ANN + consistency gate (was unit-test-only):
+    * recall is structural (which inverted lists get probed), but every
+    * RETURNED row must carry the true cosine of its pair (re-derived via
+    * interpreted HOFs, independent of the codegen'd kernels) and ranks
+    * must be non-increasing in cosine per query. Violations (expected:
+    * none) are emitted; oracle = typed empty relation. */
+  private def q56_ivf_ann(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val res = Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5)
+    def hofDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def hofNorm(a: Column): Column =
+      sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val vecs = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    res
+      .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        "query_id")
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        "neighbor_id")
+      .withColumn("cos2", hofDot(col("qv"), col("nv")) /
+        (hofNorm(col("qv")) * hofNorm(col("nv"))))
+      .withColumn("prev", lag("cosine", 1).over(w))
+      .filter(abs(col("cos2") - col("cosine")) > 2e-6 ||
+        (col("prev").isNotNull && col("cosine") > col("prev") + 1e-9))
+      .select(col("query_id").cast("long").as("query_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate GROUPS: exact cosine pairs on the
     * verifiable slice → transitive closure via distributed WCC — the
     * embedding-side analogue of q39's text dedup groups. */
@@ -708,6 +739,7 @@ object SparkEntry {
     "q26_sim_pairs" -> (q26_sim_pairs _),
     "q27_sim_lsh" -> (q27_sim_lsh _),
     "q49_embed_dedup_groups" -> (q49_embed_dedup_groups _),
+    "q56_ivf_ann" -> (q56_ivf_ann _),
     "q28_multimodal" -> (q28_multimodal _),
     "q29_events_window" -> (q29_events_window _),
     "q30_sessionize" -> (q30_sessionize _))
@@ -1270,6 +1302,12 @@ object SparkEntry {
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
                 CAST(NULL AS DOUBLE) AS cosine,
                 CAST(NULL AS DOUBLE) AS cos_recomputed
+         WHERE 1 = 0""",
+
+    "q56_ivf_ann" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id,
+                CAST(NULL AS BIGINT) AS neighbor_id,
+                CAST(NULL AS BIGINT) AS rank, CAST(NULL AS DOUBLE) AS cosine
          WHERE 1 = 0""",
 
     "q22_text_stats" ->
