@@ -945,6 +945,9 @@ object GraphTableCompiler {
     // star expansion honors the registered property subset (reference
     // match.cpp:1054-1080 expands against registered properties, so
     // PROPERTIES(...)/EXCEPT exclusions never leak through `*`)
+    // property names are backtick-quoted so names with dots/spaces/reserved
+    // words survive col()'s attribute parsing (generated_sql_quoting.test)
+    def bq(c: String): String = s"`${c.replace("`", "``")}`"
     def starCols(alias: String): Seq[Column] =
       // case-insensitive lookup: Spark resolves alias qualifiers
       // case-insensitively, so `A.*` must hit binding `a`.
@@ -955,16 +958,16 @@ object GraphTableCompiler {
         case Some(b) if b.isVertex =>
           pg.vertexTables.find(_.tableName == b.table) match {
             case Some(vt) if vt.properties.nonEmpty =>
-              vt.properties.map(c => col(s"$alias.$c"))
+              vt.properties.map(c => col(s"$alias.${bq(c)}"))
             case _ => resolver(spark, b.table).columns.toSeq
-              .map(c => col(s"$alias.$c"))
+              .map(c => col(s"$alias.${bq(c)}"))
           }
         case Some(b) =>
           pg.edgeTables.find(_.tableName == b.table) match {
             case Some(et) if et.properties.nonEmpty =>
-              et.properties.map(c => col(s"$alias.$c"))
+              et.properties.map(c => col(s"$alias.${bq(c)}"))
             case _ => resolver(spark, b.table).columns.toSeq
-              .map(c => col(s"$alias.$c"))
+              .map(c => col(s"$alias.${bq(c)}"))
           }
         case None => Seq(col(s"$alias.*"))
       }

@@ -123,9 +123,18 @@ object TableResolver {
     def apply(spark: SparkSession, t: String): DataFrame =
       spark.read.parquet(s"$dir/$t.parquet")
   }
-  /** Catalog / temp-view resolution. */
+  /** Catalog / temp-view resolution. Names that don't parse as a bare
+    * multi-part identifier (reserved words like `select`, names with
+    * spaces — reference generated_sql_quoting.test registers table
+    * `"select"`) are retried backtick-quoted as a single-part name. */
   val catalog: TableResolver = new TableResolver {
-    def apply(spark: SparkSession, t: String): DataFrame = spark.table(t)
+    def apply(spark: SparkSession, t: String): DataFrame =
+      try spark.table(t)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          try spark.table(s"`${t.replace("`", "``")}`")
+          catch { case _: Throwable => throw e }
+      }
   }
 }
 

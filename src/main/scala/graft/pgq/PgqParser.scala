@@ -81,27 +81,35 @@ final class PgqParser(input: String) {
 
   /** Capture raw SQL text until one of `stops` appears at paren depth 0
     * (keywords matched case-insensitively at word boundaries), or until the
-    * enclosing depth would go negative. */
+    * enclosing depth would go negative. `'…'` strings and `"…"` quoted
+    * identifiers are opaque (stops/parens inside them don't count), and
+    * double-quoted identifiers are normalized to Spark backticks on return
+    * (ANSI `"from"` → `` `from` ``, reference generated_sql_quoting.test). */
   private def rawExprUntil(stops: Seq[String]): String = {
     ws()
     val start = pos
     var depth = 0
     var inStr = false
+    var inQuotedId = false
     while (pos < n) {
       val c = input(pos)
       if (inStr) {
         if (c == '\'') inStr = false
         pos += 1
+      } else if (inQuotedId) {
+        if (c == '"') inQuotedId = false
+        pos += 1
       } else c match {
         case '\'' => inStr = true; pos += 1
+        case '"' => inQuotedId = true; pos += 1
         case '(' | '[' => depth += 1; pos += 1
         case ')' | ']' =>
           if (depth == 0) {
-            return input.substring(start, pos).trim
+            return quotedIdentsToBackticks(input.substring(start, pos).trim)
           }
           depth -= 1; pos += 1
         case ',' if depth == 0 && stops.contains(",") =>
-          return input.substring(start, pos).trim
+          return quotedIdentsToBackticks(input.substring(start, pos).trim)
         case _ =>
           if (depth == 0 && (c.isLetter || c == '_')) {
             val w = pos
@@ -109,13 +117,44 @@ final class PgqParser(input: String) {
             while (e < n && isIdentChar(input(e))) e += 1
             val word = input.substring(w, e)
             if (stops.exists(_.equalsIgnoreCase(word))) {
-              return input.substring(start, pos).trim
+              return quotedIdentsToBackticks(input.substring(start, pos).trim)
             }
             pos = e
           } else pos += 1
       }
     }
-    input.substring(start, pos).trim
+    quotedIdentsToBackticks(input.substring(start, pos).trim)
+  }
+
+  /** Rewrites ANSI double-quoted identifiers to the backtick form Spark's
+    * expression parser understands, leaving `'…'` string literals intact.
+    * `""` inside a quoted identifier is the SQL escape for one `"`; a
+    * literal backtick in the name becomes Spark's ` `` ` escape. */
+  private def quotedIdentsToBackticks(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'') { // copy string literal verbatim
+        out += c; i += 1
+        while (i < s.length && s(i) != '\'') { out += s(i); i += 1 }
+        if (i < s.length) { out += '\''; i += 1 }
+      } else if (c == '"') {
+        i += 1
+        val name = new StringBuilder
+        var closed = false
+        while (i < s.length && !closed) {
+          if (s(i) == '"') {
+            if (i + 1 < s.length && s(i + 1) == '"') { name += '"'; i += 2 }
+            else { closed = true; i += 1 }
+          } else { name += s(i); i += 1 }
+        }
+        out += '`'
+        out ++= name.result().replace("`", "``")
+        out += '`'
+      } else { out += c; i += 1 }
+    }
+    out.result()
   }
 
   // ---------------- MATCH / GRAPH_TABLE ----------------
@@ -149,29 +188,43 @@ final class PgqParser(input: String) {
       val raw = rawExprUntil(Seq(","))
       out += splitAlias(raw)
       ws()
-      if (pos < n && input(pos) == ',') pos += 1 else done = true
+      if (pos < n && input(pos) == ',') {
+        pos += 1
+        ws()
+        // trailing comma before ')' is legal (reference
+        // optional_columns.test:49 `COLUMNS (p.id as p_id,)`)
+        if (pos < n && input(pos) == ')') done = true
+      } else done = true
     }
     out.toSeq
   }
 
-  /** `expr AS alias` / `expr alias` split at depth 0. */
+  /** `expr AS alias` / `expr alias` split at depth 0. The alias arrives
+    * backtick-normalized (see [[quotedIdentsToBackticks]]); strip the
+    * quoting so the stored alias is the bare column name. */
   private def splitAlias(raw: String): ColumnSpec = {
     val asIdx = findTopLevelAs(raw)
     asIdx match {
       case Some(i) =>
-        ColumnSpec(raw.substring(0, i).trim,
-          Some(raw.substring(i + 2).trim.stripPrefix("\"").stripSuffix("\"")))
+        val alias = raw.substring(i + 2).trim
+        val bare =
+          if (alias.length >= 2 && alias.head == '`' && alias.last == '`')
+            alias.substring(1, alias.length - 1).replace("``", "`")
+          else alias
+        ColumnSpec(raw.substring(0, i).trim, Some(bare))
       case None => ColumnSpec(raw.trim)
     }
   }
 
   private def findTopLevelAs(s: String): Option[Int] = {
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var inStr = false; var inBt = false; var i = 0
     while (i < s.length - 2) {
       val c = s(i)
       if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inBt) { if (c == '`') inBt = false; i += 1 }
       else c match {
         case '\'' => inStr = true; i += 1
+        case '`' => inBt = true; i += 1
         case '(' | '[' => depth += 1; i += 1
         case ')' | ']' => depth -= 1; i += 1
         case 'a' | 'A' if depth == 0 &&
