@@ -403,24 +403,34 @@ object SparkEntry {
     * pair's distance is recomputed from signatures produced by the
     * DECLARATIVE HOF simhash ([[Dedup.simHash]] — per-bit majority via
     * filter/size expressions), which must agree bit-for-bit with the
-    * imperative [[graft.functions.SimHashAgg]] path the pipeline uses.
+    * fused codegen [[graft.functions.SimHashBits]] path the pipeline uses.
     * Violations (expected: none) are emitted; maxDist 3 because 4×16-bit
     * band blocking guarantees ≥1 shared band only for Hamming ≤ 3. */
   private def q21_dedup_simhash(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
+    // the pair set is tiny (near-dup pairs) but its subtree carries the
+    // corpus-wide sketch aggregation — checkpoint it so the three
+    // consumers below (two id projections + the final join) don't re-run
+    // that aggregation
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
-    // join the RAW text, recompute ABOVE the join: the declarative
-    // simhash is 64 interpreted per-bit HOFs — evaluated for the ~dozens
-    // of pair rows it is free, evaluated under the join for the whole
-    // corpus it dominated the bench (3 s → 32 s at sf0.1)
-    val txt = docs.select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    // recompute the signature through the DECLARATIVE path once per
+    // REFERENCED doc, not once per pair side: the HOF simhash is 64
+    // interpreted per-bit reductions — per-pair-side evaluation (with
+    // Catalyst's filter/project duplication) was ~4 s of the bench at
+    // sf0.1, per-referenced-doc is sub-second. Corpus-wide evaluation is
+    // far worse still (3 s → 32 s at sf0.1).
+    val ids = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val sigs = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("sig2"))
+      .localCheckpoint() // consumed by both pair sides — evaluate once
     pairs
-      .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")),
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig2").as("sa")),
         "id_a")
-      .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")),
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig2").as("sb")),
         "id_b")
-      .withColumn("dist2", Dedup.hamming64(
-        Dedup.simHash(col("ta")), Dedup.simHash(col("tb"))))
+      .withColumn("dist2", Dedup.hamming64(col("sa"), col("sb")))
       .filter(col("dist") > 3 || col("dist2") =!= col("dist"))
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"),

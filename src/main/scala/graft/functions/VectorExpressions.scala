@@ -229,6 +229,81 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** 64-bit SimHash signature from a token array in ONE fused per-row loop:
+  * xxhash64 per token (identical to Spark's `xxhash64()` — `XXH64` with
+  * seed 42) feeding 64 bit counters + a strict-majority vote. The per-row
+  * (shuffle-free) form of [[graft.functions.SimHashAgg]] — a signature is
+  * a pure function of one document's tokens, so computing it as a
+  * projection avoids the explode + hash-aggregate + shuffle the aggregate
+  * form needs (at corpus scale that shuffle carries every token).
+  * Majority rule identical to the other implementations: bit i set iff
+  * ones(i) * 2 > n; empty array ⇒ 0L; null elements skipped. */
+case class SimHashBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_bits"
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val ones = new Array[Long](64)
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val s = x.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var b = 0
+        while (b < 64) { ones(b) += (h >>> b) & 1L; b += 1 }
+        cnt += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (ones(b) * 2 > cnt) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val s = ctx.freshName("s")
+      val cnt = ctx.freshName("cnt")
+      val ones = ctx.freshName("ones")
+      val sig = ctx.freshName("sig")
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val u = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+        int $n = $x.numElements();
+        long[] $ones = new long[64];
+        long $cnt = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$x.isNullAt($i)) {
+            $u $s = $x.getUTF8String($i);
+            long $h = $xxh.hashUnsafeBytes(
+              $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+            for (int $b = 0; $b < 64; $b++) $ones[$b] += ($h >>> $b) & 1L;
+            $cnt++;
+          }
+        }
+        long $sig = 0L;
+        for (int $b = 0; $b < 64; $b++)
+          if ($ones[$b] * 2 > $cnt) $sig |= (1L << $b);
+        ${ev.value} = $sig;
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** All hyperplane sign bits of an LSH signature in ONE fused loop: the
   * constant plane matrix is embedded as a codegen reference object, so a
   * `planes`-bit signature costs a single pass of primitive multiply-adds
@@ -302,4 +377,6 @@ object VectorFunctions {
     Bridge.column(MinHashSignature(Bridge.expression(hashed), numHashes))
   def word_shingles(tokens: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(tokens), k))
+  def simhash_bits(hashed: Column): Column =
+    Bridge.column(SimHashBits(Bridge.expression(hashed)))
 }

@@ -130,17 +130,19 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash signatures via explode + a single imperative bit-counter
-    * aggregate ([[graft.functions.SimHashAgg]]) — one buffer per group
-    * with map-side combine instead of 64 separate sums. The fast path
-    * behind [[simHash]]. */
+  /** SimHash signatures as a fused per-row codegen projection
+    * ([[graft.functions.SimHashBits]]): a signature is a pure function of
+    * one document's token list, so it needs no explode, no shuffle, and
+    * no aggregation — the previous explode + imperative-aggregate form
+    * ([[graft.functions.SimHashAgg]], kept for streaming/grouped inputs
+    * where tokens genuinely arrive as rows) shuffled every token of the
+    * corpus. Null text ⇒ signature 0 (empty-token semantics). */
   def simHashSignatures(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-        explode_outer(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-      .groupBy("id")
-      .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("sig"))
+      graft.functions.VectorFunctions.simhash_bits(
+        coalesce(TextAnalysis.tokens(lower(col(textCol))),
+          array().cast("array<string>"))).as("sig"))
 
   /** SimHash near-dup pairs: block on 4 × 16-bit bands (a pair within
     * Hamming distance ≤ maxDist ≤ 3 must agree on ≥1 band), verify by
