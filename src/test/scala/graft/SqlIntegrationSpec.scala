@@ -71,6 +71,57 @@ class SqlIntegrationSpec extends AnyFunSuite {
     assert(topk == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("unnamed GRAPH_TABLE subquery — unnamed_subquery.test") {
+    val g = mkGraft
+    // bare FROM GRAPH_TABLE(...) with no alias (unnamed_subquery.test:22-28)
+    val bare = g.sqlGraph(
+      """SELECT * FROM GRAPH_TABLE (pg
+           MATCH (a:Person)-[k:Knows]->(b:Person)
+           COLUMNS (a.name AS a_name, b.name AS b_name))
+         ORDER BY a_name, b_name LIMIT 10""")
+    assert(bare.count() == 8)
+    // aliased form returns the identical relation (unnamed_subquery.test:40-46)
+    val aliased = g.sqlGraph(
+      """SELECT tmp.a_name, tmp.b_name FROM GRAPH_TABLE (pg
+           MATCH (a:Person)-[k:Knows]->(b:Person)
+           COLUMNS (a.name AS a_name, b.name AS b_name)) tmp
+         ORDER BY a_name, b_name""")
+    assert(bare.select("a_name", "b_name").collect().toSeq ==
+      aliased.collect().toSeq)
+  }
+
+  test("WITH + GRAPH_TABLE + comma joins — with_statement_duckpgq.test") {
+    val g = mkGraft
+    // CTE scalar + GRAPH_TABLE + comma join, grouped (shape of
+    // with_statement_duckpgq.test:17-40)
+    val pct = g.sqlGraph(
+      """WITH know_count AS (
+           SELECT count(*) AS kc FROM GRAPH_TABLE (pg
+             MATCH (x:Person)-[k0:Knows]->(y:Person)
+             COLUMNS (x.id AS xid)) t0
+         )
+         SELECT a_name, count(*) / kc AS frac
+         FROM GRAPH_TABLE (pg
+           MATCH (a:Person)-[k:Knows]->(b:Person)
+           COLUMNS (a.name AS a_name)) tmp, know_count
+         GROUP BY a_name, kc ORDER BY frac DESC, a_name""")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(pct.head == ("Daniel", 0.375)) // 3 of 8 edges
+    assert(math.abs(pct.map(_._2).sum - 1.0) < 1e-9)
+    // comma-join order both ways: GRAPH_TABLE first, then a 1-row subquery
+    // (with_statement_duckpgq.test:43-84) — row count is the product
+    val gtFirst = g.sqlGraph(
+      """SELECT * FROM GRAPH_TABLE (pg
+           MATCH (m:Person) COLUMNS (m.id AS mid)) tmp,
+           (SELECT id FROM student ORDER BY id LIMIT 1)""")
+    val gtSecond = g.sqlGraph(
+      """SELECT * FROM (SELECT id FROM student ORDER BY id LIMIT 1),
+           GRAPH_TABLE (pg MATCH (m:Person) COLUMNS (m.id AS mid)) tmp""")
+    assert(gtFirst.count() == 5 && gtSecond.count() == 5)
+    assert(gtFirst.select("mid").collect().map(_.getLong(0)).sorted.toSeq ==
+      gtSecond.select("mid").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("COPY TO csv — copy_to_duckpgq.test") {
     val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
     mkGraft.copyTo(
