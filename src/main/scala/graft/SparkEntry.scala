@@ -635,6 +635,27 @@ object SparkEntry {
         .as("n_sessions"))
   }
 
+  /** Interval self-join: view→click funnel pairs within 30 minutes per
+    * user — the batch twin of [[graft.streaming.EventStreams.eventFollowJoin]]
+    * (same plan shape; the streaming parity spec runs both). Equi-key on
+    * user_id with the time range as a residual — hash/sort-merge join, no
+    * cross product, so the plan survives the 100× scale-up. Time arithmetic
+    * is ms-TRUNCATED per side (ts DIV 1e6), matching the oracle's
+    * epoch_ms() exactly. */
+  private def q57_follow_join(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("ts_ms", expr("ts DIV 1000000"))
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event"),
+        col("ts_ms").as("a_ms"))
+    val b = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("b_user"), col("event_id").as("click_event"),
+        col("ts_ms").as("b_ms"))
+    a.join(b, col("user_id") === col("b_user") &&
+        col("b_ms") >= col("a_ms") && col("b_ms") <= col("a_ms") + lit(1800000L))
+      .select(col("user_id"), col("view_event"), col("click_event"),
+        (col("b_ms") - col("a_ms")).as("gap_ms"))
+  }
+
   // =========================================================================
   // Large derived graph (events → user-interaction graph)
   // =========================================================================
@@ -752,7 +773,8 @@ object SparkEntry {
     "q56_ivf_ann" -> (q56_ivf_ann _),
     "q28_multimodal" -> (q28_multimodal _),
     "q29_events_window" -> (q29_events_window _),
-    "q30_sessionize" -> (q30_sessionize _))
+    "q30_sessionize" -> (q30_sessionize _),
+    "q57_follow_join" -> (q57_follow_join _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -1426,5 +1448,14 @@ object SparkEntry {
                  epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
                FROM events)
-         GROUP BY user_id""")
+         GROUP BY user_id""",
+
+    "q57_follow_join" ->
+      """SELECT a.user_id AS user_id, a.event_id AS view_event,
+           b.event_id AS click_event,
+           epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+         FROM events a JOIN events b ON a.user_id = b.user_id
+           AND a.event_type = 'view' AND b.event_type = 'click'
+           AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+           AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 1800000""")
 }

@@ -149,6 +149,46 @@ object EventStreams {
       .toDF("user_id", "n_events")
   }
 
+  /** Stream-stream interval join: each `firstType` event pairs with the
+    * same user's `thenType` events that follow within `horizon` —
+    * funnel/attribution over two live streams (view→click, signup→purchase).
+    *
+    * Both sides carry a watermark and the join condition is an event-time
+    * range, so Spark evicts join state once the watermark passes
+    * `a_time + horizon` — state stays bounded by (rate × horizon) per side
+    * regardless of total stream length, the property that lets this run
+    * unchanged against a year-long Kafka topic. The equi-key (`user_id`)
+    * keeps the physical join a hash/sort-merge on the key with the time
+    * range as a residual filter — no cross product.
+    *
+    * Also callable on a BATCH DataFrame (watermarks become no-ops) — the
+    * parity spec runs the same plan both ways.
+    *
+    * @return (user_id, first_event, then_event, gap_ms)
+    */
+  def eventFollowJoin(events: DataFrame, firstType: String = "view",
+      thenType: String = "click", horizon: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    // state eviction for a stream-stream INNER join needs watermarks on
+    // BOTH inputs plus the two-sided time bound below
+    val a = events.filter(col("event_type") === firstType)
+      .withWatermark("event_time", watermark)
+      .select(col("user_id").as("a_user"), col("event_id").as("a_event"),
+        col("event_time").as("a_time"))
+    val b = events.filter(col("event_type") === thenType)
+      .withWatermark("event_time", watermark)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_event"),
+        col("event_time").as("b_time"))
+    a.join(b, col("a_user") === col("b_user") &&
+        col("b_time") >= col("a_time") &&
+        col("b_time") <= col("a_time") + expr(s"INTERVAL $horizon"))
+      .select(col("a_user").as("user_id"),
+        col("a_event").as("first_event"),
+        col("b_event").as("then_event"),
+        (unix_millis(col("b_time")) - unix_millis(col("a_time")))
+          .as("gap_ms"))
+  }
+
   /** Session windows (native session_window, 30-minute gap): the streaming
     * analogue of SparkEntry.q30_sessionize. */
   def sessionWindows(events: DataFrame,

@@ -133,6 +133,32 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch plan") {
+    val s = init()
+    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
+    val q = EventStreams.eventFollowJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("follow_out").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("follow_out")
+        .select("user_id", "first_event", "then_event", "gap_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch twin: the SAME operator over the static DataFrame (watermarks
+      // are no-ops in batch) — one plan, two execution modes
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchEv = s.read.schema(EventStreams.eventsSchema)
+        .parquet("/root/testdata/sf0.001/events*")
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      val want = EventStreams.eventFollowJoin(batchEv)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming session windows produce bounded sessions") {
     val s = init()
     val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
