@@ -312,6 +312,27 @@ object SparkEntry {
       .select(col("src"), col("dst"), round(col("cost"), 2).as("cost"))
   }
 
+  /** Cheapest-path ROUTE reconstruction gate (beyond parity — the reference
+    * stops at `cheapest_path_length`): rebuild each pair's cheapest route,
+    * recompute its cost FROM THE PATH ITSELF (ring weight = the destination
+    * nation key sitting at every even slot ≥ 2 of the `[v,e,…,v]` array)
+    * and hash-match against q14's recursive-CTE min-cost oracle — a wrong
+    * or inconsistent route sums to a wrong cost and trips the gate. */
+  private def q58_cheapest_route(s: SparkSession, d: String): DataFrame = {
+    val edges = TradeGraph.nationNext(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col("dst").cast("double").as("w"))
+    val seeds = t(s, d, "nation")
+      .select(col("n_nationkey").cast("long").as("id"))
+    PathFinder.cheapestRoutes(s, edges, seeds)
+      .select(col("src"), col("dst"),
+        round(when(size(col("path")) === 1, lit(0.0))
+          .otherwise(expr("aggregate(transform(" +
+            "sequence(2, size(path)-1, 2), i -> path[i]), 0D, " +
+            "(acc, x) -> acc + x)")), 2).as("cost"))
+  }
+
   // =========================================================================
   // Graph algorithms (SURVEY §2.B/§2.C)
   // =========================================================================
@@ -756,6 +777,7 @@ object SparkEntry {
     "q46_multiseg_path" -> (q46_multiseg_path _),
     "q13_reachability" -> (q13_reachability _),
     "q14_cheapest" -> (q14_cheapest _),
+    "q58_cheapest_route" -> (q58_cheapest_route _),
     "q15_pagerank" -> (q15_pagerank _),
     "q16_wcc" -> (q16_wcc _),
     "q17_lcc" -> (q17_lcc _),
@@ -1232,6 +1254,18 @@ object SparkEntry {
          WHERE d >= 1""",
 
     "q14_cheapest" ->
+      s"""WITH RECURSIVE $sqlNationNext,
+         b(src, dst, cost) AS (
+           SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+                  CAST(0 AS DOUBLE) FROM nation
+           UNION
+           SELECT b.src, CAST(e.dst AS BIGINT), b.cost + CAST(e.dst AS DOUBLE)
+           FROM b JOIN nation_next e ON b.dst = e.src WHERE b.cost < 200)
+         SELECT src, dst, round(min(cost), 2) AS cost
+         FROM b GROUP BY src, dst""",
+
+    // route gate: recomputed-from-path costs must equal the min-cost CTE
+    "q58_cheapest_route" ->
       s"""WITH RECURSIVE $sqlNationNext,
          b(src, dst, cost) AS (
            SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),

@@ -258,6 +258,68 @@ private[graph] object LocalKernels {
     out.toArray
   }
 
+  /** Bellman-Ford with parent pointers + backtrack — cheapest ROUTES, the
+    * path-carrying twin of [[cheapestPaths]] (the reference stops at
+    * lengths, `cheapest_path_length.cpp:12-163` — reconstruction exceeds
+    * parity). Tie-break: lexicographic-min (cost, hops, parentV, parentE),
+    * the same order [[PathFinder.cheapestRoutes]]'s distributed min-struct
+    * aggregation uses, so both strategies return identical routes. The
+    * hops component makes the tie-break well-founded on zero-weight cycles
+    * (a parent always has strictly smaller (cost, hops)).
+    *
+    * @param edges (src, dst, eid, w)
+    * @return (seed, dst, cost, [v,e,…,v])
+    */
+  def cheapestRoutes(edges: Array[(Long, Long, Long, Double)],
+      seeds: Array[Long]): Array[(Long, Long, Double, Array[Long])] = {
+    val out = mutable.ArrayBuffer[(Long, Long, Double, Array[Long])]()
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[(Long, Long, Double)]]
+    edges.foreach { case (s, d, eid, w) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((d, eid, w))
+    }
+    seeds.distinct.foreach { s =>
+      // v -> (cost, hops, parentV, parentE)
+      val best = mutable.LongMap[(Double, Long, Long, Long)](
+        s -> ((0.0, 0L, -1L, -1L)))
+      var changed = true
+      val maxRounds = adj.size + seeds.length + 2
+      var round = 0
+      while (changed && round < maxRounds) {
+        round += 1
+        changed = false
+        best.toArray.foreach { case (u, (cu, hu, _, _)) =>
+          adj.getOrElse(u, Nil).foreach { case (v, eid, w) =>
+            val cand = (cu + w, hu + 1L, u, eid)
+            val cur = best.get(v)
+            val lt = cur.isEmpty || {
+              val c = cur.get
+              cand._1 < c._1 || (cand._1 == c._1 && (cand._2 < c._2 ||
+                (cand._2 == c._2 && (cand._3 < c._3 ||
+                  (cand._3 == c._3 && cand._4 < c._4)))))
+            }
+            if (lt) { best(v) = cand; changed = true }
+          }
+        }
+      }
+      if (changed)
+        throw graft.model.GraphAnalysisException(
+          "cheapest-route did not converge (negative cycle detected)")
+      best.foreach { case (v, (c, h, _, _)) =>
+        val path = mutable.ArrayBuffer[Long]()
+        var cur = v
+        var left = h
+        while (left > 0) {
+          val (_, _, pv, pe) = best(cur)
+          path.prepend(cur); path.prepend(pe)
+          cur = pv; left -= 1
+        }
+        path.prepend(s)
+        out += ((s, v, c, path.toArray))
+      }
+    }
+    out.toArray
+  }
+
   /** PageRank — mirrors [[Algorithms.pageRank]] incl. the phantom-node
     * reference quirk and dangling redistribution. */
   def pageRank(vertexIds: Array[Long], edges: Array[(Long, Long)],

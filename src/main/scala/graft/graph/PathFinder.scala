@@ -689,6 +689,116 @@ object PathFinder {
     dist
   }
 
+  /** Weighted cheapest paths WITH route reconstruction — the path-carrying
+    * twin of [[cheapestPaths]]. The reference stops at lengths
+    * (`cheapest_path_length.cpp:12-163`); reconstruction exceeds parity.
+    *
+    * Same narrow-relaxation discipline as [[shortestPaths]]: the per-round
+    * shuffle carries only (src, dst, cost, hops, parentV, parentE) — never
+    * a growing array — and the route is rebuilt afterwards by backtracking
+    * joins over the converged parent relation. Tie-break is the
+    * lexicographic min-struct (cost, hops, parentV, parentE); the hops
+    * component keeps the parent relation acyclic on zero-weight cycles
+    * (every parent has strictly smaller (cost, hops)), so the backtrack
+    * terminates in exactly `hops` joins.
+    *
+    * @param edges (src, dst, w[, eid]) — dense ids synthesized when absent
+    * @return (src, dst, cost, path) with `path` interleaved `[v,e,…,v]`
+    */
+  def cheapestRoutes(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    val e0 = if (edges.columns.contains("eid")) edges
+      else Snapshot.denseEdgeIds(spark,
+        edges.select(col("src"), col("dst"), col("w")), Seq("src", "dst"))
+    val e = e0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("double").as("w"),
+      col("eid").cast("long").as("eid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
+    if (eSmall &&
+        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
+      val seedArr = collectSeeds(seeds)
+      locally {
+        val earr = e.select("src", "dst", "eid", "w").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        val res = LocalKernels.cheapestRoutes(earr, seedArr)
+        e.unpersist()
+        import spark.implicits._
+        return res.toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
+          .toDF("src", "dst", "cost", "path")
+      }
+    }
+    // ---- distributed relaxation: narrow rows only ----
+    var dist = seeds.select(col("id").cast("long").as("src")).distinct()
+      .select(col("src"), col("src").as("dst"),
+        lit(0.0).as("cost"), lit(0L).as("hops"),
+        lit(-1L).as("pv"), lit(-1L).as("pe"))
+      .localCheckpoint()
+    var changed = true
+    var iter = 0
+    val maxRounds = 1000
+    while (changed && iter < maxRounds) {
+      iter += 1
+      val relaxed = dist.join(e, dist("dst") === e("src"))
+        .select(dist("src"), e("dst").as("dst"),
+          (dist("cost") + e("w")).as("cost"),
+          (dist("hops") + 1L).as("hops"),
+          dist("dst").as("pv"), e("eid").as("pe"))
+      val next = dist.union(relaxed)
+        .groupBy("src", "dst")
+        .agg(min(struct(col("cost"), col("hops"), col("pv"), col("pe")))
+          .as("b"))
+        .select(col("src"), col("dst"), col("b.cost").as("cost"),
+          col("b.hops").as("hops"), col("b.pv").as("pv"),
+          col("b.pe").as("pe"))
+        .localCheckpoint()
+      // converged iff no pair's FULL tuple improved and none appeared —
+      // hops/parent churn after cost convergence must also settle, or the
+      // backtrack would read a half-updated parent relation
+      changed = !next.alias("n")
+        .join(dist.alias("o"), Seq("src", "dst"), "left_outer")
+        .filter(col("o.cost").isNull ||
+          struct(col("n.cost"), col("n.hops"), col("n.pv"), col("n.pe")) =!=
+          struct(col("o.cost"), col("o.hops"), col("o.pv"), col("o.pe")))
+        .isEmpty
+      dist = next
+    }
+    if (changed) {
+      e.unpersist()
+      throw GraphAnalysisException(
+        s"cheapest-route did not converge within $maxRounds rounds " +
+          "(negative cycle, or a longer chain than supported)")
+    }
+    // ---- backtrack: extend suffixes leftward through the parent tree ----
+    val parents = dist.persist(StorageLevel.MEMORY_AND_DISK)
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    done += parents.filter(col("hops") === 0L)
+      .select(col("src"), col("dst"), col("cost"),
+        array(col("src")).as("path"))
+    var active = parents.filter(col("hops") > 0L)
+      .select(col("src"), col("dst"), col("cost"),
+        (col("hops") - 1L).as("left"), col("pv").as("cur"),
+        array(col("pv"), col("pe"), col("dst")).as("suf"))
+      .localCheckpoint()
+    while (!active.isEmpty) {
+      val (fin, open) =
+        (active.filter(col("left") === 0L), active.filter(col("left") > 0L))
+      done += fin.select(col("src"), col("dst"), col("cost"),
+        col("suf").as("path"))
+      active = open.alias("a")
+        .join(parents.alias("p"),
+          col("a.src") === col("p.src") && col("a.cur") === col("p.dst"))
+        .select(col("a.src").as("src"), col("a.dst").as("dst"),
+          col("a.cost").as("cost"), (col("a.left") - 1L).as("left"),
+          col("p.pv").as("cur"),
+          concat(array(col("p.pv"), col("p.pe")), col("a.suf")).as("suf"))
+        .localCheckpoint()
+    }
+    val out = done.reduce(_ union _)
+    e.unpersist()
+    out
+  }
+
   /** Reachability — semantics of reference `reachability`
     * (`reachability.cpp:165-254`): true iff a directed path exists
     * (0 hops ⇒ src = dst is reachable). */

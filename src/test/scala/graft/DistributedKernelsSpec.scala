@@ -289,6 +289,40 @@ class DistributedKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("cheapest ROUTES: distributed matches local, zero-weight cycle safe") {
+    val s = init()
+    import s.implicits._
+    // weighted diamond + a zero-weight 2-cycle (5⇄6) that would loop a
+    // parent relation without the hops tie-break; 1→3 cheapest is 11 via 2
+    val e = Seq((1L, 2L, 10.0), (2L, 3L, 1.0), (1L, 3L, 20.0),
+      (3L, 4L, 0.5), (1L, 5L, 1.0), (5L, 6L, 0.0), (6L, 5L, 0.0))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    def run() = PathFinder.cheapestRoutes(s, e, seeds).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getSeq[Long](3).toList))).toMap
+    val local = run()
+    val dist = withDistributed(run())
+    assert(local == dist)
+    // route structure: [v,e,…,v], endpoints right, odd length
+    local.foreach { case ((src, dst), (_, path)) =>
+      assert(path.head == src && path.last == dst && path.length % 2 == 1)
+    }
+    // cheapest 1→3 goes via 2 (cost 11, not the direct 20) and 1→4
+    // extends it — vertex slots are positions 0,2,4,…
+    assert(local((1L, 3L))._1 == 11.0)
+    assert(local((1L, 3L))._2.grouped(2).map(_.head).toList ==
+      List(1L, 2L, 3L))
+    assert(local((1L, 4L))._1 == 11.5)
+    assert(local((1L, 4L))._2.grouped(2).map(_.head).toList ==
+      List(1L, 2L, 3L, 4L))
+    // zero-weight cycle: 5 and 6 reached at cost 1.0 with FINITE paths —
+    // the hops tie-break keeps the parent relation acyclic
+    assert(local((1L, 5L)) ._1 == 1.0 && local((1L, 6L))._1 == 1.0)
+    assert(local((1L, 6L))._2.grouped(2).map(_.head).toList ==
+      List(1L, 5L, 6L))
+  }
+
   test("bidirectional target BFS matches the local kernel (incl. unreachable pairs)") {
     val s = init()
     import s.implicits._
