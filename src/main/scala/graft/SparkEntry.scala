@@ -656,6 +656,24 @@ object SparkEntry {
         .as("n_sessions"))
   }
 
+  /** End-to-end training-corpus curation — the §2.H operators COMPOSED as
+    * one plan, the shape a real data pipeline runs: exact-dedup (keep the
+    * canonical copy), drop short docs, score quality, and report per-band
+    * doc/token budgets. Two shuffles at any scale: the content-hash window
+    * and the final band aggregation — everything between is a codegen'd
+    * projection, so the plan is the same at 500 rows and 100 TB. */
+  private def q59_corpus_curation(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+      .filter(!col("is_duplicate"))
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(txt).as("n_tokens"),
+        TextAnalysis.qualityScore(txt).as("quality"))
+      .filter(col("n_tokens") >= 5)
+      .groupBy(floor(col("quality") * 10).cast("long").as("q_band"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+  }
+
   /** Interval self-join: view→click funnel pairs within 30 minutes per
     * user — the batch twin of [[graft.streaming.EventStreams.eventFollowJoin]]
     * (same plan shape; the streaming parity spec runs both). Equi-key on
@@ -796,7 +814,8 @@ object SparkEntry {
     "q28_multimodal" -> (q28_multimodal _),
     "q29_events_window" -> (q29_events_window _),
     "q30_sessionize" -> (q30_sessionize _),
-    "q57_follow_join" -> (q57_follow_join _))
+    "q57_follow_join" -> (q57_follow_join _),
+    "q59_corpus_curation" -> (q59_corpus_curation _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -1483,6 +1502,42 @@ object SparkEntry {
                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
                FROM events)
          GROUP BY user_id""",
+
+    "q59_corpus_curation" ->
+      """WITH canon AS (
+           SELECT doc_id, text,
+             min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+               AS canonical_id
+           FROM documents),
+         scored AS (
+           SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_tokens,
+             round((
+               least(CAST(len(text) AS DOUBLE) / 200.0, 1.0)
+               + (1.0 - least(5.0 * CASE WHEN len(text) = 0 THEN 0.0 ELSE
+                   CAST(len(text) - len(regexp_replace(text,
+                     '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text) END,
+                   1.0))
+               + least(4.0 * CASE
+                   WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0
+                   THEN 0.0 ELSE
+                   CAST(len(list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> list_contains(['and','das','de5','der','des','die',
+                       'ein','el','es','et','he2','is','ist','la','las','le',
+                       'le5','les','los','of','shi4','the','to','un','una',
+                       'und','with','y','you3','zai4'], x))) AS DOUBLE) /
+                   len(string_split_regex(trim(lower(text)), '\s+')) END,
+                   1.0)
+             ) / 3.0, 6) AS quality
+           FROM canon WHERE doc_id = canonical_id)
+         SELECT CAST(floor(quality * 10) AS BIGINT) AS q_band,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM scored WHERE n_tokens >= 5
+         GROUP BY 1""",
 
     "q57_follow_join" ->
       """SELECT a.user_id AS user_id, a.event_id AS view_event,
