@@ -69,4 +69,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"))
   }
+
+  test("interval self-join (q57): keyed join with pushed type filters") {
+    val s = Fixture.init()
+    val df = SparkEntry.queries("q57_follow_join")(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // equi-key join on user_id — the time range must stay a residual
+    // condition, never degrade the join to a cartesian/BNL product
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // the event_type selections reach the parquet scans
+    assert(plan.contains("EqualTo(event_type,view)"))
+    assert(plan.contains("EqualTo(event_type,click)"))
+  }
+
+  test("curation pipeline (q59): exactly two exchanges, pruned doc scan") {
+    val s = Fixture.init()
+    val df = SparkEntry.queries("q59_corpus_curation")(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // one shuffle for the content-hash window + one for the band agg;
+    // anything more means a §2.H operator stopped composing linearly
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges")
+    // only doc_id + text leave the scan
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
 }
