@@ -472,6 +472,15 @@ object SparkEntry {
       TextAnalysis.langId(txt).as("lang_guess"))
   }
 
+  /** Token counting both ways a tokenizer-budget pipeline needs: plain
+    * whitespace tokens and BPE-ish subword counts (letter/digit boundary
+    * splits approximate byte-pair segmentation without a vocab). Pure
+    * codegen'd column expressions — no UDF in the scan path. */
+  private def q60_subword_tokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+
   private def q23_fingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"),
       TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
@@ -815,7 +824,8 @@ object SparkEntry {
     "q29_events_window" -> (q29_events_window _),
     "q30_sessionize" -> (q30_sessionize _),
     "q57_follow_join" -> (q57_follow_join _),
-    "q59_corpus_curation" -> (q59_corpus_curation _))
+    "q59_corpus_curation" -> (q59_corpus_curation _),
+    "q60_subword_tokens" -> (q60_subword_tokens _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -1502,6 +1512,21 @@ object SparkEntry {
                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
                FROM events)
          GROUP BY user_id""",
+
+    // RE2 (DuckDB) lacks the lookarounds the Spark splitter uses, so the
+    // oracle inserts boundary spaces instead — same token count
+    "q60_subword_tokens" ->
+      """SELECT doc_id,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END
+             AS n_tokens,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(
+                  regexp_replace(regexp_replace(text,
+                    '([a-zA-Z])([0-9])', '\1 \2', 'g'),
+                    '([0-9])([a-zA-Z])', '\1 \2', 'g')), '\s+')) END
+             AS n_subwords
+         FROM documents""",
 
     "q59_corpus_curation" ->
       """WITH canon AS (
