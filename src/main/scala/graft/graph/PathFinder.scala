@@ -770,7 +770,9 @@ object PathFinder {
           "(negative cycle, or a longer chain than supported)")
     }
     // ---- backtrack: extend suffixes leftward through the parent tree ----
-    val parents = dist.persist(StorageLevel.MEMORY_AND_DISK)
+    // dist is already localCheckpoint'd — block-manager-resident for the
+    // repeated per-level joins; a persist on top would just leak
+    val parents = dist
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     done += parents.filter(col("hops") === 0L)
       .select(col("src"), col("dst"), col("cost"),
