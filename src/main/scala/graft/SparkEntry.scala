@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.{Algorithms, PathFinder}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the beyond-reference pipeline operators), each with an
@@ -683,6 +683,21 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
   }
 
+  /** Reproducible train/test corpus split (deterministic hash-mod buckets,
+    * [[graft.ops.Sampling]]): per-split doc counts and token budgets. The
+    * oracle reproduces the EXACT same split — membership is a pure
+    * function of the key, portable across engines. */
+  private def q61_train_test_split(s: SparkSession, d: String): DataFrame = {
+    val (train, test) =
+      Sampling.trainTestSplit(t(s, d, "documents"), "doc_id", 20)
+    train.select(lit("train").as("split"), col("doc_id"), col("text"))
+      .unionByName(
+        test.select(lit("test").as("split"), col("doc_id"), col("text")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+  }
+
   /** Interval self-join: view→click funnel pairs within 30 minutes per
     * user — the batch twin of [[graft.streaming.EventStreams.eventFollowJoin]]
     * (same plan shape; the streaming parity spec runs both). Equi-key on
@@ -825,7 +840,8 @@ object SparkEntry {
     "q30_sessionize" -> (q30_sessionize _),
     "q57_follow_join" -> (q57_follow_join _),
     "q59_corpus_curation" -> (q59_corpus_curation _),
-    "q60_subword_tokens" -> (q60_subword_tokens _))
+    "q60_subword_tokens" -> (q60_subword_tokens _),
+    "q61_train_test_split" -> (q61_train_test_split _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -1512,6 +1528,17 @@ object SparkEntry {
                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
                FROM events)
          GROUP BY user_id""",
+
+    // the oracle recomputes the hash-mod split — same md5, same buckets
+    "q61_train_test_split" ->
+      """SELECT CASE WHEN CAST(('0x' ||
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             % 100 < 20 THEN 'test' ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END)
+             AS BIGINT) AS total_tokens
+         FROM documents GROUP BY 1""",
 
     // RE2 (DuckDB) lacks the lookarounds the Spark splitter uses, so the
     // oracle inserts boundary spaces instead — same token count

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * Random sampling (Bernoulli / reservoir) is irreproducible across runs,
+  * engines and task retries; production corpus pipelines sample by CONTENT
+  * KEY instead: a stable hash of the key modulo a bucket count. The same
+  * row lands in the same bucket in any engine that agrees on md5 — Spark
+  * here, DuckDB in the oracle — so samples replay exactly, survive
+  * re-partitioning and incremental appends, and train/held-out membership
+  * never leaks between reruns. Pure codegen'd Column expressions: the
+  * filter sits directly above the scan — no shuffle, no sort, no RNG
+  * state, the same plan at 500 rows and 100 TB.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets): first 32 md5 bits of the key,
+    * modulo `buckets`. */
+  def hashBucket(key: Column, buckets: Int = 100): Column = {
+    require(buckets > 0, "buckets must be positive")
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+  }
+
+  /** Keep ~`pct`% of rows, deterministically by key. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100] (got $pct)")
+    df.filter(hashBucket(col(keyCol)) < pct)
+  }
+
+  /** Per-stratum keep rates (stratum value → percent); strata absent from
+    * the map are dropped — the deterministic analogue of
+    * `DataFrameStatFunctions.sampleBy`. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Int]): DataFrame = {
+    require(rates.values.forall(p => p >= 0 && p <= 100),
+      "rates must be percentages in [0,100]")
+    val pct = rates.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < pct)
+  }
+
+  /** Reproducible train/held-out split: `(train, test)` with ~`testPct`%
+    * held out. A key's side is a pure function of the key, so membership
+    * is stable across engines, reruns and data growth — the property that
+    * prevents train/test leakage in long-lived corpus pipelines. */
+  def trainTestSplit(df: DataFrame, keyCol: String, testPct: Int)
+      : (DataFrame, DataFrame) = {
+    require(testPct >= 0 && testPct <= 100,
+      s"testPct must be in [0,100] (got $testPct)")
+    val b = hashBucket(col(keyCol))
+    (df.filter(b >= testPct), df.filter(b < testPct))
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Unit coverage for the pipeline ops: IVF vs brute-force recall,
   * mapPartitions decode, LSH determinism, dedup invariants. */
@@ -153,6 +153,33 @@ class OpsSpec extends AnyFunSuite {
       k = 1, threshold = 0.5)
       .collect().head.getDouble(2)
     assert(math.abs(jFull - 1.0) < 1e-6)
+  }
+
+  test("hash sampling: deterministic, disjoint split, stratified rates") {
+    val s = Fixture.init()
+    import s.implicits._
+    val df = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("id", "stratum")
+    // same key → same bucket, every run
+    val s1 = Sampling.hashSample(df, "id", 10).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(df, "id", 10).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 300)
+    // a 10% sample is a subset of a 30% sample (bucket monotonicity)
+    val s3 = Sampling.hashSample(df, "id", 30).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+    // train/test: disjoint, complete
+    val (train, test) = Sampling.trainTestSplit(df, "id", 20)
+    val tr = train.select("id").collect().map(_.getLong(0)).toSet
+    val te = test.select("id").collect().map(_.getLong(0)).toSet
+    assert(tr.intersect(te).isEmpty && (tr ++ te).size == 1000)
+    // stratified: unlisted strata dropped, listed strata at their rate
+    val strat = Sampling.stratifiedHashSample(df, "id", "stratum",
+      Map("a" -> 100))
+    assert(strat.filter(col("stratum") === "b").count() == 0)
+    assert(strat.count() == 500)
   }
 
   test("simhash maxDist above the blocking guarantee is rejected") {
