@@ -179,7 +179,11 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .select(col("user_id").as("b_user"), col("event_id").as("b_event"),
         col("event_time").as("b_time"))
+    // a_event =!= b_event: a no-op for disjoint types (ids are unique),
+    // and for same-type funnels (click→click) it stops every event from
+    // pairing with itself at gap 0
     a.join(b, col("a_user") === col("b_user") &&
+        col("a_event") =!= col("b_event") &&
         col("b_time") >= col("a_time") &&
         col("b_time") <= col("a_time") + expr(s"INTERVAL $horizon"))
       .select(col("a_user").as("user_id"),

@@ -159,6 +159,17 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("same-type follow join excludes self-pairs") {
+    val s = init()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchEv = s.read.schema(EventStreams.eventsSchema)
+      .parquet("/root/testdata/sf0.001/events*")
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    val pairs = EventStreams.eventFollowJoin(batchEv, "click", "click")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) => a != b })
+  }
+
   test("streaming session windows produce bounded sessions") {
     val s = init()
     val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
