@@ -687,16 +687,13 @@ object SparkEntry {
     * [[graft.ops.Sampling]]): per-split doc counts and token budgets. The
     * oracle reproduces the EXACT same split — membership is a pure
     * function of the key, portable across engines. */
-  private def q61_train_test_split(s: SparkSession, d: String): DataFrame = {
-    val (train, test) =
-      Sampling.trainTestSplit(t(s, d, "documents"), "doc_id", 20)
-    train.select(lit("train").as("split"), col("doc_id"), col("text"))
-      .unionByName(
-        test.select(lit("test").as("split"), col("doc_id"), col("text")))
-      .groupBy("split")
+  private def q61_train_test_split(s: SparkSession, d: String): DataFrame =
+    // splitLabel projection, not trainTestSplit-and-union: both halves
+    // feed one aggregation, so the label form reads the table ONCE
+    t(s, d, "documents")
+      .groupBy(Sampling.splitLabel(col("doc_id"), 20).as("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
-  }
 
   /** Interval self-join: view→click funnel pairs within 30 minutes per
     * user — the batch twin of [[graft.streaming.EventStreams.eventFollowJoin]]

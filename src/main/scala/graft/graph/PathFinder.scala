@@ -48,6 +48,25 @@ object PathFinder {
   private def collectSeeds(seeds: org.apache.spark.sql.DataFrame): Array[Long] =
     seeds.select(col("id").cast("long")).collect().map(_.getLong(0))
 
+  /** THE strategy gate every kernel shares — one definition so the probe
+    * semantics can't drift between operators. Sizes are LIMIT-probes,
+    * never full counts (at 100 TB a complete pass over the edge table
+    * just to pick a strategy would itself be a major job). When edges and
+    * seeds both fit under the local gates, the driver-local kernel runs
+    * on collected arrays and `e` is unpersisted here; otherwise the
+    * distributed branch runs and manages `e`'s lifecycle itself. */
+  private def localOrElse(e: DataFrame, seeds: DataFrame)(
+      local: Array[Long] => DataFrame)(
+      distributed: => DataFrame): DataFrame = {
+    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
+    if (eSmall &&
+        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
+      val res = local(collectSeeds(seeds))
+      e.unpersist()
+      res
+    } else distributed
+  }
+
   /** Every mode/prefix the reference raises NotImplemented for
     * (`PGQCheckPathModeSupport` match.cpp:80-108; ALL SHORTEST /
     * SHORTEST k match.cpp:709-790) is implemented here — mode-valid
@@ -82,24 +101,15 @@ object PathFinder {
       maxDepth: Option[Long], targets: Option[DataFrame]): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // strategy choice by statistics: small graph + small seed set → local
-    // limit-probe, not a full count: at 100 TB a complete pass over the
-    // edge table just to pick a strategy would itself be a major job
-    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
-    if (eSmall &&
-        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
-      val seedArr = collectSeeds(seeds)
-      locally {
-        val res = LocalKernels.bfsDistances(
-          collectEdges(e, withEid = false), seedArr,
-          maxDepth.getOrElse(Long.MaxValue),
-          targets.map(t => collectSeeds(t.select(col(t.columns.head)
-            .as("id"))).toSet))
-        e.unpersist()
-        import spark.implicits._
-        return res.toSeq.toDF("src", "dst", "dist")
-      }
-    }
+    localOrElse(e, seeds) { seedArr =>
+      import spark.implicits._
+      LocalKernels.bfsDistances(
+        collectEdges(e, withEid = false), seedArr,
+        maxDepth.getOrElse(Long.MaxValue),
+        targets.map(t => collectSeeds(t.select(col(t.columns.head)
+          .as("id"))).toSet))
+        .toSeq.toDF("src", "dst", "dist")
+    } {
     targets match {
       case Some(t) =>
         val res = bidirectionalDistances(spark, e, seeds,
@@ -137,6 +147,7 @@ object PathFinder {
         }
         e.unpersist()
         seen
+    }
     }
   }
 
@@ -244,23 +255,18 @@ object PathFinder {
         Seq("src", "dst"))
     val e = e0.select(col("src"), col("dst"), col("eid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // limit-probe, not a full count: at 100 TB a complete pass over the
-    // edge table just to pick a strategy would itself be a major job
-    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
-    if (eSmall &&
-        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
-      val seedArr = collectSeeds(seeds)
-      locally {
-        val res = LocalKernels.shortestPaths(
-          collectEdges(e, withEid = true), seedArr, lower,
-          upper.getOrElse(Long.MaxValue))
-        e.unpersist()
-        import spark.implicits._
-        return res.toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
-          .toDF("src", "dst", "dist", "path")
-      }
-    }
+    localOrElse(e, seeds) { seedArr =>
+      import spark.implicits._
+      LocalKernels.shortestPaths(
+        collectEdges(e, withEid = true), seedArr, lower,
+        upper.getOrElse(Long.MaxValue))
+        .toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
+        .toDF("src", "dst", "dist", "path")
+    } (distributedShortestPaths(spark, e, seeds, lower, upper))
+  }
 
+  private def distributedShortestPaths(spark: SparkSession, e: DataFrame,
+      seeds: DataFrame, lower: Long, upper: Option[Long]): DataFrame = {
     // ---- parent-pointer BFS (reference shortest_path.cpp:148-204) ----
     // The traversal shuffles only NARROW rows: (src, v, rank, pv, pe).
     // Path arrays are rebuilt AFTER the traversal by backtracking the
@@ -396,26 +402,20 @@ object PathFinder {
     val e = e0.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("eid").cast("long").as("eid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
-    if (eSmall &&
-        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
-      val seedArr = collectSeeds(seeds)
-      locally {
-        val earr = collectEdges(e, withEid = true)
-        // the per-vertex top-k prune is only sound for WALK (see
-        // LocalKernels.kShortestWalks); mode-constrained sets are finite
-        val res = (mode, pruneK) match {
-          case (PathMode.Walk, Some(kk)) => LocalKernels.kShortestWalks(
-            earr, seedArr, lower, upper.getOrElse(Long.MaxValue), kk)
-          case _ => LocalKernels.enumeratePaths(
-            earr, seedArr, lower, upper.getOrElse(Long.MaxValue), mode)
-        }
-        e.unpersist()
-        import spark.implicits._
-        return res.toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
-          .toDF("src", "dst", "dist", "path")
+    localOrElse(e, seeds) { seedArr =>
+      val earr = collectEdges(e, withEid = true)
+      // the per-vertex top-k prune is only sound for WALK (see
+      // LocalKernels.kShortestWalks); mode-constrained sets are finite
+      val res = (mode, pruneK) match {
+        case (PathMode.Walk, Some(kk)) => LocalKernels.kShortestWalks(
+          earr, seedArr, lower, upper.getOrElse(Long.MaxValue), kk)
+        case _ => LocalKernels.enumeratePaths(
+          earr, seedArr, lower, upper.getOrElse(Long.MaxValue), mode)
       }
-    }
+      import spark.implicits._
+      res.toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
+        .toDF("src", "dst", "dist", "path")
+    } {
     val limit = upper.getOrElse(Long.MaxValue)
     // the visited column tracks only what the mode consults (TRAIL: edge
     // ids; ACYCLIC/SIMPLE: vertices; WALK: nothing) — the path column
@@ -478,6 +478,7 @@ object PathFinder {
         col("path")).limit(0))
     e.unpersist()
     out
+    }
   }
 
   /** SHORTEST k — the k smallest mode-valid paths per (src, dst) pair
@@ -523,20 +524,14 @@ object PathFinder {
     val e = e0.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("eid").cast("long").as("eid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
-    if (eSmall &&
-        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
-      val seedArr = collectSeeds(seeds)
-      locally {
-        val res = LocalKernels.allShortestPaths(
-          collectEdges(e, withEid = true), seedArr, lower,
-          upper.getOrElse(Long.MaxValue))
-        e.unpersist()
-        import spark.implicits._
-        return res.toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
-          .toDF("src", "dst", "dist", "path")
-      }
-    }
+    localOrElse(e, seeds) { seedArr =>
+      import spark.implicits._
+      LocalKernels.allShortestPaths(
+        collectEdges(e, withEid = true), seedArr, lower,
+        upper.getOrElse(Long.MaxValue))
+        .toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
+        .toDF("src", "dst", "dist", "path")
+    } {
     val limit = upper.getOrElse(Long.MaxValue)
     val seedRows = seeds.select(col("id").cast("long").as("src"))
       .distinct().localCheckpoint()
@@ -603,6 +598,7 @@ object PathFinder {
       .getOrElse(seedPaths.limit(0))
     e.unpersist()
     out
+    }
   }
 
   /** Schema of the last distributed shortest-path frontier — test hook
@@ -641,22 +637,14 @@ object PathFinder {
       seeds: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // limit-probe, not a full count: at 100 TB a complete pass over the
-    // edge table just to pick a strategy would itself be a major job
-    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
-    if (eSmall &&
-        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
-      val seedArr = collectSeeds(seeds)
-      locally {
-        val earr = e.select(col("src").cast("long"), col("dst").cast("long"),
-          col("w").cast("double")).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        val res = LocalKernels.cheapestPaths(earr, seedArr)
-        e.unpersist()
-        import spark.implicits._
-        return res.toSeq.toDF("src", "dst", "cost")
-      }
-    }
+    localOrElse(e, seeds) { seedArr =>
+      val earr = e.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("double")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      import spark.implicits._
+      LocalKernels.cheapestPaths(earr, seedArr).toSeq
+        .toDF("src", "dst", "cost")
+    } {
     var dist = seeds.select(col("id").as("src"), col("id").as("dst"),
       lit(0.0).cast("double").as("cost")).distinct().localCheckpoint()
     var changed = true
@@ -687,6 +675,7 @@ object PathFinder {
         s"cheapest-path did not converge within $maxRounds rounds " +
           "(negative cycle, or a longer chain than supported)")
     dist
+    }
   }
 
   /** Weighted cheapest paths WITH route reconstruction — the path-carrying
@@ -714,20 +703,14 @@ object PathFinder {
       col("dst").cast("long").as("dst"), col("w").cast("double").as("w"),
       col("eid").cast("long").as("eid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
-    if (eSmall &&
-        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
-      val seedArr = collectSeeds(seeds)
-      locally {
-        val earr = e.select("src", "dst", "eid", "w").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-        val res = LocalKernels.cheapestRoutes(earr, seedArr)
-        e.unpersist()
-        import spark.implicits._
-        return res.toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
-          .toDF("src", "dst", "cost", "path")
-      }
-    }
+    localOrElse(e, seeds) { seedArr =>
+      val earr = e.select("src", "dst", "eid", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      import spark.implicits._
+      LocalKernels.cheapestRoutes(earr, seedArr).toSeq
+        .map(t => (t._1, t._2, t._3, t._4.toSeq))
+        .toDF("src", "dst", "cost", "path")
+    } {
     // ---- distributed relaxation: narrow rows only ----
     var dist = seeds.select(col("id").cast("long").as("src")).distinct()
       .select(col("src"), col("src").as("dst"),
@@ -799,6 +782,7 @@ object PathFinder {
     val out = done.reduce(_ union _)
     e.unpersist()
     out
+    }
   }
 
   /** Reachability — semantics of reference `reachability`

@@ -44,10 +44,20 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < pct)
   }
 
+  /** 'train'/'test' label column for ~`testPct`% held out — the one-scan
+    * form: label in a projection instead of two filtered passes. */
+  def splitLabel(key: Column, testPct: Int): Column = {
+    require(testPct >= 0 && testPct <= 100,
+      s"testPct must be in [0,100] (got $testPct)")
+    when(hashBucket(key) < testPct, lit("test")).otherwise(lit("train"))
+  }
+
   /** Reproducible train/held-out split: `(train, test)` with ~`testPct`%
     * held out. A key's side is a pure function of the key, so membership
     * is stable across engines, reruns and data growth — the property that
-    * prevents train/test leakage in long-lived corpus pipelines. */
+    * prevents train/test leakage in long-lived corpus pipelines. Two
+    * filtered frames over one source; when both halves feed ONE downstream
+    * plan, prefer a [[splitLabel]] projection (single scan). */
   def trainTestSplit(df: DataFrame, keyCol: String, testPct: Int)
       : (DataFrame, DataFrame) = {
     require(testPct >= 0 && testPct <= 100,

@@ -179,13 +179,24 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .select(col("user_id").as("b_user"), col("event_id").as("b_event"),
         col("event_time").as("b_time"))
-    // a_event =!= b_event: a no-op for disjoint types (ids are unique),
-    // and for same-type funnels (click→click) it stops every event from
-    // pairing with itself at gap 0
+    // Same-type funnels (click→click) need an order on equal-time pairs:
+    // plain b_time >= a_time would emit BOTH (101,102) and (102,101) for
+    // two simultaneous events (and every event paired with itself) —
+    // follow pairs must be antisymmetric. Disjoint types keep the
+    // inclusive bound: a simultaneous view+click is one valid follow pair
+    // whichever event id is larger.
+    // The time RANGE must stay a plain AND-conjunct pair — Spark's
+    // stream-stream state eviction extracts the bounds from top-level
+    // conjuncts only; the tie-break rides along as a residual predicate.
+    val tieBreak =
+      if (firstType == thenType)
+        !(col("b_time") === col("a_time") &&
+          col("b_event") <= col("a_event"))
+      else lit(true)
     a.join(b, col("a_user") === col("b_user") &&
-        col("a_event") =!= col("b_event") &&
         col("b_time") >= col("a_time") &&
-        col("b_time") <= col("a_time") + expr(s"INTERVAL $horizon"))
+        col("b_time") <= col("a_time") + expr(s"INTERVAL $horizon") &&
+        tieBreak)
       .select(col("a_user").as("user_id"),
         col("a_event").as("first_event"),
         col("b_event").as("then_event"),

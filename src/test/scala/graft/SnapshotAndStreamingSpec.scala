@@ -168,6 +168,9 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
     val pairs = EventStreams.eventFollowJoin(batchEv, "click", "click")
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(pairs.nonEmpty && pairs.forall { case (a, b) => a != b })
+    // antisymmetric: equal-time co-occurrences count once, not twice
+    val set = pairs.toSet
+    assert(pairs.forall { case (a, b) => !set.contains((b, a)) })
   }
 
   test("streaming session windows produce bounded sessions") {
