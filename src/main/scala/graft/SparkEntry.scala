@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.{Algorithms, PathFinder}
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the beyond-reference pipeline operators), each with an
@@ -695,6 +695,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
 
+  /** Sequence packing ([[graft.ops.Packing]]): documents → fixed-token-
+    * budget training blocks, 8 deterministic shards × per-shard running
+    * totals. The window is per-shard, so no task ever sees more than
+    * 1/shards of the corpus. Output: per-block doc counts and token sums. */
+  private def q62_sequence_pack(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Packing.packBlocks(docs, "doc_id", "n_tokens",
+        blockTokens = 2000L, shards = 8)
+      .groupBy("shard", "block")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("block_tokens"))
+  }
+
   /** Interval self-join: view→click funnel pairs within 30 minutes per
     * user — the batch twin of [[graft.streaming.EventStreams.eventFollowJoin]]
     * (same plan shape; the streaming parity spec runs both). Equi-key on
@@ -838,7 +851,8 @@ object SparkEntry {
     "q57_follow_join" -> (q57_follow_join _),
     "q59_corpus_curation" -> (q59_corpus_curation _),
     "q60_subword_tokens" -> (q60_subword_tokens _),
-    "q61_train_test_split" -> (q61_train_test_split _))
+    "q61_train_test_split" -> (q61_train_test_split _),
+    "q62_sequence_pack" -> (q62_sequence_pack _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -1525,6 +1539,26 @@ object SparkEntry {
                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
                FROM events)
          GROUP BY user_id""",
+
+    "q62_sequence_pack" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) % 8 AS shard
+           FROM documents),
+         packed AS (
+           SELECT shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+           FROM toks)
+         SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(floor(start_off / 2000.0) AS BIGINT) AS block,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS block_tokens
+         FROM packed GROUP BY 1, 2""",
 
     // the oracle recomputes the hash-mod split — same md5, same buckets
     "q61_train_test_split" ->

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Unit coverage for the pipeline ops: IVF vs brute-force recall,
   * mapPartitions decode, LSH determinism, dedup invariants. */
@@ -180,6 +180,35 @@ class OpsSpec extends AnyFunSuite {
       Map("a" -> 100))
     assert(strat.filter(col("stratum") === "b").count() == 0)
     assert(strat.count() == 500)
+  }
+
+  test("sequence packing: per-shard block budgets hold, deterministic") {
+    val s = Fixture.init()
+    import s.implicits._
+    val docs = (0L until 400L).map(i => (i, 50L + i % 130))
+      .toDF("doc_id", "n_tokens")
+    val packed = Packing.packBlocks(docs, "doc_id", "n_tokens",
+      blockTokens = 500L, shards = 4)
+    val rows = packed.select("shard", "block", "doc_id", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // every doc appears exactly once
+    assert(rows.length == 400 && rows.map(_._3).distinct.length == 400)
+    // start-offset property: a block's token sum is < budget + its last
+    // doc's tokens (every doc STARTS inside the block's budget window)
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, ds) =>
+      val total = ds.map(_._4).sum
+      assert(total < 500L + ds.map(_._4).max)
+    }
+    // per-shard blocks are contiguous from 0
+    rows.groupBy(_._1).foreach { case (_, ds) =>
+      val blocks = ds.map(_._2).distinct.sorted.toSeq
+      assert(blocks == (0L until blocks.length.toLong))
+    }
+    // deterministic across runs
+    val again = Packing.packBlocks(docs, "doc_id", "n_tokens", 500L, 4)
+      .select("shard", "block", "doc_id").collect().toSet
+    assert(again == packed.select("shard", "block", "doc_id").collect().toSet)
   }
 
   test("simhash maxDist above the blocking guarantee is rejected") {
