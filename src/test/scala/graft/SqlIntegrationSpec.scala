@@ -54,6 +54,14 @@ class SqlIntegrationSpec extends AnyFunSuite {
          GROUP BY len ORDER BY len""")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(trails == Seq((1L, 3L), (2L, 4L))) // hand-enumerated fixture set
+    // path column functions work over enumeration paths too
+    val withFns = mkGraft.sqlGraph(
+      """SELECT * FROM GRAPH_TABLE (pg
+           MATCH p = TRAIL (a:Person WHERE a.name = 'Daniel')-[k:Knows]->{1,2}(b:Person)
+           COLUMNS (path_length(p) AS len, vertices(p) AS vp, edges(p) AS ep)) t""")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    assert(withFns.length == 7 && withFns.forall { case (len, vp, ep) =>
+      vp.length == len + 1 && ep.length == len && ep.distinct == ep })
     // ALL SHORTEST emits one row per shortest path (multiplicity)
     val allsp = mkGraft.sqlGraph(
       """SELECT count(*) AS n FROM GRAPH_TABLE (pg
