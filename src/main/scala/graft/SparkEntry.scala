@@ -559,13 +559,17 @@ object SparkEntry {
     * (reported < threshold, or the two paths disagreeing beyond the
     * 6-dp rounding) are emitted. Expected output: EMPTY; the oracle is
     * the empty relation — recall stays non-SQL, precision is verified. */
+  /** Interpreted-HOF cosine — the gates' independent recompute path,
+    * deliberately NOT the codegen'd DotProduct/L2Norm kernels under test.
+    * Shared by q27 and q56 so the two gates can never drift apart. */
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def hofNorm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
   private def q27_sim_lsh(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     val pairs = Similarity.lshNearPairs(e, threshold = 0.3)
-    def hofDot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    def hofNorm(a: Column): Column =
-      sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
     val vecs = e.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     pairs
@@ -589,10 +593,6 @@ object SparkEntry {
   private def q56_ivf_ann(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     val res = Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5)
-    def hofDot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    def hofNorm(a: Column): Column =
-      sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
     val vecs = e.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val w = Window.partitionBy("query_id").orderBy("rank")

@@ -389,6 +389,10 @@ object GraphTableCompiler {
         case e: EdgePattern => e.quantifier.isDefined
         case _ => false
       }
+      // fixed edges bound through a shortest-semantics kernel (search
+      // prefix without a named path, or SHORTEST k) — those bindings
+      // collapse parallel edges and expose no edge identity
+      var fixedKernelEdges = 0
       if (p.mode != PathMode.Walk && quantifiedEdges > 0 &&
           elems.length != 3 && p.prefix.isDefined)
         throw GraphAnalysisException(
@@ -444,6 +448,7 @@ object GraphTableCompiler {
         if (ep.quantifier.isDefined || kShortest.isDefined) {
           // SHORTEST k routes even a fixed hop through the kernel ({1,1})
           // — the plain join would emit ALL parallel edges, not the top k
+          if (ep.quantifier.isEmpty) fixedKernelEdges += 1
           val (bAlias, pcol) = bindPathEdge(p, ep, vp, prevV)
           pcol.foreach(c => segCols += col(c))
           prevV = bAlias
@@ -459,6 +464,7 @@ object GraphTableCompiler {
           prevV = bAlias
         } else if (p.prefix.isDefined) {
           // prefix without a path variable: shortest semantics dedup pairs
+          fixedKernelEdges += 1
           val (bAlias, _) = bindPathEdge(p, ep, vp, prevV)
           prevV = bAlias
         } else {
@@ -476,8 +482,20 @@ object GraphTableCompiler {
       // wrongly kill). Mixed enumeration: cross-element filters over the
       // segment arrays (single-segment enumeration stays kernel-only).
       if (p.mode != PathMode.Walk) {
-        if (quantifiedEdges == 0 && kShortest.isEmpty)
+        if (quantifiedEdges == 0) {
+          // TRAIL needs every edge's identity; shortest-semantics
+          // bindings expose none — refuse loudly rather than silently
+          // degrading to WALK. Vertex modes (ACYCLIC/SIMPLE) only compare
+          // vertex aliases, which every binding route preserves, so their
+          // filters apply under any prefix.
+          if (p.mode == PathMode.Trail && fixedKernelEdges > 0 &&
+              (elems.length - 1) / 2 >= 2)
+            throw GraphAnalysisException(
+              "TRAIL over an all-fixed pattern under a search prefix " +
+                "collapses edge identities — bind a named path variable " +
+                "(p = ANY SHORTEST …) or drop the prefix")
           applyFixedModeFilters(p, modeVertexPos.toSeq, modeEdgePos.toSeq)
+        }
         else if (p.prefix.isEmpty && elems.length != 3)
           applyMixedModeFilters(p, modeVertexPos.toSeq, modeEdgePos.toSeq,
             currentModeSegs.toSeq)

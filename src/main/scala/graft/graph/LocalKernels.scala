@@ -204,7 +204,10 @@ private[graph] object LocalKernels {
               level.getOrElseUpdate(v, mutable.ArrayBuffer.empty) += ((u, eid))
           }
         }
-        level.foreach { case (v, ps) => dist(v) = d; parents(v) = ps }
+        // .distinct: duplicate physical edge rows (same src, dst AND eid)
+        // are one parent alternative, matching the distributed twin's
+        // distinct() — path multiplicity must not depend on the strategy
+        level.foreach { case (v, ps) => dist(v) = d; parents(v) = ps.distinct }
         frontier = level.keys.toList
       }
       // iterative backtrack (no recursion — chains can be |V| deep):

@@ -391,8 +391,7 @@ object PathFinder {
   def enumerateModePaths(spark: SparkSession, edges: DataFrame,
       seeds: DataFrame, lower: Long, upper: Option[Long],
       mode: PathMode, pruneK: Option[Int] = None): DataFrame = {
-    require(mode == PathMode.Walk || upper.forall(_ >= 0),
-      "negative upper bound")
+    require(upper.forall(_ >= 0), "negative upper bound")
     if (mode == PathMode.Walk && upper.isEmpty)
       throw GraphAnalysisException(
         "WALK enumeration needs a finite upper bound")
@@ -468,9 +467,10 @@ object PathFinder {
       }).localCheckpoint()
       emit(next, d)
       // SIMPLE: paths that closed the cycle were emitted but are terminal
+      // (rows in `next` always have an extension, so v === src means the
+      // path just closed back to its start)
       frontier =
-        if (mode == PathMode.Simple)
-          next.filter(col("v") =!= col("src") || size(col("path")) === 1)
+        if (mode == PathMode.Simple) next.filter(col("v") =!= col("src"))
         else next
     }
     val out = emitted.reduceOption(_ union _).getOrElse(

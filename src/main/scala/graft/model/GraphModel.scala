@@ -132,8 +132,10 @@ object TableResolver {
       try spark.table(t)
       catch {
         case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          // NonFatal only: an OOM/interrupt during the retry must
+          // propagate, not be masked by the original parse error
           try spark.table(s"`${t.replace("`", "``")}`")
-          catch { case _: Throwable => throw e }
+          catch { case scala.util.control.NonFatal(_) => throw e }
       }
   }
 }

@@ -289,6 +289,35 @@ class DistributedKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("ALL SHORTEST: duplicate physical edge rows are ONE parent on " +
+      "both strategies") {
+    val s = init()
+    import s.implicits._
+    // the edge 0→1 (eid 7) appears twice — a duplicated physical row, not
+    // a parallel edge; ALL SHORTEST must emit its path once per strategy
+    val e = Seq((0L, 1L, 7L), (0L, 1L, 7L), (0L, 2L, 8L), (2L, 1L, 9L))
+      .toDF("src", "dst", "eid")
+    val seeds = Seq(0L).toDF("id")
+    def paths() = PathFinder.allShortestPaths(s, e, seeds, 1L, None)
+      .collect().map(r => (r.getLong(1), r.getSeq[Long](3).toList)).toSeq
+      .sortBy(_.toString)
+    val local = paths()
+    val dist = withDistributed(paths())
+    assert(local == dist)
+    assert(local.count(_._1 == 1L) == 1) // one shortest path 0→1, once
+  }
+
+  test("WALK enumeration rejects a negative upper bound like other modes") {
+    val s = init()
+    import s.implicits._
+    val e = Seq((0L, 1L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    intercept[IllegalArgumentException] {
+      PathFinder.enumerateModePaths(s, e, seeds, 0L, Some(-1L),
+        graft.pgq.PathMode.Walk)
+    }
+  }
+
   test("cheapest ROUTES: distributed matches local, zero-weight cycle safe") {
     val s = init()
     import s.implicits._

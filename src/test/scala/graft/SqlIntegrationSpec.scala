@@ -130,6 +130,28 @@ class SqlIntegrationSpec extends AnyFunSuite {
       gtSecond.select("mid").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("TRAIL under a prefix on an all-fixed pattern: loud error without " +
+      "a path variable, enforced with one") {
+    val g = mkGraft
+    // without a named path the shortest-semantics binding has no edge
+    // identities — must refuse, not silently degrade to WALK
+    val err = intercept[graft.model.GraphAnalysisException] {
+      g.sqlGraph(
+        """SELECT * FROM GRAPH_TABLE (pg
+             MATCH ANY SHORTEST TRAIL (a:Person)-[k1:Knows]->(b:Person)-[k2:Knows]->(c:Person)
+             COLUMNS (a.id AS aid, c.id AS cid)) t""")
+    }
+    assert(err.getMessage.contains("edge identities"))
+    // with a named path the fixed hops keep their eids and the TRAIL
+    // filter applies: no row may bind the same physical edge twice
+    val rows = g.sqlGraph(
+      """SELECT * FROM GRAPH_TABLE (pg
+           MATCH p = ANY SHORTEST TRAIL (a:Person)-[k1:Knows]->(b:Person)-[k2:Knows]->(c:Person)
+           COLUMNS (a.id AS aid, b.id AS bid, c.id AS cid, edges(p) AS ep)) t""")
+      .collect().map(r => r.getSeq[Long](3).toList)
+    assert(rows.nonEmpty && rows.forall(ep => ep.distinct == ep))
+  }
+
   test("COPY TO csv — copy_to_duckpgq.test") {
     val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
     mkGraft.copyTo(
