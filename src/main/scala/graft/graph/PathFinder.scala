@@ -48,6 +48,13 @@ object PathFinder {
   private def collectSeeds(seeds: org.apache.spark.sql.DataFrame): Array[Long] =
     seeds.select(col("id").cast("long")).collect().map(_.getLong(0))
 
+  /** Null endpoints can never join (SQL semantics already drop them in
+    * every fixed-hop pattern); the kernels drop them at ingestion so both
+    * strategies agree — without this the local collect crashes with
+    * ROW_VALUE_IS_NULL while the distributed joins silently skip the row. */
+  private def dropNullEndpoints(e: DataFrame): DataFrame =
+    e.where(col("src").isNotNull && col("dst").isNotNull)
+
   /** THE strategy gate every kernel shares — one definition so the probe
     * semantics can't drift between operators. Sizes are LIMIT-probes,
     * never full counts (at 100 TB a complete pass over the edge table
@@ -99,7 +106,7 @@ object PathFinder {
     * optimization for IC13-shaped queries. */
   def bfsDistances(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
       maxDepth: Option[Long], targets: Option[DataFrame]): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    val e = dropNullEndpoints(edges.select(col("src"), col("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     localOrElse(e, seeds) { seedArr =>
       import spark.implicits._
@@ -250,8 +257,9 @@ object PathFinder {
     */
   def shortestPaths(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
       lower: Long, upper: Option[Long]): DataFrame = {
-    val e0 = if (edges.columns.contains("eid")) edges
-      else Snapshot.denseEdgeIds(spark, edges.select(col("src"), col("dst")),
+    val clean = dropNullEndpoints(edges)
+    val e0 = if (clean.columns.contains("eid")) clean
+      else Snapshot.denseEdgeIds(spark, clean.select(col("src"), col("dst")),
         Seq("src", "dst"))
     val e = e0.select(col("src"), col("dst"), col("eid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -395,8 +403,9 @@ object PathFinder {
     if (mode == PathMode.Walk && upper.isEmpty)
       throw GraphAnalysisException(
         "WALK enumeration needs a finite upper bound")
-    val e0 = if (edges.columns.contains("eid")) edges
-      else Snapshot.denseEdgeIds(spark, edges.select(col("src"), col("dst")),
+    val clean = dropNullEndpoints(edges)
+    val e0 = if (clean.columns.contains("eid")) clean
+      else Snapshot.denseEdgeIds(spark, clean.select(col("src"), col("dst")),
         Seq("src", "dst"))
     val e = e0.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("eid").cast("long").as("eid"))
@@ -518,8 +527,9 @@ object PathFinder {
     */
   def allShortestPaths(spark: SparkSession, edges: DataFrame,
       seeds: DataFrame, lower: Long, upper: Option[Long]): DataFrame = {
-    val e0 = if (edges.columns.contains("eid")) edges
-      else Snapshot.denseEdgeIds(spark, edges.select(col("src"), col("dst")),
+    val clean = dropNullEndpoints(edges)
+    val e0 = if (clean.columns.contains("eid")) clean
+      else Snapshot.denseEdgeIds(spark, clean.select(col("src"), col("dst")),
         Seq("src", "dst"))
     val e = e0.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("eid").cast("long").as("eid"))
@@ -635,7 +645,7 @@ object PathFinder {
     */
   def cheapestPaths(spark: SparkSession, edges: DataFrame,
       seeds: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w"))
+    val e = dropNullEndpoints(edges.select(col("src"), col("dst"), col("w")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     localOrElse(e, seeds) { seedArr =>
       val earr = e.select(col("src").cast("long"), col("dst").cast("long"),
@@ -696,9 +706,10 @@ object PathFinder {
     */
   def cheapestRoutes(spark: SparkSession, edges: DataFrame,
       seeds: DataFrame): DataFrame = {
-    val e0 = if (edges.columns.contains("eid")) edges
+    val clean = dropNullEndpoints(edges)
+    val e0 = if (clean.columns.contains("eid")) clean
       else Snapshot.denseEdgeIds(spark,
-        edges.select(col("src"), col("dst"), col("w")), Seq("src", "dst"))
+        clean.select(col("src"), col("dst"), col("w")), Seq("src", "dst"))
     val e = e0.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("double").as("w"),
       col("eid").cast("long").as("eid"))

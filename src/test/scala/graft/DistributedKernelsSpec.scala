@@ -289,6 +289,22 @@ class DistributedKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("null edge endpoints are dropped identically on both strategies") {
+    val s = init()
+    import s.implicits._
+    // nulls can never join (fixed-hop SQL semantics) — the kernels must
+    // drop them too, not crash the local collect or fabricate id-0 edges
+    val e = Seq((Some(0L), Some(1L)), (Some(1L), None), (None, Some(2L)))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 1L, 2L).toDF("id")
+    def run() = PathFinder.bfsDistances(s, e, seeds, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val local = run()
+    assert(local == withDistributed(run()))
+    assert(local == Set((0L, 0L, 0L), (1L, 1L, 0L), (2L, 2L, 0L),
+      (0L, 1L, 1L)))
+  }
+
   test("ALL SHORTEST: duplicate physical edge rows are ONE parent on " +
       "both strategies") {
     val s = init()
