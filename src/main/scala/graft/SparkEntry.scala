@@ -1562,7 +1562,8 @@ object SparkEntry {
 
     // the oracle recomputes the hash-mod split — same md5, same buckets
     "q61_train_test_split" ->
-      """SELECT CASE WHEN CAST(('0x' ||
+      """SELECT CASE WHEN doc_id IS NULL THEN NULL
+             WHEN CAST(('0x' ||
              substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
              % 100 < 20 THEN 'test' ELSE 'train' END AS split,
            count(*) AS n_docs,

@@ -389,10 +389,11 @@ object GraphTableCompiler {
         case e: EdgePattern => e.quantifier.isDefined
         case _ => false
       }
-      // fixed edges bound through a shortest-semantics kernel (search
-      // prefix without a named path, or SHORTEST k) — those bindings
-      // collapse parallel edges and expose no edge identity
-      var fixedKernelEdges = 0
+      // edge tables of fixed edges bound through a shortest-semantics
+      // kernel (search prefix without a named path, or SHORTEST k) —
+      // those bindings collapse parallel edges and expose no edge
+      // identity, so TRAIL is unenforceable iff a table repeats
+      val fixedKernelTables = scala.collection.mutable.ArrayBuffer.empty[String]
       if (p.mode != PathMode.Walk && quantifiedEdges > 0 &&
           elems.length != 3 && p.prefix.isDefined)
         throw GraphAnalysisException(
@@ -448,7 +449,9 @@ object GraphTableCompiler {
         if (ep.quantifier.isDefined || kShortest.isDefined) {
           // SHORTEST k routes even a fixed hop through the kernel ({1,1})
           // — the plain join would emit ALL parallel edges, not the top k
-          if (ep.quantifier.isEmpty) fixedKernelEdges += 1
+          if (ep.quantifier.isEmpty)
+            fixedKernelTables +=
+              resolveEdge(ep.varName.getOrElse("(edge)"), ep.label).tableName
           val (bAlias, pcol) = bindPathEdge(p, ep, vp, prevV)
           pcol.foreach(c => segCols += col(c))
           prevV = bAlias
@@ -464,7 +467,8 @@ object GraphTableCompiler {
           prevV = bAlias
         } else if (p.prefix.isDefined) {
           // prefix without a path variable: shortest semantics dedup pairs
-          fixedKernelEdges += 1
+          fixedKernelTables +=
+            resolveEdge(ep.varName.getOrElse("(edge)"), ep.label).tableName
           val (bAlias, _) = bindPathEdge(p, ep, vp, prevV)
           prevV = bAlias
         } else {
@@ -488,8 +492,10 @@ object GraphTableCompiler {
           // degrading to WALK. Vertex modes (ACYCLIC/SIMPLE) only compare
           // vertex aliases, which every binding route preserves, so their
           // filters apply under any prefix.
-          if (p.mode == PathMode.Trail && fixedKernelEdges > 0 &&
-              (elems.length - 1) / 2 >= 2)
+          // only a REPEATED table makes TRAIL non-vacuous: hops on
+          // distinct edge tables can never bind the same physical edge
+          if (p.mode == PathMode.Trail &&
+              fixedKernelTables.groupBy(identity).exists(_._2.length >= 2))
             throw GraphAnalysisException(
               "TRAIL over an all-fixed pattern under a search prefix " +
                 "collapses edge identities — bind a named path variable " +

@@ -68,9 +68,9 @@ object PathFinder {
     val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
     if (eSmall &&
         seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
-      val res = local(collectSeeds(seeds))
-      e.unpersist()
-      res
+      // finally: a throwing kernel (e.g. negative-cycle detection) must
+      // not leak the persisted edge set in a long-lived session
+      try local(collectSeeds(seeds)) finally e.unpersist()
     } else distributed
   }
 

@@ -22,7 +22,12 @@ object Packing {
   /** Assign each row a (shard, block) so each block's token sum stays near
     * `blockTokens`: block = floor(start_offset / blockTokens) with
     * start_offset = running sum of previous docs in the shard (ordered by
-    * key — deterministic).
+    * key).
+    *
+    * `keyCol` must hold UNIQUE values (it is the document key): the
+    * running sum orders by it alone, so duplicate keys would make tie
+    * order — and therefore block boundaries — nondeterministic across
+    * reruns, which is exactly what this module must never be.
     *
     * @return input plus (shard, block) columns
     */
@@ -30,6 +35,9 @@ object Packing {
       blockTokens: Long, shards: Int = 32): DataFrame = {
     require(blockTokens > 0, "blockTokens must be positive")
     require(shards > 0, "shards must be positive")
+    require(!df.columns.contains("shard") && !df.columns.contains("block"),
+      "input already has a 'shard' or 'block' column — rename it first " +
+        "(packBlocks would silently overwrite it)")
     val w = Window.partitionBy("shard").orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", Sampling.hashBucket(col(keyCol), shards))

@@ -45,11 +45,16 @@ object Sampling {
   }
 
   /** 'train'/'test' label column for ~`testPct`% held out — the one-scan
-    * form: label in a projection instead of two filtered passes. */
+    * form: label in a projection instead of two filtered passes. A null
+    * key labels null (it has no stable bucket), surfacing dirty keys
+    * explicitly — [[trainTestSplit]] drops the same rows from both
+    * halves; neither form ever assigns them a side. */
   def splitLabel(key: Column, testPct: Int): Column = {
     require(testPct >= 0 && testPct <= 100,
       s"testPct must be in [0,100] (got $testPct)")
-    when(hashBucket(key) < testPct, lit("test")).otherwise(lit("train"))
+    when(key.isNull, lit(null).cast("string"))
+      .when(hashBucket(key) < testPct, lit("test"))
+      .otherwise(lit("train"))
   }
 
   /** Reproducible train/held-out split: `(train, test)` with ~`testPct`%

@@ -193,7 +193,11 @@ object EventStreams {
         !(col("b_time") === col("a_time") &&
           col("b_event") <= col("a_event"))
       else lit(true)
+    // a_event =!= b_event also guards duplicate DELIVERIES of one event
+    // id at different timestamps (an at-least-once stream not routed
+    // through dedupEvents first) — an event must never "follow itself"
     a.join(b, col("a_user") === col("b_user") &&
+        col("a_event") =!= col("b_event") &&
         col("b_time") >= col("a_time") &&
         col("b_time") <= col("a_time") + expr(s"INTERVAL $horizon") &&
         tieBreak)

@@ -142,6 +142,13 @@ class SqlIntegrationSpec extends AnyFunSuite {
              COLUMNS (a.id AS aid, c.id AS cid)) t""")
     }
     assert(err.getMessage.contains("edge identities"))
+    // hops on DISTINCT edge tables can never repeat an edge — TRAIL is
+    // vacuous there and the prefix form must keep working
+    val ok = g.sqlGraph(
+      """SELECT * FROM GRAPH_TABLE (pg
+           MATCH ANY SHORTEST TRAIL (a:Person)-[k:Knows]->(b:Person)-[st:StudyAt]->(sc:School)
+           COLUMNS (a.id AS aid, sc.id AS sid)) t""")
+    assert(ok.count() > 0)
     // with a named path the fixed hops keep their eids and the TRAIL
     // filter applies: no row may bind the same physical edge twice
     val rows = g.sqlGraph(
