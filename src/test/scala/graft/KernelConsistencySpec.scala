@@ -99,6 +99,25 @@ class KernelConsistencySpec extends AnyFunSuite {
         val reach = PathFinder.reachablePairs(s, e, seeds)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         assert(reach == bfs.keySet, hint)
+
+        // 7. mode set theory over 4-hop-bounded enumerations (unbounded
+        //    TRAIL/ACYCLIC counts explode combinatorially on the denser
+        //    random graphs): every ACYCLIC path is a TRAIL (vertex-simple
+        //    ⇒ edge-simple); SIMPLE = ACYCLIC ∪ closed cycles; a bounded
+        //    WALK covers every TRAIL within its horizon
+        def enum(mode: PathMode, upper: Long) =
+          PathFinder.enumerateModePaths(s, e, seeds, 0L, Some(upper), mode)
+            .collect().map(r => ((r.getLong(0), r.getLong(1)),
+              r.getSeq[Long](3).toList)).toSet
+        val acycP = enum(PathMode.Acyclic, 4L)
+        val trailP = enum(PathMode.Trail, 4L)
+        val simpleP = enum(PathMode.Simple, 4L)
+        assert(acycP.subsetOf(trailP), hint)
+        val cycles = simpleP.filter { case ((src, dst), p) =>
+          src == dst && p.length > 1 }
+        assert(simpleP == acycP ++ cycles, hint)
+        val walk3 = enum(PathMode.Walk, 3L)
+        assert(trailP.filter(_._2.length <= 7).subsetOf(walk3), hint)
       }
     }
   }
