@@ -695,6 +695,16 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
 
+  /** Context-window chunking ([[TextAnalysis.chunkTokens]]): overlapping
+    * 64-token windows every 48 tokens, one row per chunk — the step
+    * before embedding/training. Chunk text is emitted as md5 so the
+    * oracle hash-checks exact window CONTENT, not just counts. */
+  private def q63_chunk_windows(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkTokens(t(s, d, "documents"), "text",
+        chunkSize = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk_text")).as("chunk_md5"))
+
   /** Sequence packing ([[graft.ops.Packing]]): documents → fixed-token-
     * budget training blocks, 8 deterministic shards × per-shard running
     * totals. The window is per-shard, so no task ever sees more than
@@ -852,7 +862,8 @@ object SparkEntry {
     "q59_corpus_curation" -> (q59_corpus_curation _),
     "q60_subword_tokens" -> (q60_subword_tokens _),
     "q61_train_test_split" -> (q61_train_test_split _),
-    "q62_sequence_pack" -> (q62_sequence_pack _))
+    "q62_sequence_pack" -> (q62_sequence_pack _),
+    "q63_chunk_windows" -> (q63_chunk_windows _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -1539,6 +1550,24 @@ object SparkEntry {
                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
                FROM events)
          GROUP BY user_id""",
+
+    "q63_chunk_windows" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS arr
+           FROM documents),
+         chunks AS (
+           SELECT doc_id, arr,
+             unnest(range(0, CAST(greatest(1,
+               ceil((len(arr) - 64) / 48.0) + 1) AS BIGINT))) AS chunk_idx
+           FROM toks)
+         SELECT doc_id, chunk_idx,
+           md5(CASE WHEN len(arr) = 0 THEN ''
+             ELSE array_to_string(
+               list_slice(arr, chunk_idx*48 + 1, chunk_idx*48 + 64), ' ')
+             END) AS chunk_md5
+         FROM chunks""",
 
     "q62_sequence_pack" ->
       """WITH toks AS (

@@ -77,6 +77,30 @@ object TextAnalysis {
     round((lenScore + punctScore + stopScore) / 3.0, 6)
   }
 
+  /** Overlapping token-window chunks — context-window preparation: each
+    * doc yields `max(1, ceil((n_tokens - chunkSize)/stride) + 1)` chunks of
+    * up to `chunkSize` tokens starting every `stride` tokens (an empty doc
+    * yields one empty chunk). Pure built-ins (split/sequence/explode/
+    * slice/array_join), so chunking stays inside whole-stage codegen and
+    * scales linearly with the corpus — no UDF, no shuffle.
+    *
+    * @return input plus (chunk_idx, chunk_text) — one row per chunk
+    */
+  def chunkTokens(df: DataFrame, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize] (got $stride)")
+    df.withColumn("__arr", when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>")).otherwise(tokens(col(textCol))))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        greatest(lit(0L), ceil((size(col("__arr")) - lit(chunkSize))
+          .cast("double") / lit(stride)).cast("long")))))
+      .withColumn("chunk_text", array_join(slice(col("__arr"),
+        (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize)), " "))
+      .drop("__arr")
+  }
+
   /** Stable content fingerprint (md5 of normalized text) — exact-dup key. */
   def fingerprintMd5(text: Column): Column =
     md5(lower(trim(text)))

@@ -182,6 +182,24 @@ class OpsSpec extends AnyFunSuite {
     assert(strat.count() == 500)
   }
 
+  test("token chunking: overlap, boundaries, empty docs") {
+    val s = Fixture.init()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // 8 tokens → chunks [a..e], [d..h]
+      (2L, "x y"),             // under one window → 1 chunk
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(docs, "text", chunkSize = 5, stride = 3)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 0L, "a b c d e"), (1L, 1L, "d e f g h"),
+      (2L, 0L, "x y"), (3L, 0L, "")))
+    // consecutive chunks overlap by chunkSize - stride tokens
+    val Seq(c0, c1) = got.toSeq.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(c0.split(" ").takeRight(2).toSeq == c1.split(" ").take(2).toSeq)
+  }
+
   test("sequence packing: per-shard block budgets hold, deterministic") {
     val s = Fixture.init()
     import s.implicits._
