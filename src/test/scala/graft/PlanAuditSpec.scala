@@ -83,6 +83,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("EqualTo(event_type,click)"))
   }
 
+  test("packing (q62) windows per shard — never a single-partition sort") {
+    val s = Fixture.init()
+    val plan = SparkEntry.queries("q62_sequence_pack")(s, sf)
+      .queryExecution.executedPlan.toString
+    // the global-cumsum form would show Exchange SinglePartition and
+    // funnel the whole corpus through one task
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+    assert(plan.contains("Exchange hashpartitioning"))
+  }
+
+  test("chunking (q63) is exchange-free: pure scan-side projection") {
+    val s = Fixture.init()
+    val plan = SparkEntry.queries("q63_chunk_windows")(s, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(plan.contains("Generate explode")) // chunk fan-out in the scan stage
+  }
+
   test("curation pipeline (q59): exactly two exchanges, pruned doc scan") {
     val s = Fixture.init()
     val df = SparkEntry.queries("q59_corpus_curation")(s, sf)
