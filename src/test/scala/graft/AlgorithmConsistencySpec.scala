@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.Algorithms
+
+/** Algorithm kernels vs independent test-side oracles on seeded random
+  * graphs: WCC against a plain union-find written here, LCC against a
+  * brute-force wedge count, PageRank against its conservation laws. The
+  * oracles share no code with the kernels, so agreement is evidence, not
+  * tautology (the fixed q15-q17 fixtures cover reference-exactness; this
+  * covers the space of shapes). */
+class AlgorithmConsistencySpec extends AnyFunSuite {
+
+  private def randomGraph(seed: Long): (Seq[Long], Seq[(Long, Long)]) = {
+    val rnd = new scala.util.Random(seed)
+    val n = 8 + rnd.nextInt(10)
+    val edges = for {
+      s <- 0L until n.toLong; d <- 0L until n.toLong
+      if s != d && rnd.nextDouble() < 0.18
+    } yield (s, d)
+    (0L until n.toLong, edges)
+  }
+
+  test("WCC matches a test-side union-find on random graphs") {
+    val s = Fixture.init()
+    import s.implicits._
+    for (seed <- 11L to 16L) {
+      val (vs, es) = randomGraph(seed)
+      val got = Algorithms.weaklyConnectedComponents(
+        vs.toDF("id"), es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // oracle: naive union-find over the undirected edge set
+      val parent = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val oracle = vs.groupBy(v => find(v)) // component → members
+      oracle.values.foreach { members =>
+        // engine reports min-member id as the component id for every member
+        val want = members.min
+        members.foreach(m => assert(got(m) == want, s"(seed $seed, v $m)"))
+      }
+      assert(got.keySet == vs.toSet, s"(seed $seed)")
+    }
+  }
+
+  test("LCC matches a brute-force wedge count on random graphs") {
+    val s = Fixture.init()
+    import s.implicits._
+    for (seed <- 21L to 26L) {
+      val (vs, es) = randomGraph(seed)
+      val got = Algorithms.localClusteringCoefficient(
+        vs.toDF("id"), es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // oracle: undirected neighborhood, count linked neighbor pairs
+      val nbr = vs.map(v => v ->
+        es.collect { case (a, b) if a == v && b != v => b
+                     case (a, b) if b == v && a != v => a }.toSet).toMap
+      val linked = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      vs.foreach { v =>
+        val ns = nbr(v).toSeq
+        val k = ns.length
+        val expect =
+          if (k < 2) 0.0
+          else {
+            val links = (for {
+              i <- ns.indices; j <- (i + 1) until k
+              if linked((ns(i), ns(j)))
+            } yield 1).sum
+            2.0 * links / (k.toLong * (k - 1))
+          }
+        assert(math.abs(got(v) - expect) < 1e-6,
+          s"(seed $seed, v $v: got ${got(v)}, want $expect)")
+      }
+    }
+  }
+
+  test("PageRank conserves mass and ranks sources last on random graphs") {
+    val s = Fixture.init()
+    import s.implicits._
+    for (seed <- 31L to 34L) {
+      val (vs, es) = randomGraph(seed)
+      val pr = Algorithms.pageRank(vs.toDF("id"), es.toDF("src", "dst"),
+        phantomNodes = 0)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(pr.keySet == vs.toSet, s"(seed $seed)")
+      // ranks are a probability distribution (dangling mass redistributed)
+      assert(math.abs(pr.values.sum - 1.0) < 1e-4, s"(seed $seed)")
+      assert(pr.values.forall(_ > 0), s"(seed $seed)")
+      // a vertex with no in-edges can never out-rank one that receives
+      // every vertex's teleport PLUS real in-flow from it
+      val noIn = vs.filter(v => !es.exists(_._2 == v))
+      noIn.foreach { v =>
+        es.filter(_._1 == v).map(_._2).foreach { target =>
+          assert(pr(v) < pr(target) + 1e-9,
+            s"(seed $seed: source $v outranks its target $target)")
+        }
+      }
+    }
+  }
+}
