@@ -592,7 +592,7 @@ object SparkEntry {
     * none) are emitted; oracle = typed empty relation. */
   private def q56_ivf_ann(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val res = Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5)
+    val res = Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 5)
     val vecs = e.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val w = Window.partitionBy("query_id").orderBy("rank")

@@ -18,14 +18,20 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup key (md5 of normalized text). */
-  def exactKey(text: Column): Column = md5(lower(trim(text)))
+  def exactKey(text: Column): Column =
+    graft.ops.TextAnalysis.fingerprintMd5(text) // ONE content-key definition
 
   /** Marks each row with the canonical (minimum) id of its exact-duplicate
     * group. One shuffle; map-side combine via min aggregation. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy("__key")
     df.withColumn("__key", exactKey(col(textCol)))
-      .withColumn("canonical_id", min(col(idCol)).over(w))
+      // null text is UNKNOWN content, not equal content: each null row is
+      // its own canonical (the window would lump all nulls into one
+      // partition and silently discard every null doc but one)
+      .withColumn("canonical_id",
+        when(col("__key").isNull, col(idCol))
+          .otherwise(min(col(idCol)).over(w)))
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
       .drop("__key")
   }
@@ -74,6 +80,10 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.7, maxBucketSize: Int = 20000): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes, " +
+        s"bands=$bands) — otherwise band slices are empty or drop " +
+        "trailing hashes and the bucketing silently degenerates")
     val rows = numHashes / bands
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))

@@ -38,9 +38,11 @@ object Multimodal {
   def decodeStub(content: Column): Column =
     struct(
       length(content).cast("long").as("byte_len"),
+      // first byte as an int via hex — getbit/bit_get require INTEGRAL
+      // inputs and refuse binary outright
       when(length(content) > 0,
-        getbit(content.substr(1, 1).cast("binary"), lit(0)))
-        .otherwise(lit(null)).as("first_bit"),
+        conv(hex(content.substr(1, 1)), 16, 10).cast("int"))
+        .otherwise(lit(null).cast("int")).as("first_byte"),
       xxhash64(content).as("checksum"))
 
   /** "Resize" on metadata only (real resize happens at decode time):
@@ -62,6 +64,7 @@ object Multimodal {
     * `everyMs` milliseconds over the metadata duration — returns the array
     * of timestamps a decoder would extract. */
   def frameSamplePlan(media: Column, everyMs: Long): Column = {
+    require(everyMs > 0, s"everyMs must be positive (got $everyMs)")
     val dur = media.getField("meta").getField("duration_ms")
     when(dur.isNull || dur <= 0, array().cast("array<bigint>"))
       .otherwise(sequence(lit(0L), dur - 1, lit(everyMs)))

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * per-shard running token total assigns block numbers. The only window
   * runs per shard, so parallelism = shard count and no single task ever
   * sees more than 1/shards of the corpus — the global-cumsum form would
-  * funnel 100 TB through one task. A document LARGER than the budget
-  * still gets its own block (start-offset assignment), matching how
-  * oversized docs are chunked downstream rather than dropped here.
+  * funnel 100 TB through one task. Start-offset assignment: a document
+  * lands in the block its START offset falls in, so an oversized doc
+  * overflows its block's budget (it is never dropped or split here —
+  * chunk first via `TextAnalysis.chunkTokens` if hard caps matter) and
+  * the following block numbers in that shard are skipped.
   */
 object Packing {
 

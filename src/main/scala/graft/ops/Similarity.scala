@@ -88,18 +88,29 @@ object Similarity {
     * Pairs must collide on at least one of `tables` independent
     * `planes`-bit signatures; collisions are verified exactly.
     *
+    * @param dims hyperplane width — must be ≥ the embedding dimension, or
+    *             bucketing silently ignores the tail components and
+    *             recall drops for similarity living there
     * @return (id_a, id_b, cosine) with id_a < id_b
     */
   def lshNearPairs(df: DataFrame, threshold: Double, planes: Int = 12,
       tables: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding", maxBucketSize: Int = 20000): DataFrame = {
+      vecCol: String = "embedding", maxBucketSize: Int = 20000,
+      dims: Int = 64): DataFrame = {
+    // the table tag lives in bits 60+; signature bits must stay below it
+    require(planes >= 1 && planes < 60,
+      s"planes must be in [1, 59] (got $planes)")
+    require(dims >= 1, s"dims must be positive (got $dims)")
     val base = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val sigs0 = base.select(col("id"), col("v"),
+        col(vecCol).cast("array<double>").as("v"))
+      // norms once per ROW here — cosinePre below runs once per candidate
+      // PAIR, where recomputing them would triple the vector work
+      .withColumn("n", norm(col("v")))
+    val sigs0 = base.select(col("id"), col("v"), col("n"),
         posexplode(array((0 until tables).map(t =>
-          signatureLsh(col("v"), planes, planeOffset = t * planes) +
+          signatureLsh(col("v"), planes, dims, planeOffset = t * planes) +
             lit(t.toLong << 60)): _*)))
-      .select(col("id"), col("v"), col("col").as("bucket"))
+      .select(col("id"), col("v"), col("n"), col("col").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard: drop singleton and over-full buckets (see Dedup)
     val keep = sigs0.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
@@ -109,10 +120,11 @@ object Similarity {
     sigs.as("x").join(sigs.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"))
+        col("x.v").as("va"), col("y.v").as("vb"),
+        col("x.n").as("na"), col("y.n").as("nb"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine",
-        cosinePre(col("va"), col("vb"), norm(col("va")), norm(col("vb"))))
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
@@ -134,9 +146,12 @@ object Similarity {
     * each query scans only its `nprobe` closest inverted lists — the
     * classic ANN structure, expressed as two joins (assignment is a
     * broadcast of the centroid table; search shuffles on centroid_id).
+    * Argument order matches [[bruteForceTopK]] (queries first) — the two
+    * frames have identical types, so a swapped call would compile and
+    * silently return wrong neighbor sets.
     * @return (query_id, neighbor_id, rank, cosine)
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numCentroids: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = coarseCentroids(corpus, numCentroids, idCol, vecCol)

@@ -55,7 +55,11 @@ object TextAnalysis {
       struct(markerHits(text, ws).as("hits"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
-    when(best.getField("hits") === 0, lit("und"))
+    // null text → null hits on every language; without the null guard the
+    // `=== 0` check is null too and the tie-break would return the
+    // lexicographically largest language for a document with no text
+    when(best.getField("hits").isNull || best.getField("hits") === 0,
+      lit("und"))
       .otherwise(best.getField("lang"))
   }
 

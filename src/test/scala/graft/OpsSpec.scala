@@ -18,7 +18,7 @@ class OpsSpec extends AnyFunSuite {
     val q = e.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(q, e, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.ivfTopK(e, q, k = 5,
+    val approx = Similarity.ivfTopK(q, e, k = 5,
       numCentroids = 8, nprobe = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
@@ -37,6 +37,21 @@ class OpsSpec extends AnyFunSuite {
     // every vector lands in exactly one list
     assert(assigned.count() == e.count())
     assert(assigned.groupBy("centroid_id").count().count() <= 8)
+  }
+
+  test("featurize: packed blob to stub features, columnar end-to-end") {
+    val s = Fixture.init()
+    import s.implicits._
+    val df = Seq((1L, "hello"), (2L, "")).toDF("id", "txt")
+    val rows = Multimodal.featurize(df, "id", encode(col("txt"), "UTF-8"))
+      .select(col("id"), col("features.byte_len"),
+        col("features.first_byte"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getInt(2))))
+      .toMap
+    assert(rows(1L) == ((5L, Some('h'.toInt)))) // 0x68 = 104
+    assert(rows(2L) == ((0L, None))) // empty blob → no first byte
   }
 
   test("mapPartitions decode pipeline emits one feature row per blob") {
