@@ -133,6 +133,34 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows match a hand-computed batch equivalent") {
+    val s = init()
+    val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
+    val q = EventStreams.slidingUserActivity(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("sliding_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch oracle: every event contributes to the 5 one-minute-spaced
+      // windows of length 5 min that contain it
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val want = s.read.schema(EventStreams.eventsSchema)
+        .parquet("/root/testdata/sf0.001/events*")
+        .withColumn("ms", expr("ts DIV 1000000"))
+        .select(col("user_id"), col("ms")).collect()
+        .flatMap { r =>
+          val (uid, ms) = (r.getLong(0), r.getLong(1))
+          val lastStart = ms - (ms % 60000L)
+          (0 until 5).map(i => (lastStart - i * 60000L, uid))
+        }
+        .groupBy(identity).map { case ((w, u), a) =>
+          (w, u, a.length.toLong) }.toSet
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch plan") {
     val s = init()
     val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
