@@ -645,7 +645,12 @@ object PathFinder {
     */
   def cheapestPaths(spark: SparkSession, edges: DataFrame,
       seeds: DataFrame): DataFrame = {
+    // null weights are dropped with null endpoints: an unweighted edge is
+    // unusable, not free — the local kernel would read it as 0.0 while the
+    // distributed min-struct would sort its null cost FIRST, so the two
+    // strategies would silently diverge on the same input
     val e = dropNullEndpoints(edges.select(col("src"), col("dst"), col("w")))
+      .filter(col("w").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     localOrElse(e, seeds) { seedArr =>
       val earr = e.select(col("src").cast("long"), col("dst").cast("long"),
@@ -706,7 +711,8 @@ object PathFinder {
     */
   def cheapestRoutes(spark: SparkSession, edges: DataFrame,
       seeds: DataFrame): DataFrame = {
-    val clean = dropNullEndpoints(edges)
+    // see cheapestPaths: null weights dropped so both strategies agree
+    val clean = dropNullEndpoints(edges).filter(col("w").isNotNull)
     val e0 = if (clean.columns.contains("eid")) clean
       else Snapshot.denseEdgeIds(spark,
         clean.select(col("src"), col("dst"), col("w")), Seq("src", "dst"))

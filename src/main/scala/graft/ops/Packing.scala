@@ -26,23 +26,35 @@ object Packing {
     * start_offset = running sum of previous docs in the shard (ordered by
     * key).
     *
-    * `keyCol` must hold UNIQUE values (it is the document key): the
-    * running sum orders by it alone, so duplicate keys would make tie
-    * order — and therefore block boundaries — nondeterministic across
-    * reruns, which is exactly what this module must never be.
+    * `keyCol` must hold UNIQUE values (it is the document key). The
+    * running sum orders by (key, token) — duplicate keys with equal token
+    * counts land in the same shard and are interchangeable for packing,
+    * so the assigned BLOCK NUMBERS stay deterministic, but which physical
+    * row gets which block is tie-broken arbitrarily; keep keys unique if
+    * other columns ride along.
+    *
+    * `shards = 0` (the default) derives the shard count from the input's
+    * partitioning (`max(32, input partitions)`): each shard is one window
+    * task, so a fixed default would funnel 1/32 of a 100 TB corpus
+    * through a single task no matter how wide the cluster is. Pass an
+    * explicit count when block-boundary stability across differently
+    * partitioned inputs matters (shard = hash(key) % shards, so the
+    * count is part of the layout contract).
     *
     * @return input plus (shard, block) columns
     */
   def packBlocks(df: DataFrame, keyCol: String, tokenCol: String,
-      blockTokens: Long, shards: Int = 32): DataFrame = {
+      blockTokens: Long, shards: Int = 0): DataFrame = {
     require(blockTokens > 0, "blockTokens must be positive")
-    require(shards > 0, "shards must be positive")
+    require(shards >= 0, "shards must be >= 0 (0 = derive from input)")
     require(!df.columns.contains("shard") && !df.columns.contains("block"),
       "input already has a 'shard' or 'block' column — rename it first " +
         "(packBlocks would silently overwrite it)")
-    val w = Window.partitionBy("shard").orderBy(col(keyCol))
+    val nShards =
+      if (shards > 0) shards else math.max(32, df.rdd.getNumPartitions)
+    val w = Window.partitionBy("shard").orderBy(col(keyCol), col(tokenCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("shard", Sampling.hashBucket(col(keyCol), shards))
+    df.withColumn("shard", Sampling.hashBucket(col(keyCol), nShards))
       .withColumn("__start",
         sum(col(tokenCol)).over(w) - col(tokenCol))
       .withColumn("block",

@@ -95,7 +95,12 @@ object TextAnalysis {
     require(chunkSize > 0, "chunkSize must be positive")
     require(stride > 0 && stride <= chunkSize,
       s"stride must be in [1, chunkSize] (got $stride)")
-    df.withColumn("__arr", when(length(trim(col(textCol))) === 0,
+    // null text is treated like empty text (one empty chunk): without the
+    // explicit isNull branch the `when` condition is null, `__arr` is null,
+    // and the row's chunk count would hinge on greatest() skipping nulls —
+    // an artifact, not a contract
+    df.withColumn("__arr", when(col(textCol).isNull ||
+        length(trim(col(textCol))) === 0,
         array().cast("array<string>")).otherwise(tokens(col(textCol))))
       .withColumn("chunk_idx", explode(sequence(lit(0L),
         greatest(lit(0L), ceil((size(col("__arr")) - lit(chunkSize))

@@ -368,6 +368,31 @@ class DistributedKernelsSpec extends AnyFunSuite {
       List(1L, 5L, 6L))
   }
 
+  test("null edge weights are dropped identically on both strategies") {
+    val s = init()
+    import s.implicits._
+    // a null-weight edge is unusable, not free: the local kernel would
+    // read it as 0.0 while the distributed min-struct sorts its null cost
+    // first — both strategies must instead agree the edge does not exist
+    val e = Seq((Some(1L), Some(2L), Some(10.0)),
+      (Some(2L), Some(3L), None: Option[Double]),
+      (Some(1L), Some(3L), Some(20.0))).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    def costs() = PathFinder.cheapestPaths(s, e, seeds).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    def routes() = PathFinder.cheapestRoutes(s, e, seeds).collect()
+      .map(r => (r.getLong(1),
+        (r.getDouble(2), r.getSeq[Long](3).toList))).toMap
+    val lc = costs()
+    val lr = routes()
+    assert(lc == withDistributed(costs()))
+    assert(lr == withDistributed(routes()))
+    // 1→3 costs 20 via the direct edge — NOT 10 via the null-weight edge
+    assert(lc == Map(1L -> 0.0, 2L -> 10.0, 3L -> 20.0))
+    assert(lr(3L)._1 == 20.0 &&
+      lr(3L)._2.grouped(2).map(_.head).toList == List(1L, 3L))
+  }
+
   test("bidirectional target BFS matches the local kernel (incl. unreachable pairs)") {
     val s = init()
     import s.implicits._

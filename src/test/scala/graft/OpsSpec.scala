@@ -244,6 +244,53 @@ class OpsSpec extends AnyFunSuite {
     assert(again == packed.select("shard", "block", "doc_id").collect().toSet)
   }
 
+  test("exact dedup: null-text docs are their own canonical, never dups") {
+    val s = Fixture.init()
+    import s.implicits._
+    // two real dups, two null-text docs: null text is UNKNOWN content —
+    // the two null docs must NOT be lumped into one duplicate group
+    val docs = Seq((1L, Some("same text")), (2L, Some("same text")),
+      (3L, None: Option[String]), (4L, None: Option[String]),
+      (5L, Some("unique"))).toDF("doc_id", "text")
+    val got = Dedup.exactGroups(docs, "doc_id", "text")
+      .select("doc_id", "canonical_id", "is_duplicate")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)),
+      3L -> ((3L, false)), 4L -> ((4L, false)),
+      5L -> ((5L, false))))
+  }
+
+  test("token chunking: null text behaves exactly like empty text") {
+    val s = Fixture.init()
+    import s.implicits._
+    val docs = Seq((1L, Some("")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(docs, "text", chunkSize = 5,
+        stride = 3)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    // one empty chunk each — the documented contract, not a greatest()
+    // null-skipping artifact
+    assert(got == Set((1L, 0L, ""), (2L, 0L, "")))
+  }
+
+  test("sequence packing: default shard count scales with input partitions") {
+    val s = Fixture.init()
+    import s.implicits._
+    val docs = (0L until 2000L).map(i => (i, 50L)).toDF("doc_id", "n_tokens")
+      .repartition(64)
+    val shards = Packing.packBlocks(docs, "doc_id", "n_tokens", 500L)
+      .select("shard").distinct().collect().map(_.getLong(0))
+    // default derives shards from max(32, input partitions) = 64: with
+    // 2000 keys md5-hashed over 64 buckets, shards ≥ 32 must be hit —
+    // a hard-coded 32 would funnel 1/32 of a 100 TB corpus per task
+    assert(shards.exists(_ >= 32L))
+    assert(shards.forall(b => b >= 0L && b < 64L))
+  }
+
   test("simhash maxDist above the blocking guarantee is rejected") {
     val s = init()
     import s.implicits._
