@@ -31,19 +31,43 @@ final case class GraphSnapshot(
   /** `get_csr_v` analogue: the CSR offsets array as (rowid, offset) —
     * exclusive prefix sums of out-degrees in rowid order.
     *
-    * NOTE: the unpartitioned window makes this a single-partition pass —
-    * acceptable because CSR offsets are an inherently sequential
-    * *introspection* view (the kernels never consume it); do not put it
-    * on a hot path at scale. */
+    * Distributed two-pass prefix sum (the classic scan decomposition), so
+    * no single task ever sees more than one range partition of the vertex
+    * set: (1) range-sort degrees by rowid and collect ONE total per
+    * partition (bytes, not rows); (2) re-walk each partition seeded by
+    * the exclusive sum of the preceding partitions' totals. Replaces the
+    * r5 unpartitioned-window form, which funneled every vertex through a
+    * single task. */
   def csrOffsets: DataFrame = {
+    val spark = vertices.sparkSession
     val deg = vertices.join(edges, vertices("rowid") === edges("src"),
         "left_outer")
       .groupBy(vertices("rowid").as("rowid"))
       .agg(sum(when(edges("src").isNotNull, 1L).otherwise(0L)).as("deg"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("rowid")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    deg.select(col("rowid"),
-      coalesce(sum("deg").over(w), lit(0L)).as("offset"))
+    val rdd = deg.repartitionByRange(col("rowid"))
+      .sortWithinPartitions("rowid")
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      // both passes MUST see identical partition boundaries: an
+      // unpersisted recompute could resample the range partitioner and
+      // misalign the per-partition seeds
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val partTotals = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single((i, it.map(_._2).sum))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val starts = partTotals.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var acc = starts(i)
+      it.map { case (rowid, d) =>
+        val off = acc
+        acc += d
+        org.apache.spark.sql.Row(rowid, off)
+      }
+    }
+    spark.createDataFrame(out,
+      StructType(Seq(StructField("rowid", LongType, nullable = false),
+        StructField("offset", LongType, nullable = false))))
   }
 
   /** `get_csr_e` analogue: neighbor rowids ordered by (src, dst). */

@@ -83,6 +83,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("EqualTo(event_type,click)"))
   }
 
+  test("csr offsets (q34): distributed prefix sum, no single-partition pass") {
+    val s = Fixture.init()
+    val df = SparkEntry.queries("q34_csr_offsets")(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the r5 form wrapped the whole vertex set in an unpartitioned
+    // window — Exchange SinglePartition in the plan; the two-pass scan
+    // decomposition must never reintroduce it
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+    // correctness of the decomposition at a size that spans partitions:
+    // offsets are the exclusive running degree sum in rowid order
+    val rows = df.orderBy("rowid").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.length == 25)
+    assert(rows.head._2 == 0L)
+    assert(rows.zip(rows.tail).forall { case ((_, a), (_, b)) => a <= b })
+  }
+
   test("packing (q62) windows per shard — never a single-partition sort") {
     val s = Fixture.init()
     val plan = SparkEntry.queries("q62_sequence_pack")(s, sf)
