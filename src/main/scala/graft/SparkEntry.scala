@@ -388,76 +388,36 @@ object SparkEntry {
     Dedup.duplicateGroups(docs.select("doc_id"), pairs)
   }
 
-  /** MinHash-LSH pairs + PRECISION gate (was rows-only): LSH recall is
-    * not SQL-expressible (xxhash banding), but every REPORTED pair must
-    * clear the Jaccard threshold — so the query emits each pair together
-    * with the Jaccard re-derived from the raw STRING shingle sets (an
-    * execution path independent of the pipeline's hashed-set verify) and
-    * keeps only violations. Expected output: EMPTY — and the oracle is
-    * the empty relation, so CORRECTNESS now verifies precision. The 0.02
-    * tolerance absorbs the ~1e-6/pair chance of a 2^31 shingle-hash
-    * collision perturbing the hashed-set Jaccard. */
-  private def q20_dedup_minhash(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+  /** MinHash-LSH near-duplicate pairs — FULL value oracle. Since the
+    * shingle hash is the SQL-portable md5 prefix
+    * ([[Dedup.portableHash31]]), the DuckDB oracle replays the ENTIRE
+    * pipeline — shingling, hashed sets, the 16-slot signature with the
+    * (2j+1, FNV-offset) permutation family, 4-band bucketing (murmur
+    * bucket equality ⟺ band-slice equality), the >1/≤20000 bucket-size
+    * guards, and the hashed-set Jaccard ≥ 0.7 verification — and must
+    * produce the IDENTICAL pair list. Replaces the r5
+    * precision-violation gate, whose empty oracle could not tell "no
+    * violations" from "operator silently returned nothing". */
+  private def q20_dedup_minhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
       shingleK = 3, numHashes = 16, bands = 4, threshold = 0.7)
-    // join the RAW text and derive the check columns ABOVE the join, so
-    // the independent recompute runs only on the reported pairs (a
-    // projection below the join would shingle the whole corpus)
-    val txt = docs.select(col("doc_id"), col("text"))
-    pairs
-      .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")),
-        "id_a")
-      .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")),
-        "id_b")
-      .withColumn("str_jaccard", round(Dedup.jaccard(
-        array_distinct(Dedup.shingles(col("ta"), 3)),
-        array_distinct(Dedup.shingles(col("tb"), 3))), 6))
-      .filter(col("jaccard") < 0.7 ||
-        abs(col("str_jaccard") - col("jaccard")) > 0.02)
       .select(col("id_a").cast("long").as("id_a"),
-        col("id_b").cast("long").as("id_b"),
-        col("jaccard"), col("str_jaccard"))
-  }
+        col("id_b").cast("long").as("id_b"), col("jaccard"))
 
-  /** SimHash pairs + consistency gate (was rows-only): each reported
-    * pair's distance is recomputed from signatures produced by the
-    * DECLARATIVE HOF simhash ([[Dedup.simHash]] — per-bit majority via
-    * filter/size expressions), which must agree bit-for-bit with the
-    * fused codegen [[graft.functions.SimHashBits]] path the pipeline uses.
-    * Violations (expected: none) are emitted; maxDist 3 because 4×16-bit
-    * band blocking guarantees ≥1 shared band only for Hamming ≤ 3. */
-  private def q21_dedup_simhash(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    // the pair set is tiny (near-dup pairs) but its subtree carries the
-    // corpus-wide sketch aggregation — checkpoint it so the three
-    // consumers below (two id projections + the final join) don't re-run
-    // that aggregation
-    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
-      .localCheckpoint()
-    // recompute the signature through the DECLARATIVE path once per
-    // REFERENCED doc, not once per pair side: the HOF simhash is 64
-    // interpreted per-bit reductions — per-pair-side evaluation (with
-    // Catalyst's filter/project duplication) was ~4 s of the bench at
-    // sf0.1, per-referenced-doc is sub-second. Corpus-wide evaluation is
-    // far worse still (3 s → 32 s at sf0.1).
-    val ids = pairs.select(col("id_a").as("doc_id"))
-      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val sigs = docs.join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), Dedup.simHash(col("text")).as("sig2"))
-      .localCheckpoint() // consumed by both pair sides — evaluate once
-    pairs
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig2").as("sa")),
-        "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig2").as("sb")),
-        "id_b")
-      .withColumn("dist2", Dedup.hamming64(col("sa"), col("sb")))
-      .filter(col("dist") > 3 || col("dist2") =!= col("dist"))
+  /** SimHash near-dup pairs — FULL value oracle. The token hash is the
+    * SQL-portable md5 prefix ([[graft.functions.PortableHash]]), and the
+    * 4×16-bit band blocking GUARANTEES every Hamming-≤3 pair shares a
+    * band (pigeonhole) — so the operator's output equals the set of ALL
+    * pairs at distance ≤ 3, which the DuckDB oracle recomputes
+    * brute-force from independently derived signatures (per-bit majority
+    * over the md5 token hashes, hi/lo 32-bit halves). A silently-empty
+    * operator or a banding recall bug now hash-mismatches; the
+    * codegen-vs-declarative consistency check lives in OpsSpec. */
+  private def q21_dedup_simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"),
-        col("dist").cast("long").as("dist"),
-        col("dist2").cast("long").as("dist_recomputed"))
-  }
+        col("dist").cast("long").as("dist"))
 
   // =========================================================================
   // Text analysis
@@ -552,51 +512,53 @@ object SparkEntry {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Hyperplane-LSH near-pairs + PRECISION gate (was rows-only): every
-    * reported pair's cosine is recomputed with Spark's interpreted HOFs
-    * (`aggregate`/`zip_with`/`transform` — independent of the codegen'd
-    * DotProduct/L2Norm kernels inside the pipeline) and violations
-    * (reported < threshold, or the two paths disagreeing beyond the
-    * 6-dp rounding) are emitted. Expected output: EMPTY; the oracle is
-    * the empty relation — recall stays non-SQL, precision is verified. */
-  /** Interpreted-HOF cosine — the gates' independent recompute path,
-    * deliberately NOT the codegen'd DotProduct/L2Norm kernels under test.
-    * Shared by q27 and q56 so the two gates can never drift apart. */
+  /** Hyperplane-LSH near-pairs — FULL value oracle. The hyperplanes are
+    * plan constants ([[Similarity.planeMatrix]]), so the DuckDB oracle
+    * embeds the same 3×12×64 constants and replays the whole pipeline —
+    * sign-bit signatures per table, bucket equality, the >1/≤20000
+    * bucket-size guards, exact cosine ≥ 0.3 verification — and must
+    * produce the IDENTICAL pair list. Replaces the r5
+    * precision-violation gate, whose empty oracle could not tell "no
+    * violations" from "operator silently returned nothing": recall of
+    * the banding is now value-checked too. */
+  private def q27_sim_lsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshNearPairs(t(s, d, "embeddings"), threshold = 0.3)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"), col("cosine"))
+
+  /** Interpreted-HOF cosine — q56's independent recompute path,
+    * deliberately NOT the codegen'd DotProduct/L2Norm kernels under
+    * test. */
   private def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
   private def hofNorm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  private def q27_sim_lsh(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
-    val pairs = Similarity.lshNearPairs(e, threshold = 0.3)
-    val vecs = e.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-    pairs
-      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
-      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
-      .withColumn("cos2", hofDot(col("va"), col("vb")) /
-        (hofNorm(col("va")) * hofNorm(col("vb"))))
-      .filter(col("cosine") < 0.3 - 1e-6 ||
-        abs(col("cos2") - col("cosine")) > 2e-6)
-      .select(col("id_a").cast("long").as("id_a"),
-        col("id_b").cast("long").as("id_b"),
-        col("cosine"), round(col("cos2"), 6).as("cos_recomputed"))
-  }
-
-  /** IVF coarse-quantized ANN + consistency gate (was unit-test-only):
-    * recall is structural (which inverted lists get probed), but every
-    * RETURNED row must carry the true cosine of its pair (re-derived via
-    * interpreted HOFs, independent of the codegen'd kernels) and ranks
-    * must be non-increasing in cosine per query. Violations (expected:
-    * none) are emitted; oracle = typed empty relation. */
+  /** IVF coarse-quantized ANN: consistency violations + CARDINALITY +
+    * recall floor. Which inverted lists get probed is structural (not
+    * SQL-expressible), so the oracle cannot replay the pipeline — but
+    * three families of evidence close the silently-empty hole the r5
+    * violation-only gate left open:
+    *  1. violations (expected none): every returned row's cosine
+    *     re-derived via interpreted HOFs must match the codegen'd value,
+    *     and ranks must be non-increasing per query;
+    *  2. a cardinality row ('-1', n_result_rows, -1, null): the operator
+    *     must return EXACTLY queries×k rows (every probed query finds ≥k
+    *     candidates at these list sizes) — the oracle computes the
+    *     nonzero expectation independently, so an empty result set reads
+    *     red, not green;
+    *  3. recall-floor violations (expected none): per query, ≥1 of the
+    *     true brute-force top-k must appear in the IVF top-k (emitted as
+    *     (query_id, -2, overlap, null) rows when violated — nprobe=4 of
+    *     16 lists keeps worst-case observed overlap well above 1). */
   private def q56_ivf_ann(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val res = Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 5)
+    val queries = e.filter(col("vec_id") < 20)
+    val res = Similarity.ivfTopK(queries, e, k = 5).localCheckpoint()
     val vecs = e.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val w = Window.partitionBy("query_id").orderBy("rank")
-    res
+    val violations = res
       .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
         "query_id")
       .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
@@ -609,6 +571,25 @@ object SparkEntry {
       .select(col("query_id").cast("long").as("query_id"),
         col("neighbor_id").cast("long").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cosine"))
+    val cardinality = res.groupBy()
+      .agg(count(lit(1)).as("n"))
+      .select(lit(-1L).as("query_id"), col("n").cast("long").as("neighbor_id"),
+        lit(-1L).as("rank"), lit(null).cast("double").as("cosine"))
+    val exact = Similarity.bruteForceTopK(queries, e, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = res.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("overlap"))
+    // outer-join back to the query list: a zero-overlap query has NO row
+    // in `overlap` — a semi-join-only aggregate could never flag it
+    val lowRecall = queries.select(col("vec_id").cast("long").as("query_id"))
+      .join(overlap, Seq("query_id"), "left_outer")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .filter(col("overlap") < 1)
+      .select(col("query_id"), lit(-2L).as("neighbor_id"),
+        col("overlap").cast("long").as("rank"),
+        lit(null).cast("double").as("cosine"))
+    violations.unionAll(cardinality).unionAll(lowRecall)
   }
 
   /** Embedding-cosine near-duplicate GROUPS: exact cosine pairs on the
@@ -934,6 +915,56 @@ object SparkEntry {
     }
     s"""WITH $sqlNationNext, $sqlNationAdj, $sqlNationNear, $sqlNationCNext
         ${(vparts ++ eparts).mkString("\nUNION ALL\n")}"""
+  }
+
+  /** q27's oracle replays the hyperplane bucketing with the SAME plane
+    * constants the operator compiles in (3 tables × 12 planes × 64 dims —
+    * [[graft.ops.Similarity.planeMatrix]]), then the bucket-size guards
+    * and the exact-cosine ≥ 0.3 verification: banding recall AND
+    * precision are both value-checked. `list_reduce` folds left-to-right,
+    * matching the codegen kernels' summation order bit-for-bit. */
+  private def q27OracleSql: String = {
+    val rows = (0 until 3).flatMap { t =>
+      Similarity.planeMatrix(12, 64, planeOffset = t * 12)
+        .zipWithIndex.map { case (pv, p) =>
+          s"($t, $p, [${pv.mkString(", ")}])"
+        }
+    }
+    s"""WITH pl(t, p, pv) AS (VALUES ${rows.mkString(",\n")}),
+       dots AS (
+         SELECT e.vec_id, pl.t, pl.p,
+           list_reduce(list_transform(range(64),
+             i -> CAST(e.embedding[i+1] AS DOUBLE) * pl.pv[i+1]),
+             (a, b) -> a + b) AS dp
+         FROM embeddings e CROSS JOIN pl),
+       sigs AS (
+         SELECT vec_id, t,
+           CAST(sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p
+                         ELSE 0 END) AS BIGINT) AS sig
+         FROM dots GROUP BY vec_id, t),
+       keptb AS (
+         SELECT t, sig FROM sigs GROUP BY t, sig
+         HAVING count(*) > 1 AND count(*) <= 20000),
+       bk AS (SELECT sigs.* FROM sigs JOIN keptb USING (t, sig)),
+       cand AS (
+         SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM bk x JOIN bk y
+           ON x.t = y.t AND x.sig = y.sig AND x.vec_id < y.vec_id),
+       v AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+       scored AS (
+         SELECT id_a, id_b,
+           list_reduce(list_transform(range(64), i -> a.v[i+1] * b.v[i+1]),
+             (x, y) -> x + y) /
+           (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+              (x, y) -> x + y)) *
+            sqrt(list_reduce(list_transform(b.v, x -> x * x),
+              (x, y) -> x + y))) AS cos
+         FROM cand JOIN v a ON a.vec_id = cand.id_a
+                   JOIN v b ON b.vec_id = cand.id_b)
+       SELECT id_a, id_b, round(cos, 6) AS cosine
+       FROM scored WHERE cos >= 0.3"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1384,12 +1415,18 @@ object SparkEntry {
          LEFT JOIN deg ON deg.id = n.n_nationkey
          LEFT JOIN tri ON tri.id = n.n_nationkey""",
 
+    // null text is its own canonical (unknown content ≠ equal content) —
+    // mirrored here so the oracle can't lump all null-text docs into one
+    // NULL partition and mark all but one as duplicates
     "q18_dedup_exact" ->
       """SELECT doc_id,
-           min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
-             AS canonical_id,
-           doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
-             AS is_duplicate
+           CASE WHEN text IS NULL THEN doc_id
+                ELSE min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+           END AS canonical_id,
+           CASE WHEN text IS NULL THEN FALSE
+                ELSE doc_id <>
+                  min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+           END AS is_duplicate
          FROM documents""",
 
     "q19_dedup_jaccard" ->
@@ -1404,16 +1441,53 @@ object SparkEntry {
          WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                len(list_distinct(a.sh || b.sh)), 6) >= 0.8""",
 
-    // Hash-family precision gates: the queries emit VIOLATIONS of the
-    // invariant every reported pair must satisfy (see the q20/q21/q27
-    // Scaladoc), so the oracle is the typed empty relation. Recall stays
-    // non-SQL-expressible (xxhash banding), but a precision bug now turns
-    // the row green→red instead of hiding behind "no_oracle".
+    // Hash-family FULL-pipeline oracles (r6): the md5-prefix hashes made
+    // every stage SQL-reproducible, so DuckDB replays shingling → hashed
+    // sets → minhash signatures → banding → size guards → verification
+    // and must emit the IDENTICAL pair list. This closes r5's
+    // weakest-green hole: an operator that silently returned nothing now
+    // hash-mismatches a nonempty expectation.
     "q20_dedup_minhash" ->
-      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
-                CAST(NULL AS DOUBLE) AS jaccard,
-                CAST(NULL AS DOUBLE) AS str_jaccard
-         WHERE 1 = 0""",
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         shl AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, len(toks) - 1)] END AS sh
+           FROM d),
+         hv AS (
+           SELECT doc_id, list_distinct(list_transform(list_distinct(sh),
+             s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)
+                  % 2147483647)) AS hv
+           FROM shl),
+         sig AS (
+           SELECT doc_id, hv,
+             list_transform(range(16), j -> list_min(list_transform(hv,
+               h -> (h * (2*j + 1) + (1099511628211 * (j + 1)) % 2147483647)
+                    % 2147483647))) AS sig
+           FROM hv),
+         banded AS (
+           SELECT doc_id, b,
+                  array_to_string(sig[4*b + 1 : 4*b + 4], ',') AS bucket
+           FROM sig, range(4) t(b)),
+         kept AS (
+           SELECT b, bucket FROM banded GROUP BY b, bucket
+           HAVING count(*) > 1 AND count(*) <= 20000),
+         bk AS (SELECT banded.* FROM banded JOIN kept USING (b, bucket)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bk x JOIN bk y
+             ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         scored AS (
+           SELECT id_a, id_b,
+             CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE) /
+               len(list_distinct(a.hv || b.hv)) AS j
+           FROM cand JOIN hv a ON a.doc_id = cand.id_a
+                     JOIN hv b ON b.doc_id = cand.id_b)
+         SELECT id_a, id_b, round(j, 6) AS jaccard
+         FROM scored WHERE j >= 0.7""",
 
     // same base-31 Horner over md5-derived token hashes, SQL-exact
     "q24_fingerprint_rolling" ->
@@ -1425,23 +1499,56 @@ object SparkEntry {
                 % 2147483647 AS VARCHAR)) AS BIGINT) AS fp_roll
          FROM documents""",
 
+    // Brute-force all-pairs Hamming ≤ 3 over independently recomputed
+    // signatures (md5-prefix token hashes, per-bit majority, hi/lo
+    // 32-bit halves so no 64-bit literal can overflow) — equals the
+    // operator's banded output because 4×16-bit blocking GUARANTEES
+    // recall at distance ≤ 3 (pigeonhole).
     "q21_dedup_simhash" ->
-      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
-                CAST(NULL AS BIGINT) AS dist,
-                CAST(NULL AS BIGINT) AS dist_recomputed
-         WHERE 1 = 0""",
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END
+               AS toks
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_transform(toks,
+               t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS his,
+             list_transform(toks,
+               t -> CAST('0x' || substr(md5(t), 9, 8) AS BIGINT)) AS los
+           FROM d),
+         sig AS (
+           SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(range(32), b ->
+               CASE WHEN 2 * list_sum(list_transform(his, x -> (x >> b) & 1))
+                         > len(his)
+                    THEN CAST(1 AS BIGINT) << b ELSE 0 END)), 0) AS BIGINT)
+               AS hi_sig,
+             CAST(coalesce(list_sum(list_transform(range(32), b ->
+               CASE WHEN 2 * list_sum(list_transform(los, x -> (x >> b) & 1))
+                         > len(los)
+                    THEN CAST(1 AS BIGINT) << b ELSE 0 END)), 0) AS BIGINT)
+               AS lo_sig
+           FROM h)
+         SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.hi_sig, b.hi_sig)) +
+             bit_count(xor(a.lo_sig, b.lo_sig)) AS dist
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         WHERE dist <= 3""",
 
-    "q27_sim_lsh" ->
-      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
-                CAST(NULL AS DOUBLE) AS cosine,
-                CAST(NULL AS DOUBLE) AS cos_recomputed
-         WHERE 1 = 0""",
+    "q27_sim_lsh" -> q27OracleSql,
 
+    // Cardinality identity: the operator must return EXACTLY queries×k
+    // rows (plus zero violation rows and zero recall-floor rows) — the
+    // oracle derives the nonzero expectation from the data itself.
     "q56_ivf_ann" ->
-      """SELECT CAST(NULL AS BIGINT) AS query_id,
-                CAST(NULL AS BIGINT) AS neighbor_id,
-                CAST(NULL AS BIGINT) AS rank, CAST(NULL AS DOUBLE) AS cosine
-         WHERE 1 = 0""",
+      """SELECT CAST(-1 AS BIGINT) AS query_id,
+                CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 20)
+                     AS BIGINT) AS neighbor_id,
+                CAST(-1 AS BIGINT) AS rank,
+                CAST(NULL AS DOUBLE) AS cosine""",
 
     "q22_text_stats" ->
       """SELECT doc_id,

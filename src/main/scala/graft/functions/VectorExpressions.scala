@@ -229,10 +229,35 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** SQL-portable 64-bit token hash shared by the SimHash implementations:
+  * the first 8 bytes of the md5 digest, big-endian — bit-identical to the
+  * declarative `shiftleft(conv(substr(md5(t),1,8),16,10), 32) |
+  * conv(substr(md5(t),9,8),16,10)` ([[graft.ops.Dedup.portableHash64]])
+  * and to any engine's `md5()` hex prefix, so the driver's DuckDB oracle
+  * can recompute signatures independently (md5 over xxhash64 for exactly
+  * that portability — the rolling-fingerprint precedent). */
+object PortableHash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Hash64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    ((dig(0) & 0xffL) << 56) | ((dig(1) & 0xffL) << 48) |
+      ((dig(2) & 0xffL) << 40) | ((dig(3) & 0xffL) << 32) |
+      ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
+      ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
+  }
+}
+
 /** 64-bit SimHash signature from a token array in ONE fused per-row loop:
-  * xxhash64 per token (identical to Spark's `xxhash64()` — `XXH64` with
-  * seed 42) feeding 64 bit counters + a strict-majority vote. The per-row
-  * (shuffle-free) form of [[graft.functions.SimHashAgg]] — a signature is
+  * [[PortableHash.md5Hash64]] per token (the SQL-portable md5-prefix
+  * hash — replicable by the DuckDB oracle) feeding 64 bit counters + a
+  * strict-majority vote. The per-row (shuffle-free) form of
+  * [[graft.functions.SimHashAgg]] — a signature is
   * a pure function of one document's tokens, so computing it as a
   * projection avoids the explode + hash-aggregate + shuffle the aggregate
   * form needs (at corpus scale that shuffle carries every token).
@@ -242,8 +267,6 @@ case class SimHashBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "simhash_bits"
 
-  import org.apache.spark.sql.catalyst.expressions.XXH64
-
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
@@ -252,9 +275,7 @@ case class SimHashBits(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       if (!x.isNullAt(i)) {
-        val s = x.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        val h = PortableHash.md5Hash64(x.getUTF8String(i))
         var b = 0
         while (b < 64) { ones(b) += (h >>> b) & 1L; b += 1 }
         cnt += 1
@@ -274,21 +295,17 @@ case class SimHashBits(child: Expression) extends UnaryExpression {
       val b = ctx.freshName("b")
       val n = ctx.freshName("n")
       val h = ctx.freshName("h")
-      val s = ctx.freshName("s")
       val cnt = ctx.freshName("cnt")
       val ones = ctx.freshName("ones")
       val sig = ctx.freshName("sig")
-      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
-      val u = "org.apache.spark.unsafe.types.UTF8String"
       s"""
         int $n = $x.numElements();
         long[] $ones = new long[64];
         long $cnt = 0L;
         for (int $i = 0; $i < $n; $i++) {
           if (!$x.isNullAt($i)) {
-            $u $s = $x.getUTF8String($i);
-            long $h = $xxh.hashUnsafeBytes(
-              $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+            long $h = graft.functions.PortableHash.md5Hash64(
+              $x.getUTF8String($i));
             for (int $b = 0; $b < 64; $b++) $ones[$b] += ($h >>> $b) & 1L;
             $cnt++;
           }

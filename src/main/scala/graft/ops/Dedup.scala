@@ -50,13 +50,30 @@ object Dedup {
     when(ua === 0, lit(0.0)).otherwise(ia / ua)
   }
 
+  /** SQL-portable 31-bit content hash: md5's first 48 bits mod 2^31−1.
+    * md5 instead of xxhash64 so the WHOLE minhash pipeline — signatures,
+    * bands, candidate generation — is exactly reproducible by any engine
+    * with `md5()` (the same move the rolling fingerprint made): the
+    * driver's DuckDB oracle replays it end-to-end instead of settling
+    * for a precision-only gate. */
+  def portableHash31(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 12), 16, 10).cast("long"),
+      lit(2147483647L))
+
+  /** SQL-portable 64-bit token hash: md5's first 16 hex chars assembled
+    * from two 32-bit halves (`hi << 32 | lo` — bitwise, so the sign bit
+    * is a bit pattern, never an overflow). */
+  def portableHash64(t: Column): Column =
+    shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+
   /** `numHashes` MinHash values of a shingle array. Permutation family
-    * h_i(x) = (a_i * (xxhash64(x) mod p) + b_i) mod p with p = 2^31−1 —
+    * h_i(x) = (a_i * ([[portableHash31]](x)) + b_i) mod p with p = 2^31−1 —
     * deterministic and seedless; intermediates stay < 2^62 so the
     * expressions are safe under ANSI overflow checking. */
   def minHashes(shingleArr: Column, numHashes: Int): Column =
     minHashesFromHashed(
-      transform(shingleArr, s => pmod(xxhash64(s), lit(2147483647L))),
+      transform(shingleArr, s => portableHash31(s)),
       numHashes)
 
   /** MinHash from pre-hashed shingles: one fused codegen'd loop computing
@@ -89,7 +106,7 @@ object Dedup {
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", array_distinct(shingles(col("text"), shingleK)))
       .withColumn("hv",
-        transform(col("sh"), s => pmod(xxhash64(s), lit(2147483647L))))
+        transform(col("sh"), s => portableHash31(s)))
       .withColumn("sig", minHashesFromHashed(col("hv"), numHashes))
     // explode into (bandIdx, bandHash) buckets; join within buckets.
     // Verification runs on the hashed shingle sets (long arrays): same
@@ -121,11 +138,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash over token xxhash64 values: sign-sum of each bit
-    * weighted by token frequency. */
+  /** 64-bit SimHash over [[portableHash64]] token values: sign-sum of
+    * each bit weighted by token frequency. */
   def simHash(text: Column): Column = {
     val toks = TextAnalysis.tokens(lower(text))
-    val hashes = transform(toks, t => xxhash64(t))
+    val hashes = transform(toks, t => portableHash64(t))
     // for each bit position, majority vote; build the long via sum of 2^i
     val bits = (0 until 64).map { i =>
       val ones = size(filter(hashes,

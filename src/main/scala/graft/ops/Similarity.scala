@@ -73,6 +73,14 @@ object Similarity {
     m.toDouble / 500000.0 - 1.0
   }
 
+  /** The constant hyperplane matrix for a signature: `planes` rows of
+    * `dims` components. Public so the driver's oracle SQL can embed the
+    * SAME constants and replay the bucketing independently. */
+  def planeMatrix(planes: Int, dims: Int = 64,
+      planeOffset: Int = 0): Seq[Seq[Double]] =
+    (0 until planes).map(p =>
+      (0 until dims).map(d => planeComponent(planeOffset + p, d)))
+
   /** Sign-bit LSH signature: `planes` constant hyperplanes (dim `dims`)
     * → one long, via the fused codegen'd
     * [[graft.functions.HyperplaneSignBits]] expression (one primitive
@@ -81,8 +89,7 @@ object Similarity {
   def signatureLsh(vec: Column, planes: Int, dims: Int = 64,
       planeOffset: Int = 0): Column =
     graft.functions.VectorFunctions.lsh_sign_bits(vec,
-      (0 until planes).map(p =>
-        (0 until dims).map(d => planeComponent(planeOffset + p, d))))
+      planeMatrix(planes, dims, planeOffset))
 
   /** LSH-bucketed approximate near-neighbor pairs with cosine ≥ threshold.
     * Pairs must collide on at least one of `tables` independent

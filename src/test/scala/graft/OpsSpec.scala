@@ -244,6 +244,23 @@ class OpsSpec extends AnyFunSuite {
     assert(again == packed.select("shard", "block", "doc_id").collect().toSet)
   }
 
+  test("portable md5 hash: declarative and codegen simhash agree bitwise") {
+    val s = Fixture.init()
+    import s.implicits._
+    // the q21 oracle recomputes signatures from md5 prefixes in SQL; this
+    // pins the two Spark-side paths (HOF portableHash64 vs the fused
+    // PortableHash.md5Hash64 codegen) to each other bit-for-bit
+    val docs = Seq((1L, "the quick brown fox jumps"), (2L, ""),
+      (3L, "a b a b a"), (4L, "unicode ÄÖÜ 中文 tokens here"))
+      .toDF("id", "text")
+    val rows = docs.select(col("id"), Dedup.simHash(col("text")).as("a"))
+      .join(Dedup.simHashSignatures(docs, "id", "text")
+        .select(col("id"), col("sig").as("b")), "id")
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+  }
+
   test("exact dedup: null-text docs are their own canonical, never dups") {
     val s = Fixture.init()
     import s.implicits._
