@@ -211,6 +211,34 @@ object SparkEntry {
       .withColumn("vpath",
         concat_ws(",", transform(col("vpath"), _.cast("string"))))
 
+  /** IC13-shaped search prefix over a MIXED pattern (typed fixed first
+    * hop + ALL SHORTEST quantified tail): the kernel is seeded from the
+    * fixed-prefix join's endpoint set, per-segment shortest paths
+    * concatenate with the A14 machinery — the reference's
+    * CheckNamedSubpath composition (match.cpp:709-790), which it only
+    * implements for ANY SHORTEST (and refuses under prefixes it can't
+    * compile, match.cpp:80-108). Was the r5 top "missing" item. */
+  private def q64_prefix_all_shortest(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ALL SHORTEST (a:Nation WHERE a.n_regionkey = 0)-[f:NationNext]->(m:Nation)-[e:NationNear]->{1,2}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, m.n_nationkey AS mid,
+                  b.n_nationkey AS dst, path_length(p) AS plen,
+                  vertices(p) AS vpath)""")
+      .withColumn("vpath",
+        concat_ws(",", transform(col("vpath"), _.cast("string"))))
+
+  /** SHORTEST k over the same mixed shape: the quantified segment
+    * contributes its k smallest (length, lexicographic-path) subpaths per
+    * endpoint pair; the fixed hop keeps join multiplicity. */
+  private def q65_prefix_shortest_k(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = SHORTEST 2 (a:Nation WHERE a.n_regionkey = 0)-[f:NationNext]->(m:Nation)-[e:NationNear]->{1,2}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, m.n_nationkey AS mid,
+                  b.n_nationkey AS dst, path_length(p) AS plen,
+                  vertices(p) AS vpath)""")
+      .withColumn("vpath",
+        concat_ws(",", transform(col("vpath"), _.cast("string"))))
+
   /** Property-graph persistence round trip: CREATE writes the `__graft_pg`
     * catalog table; a FRESH registry (a new session/process in production)
     * lazily reloads it — reference `__duckpgq_internal` semantics
@@ -815,6 +843,8 @@ object SparkEntry {
     "q52_acyclic_enum" -> (q52_acyclic_enum _),
     "q53_all_shortest" -> (q53_all_shortest _),
     "q54_shortest_k" -> (q54_shortest_k _),
+    "q64_prefix_all_shortest" -> (q64_prefix_all_shortest _),
+    "q65_prefix_shortest_k" -> (q65_prefix_shortest_k _),
     "q11_varlen" -> (q11_varlen _),
     "q12_shortest_path" -> (q12_shortest_path _),
     "q46_multiseg_path" -> (q46_multiseg_path _),
@@ -1338,6 +1368,63 @@ object SparkEntry {
                   AS vpath
          FROM nation_next nn JOIN sp ON sp.src = nn.dst
          WHERE sp.d BETWEEN 1 AND 3""",
+
+    // IC13-shaped prefix-over-mixed goldens: fixed NationNext hop, then
+    // per-segment ALL SHORTEST / SHORTEST k over nation_near walks; the
+    // segment CTE mirrors q53/q54 and the concatenation prepends the
+    // fixed hop (match.cpp:709-790 composition).
+    "q64_prefix_all_shortest" ->
+      s"""WITH RECURSIVE $sqlNationNext, $sqlNationNear,
+         w(src, v, dist, vpath) AS (
+           SELECT n_nationkey, n_nationkey, 0, [CAST(n_nationkey AS BIGINT)]
+           FROM nation
+           UNION ALL
+           SELECT w.src, e.dst, w.dist + 1,
+                  list_append(w.vpath, CAST(e.dst AS BIGINT))
+           FROM w JOIN nation_near e ON w.v = e.src
+           WHERE w.dist < 2),
+         seg AS (
+           SELECT src, dst, dist, vpath FROM (
+             SELECT src, v AS dst, CAST(dist AS BIGINT) AS dist, vpath,
+                    min(dist) OVER (PARTITION BY src, v) AS md
+             FROM w)
+           WHERE dist = md AND dist >= 1)
+         SELECT a.n_nationkey AS src, nn.dst AS mid, seg.dst AS dst,
+                CAST(1 + seg.dist AS BIGINT) AS plen,
+                array_to_string(
+                  list_prepend(CAST(a.n_nationkey AS BIGINT), seg.vpath),
+                  ',') AS vpath
+         FROM nation a
+         JOIN nation_next nn ON nn.src = a.n_nationkey
+         JOIN seg ON seg.src = nn.dst
+         WHERE a.n_regionkey = 0""",
+
+    "q65_prefix_shortest_k" ->
+      s"""WITH RECURSIVE $sqlNationNext, $sqlNationNear,
+         w(src, v, dist, vpath) AS (
+           SELECT n_nationkey, n_nationkey, 0, [CAST(n_nationkey AS BIGINT)]
+           FROM nation
+           UNION ALL
+           SELECT w.src, e.dst, w.dist + 1,
+                  list_append(w.vpath, CAST(e.dst AS BIGINT))
+           FROM w JOIN nation_near e ON w.v = e.src
+           WHERE w.dist < 2),
+         seg AS (
+           SELECT src, dst, dist, vpath FROM (
+             SELECT src, v AS dst, CAST(dist AS BIGINT) AS dist, vpath,
+                    row_number() OVER (PARTITION BY src, v
+                      ORDER BY dist, vpath) AS rn
+             FROM w WHERE dist >= 1)
+           WHERE rn <= 2)
+         SELECT a.n_nationkey AS src, nn.dst AS mid, seg.dst AS dst,
+                CAST(1 + seg.dist AS BIGINT) AS plen,
+                array_to_string(
+                  list_prepend(CAST(a.n_nationkey AS BIGINT), seg.vpath),
+                  ',') AS vpath
+         FROM nation a
+         JOIN nation_next nn ON nn.src = a.n_nationkey
+         JOIN seg ON seg.src = nn.dst
+         WHERE a.n_regionkey = 0""",
 
     "q13_reachability" ->
       s"""WITH RECURSIVE $sqlNationNext,

@@ -402,15 +402,16 @@ object GraphTableCompiler {
             "segments) is not yet supported — drop the prefix " +
             "(enumeration) or use a single quantified edge")
       currentModeSegs.clear()
-      // SHORTEST k ranks whole paths — per-segment top-k of a multi-hop
-      // pattern would compose the wrong set, so restrict to one segment
+      // SHORTEST k over a MIXED pattern applies PER QUANTIFIED SEGMENT:
+      // each segment contributes its k smallest subpaths given the
+      // endpoint bindings — the same per-subpath composition the
+      // reference's CheckNamedSubpath concatenation defines for ANY
+      // SHORTEST (match.cpp:709-790) — while fixed hops keep ordinary
+      // join multiplicity. Over a single fixed edge (no quantifier) the
+      // kernel still ranks parallel edges (below).
       val kShortest = p.prefix.collect {
         case SearchPrefix.ShortestK(kk) => kk
       }
-      if (kShortest.isDefined && elems.length != 3)
-        throw GraphAnalysisException(
-          "SHORTEST k over multi-segment patterns is not yet supported — " +
-            "use a single edge pattern")
       // per-position alias info for the fixed-pattern mode filters
       val modeVertexPos = scala.collection.mutable.ArrayBuffer[String]()
       val modeEdgePos =
@@ -446,9 +447,12 @@ object GraphTableCompiler {
             "TRAIL over a bidirectional (<-[e]->) fixed edge is not yet " +
               "supported")
 
-        if (ep.quantifier.isDefined || kShortest.isDefined) {
-          // SHORTEST k routes even a fixed hop through the kernel ({1,1})
-          // — the plain join would emit ALL parallel edges, not the top k
+        if (ep.quantifier.isDefined ||
+            (kShortest.isDefined && elems.length == 3)) {
+          // single-edge SHORTEST k routes even a fixed hop through the
+          // kernel ({1,1}) — the plain join would emit ALL parallel
+          // edges, not the top k. (In a mixed pattern a fixed hop keeps
+          // join multiplicity: per-segment SHORTEST k semantics.)
           if (ep.quantifier.isEmpty)
             fixedKernelTables +=
               resolveEdge(ep.varName.getOrElse("(edge)"), ep.label).tableName
