@@ -239,6 +239,21 @@ object SparkEntry {
       .withColumn("vpath",
         concat_ws(",", transform(col("vpath"), _.cast("string"))))
 
+  /** `vertices(p)` over a COMPOSITE-key graph: the kernel runs in dense
+    * rowid space, and exposed path arrays are translated back to STABLE
+    * SURROGATES — each vertex slot becomes the '|'-joined declared key
+    * tuple. The reference leaks its physical rowids here
+    * (match.cpp:731-788); a surrogate derived from declared keys survives
+    * reloads and engine swaps, so the oracle can rebuild it exactly. The
+    * CNext ring has out-degree 1, so ANY SHORTEST paths are unique and
+    * fully value-checkable. */
+  private def q66_composite_path_vertices(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ANY SHORTEST (a:CNation WHERE a.n_regionkey = 0)-[e:CNext]->{1,3}(b:CNation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
+                  path_length(p) AS plen, vertices(p) AS vpath)""")
+      .withColumn("vpath", concat_ws(",", col("vpath")))
+
   /** Property-graph persistence round trip: CREATE writes the `__graft_pg`
     * catalog table; a FRESH registry (a new session/process in production)
     * lazily reloads it — reference `__duckpgq_internal` semantics
@@ -845,6 +860,7 @@ object SparkEntry {
     "q54_shortest_k" -> (q54_shortest_k _),
     "q64_prefix_all_shortest" -> (q64_prefix_all_shortest _),
     "q65_prefix_shortest_k" -> (q65_prefix_shortest_k _),
+    "q66_composite_path_vertices" -> (q66_composite_path_vertices _),
     "q11_varlen" -> (q11_varlen _),
     "q12_shortest_path" -> (q12_shortest_path _),
     "q46_multiseg_path" -> (q46_multiseg_path _),
@@ -1425,6 +1441,28 @@ object SparkEntry {
          JOIN nation_next nn ON nn.src = a.n_nationkey
          JOIN seg ON seg.src = nn.dst
          WHERE a.n_regionkey = 0""",
+
+    // composite-key path surrogates: vertex slots are the '|'-joined
+    // declared key tuple (n_regionkey|n_nationkey); the CNext ring has
+    // out-degree 1, so each (src, dst) has exactly one walk of dist ≤ 3
+    // and ANY SHORTEST is deterministic — vpath fully value-checked
+    "q66_composite_path_vertices" ->
+      s"""WITH RECURSIVE $sqlNationNext, $sqlNationCNext,
+         b(sr, sn, dr, dn, dist, vpath) AS (
+           SELECT n_regionkey, n_nationkey, n_regionkey, n_nationkey, 0,
+                  [CAST(n_regionkey AS VARCHAR) || '|' ||
+                   CAST(n_nationkey AS VARCHAR)]
+           FROM nation WHERE n_regionkey = 0
+           UNION ALL
+           SELECT b.sr, b.sn, e.dst_r, e.dst_n, b.dist + 1,
+                  list_append(b.vpath, CAST(e.dst_r AS VARCHAR) || '|' ||
+                    CAST(e.dst_n AS VARCHAR))
+           FROM b JOIN nation_cnext e
+             ON b.dr = e.src_r AND b.dn = e.src_n
+           WHERE b.dist < 3)
+         SELECT sn AS src, dn AS dst, CAST(dist AS BIGINT) AS plen,
+                array_to_string(vpath, ',') AS vpath
+         FROM b WHERE dist BETWEEN 1 AND 3""",
 
     "q13_reachability" ->
       s"""WITH RECURSIVE $sqlNationNext,

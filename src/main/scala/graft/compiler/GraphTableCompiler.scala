@@ -761,6 +761,10 @@ object GraphTableCompiler {
         case None if needEid => Seq(col("__geid").as("eid"))
         case None => Nil
       }
+      // surrogate translation for exposed path arrays over composite /
+      // non-numeric keys (set in the rowid branch below): identity
+      // elsewhere
+      var surrogatize: DataFrame => DataFrame = identity
       val (edgeList, seedList, fromRowid) =
         if (keyIsNumeric) {
           (edges.select(Seq(col(aEdgeKeys.head).cast("long").as("src"),
@@ -774,20 +778,27 @@ object GraphTableCompiler {
               "variable-length paths over composite or non-numeric keys " +
                 "require source and destination vertices from the same " +
                 "table and key columns")
-          // path_length(p) is safe in dense-id space (pure length), but
-          // element_id/vertices/edges would expose internal rowids
-          if (needPath) {
-            val exposing = p.pathVar.exists { pv =>
-              val r = s"(?i)(element_id|vertices|edges)\\s*\\(\\s*$pv\\s*\\)".r
-              (spec.columns.map(_.expr) ++ spec.where.toSeq)
-                .exists(t => r.findFirstIn(t).isDefined)
-            }
-            if (exposing)
-              throw GraphAnalysisException(
-                "element_id/vertices/edges over composite or non-numeric " +
-                  "vertex keys are not yet supported — the path arrays " +
-                  "would contain internal dense ids (path_length is fine)")
+          // element_id/vertices/edges over composite/non-numeric keys:
+          // the kernels run in dense-rowid space, so exposed arrays are
+          // translated to STABLE SURROGATES below (vertices → the
+          // '|'-joined declared key tuple; edges → their edge id, which
+          // is the declared id column when one exists). The reference
+          // leaks its physical rowids here (match.cpp:731-788) — a
+          // surrogate derived from declared keys survives reloads and
+          // engine swaps. Enumeration modes still refuse: their segment
+          // arrays feed the cross-element mode filters, which compare
+          // LONG identities.
+          val exposing = needPath && p.pathVar.exists { pv =>
+            val r = s"(?i)(element_id|vertices|edges)\\s*\\(\\s*$pv\\s*\\)".r
+            (spec.columns.map(_.expr) ++ spec.where.toSeq)
+              .exists(t => r.findFirstIn(t).isDefined)
           }
+          if (exposing && isEnum)
+            throw GraphAnalysisException(
+              "element_id/vertices/edges over composite or non-numeric " +
+                "vertex keys are not supported for enumeration path modes " +
+                "— use a search prefix (ANY/ALL SHORTEST, SHORTEST k) or " +
+                "path_length only")
           // dense rowids over the DISTINCT key tuples (distributed sort +
           // zipWithIndex — the Snapshot strategy); struct sort order is
           // field-by-field, deterministic
@@ -825,6 +836,33 @@ object GraphTableCompiler {
             .select(keyStruct(aRefKeys, Some(aAlias)).as("__raw")).distinct()
             .join(ids, Seq("__raw"))
             .select(col("__rowid").as("id"))
+          if (exposing) surrogatize = { df =>
+            // translate the kernel's dense-rowid path array to stable
+            // surrogates: even (vertex) slots → the '|'-joined declared
+            // key tuple, odd (edge) slots → the edge id as text (the
+            // declared id column when one exists). Distributed: distinct
+            // path arrays posexploded, vertex slots joined against the
+            // rowid map, re-collected in slot order — never a driver
+            // loop. A path array uniquely identifies its row here
+            // (kernels emit distinct paths; endpoints are path[0]/last),
+            // so the join-back on the array is lossless.
+            val surr = concat_ws("|", aRefKeys.indices.map(i =>
+              col("__raw").getField(s"_k$i").cast("string")): _*)
+            val pos = df.select(col("path")).distinct()
+              .select(col("path"),
+                posexplode(col("path")).as(Seq("__pos", "__el")))
+            val tr = pos
+              .join(ids.select(col("__rowid").as("__el"), col("__raw")),
+                Seq("__el"), "left")
+              .withColumn("__s", when(col("__pos") % 2 === 1,
+                col("__el").cast("string")).otherwise(surr))
+            val arr = tr.groupBy("path")
+              .agg(transform(
+                array_sort(collect_list(struct(col("__pos"), col("__s")))),
+                x => x.getField("__s")).as("__spath"))
+            df.join(arr, Seq("path")).drop("path")
+              .withColumnRenamed("__spath", "path")
+          }
           (e, sd, (df: DataFrame) => df
             .join(ids.select(col("__raw").as("__rawsrc"),
               col("__rowid").as("src")), Seq("src"))
@@ -857,7 +895,7 @@ object GraphTableCompiler {
             if (p.mode == PathMode.Simple && p.elements.length != 3)
               PathMode.Acyclic
             else p.mode
-          val paths =
+          val paths = surrogatize(
             if (isEnum)
               fromRowid(PathFinder.enumerateModePaths(spark, edgeList,
                 seedList, q.lower, q.upper, segMode))
@@ -866,14 +904,14 @@ object GraphTableCompiler {
                 seedList, q.lower, q.upper, p.mode, kOpt.get))
             else
               fromRowid(PathFinder.allShortestPaths(spark, edgeList,
-                seedList, q.lower, q.upper))
+                seedList, q.lower, q.upper)))
           paths.select(Seq(col("src").as("__psrc"),
             col("dst").as("__pdst"),
             col("dist").as(freshName("dist"))) ++
             segColOpt.map(c => col("path").as(c)).toSeq: _*)
         } else if (needPath) {
-          val paths = fromRowid(PathFinder.shortestPaths(spark, edgeList,
-            seedList, q.lower, q.upper))
+          val paths = surrogatize(fromRowid(PathFinder.shortestPaths(
+            spark, edgeList, seedList, q.lower, q.upper)))
           paths.select(col("src").as("__psrc"), col("dst").as("__pdst"),
             col("path").as(segColOpt.get),
             col("dist").as(freshName("dist")))
