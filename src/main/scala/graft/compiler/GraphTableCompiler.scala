@@ -438,15 +438,15 @@ object GraphTableCompiler {
         val ep = elems(i).asInstanceOf[EdgePattern]
         val vp = elems(i + 1).asInstanceOf[VertexPattern]
 
-        // a bidirectional FIXED edge binds a second hidden edge copy whose
-        // identity the TRAIL filters cannot reach (kernel-routed edges
-        // track the forward orientation's id instead)
-        if (p.mode == PathMode.Trail && ep.direction == EdgeDirection.Both &&
-            ep.quantifier.isEmpty && kShortest.isEmpty)
-          throw GraphAnalysisException(
-            "TRAIL over a bidirectional (<-[e]->) fixed edge is not yet " +
-              "supported")
-
+        // TRAIL over a bidirectional FIXED edge: the traversed edge is the
+        // FORWARD orientation's row (its eid sits in modeEdgePos via the
+        // forward alias); the hidden reverse copy is an existence witness,
+        // not a traversed edge — the same rule the quantified `<-[e]->`
+        // kernel applies (path arrays carry the forward edge id), so fixed
+        // and quantified bidirectional hops agree under TRAIL. Stored
+        // reverse rows remain parallel distinct edges (bb2c319 semantics):
+        // 0-3-0 over a 2-cycle IS a trail (two distinct stored rows), while
+        // 0-3-0-3 repeats the forward row and is not.
         if (ep.quantifier.isDefined ||
             (kShortest.isDefined && elems.length == 3)) {
           // single-edge SHORTEST k routes even a fixed hop through the

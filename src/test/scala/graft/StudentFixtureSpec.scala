@@ -386,6 +386,36 @@ class StudentFixtureSpec extends AnyFunSuite {
       Seq(4L, 7L, 3L, 4L, 1L), Seq(4L, 7L, 3L, 5L, 2L)))
   }
 
+  test("bidirectional fixed-edge TRAIL: forward-row identity on the 0<->3 " +
+      "2-cycle") {
+    // `<-[e]->` traverses the FORWARD orientation's stored row; the hidden
+    // reverse copy is an existence witness (the quantified bidirectional
+    // rule). Only 0<->3 is mutual: hops alternate fwd 0→3 (e2) / fwd 3→0
+    // (e6).
+    def chain(mode: PathMode, hops: Int): Set[Seq[Long]] = {
+      val elems = scala.collection.mutable.ArrayBuffer[PatternElement](
+        VertexPattern(Some("v0"), Some("Person")))
+      for (h <- 1 to hops) {
+        elems += EdgePattern(Some(s"k$h"), Some("Knows"), EdgeDirection.Both)
+        elems += VertexPattern(Some(s"v$h"), Some("Person"))
+      }
+      matchDF(MatchSpec("pg", Seq(PathPattern(None, None, mode,
+        elems.toSeq)),
+        columns = (0 to hops).map(i => ColumnSpec(s"v$i.id", Some(s"v$i")))))
+        .collect().toSet.map((r: org.apache.spark.sql.Row) =>
+          (0 to hops).map(r.getLong))
+    }
+    // 2 hops: 0-3-0 and 3-0-3 use two DISTINCT stored rows — legal trails
+    val two = Set(Seq(0L, 3L, 0L), Seq(3L, 0L, 3L))
+    assert(chain(PathMode.Walk, 2) == two)
+    assert(chain(PathMode.Trail, 2) == two)
+    // 3 hops: 0-3-0-3 repeats the forward row 0→3 — WALK keeps both
+    // alternations, TRAIL excludes them all
+    assert(chain(PathMode.Walk, 3) ==
+      Set(Seq(0L, 3L, 0L, 3L), Seq(3L, 0L, 3L, 0L)))
+    assert(chain(PathMode.Trail, 3).isEmpty)
+  }
+
   test("repeated-binding cycles under modes: ACYCLIC empty, SIMPLE keeps them") {
     def cycle(mode: PathMode): Set[(Long, Long)] =
       matchDF(MatchSpec("pg", Seq(PathPattern(None, None, mode, Seq(
