@@ -67,6 +67,49 @@ object Dedup {
     shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
       .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
 
+  /** Triangular blocked self-join within buckets — the hot-bucket SKEW
+    * guard for the banded LSH joins. A plain (bucket = bucket) self-join
+    * evaluates one bucket's n²/2 candidate pairs inside a single task (an
+    * equi-join key cannot be split), so one 20k-member bucket at corpus
+    * scale becomes a 200M-pair straggler. Here each bucket's members are
+    * row-numbered (ordered by id), split into blocks of `blockSize`, and
+    * the triangular block pairs (bi ≤ bj) are equi-joined on
+    * (bucket, bi, bj) — ceil(n/B)²/2 independent join cells of ≤ B²
+    * candidates each, schedulable across the whole cluster. Buckets with
+    * ≤ blockSize members have one block and replicate nothing, so the
+    * common case costs exactly what the plain join did.
+    *
+    * Output: one row per unordered member pair (`x.id < y.id`) — exact,
+    * no pair lost or duplicated: a (bi < bj) pair joins only at cell
+    * (bi, bj); a same-block pair only at the diagonal cell, id-filtered.
+    *
+    * @param banded   bucketed rows carrying `id`, the bucket key columns,
+    *                 and any payload columns the verifier needs
+    * @param bucketCols the bucket key
+    * @return the joined frame with `x.*` / `y.*` aliases for the caller's
+    *         verification projection
+    */
+  def blockedBucketJoin(banded: DataFrame,
+      bucketCols: Seq[String], blockSize: Int = 1024): DataFrame = {
+    val bks = bucketCols.map(col)
+    val w = Window.partitionBy(bks: _*).orderBy(col("id"))
+    val base = banded
+      .withColumn("__blk",
+        ((row_number().over(w) - 1) / blockSize).cast("long"))
+      .withColumn("__nblk",
+        ceil(count(lit(1)).over(Window.partitionBy(bks: _*)) /
+          lit(blockSize.toDouble)).cast("long"))
+    val left = base.withColumn("__bj",
+      explode(sequence(col("__blk"), col("__nblk") - 1)))
+    val right = base.withColumn("__bi",
+      explode(sequence(lit(0L), col("__blk"))))
+    left.as("x").join(right.as("y"),
+      bucketCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
+        col("x.__bj") === col("y.__blk") &&
+        col("x.__blk") === col("y.__bi") &&
+        col("x.id") < col("y.id"))
+  }
+
   /** `numHashes` MinHash values of a shingle array. Permutation family
     * h_i(x) = (a_i * ([[portableHash31]](x)) + b_i) mod p with p = 2^31−1 —
     * deterministic and seedless; intermediates stay < 2^62 so the
@@ -126,15 +169,19 @@ object Dedup {
     // plain equi-join on (band,bucket): AQE picks broadcast when the kept
     // bucket list is small; the filter removes singleton and hot buckets
     val bandedKept = banded.join(keepBuckets, Seq("band", "bucket"))
-    val cand = bandedKept.as("x").join(bandedKept.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.bucket") === col("y.bucket") &&
-        col("x.id") < col("y.id"))
+    // verify BEFORE the pair dedup: jaccard is a pure per-pair function
+    // (identical on every shared-band copy), so filtering first is
+    // semantics-preserving — and the dropDuplicates shuffle then carries
+    // only the few surviving (id, id, jaccard) rows instead of every
+    // band collision WITH both hashed shingle arrays. At corpus scale
+    // candidate pairs grow quadratically inside hot buckets; shipping
+    // their arrays through an exchange was the q20 slope bottleneck at
+    // the 10x bench point.
+    blockedBucketJoin(bandedKept, Seq("band", "bucket"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.hv").as("hv_a"), col("y.hv").as("hv_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jaccard", jaccard(col("hv_a"), col("hv_b")))
+        jaccard(col("x.hv"), col("y.hv")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -192,15 +239,15 @@ object Dedup {
       .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
       .select("band", "bucket")
     val banded = banded0.join(keep, Seq("band", "bucket"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.bucket") === col("y.bucket") &&
-        col("x.id") < col("y.id"))
+    // Hamming verify BEFORE the pair dedup (pure per-pair function,
+    // identical across shared-band copies): the dedup exchange then
+    // carries the ~0.1% survivors, not every quadratic band collision —
+    // see minHashLshPairs for the rationale
+    blockedBucketJoin(banded, Seq("band", "bucket"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("dist", hamming64(col("sig_a"), col("sig_b")))
+        hamming64(col("x.sig"), col("y.sig")).as("dist"))
       .filter(col("dist") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "dist")
   }
 

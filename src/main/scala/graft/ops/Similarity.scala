@@ -124,15 +124,17 @@ object Similarity {
       .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
       .select("bucket")
     val sigs = sigs0.join(keep, Seq("bucket"))
-    sigs.as("x").join(sigs.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+    // cosine verify BEFORE the pair dedup (pure per-pair function,
+    // identical in every shared bucket): the dedup exchange then carries
+    // the few surviving (id, id, cosine) rows instead of every bucket
+    // collision WITH both full embedding vectors — the quadratic-growth
+    // shuffle the 10x bench point exposed (see Dedup.minHashLshPairs)
+    Dedup.blockedBucketJoin(sigs, Seq("bucket"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"),
-        col("x.n").as("na"), col("y.n").as("nb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine",
-        cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+        cosinePre(col("x.v"), col("y.v"), col("x.n"), col("y.n"))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 

@@ -308,6 +308,34 @@ class OpsSpec extends AnyFunSuite {
     assert(shards.forall(b => b >= 0L && b < 64L))
   }
 
+  test("blocked bucket join: exact pair set at any block size (incl. " +
+      "multi-block hot buckets)") {
+    val s = init()
+    import s.implicits._
+    // bucket A: 7 members (4 blocks at blockSize=2 — the hot-bucket
+    // shape); bucket B: 2; bucket C: singleton (no pairs)
+    val rows = ((1L to 7L).map(i => (i, "A")) ++
+      Seq((10L, "B"), (11L, "B"), (20L, "C"))).toDF("id", "bucket")
+    def pairs(blockSize: Int): Set[(Long, Long)] =
+      Dedup.blockedBucketJoin(rows, Seq("bucket"), blockSize)
+        .select(col("x.id"), col("y.id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      i <- 1L to 7L; j <- (i + 1) to 7L
+    } yield (i, j)).toSet + ((10L, 11L))
+    // blockSize larger than every bucket = the plain join; tiny block
+    // sizes exercise diagonal and off-diagonal cells — same exact set,
+    // no pair lost or duplicated
+    for (bs <- Seq(1, 2, 3, 100)) {
+      val got = Dedup.blockedBucketJoin(rows, Seq("bucket"), bs)
+        .select(col("x.id"), col("y.id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"dup pairs at blockSize=$bs")
+      assert(got.toSet == expected, s"wrong set at blockSize=$bs")
+    }
+    assert(pairs(2) == expected)
+  }
+
   test("simhash maxDist above the blocking guarantee is rejected") {
     val s = init()
     import s.implicits._
