@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Generate a ~Nx scale replica of an sf directory for the BENCH slope
+point (bench-only — correctness oracles always run on driver testdata).
+
+Each replica i shifts every entity key by i*OFFSET so replicas are
+disjoint; content columns are decorrelated so similarity/dedup workloads
+keep their selectivity instead of exploding quadratically:
+
+- documents.text: for i>0, a replica-unique token is inserted every 5
+  words. The SAME positions are perturbed in every replica, so a
+  near-dup pair inside replica i stays a near-dup (both members get the
+  same insertions), while a doc and its copy in another replica share
+  only the ~50% of 3-shingles that avoid an inserted token — Jaccard
+  ~0.33, below the 0.7 threshold.
+- embeddings.embedding: circular shift by i components — a rotation, so
+  intra-replica geometry (cosines, norms) is EXACT, while cross-replica
+  cosine decorrelates.
+- events.ts: shifted by i*400 days, so the hour-partitioned user graph
+  is 10 disjoint copies of the original.
+
+Usage: gen_scale.py <srcSfDir> <outDir> [replicas=10]
+"""
+import sys, os
+import duckdb
+
+src, out = sys.argv[1], sys.argv[2]
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+OFF = 10_000_000
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+con.sql(f"CREATE TABLE reps AS SELECT unnest(range({R})) AS i")
+
+def gen(table, sql):
+    con.sql(f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT parquet)")
+    n = con.sql(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+    print(f"{table}: {n}")
+
+# dims shared across replicas
+for t in ["region", "nation"]:
+    gen(t, f"SELECT * FROM '{src}/{t}.parquet'")
+
+gen("customer", f"""
+  SELECT c_custkey + i*{OFF} AS c_custkey, c_name, c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM '{src}/customer.parquet', reps""")
+gen("supplier", f"""
+  SELECT s_suppkey + i*{OFF} AS s_suppkey, s_name, s_nationkey, s_acctbal
+  FROM '{src}/supplier.parquet', reps""")
+gen("part", f"""
+  SELECT p_partkey + i*{OFF} AS p_partkey, p_name, p_brand, p_type, p_size,
+         p_retailprice
+  FROM '{src}/part.parquet', reps""")
+gen("orders", f"""
+  SELECT o_orderkey + i*{OFF} AS o_orderkey, o_custkey + i*{OFF} AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM '{src}/orders.parquet', reps""")
+gen("lineitem", f"""
+  SELECT l_orderkey + i*{OFF} AS l_orderkey, l_partkey + i*{OFF} AS l_partkey,
+         l_suppkey + i*{OFF} AS l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+         l_shipdate
+  FROM '{src}/lineitem.parquet', reps""")
+
+# documents: word-position-deterministic insertion (see module doc)
+gen("documents", f"""
+  SELECT doc_id + i*{OFF} AS doc_id,
+         CASE WHEN i = 0 OR text IS NULL THEN text
+              ELSE array_to_string(
+                flatten(list_transform(string_split(text, ' '),
+                  (w, j) -> CASE WHEN j % 5 = 0
+                                 THEN ['q' || i || 'z' || (j // 5), w]
+                                 ELSE [w] END)), ' ')
+         END AS text,
+         lang, source,
+         CASE WHEN i = 0 OR text IS NULL THEN n_chars
+              ELSE length(array_to_string(
+                flatten(list_transform(string_split(text, ' '),
+                  (w, j) -> CASE WHEN j % 5 = 0
+                                 THEN ['q' || i || 'z' || (j // 5), w]
+                                 ELSE [w] END)), ' '))
+         END AS n_chars
+  FROM '{src}/documents.parquet', reps""")
+
+gen("embeddings", f"""
+  SELECT vec_id + i*{OFF} AS vec_id,
+         (embedding[(i % len(embedding)) + 1:] ||
+          embedding[:(i % len(embedding))])::FLOAT[] AS embedding,
+         label
+  FROM '{src}/embeddings.parquet', reps""")
+
+# events via pyarrow: DuckDB's parquet writer downgrades TIMESTAMP_NS to
+# us, but the engine contract reads ts as NANOS (nanosAsLong)
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+t = pq.read_table(f"{src}/events.parquet")
+DAY_NS = 86_400_000_000_000
+parts = []
+for i in range(R):
+    parts.append(pa.table({
+        "event_id": pc.add(t["event_id"], i * OFF),
+        "ts": pc.add(t["ts"].cast(pa.int64()), i * 400 * DAY_NS)
+            .cast(pa.timestamp("ns")),
+        "user_id": pc.add(t["user_id"], i * OFF),
+        "event_type": t["event_type"],
+        "value": t["value"],
+        "props": t["props"],
+    }))
+pq.write_table(pa.concat_tables(parts), f"{out}/events.parquet")
+print(f"events: {sum(p.num_rows for p in parts)}")
