@@ -251,6 +251,71 @@ object PortableHash {
       ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
       ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
   }
+
+  /** 31-bit variant: the md5 digest's first 48 bits (big-endian) mod
+    * 2^31−1 — bit-identical to the declarative
+    * `pmod(conv(substring(md5(s),1,12),16,10), 2^31−1)`
+    * ([[graft.ops.Dedup.portableHash31]]); 48-bit values are positive,
+    * so `%` and `pmod` agree. */
+  def md5Hash31(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    val h48 = ((dig(0) & 0xffL) << 40) | ((dig(1) & 0xffL) << 32) |
+      ((dig(2) & 0xffL) << 24) | ((dig(3) & 0xffL) << 16) |
+      ((dig(4) & 0xffL) << 8) | (dig(5) & 0xffL)
+    h48 % 2147483647L
+  }
+}
+
+/** [[PortableHash.md5Hash31]] over every element of a string array in one
+  * fused loop — replaces the interpreted
+  * `transform(arr, s -> pmod(conv(substring(md5(s),1,12),16,10), p))`
+  * HOF, which allocates a 32-char hex string and parses it back per
+  * shingle. Null elements map to null (matching the declarative
+  * transform's null propagation). */
+case class Md5Hash31Array(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType,
+      containsNull = child.dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+  override def prettyName: String = "md5_hash31_array"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i))
+        out(i) = PortableHash.md5Hash31(x.getUTF8String(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = $x.numElements();
+        Object[] $out = new Object[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$x.isNullAt($i))
+            $out[$i] = (Object) graft.functions.PortableHash.md5Hash31(
+              $x.getUTF8String($i));
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** 64-bit SimHash signature from a token array in ONE fused per-row loop:
@@ -396,4 +461,6 @@ object VectorFunctions {
     Bridge.column(WordShingles(Bridge.expression(tokens), k))
   def simhash_bits(hashed: Column): Column =
     Bridge.column(SimHashBits(Bridge.expression(hashed)))
+  def md5_hash31_array(arr: Column): Column =
+    Bridge.column(Md5Hash31Array(Bridge.expression(arr)))
 }

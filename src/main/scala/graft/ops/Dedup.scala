@@ -116,7 +116,7 @@ object Dedup {
     * expressions are safe under ANSI overflow checking. */
   def minHashes(shingleArr: Column, numHashes: Int): Column =
     minHashesFromHashed(
-      transform(shingleArr, s => portableHash31(s)),
+      graft.functions.VectorFunctions.md5_hash31_array(shingleArr),
       numHashes)
 
   /** MinHash from pre-hashed shingles: one fused codegen'd loop computing
@@ -149,7 +149,7 @@ object Dedup {
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", array_distinct(shingles(col("text"), shingleK)))
       .withColumn("hv",
-        transform(col("sh"), s => portableHash31(s)))
+        graft.functions.VectorFunctions.md5_hash31_array(col("sh")))
       .withColumn("sig", minHashesFromHashed(col("hv"), numHashes))
     // explode into (bandIdx, bandHash) buckets; join within buckets.
     // Verification runs on the hashed shingle sets (long arrays): same

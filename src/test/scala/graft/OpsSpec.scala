@@ -261,6 +261,25 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
   }
 
+  test("portable md5 hash31: fused array codegen agrees with the " +
+      "declarative form") {
+    val s = Fixture.init()
+    import s.implicits._
+    // the q20 oracle replays minhash from pmod(conv(substr(md5)),p) in
+    // SQL; this pins the fused Md5Hash31Array path to that exact value
+    val docs = Seq((1L, Seq("a", "bb", "", "unicode 中文", "x y z")),
+      (2L, Seq.empty[String])).toDF("id", "arr")
+    val rows = docs.select(col("id"),
+        graft.functions.VectorFunctions.md5_hash31_array(col("arr"))
+          .as("a"),
+        transform(col("arr"), s => Dedup.portableHash31(s)).as("b"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), r.toString)
+    }
+    assert(rows.length == 2)
+  }
+
   test("exact dedup: null-text docs are their own canonical, never dups") {
     val s = Fixture.init()
     import s.implicits._
