@@ -1786,7 +1786,11 @@ object SparkEntry {
     "q63_chunk_windows" ->
       """WITH toks AS (
            SELECT doc_id,
-             CASE WHEN len(trim(text)) = 0 THEN []
+             -- null text = empty text (one empty chunk), mirroring
+             -- chunkTokens' explicit isNull branch — without it NULL
+             -- falls through to string_split_regex(NULL) and the chunk
+             -- md5 becomes NULL instead of md5('')
+             CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN []
                   ELSE string_split_regex(trim(text), '\s+') END AS arr
            FROM documents),
          chunks AS (

@@ -412,6 +412,17 @@ object GraphTableCompiler {
       val kShortest = p.prefix.collect {
         case SearchPrefix.ShortestK(kk) => kk
       }
+      // an ALL-FIXED multi-hop pattern under SHORTEST k has no kernel
+      // anywhere to rank paths (fixed hops keep join multiplicity, the
+      // per-segment composition above), so the k bound would silently
+      // never apply — refuse loudly. A single fixed edge ranks its
+      // parallel edges through the {1,1} kernel (below); mixed patterns
+      // rank inside their quantified segments.
+      if (kShortest.isDefined && quantifiedEdges == 0 && elems.length != 3)
+        throw GraphAnalysisException(
+          "SHORTEST k over a multi-hop all-fixed pattern is not supported " +
+            "— every path has the same length, so rank explicitly (e.g. " +
+            "ORDER BY + LIMIT per group) or add a quantified segment")
       // per-position alias info for the fixed-pattern mode filters
       val modeVertexPos = scala.collection.mutable.ArrayBuffer[String]()
       val modeEdgePos =

@@ -32,42 +32,50 @@ final case class GraphSnapshot(
     * exclusive prefix sums of out-degrees in rowid order.
     *
     * Distributed two-pass prefix sum (the classic scan decomposition), so
-    * no single task ever sees more than one range partition of the vertex
-    * set: (1) range-sort degrees by rowid and collect ONE total per
-    * partition (bytes, not rows); (2) re-walk each partition seeded by
-    * the exclusive sum of the preceding partitions' totals. Replaces the
-    * r5 unpartitioned-window form, which funneled every vertex through a
-    * single task. */
+    * no single task ever sees more than one CHUNK of the vertex set:
+    * rowids are dense 0..V-1, so a row's chunk is a PURE FUNCTION of its
+    * rowid — both passes agree by construction, with nothing cached or
+    * pinned (an earlier form persisted a range-partitioned RDD to freeze
+    * sampled partition boundaries, leaking the cache). Pass 1 collects
+    * one degree total per chunk (a few bytes each); pass 2 seeds each
+    * chunk with the exclusive sum of the preceding chunks' totals
+    * (broadcast join) and cumsums INSIDE the chunk with a per-chunk
+    * window — partitioned, never an `Exchange SinglePartition`. */
   def csrOffsets: DataFrame = {
     val spark = vertices.sparkSession
+    import spark.implicits._
     val deg = vertices.join(edges, vertices("rowid") === edges("src"),
         "left_outer")
       .groupBy(vertices("rowid").as("rowid"))
       .agg(sum(when(edges("src").isNotNull, 1L).otherwise(0L)).as("deg"))
-    val rdd = deg.repartitionByRange(col("rowid"))
-      .sortWithinPartitions("rowid")
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
-      // both passes MUST see identical partition boundaries: an
-      // unpersisted recompute could resample the range partitioner and
-      // misalign the per-partition seeds
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val partTotals = rdd
-      .mapPartitionsWithIndex { case (i, it) =>
-        Iterator.single((i, it.map(_._2).sum))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val starts = partTotals.scanLeft(0L)(_ + _)
-    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var acc = starts(i)
-      it.map { case (rowid, d) =>
-        val off = acc
-        acc += d
-        org.apache.spark.sql.Row(rowid, off)
-      }
-    }
-    spark.createDataFrame(out,
-      StructType(Seq(StructField("rowid", LongType, nullable = false),
-        StructField("offset", LongType, nullable = false))))
+    val nOpt = Option(vertices.agg(max(col("rowid"))).head.get(0))
+    if (nOpt.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("rowid", LongType, nullable = false),
+          StructField("offset", LongType, nullable = false))))
+    val n = nOpt.get.asInstanceOf[Long] + 1
+    val parts = math.max(vertices.rdd.getNumPartitions, 1)
+    val chunkSize = math.max(1L, (n + parts - 1) / parts)
+    val withChunk = deg.withColumn("__chunk",
+      (col("rowid") / chunkSize).cast("long"))
+    val totals = withChunk.groupBy("__chunk").agg(sum("deg").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nChunks = ((n + chunkSize - 1) / chunkSize).toInt
+    val starts = new Array[Long](nChunks)
+    for (c <- 1 until nChunks)
+      starts(c) = starts(c - 1) + totals.getOrElse((c - 1).toLong, 0L)
+    val startDF = starts.zipWithIndex
+      .map { case (s, c) => (c.toLong, s) }.toSeq
+      .toDF("__chunk", "__start")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__chunk").orderBy("rowid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    withChunk.join(broadcast(startDF), Seq("__chunk"))
+      .select(col("rowid"),
+        (col("__start") + coalesce(sum("deg").over(w), lit(0L)))
+          .as("offset"))
   }
 
   /** `get_csr_e` analogue: neighbor rowids ordered by (src, dst). */

@@ -646,6 +646,21 @@ class StudentFixtureSpec extends AnyFunSuite {
     assert(df.count() == 8)
   }
 
+  test("SHORTEST k over a multi-hop ALL-FIXED pattern raises (no kernel " +
+      "anywhere would apply the k bound)") {
+    val e = intercept[GraphAnalysisException] {
+      matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"),
+        Some(SearchPrefix.ShortestK(2)), PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("Person")),
+          EdgePattern(Some("k1"), Some("Knows"), EdgeDirection.Right),
+          VertexPattern(Some("m"), Some("Person")),
+          EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right),
+          VertexPattern(Some("b"), Some("Person"))))),
+        columns = Seq(ColumnSpec("a.id", Some("aid")))))
+    }
+    assert(e.msg.contains("all-fixed"))
+  }
+
   test("ambiguous label-less edge still raises") {
     val e = intercept[GraphAnalysisException] {
       matchDF(MatchSpec("pg", Seq(PathPattern(None, None, PathMode.Walk,
