@@ -239,6 +239,22 @@ object SparkEntry {
       .withColumn("vpath",
         concat_ws(",", transform(col("vpath"), _.cast("string"))))
 
+  /** TWO quantified segments under ALL SHORTEST (no fixed hop at all):
+    * each segment contributes its own all-shortest set given the
+    * junction bindings (the same per-segment composition as q64, and the
+    * same min-dist-then-quantifier-range rule the reference's
+    * iterativelength CTE applies), and the junction vertex carries its
+    * own WHERE. Exercises two kernels of DIFFERENT edge tables feeding
+    * one concatenated path. */
+  private def q67_two_segment_all_shortest(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ALL SHORTEST (a:Nation WHERE a.n_regionkey = 0)-[e1:NationNear]->{1,2}(m:Nation WHERE m.n_nationkey % 2 = 0)-[e2:NationNext]->{1,2}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, m.n_nationkey AS mid,
+                  b.n_nationkey AS dst, path_length(p) AS plen,
+                  vertices(p) AS vpath)""")
+      .withColumn("vpath",
+        concat_ws(",", transform(col("vpath"), _.cast("string"))))
+
   /** `vertices(p)` over a COMPOSITE-key graph: the kernel runs in dense
     * rowid space, and exposed path arrays are translated back to STABLE
     * SURROGATES — each vertex slot becomes the '|'-joined declared key
@@ -861,6 +877,7 @@ object SparkEntry {
     "q64_prefix_all_shortest" -> (q64_prefix_all_shortest _),
     "q65_prefix_shortest_k" -> (q65_prefix_shortest_k _),
     "q66_composite_path_vertices" -> (q66_composite_path_vertices _),
+    "q67_two_segment_all_shortest" -> (q67_two_segment_all_shortest _),
     "q11_varlen" -> (q11_varlen _),
     "q12_shortest_path" -> (q12_shortest_path _),
     "q46_multiseg_path" -> (q46_multiseg_path _),
@@ -1441,6 +1458,48 @@ object SparkEntry {
          JOIN nation_next nn ON nn.src = a.n_nationkey
          JOIN seg ON seg.src = nn.dst
          WHERE a.n_regionkey = 0""",
+
+    // two independent per-segment all-shortest sets (different edge
+    // tables) composed at the junction; min-dist window then dist >= 1
+    // mirrors the kernels' min-dist-then-quantifier-range rule
+    "q67_two_segment_all_shortest" ->
+      s"""WITH RECURSIVE $sqlNationNext, $sqlNationNear,
+         w1(src, v, dist, vpath) AS (
+           SELECT n_nationkey, n_nationkey, 0, [CAST(n_nationkey AS BIGINT)]
+           FROM nation
+           UNION ALL
+           SELECT w1.src, e.dst, w1.dist + 1,
+                  list_append(w1.vpath, CAST(e.dst AS BIGINT))
+           FROM w1 JOIN nation_near e ON w1.v = e.src
+           WHERE w1.dist < 2),
+         seg1 AS (
+           SELECT src, dst, dist, vpath FROM (
+             SELECT src, v AS dst, dist, vpath,
+                    min(dist) OVER (PARTITION BY src, v) AS md
+             FROM w1)
+           WHERE dist = md AND dist >= 1),
+         w2(src, v, dist, vpath) AS (
+           SELECT n_nationkey, n_nationkey, 0, [CAST(n_nationkey AS BIGINT)]
+           FROM nation
+           UNION ALL
+           SELECT w2.src, e.dst, w2.dist + 1,
+                  list_append(w2.vpath, CAST(e.dst AS BIGINT))
+           FROM w2 JOIN nation_next e ON w2.v = e.src
+           WHERE w2.dist < 2),
+         seg2 AS (
+           SELECT src, dst, dist, vpath FROM (
+             SELECT src, v AS dst, dist, vpath,
+                    min(dist) OVER (PARTITION BY src, v) AS md
+             FROM w2)
+           WHERE dist = md AND dist >= 1)
+         SELECT a.n_nationkey AS src, s1.dst AS mid, s2.dst AS dst,
+                CAST(s1.dist + s2.dist AS BIGINT) AS plen,
+                array_to_string(list_concat(s1.vpath, s2.vpath[2:]), ',')
+                  AS vpath
+         FROM nation a
+         JOIN seg1 s1 ON s1.src = a.n_nationkey
+         JOIN seg2 s2 ON s2.src = s1.dst
+         WHERE a.n_regionkey = 0 AND s1.dst % 2 = 0""",
 
     // composite-key path surrogates: vertex slots are the '|'-joined
     // declared key tuple (n_regionkey|n_nationkey); the CNext ring has
