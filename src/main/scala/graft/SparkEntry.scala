@@ -270,6 +270,20 @@ object SparkEntry {
                   path_length(p) AS plen, vertices(p) AS vpath)""")
       .withColumn("vpath", concat_ws(",", col("vpath")))
 
+  /** TRAIL ENUMERATION over the composite-key ring with exposed
+    * surrogates: the per-segment arrays stay long-typed through the
+    * cross-element mode filters, and the CONCATENATED path column is
+    * translated to declared-key surrogates afterwards (the deferred
+    * branch of the q66 machinery). Out-degree 1 and dist ≤ 3 < ring
+    * length mean every walk is a trail and each (src, dst) has exactly
+    * one — fully value-checkable. */
+  private def q68_composite_trail_enum(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = TRAIL (a:CNation WHERE a.n_regionkey = 0)-[e:CNext]->{1,3}(b:CNation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS dst,
+                  path_length(p) AS plen, vertices(p) AS vpath)""")
+      .withColumn("vpath", concat_ws(",", col("vpath")))
+
   /** Property-graph persistence round trip: CREATE writes the `__graft_pg`
     * catalog table; a FRESH registry (a new session/process in production)
     * lazily reloads it — reference `__duckpgq_internal` semantics
@@ -878,6 +892,7 @@ object SparkEntry {
     "q65_prefix_shortest_k" -> (q65_prefix_shortest_k _),
     "q66_composite_path_vertices" -> (q66_composite_path_vertices _),
     "q67_two_segment_all_shortest" -> (q67_two_segment_all_shortest _),
+    "q68_composite_trail_enum" -> (q68_composite_trail_enum _),
     "q11_varlen" -> (q11_varlen _),
     "q12_shortest_path" -> (q12_shortest_path _),
     "q46_multiseg_path" -> (q46_multiseg_path _),
@@ -1506,6 +1521,27 @@ object SparkEntry {
     // out-degree 1, so each (src, dst) has exactly one walk of dist ≤ 3
     // and ANY SHORTEST is deterministic — vpath fully value-checked
     "q66_composite_path_vertices" ->
+      s"""WITH RECURSIVE $sqlNationNext, $sqlNationCNext,
+         b(sr, sn, dr, dn, dist, vpath) AS (
+           SELECT n_regionkey, n_nationkey, n_regionkey, n_nationkey, 0,
+                  [CAST(n_regionkey AS VARCHAR) || '|' ||
+                   CAST(n_nationkey AS VARCHAR)]
+           FROM nation WHERE n_regionkey = 0
+           UNION ALL
+           SELECT b.sr, b.sn, e.dst_r, e.dst_n, b.dist + 1,
+                  list_append(b.vpath, CAST(e.dst_r AS VARCHAR) || '|' ||
+                    CAST(e.dst_n AS VARCHAR))
+           FROM b JOIN nation_cnext e
+             ON b.dr = e.src_r AND b.dn = e.src_n
+           WHERE b.dist < 3)
+         SELECT sn AS src, dn AS dst, CAST(dist AS BIGINT) AS plen,
+                array_to_string(vpath, ',') AS vpath
+         FROM b WHERE dist BETWEEN 1 AND 3""",
+
+    // enumeration multiplicity (UNION ALL): on the out-degree-1 ring
+    // every walk of dist <= 3 < 5 is a trail and is unique per
+    // (src, dst), so the surrogate path CTE is exact
+    "q68_composite_trail_enum" ->
       s"""WITH RECURSIVE $sqlNationNext, $sqlNationCNext,
          b(sr, sn, dr, dn, dist, vpath) AS (
            SELECT n_regionkey, n_nationkey, n_regionkey, n_nationkey, 0,

@@ -215,6 +215,42 @@ object GraphTableCompiler {
     // pattern; filled by bindPathEdge on the enumeration route)
     val currentModeSegs = scala.collection.mutable.ArrayBuffer[ModeSeg]()
 
+    /** Translates an `array<long>` interleaved path column to stable
+      * string surrogates: even (vertex) slots become the '|'-joined
+      * declared key tuple looked up in the dense-rowid map `ids`
+      * (`__raw` struct ↔ `__rowid`), odd (edge) slots the edge id as
+      * text. Distributed — distinct arrays posexploded, joined, and
+      * re-collected in slot order; the join-back on array equality is a
+      * many-to-one attach, so row multiplicity is preserved. */
+    def surrogatizeArrayCol(df: DataFrame, c: String, ids: DataFrame,
+        nKeys: Int): DataFrame = {
+      val surr = concat_ws("|", (0 until nKeys).map(i =>
+        col("__raw").getField(s"_k$i").cast("string")): _*)
+      val pos = df.select(col(c).as("__parr")).distinct()
+        .select(col("__parr"),
+          posexplode(col("__parr")).as(Seq("__pos", "__el")))
+      val tr = pos
+        .join(ids.select(col("__rowid").as("__el"), col("__raw")),
+          Seq("__el"), "left")
+        .withColumn("__s", when(col("__pos") % 2 === 1,
+          col("__el").cast("string")).otherwise(surr))
+      val arr = tr.groupBy("__parr")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__s")))),
+          x => x.getField("__s")).as("__sparr"))
+      df.join(arr, df(c) === arr("__parr"))
+        .drop(c).drop("__parr")
+        .withColumnRenamed("__sparr", c)
+    }
+
+    // set by bindPathEdge's composite-key branch when an ENUMERATION
+    // pattern exposes element_id/vertices/edges: the per-segment arrays
+    // must stay long-typed for the cross-element mode filters, so the
+    // translation is deferred to the CONCATENATED path column (built
+    // after the filters run). (ids, #key cols, vertex table, ref keys).
+    var pendingPathSurrogate: Option[(DataFrame, Int, String, Seq[String])] =
+      None
+
     def fixedEid(a: String, et: EdgeTable): Column = et.edgeIdCol match {
       case Some(c) => requireIntegralEdgeId(et, c); col(s"$a.$c").cast("long")
       case None => col(s"$a.__geid")
@@ -402,6 +438,7 @@ object GraphTableCompiler {
             "segments) is not yet supported — drop the prefix " +
             "(enumeration) or use a single quantified edge")
       currentModeSegs.clear()
+      pendingPathSurrogate = None
       // SHORTEST k over a MIXED pattern applies PER QUANTIFIED SEGMENT:
       // each segment contributes its k smallest subpaths given the
       // endpoint bindings — the same per-subpath composition the
@@ -534,6 +571,13 @@ object GraphTableCompiler {
         }
         val pcol = s"__path_$pv"
         plan = plan.withColumn(pcol, combined)
+        // deferred composite-key surrogate translation (enumeration
+        // modes): the cross-element mode filters above consumed the
+        // long-typed segment arrays; the exposed CONCATENATED column can
+        // now safely become the string-surrogate form
+        pendingPathSurrogate.foreach { case (ids, nKeys, _, _) =>
+          plan = surrogatizeArrayCol(plan, pcol, ids, nKeys)
+        }
         pathCols(pv) = pcol
       }
     }
@@ -791,25 +835,20 @@ object GraphTableCompiler {
                 "table and key columns")
           // element_id/vertices/edges over composite/non-numeric keys:
           // the kernels run in dense-rowid space, so exposed arrays are
-          // translated to STABLE SURROGATES below (vertices → the
-          // '|'-joined declared key tuple; edges → their edge id, which
-          // is the declared id column when one exists). The reference
-          // leaks its physical rowids here (match.cpp:731-788) — a
-          // surrogate derived from declared keys survives reloads and
-          // engine swaps. Enumeration modes still refuse: their segment
-          // arrays feed the cross-element mode filters, which compare
-          // LONG identities.
+          // translated to STABLE SURROGATES (vertices → the '|'-joined
+          // declared key tuple; edges → their edge id, which is the
+          // declared id column when one exists). The reference leaks its
+          // physical rowids here (match.cpp:731-788) — a surrogate
+          // derived from declared keys survives reloads and engine
+          // swaps. Search-prefix segments translate right after the
+          // kernel; ENUMERATION segments must stay long-typed for the
+          // cross-element mode filters, so their translation is deferred
+          // to the concatenated path column (processPattern).
           val exposing = needPath && p.pathVar.exists { pv =>
             val r = s"(?i)(element_id|vertices|edges)\\s*\\(\\s*$pv\\s*\\)".r
             (spec.columns.map(_.expr) ++ spec.where.toSeq)
               .exists(t => r.findFirstIn(t).isDefined)
           }
-          if (exposing && isEnum)
-            throw GraphAnalysisException(
-              "element_id/vertices/edges over composite or non-numeric " +
-                "vertex keys are not supported for enumeration path modes " +
-                "— use a search prefix (ANY/ALL SHORTEST, SHORTEST k) or " +
-                "path_length only")
           // dense rowids over the DISTINCT key tuples (distributed sort +
           // zipWithIndex — the Snapshot strategy); struct sort order is
           // field-by-field, deterministic
@@ -847,33 +886,24 @@ object GraphTableCompiler {
             .select(keyStruct(aRefKeys, Some(aAlias)).as("__raw")).distinct()
             .join(ids, Seq("__raw"))
             .select(col("__rowid").as("id"))
-          if (exposing) surrogatize = { df =>
-            // translate the kernel's dense-rowid path array to stable
-            // surrogates: even (vertex) slots → the '|'-joined declared
-            // key tuple, odd (edge) slots → the edge id as text (the
-            // declared id column when one exists). Distributed: distinct
-            // path arrays posexploded, vertex slots joined against the
-            // rowid map, re-collected in slot order — never a driver
-            // loop. A path array uniquely identifies its row here
-            // (kernels emit distinct paths; endpoints are path[0]/last),
-            // so the join-back on the array is lossless.
-            val surr = concat_ws("|", aRefKeys.indices.map(i =>
-              col("__raw").getField(s"_k$i").cast("string")): _*)
-            val pos = df.select(col("path")).distinct()
-              .select(col("path"),
-                posexplode(col("path")).as(Seq("__pos", "__el")))
-            val tr = pos
-              .join(ids.select(col("__rowid").as("__el"), col("__raw")),
-                Seq("__el"), "left")
-              .withColumn("__s", when(col("__pos") % 2 === 1,
-                col("__el").cast("string")).otherwise(surr))
-            val arr = tr.groupBy("path")
-              .agg(transform(
-                array_sort(collect_list(struct(col("__pos"), col("__s")))),
-                x => x.getField("__s")).as("__spath"))
-            df.join(arr, Seq("path")).drop("path")
-              .withColumnRenamed("__spath", "path")
-          }
+          if (exposing && isEnum) {
+            // defer: segment arrays feed long-typed mode filters first
+            pendingPathSurrogate match {
+              case Some((_, _, tbl, keys))
+                  if tbl != aVt.tableName || keys != aRefKeys =>
+                throw GraphAnalysisException(
+                  "element_id/vertices/edges over an enumeration pattern " +
+                    "whose composite-key segments bind DIFFERENT vertex " +
+                    "tables or keys is not supported — the combined path " +
+                    "array would mix dense-id spaces")
+              case None =>
+                pendingPathSurrogate =
+                  Some((ids, aRefKeys.length, aVt.tableName, aRefKeys))
+              case _ => () // same space — one translation covers all
+            }
+          } else if (exposing)
+            surrogatize = df => surrogatizeArrayCol(df, "path", ids,
+              aRefKeys.length)
           (e, sd, (df: DataFrame) => df
             .join(ids.select(col("__raw").as("__rawsrc"),
               col("__rowid").as("src")), Seq("src"))
