@@ -284,6 +284,40 @@ object SparkEntry {
                   path_length(p) AS plen, vertices(p) AS vpath)""")
       .withColumn("vpath", concat_ws(",", col("vpath")))
 
+  /** Non-WALK path MODE *under* a search prefix over a MIXED pattern —
+    * the last refused combination (reference: NotImplemented,
+    * match.cpp:80-108). Compiles as mode-valid ENUMERATION, then the
+    * prefix ranks WHOLE paths per (a, b) endpoint partition — standard
+    * SQL/PGQ whole-path semantics, deliberately NOT the per-segment
+    * composition of WALK-mode prefixes (q64/q65): the fixed hop and the
+    * quantified tail run over the SAME edge table, so TRAIL must exclude
+    * the fixed edge from the segment — a cross-segment constraint no
+    * per-segment representative can express. SHORTEST 2 = the 2 smallest
+    * (length, lex-path) distinct trails per pair. */
+  private def q69_prefix_trail_k(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = SHORTEST 2 TRAIL (a:Nation WHERE a.n_regionkey = 0)-[f:NationNear]->(m:Nation)-[e:NationNear]->{1,2}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, m.n_nationkey AS mid,
+                  b.n_nationkey AS dst, path_length(p) AS plen,
+                  vertices(p) AS vpath)""")
+      .withColumn("vpath",
+        concat_ws(",", transform(col("vpath"), _.cast("string"))))
+
+  /** ALL SHORTEST under ACYCLIC over a mixed pattern: every
+    * minimum-length vertex-distinct full path per (a, b) pair. The
+    * shortest WALK combination may revisit `a` or `m` across segments
+    * and be invalid — whole-path ranking over the acyclic enumeration is
+    * the only correct evaluation (and the set can pick LONGER paths than
+    * WALK ALL SHORTEST would). */
+  private def q70_prefix_acyclic_all(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ALL SHORTEST ACYCLIC (a:Nation WHERE a.n_regionkey = 0)-[f:NationNext]->(m:Nation)-[e:NationNear]->{1,2}(b:Nation)
+         COLUMNS (a.n_nationkey AS src, m.n_nationkey AS mid,
+                  b.n_nationkey AS dst, path_length(p) AS plen,
+                  vertices(p) AS vpath)""")
+      .withColumn("vpath",
+        concat_ws(",", transform(col("vpath"), _.cast("string"))))
+
   /** Property-graph persistence round trip: CREATE writes the `__graft_pg`
     * catalog table; a FRESH registry (a new session/process in production)
     * lazily reloads it — reference `__duckpgq_internal` semantics
@@ -893,6 +927,8 @@ object SparkEntry {
     "q66_composite_path_vertices" -> (q66_composite_path_vertices _),
     "q67_two_segment_all_shortest" -> (q67_two_segment_all_shortest _),
     "q68_composite_trail_enum" -> (q68_composite_trail_enum _),
+    "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
+    "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
     "q12_shortest_path" -> (q12_shortest_path _),
     "q46_multiseg_path" -> (q46_multiseg_path _),
@@ -1541,6 +1577,60 @@ object SparkEntry {
     // enumeration multiplicity (UNION ALL): on the out-degree-1 ring
     // every walk of dist <= 3 < 5 is a trail and is unique per
     // (src, dst), so the surrogate path CTE is exact
+    // Mode UNDER prefix over a mixed pattern (the last formerly-refused
+    // combination): enumerate mode-valid full paths — fixed NationNear
+    // hop seeds the walk with its arc already in the visited set, so the
+    // whole-path TRAIL constraint spans segments — then rank per (src,
+    // dst) endpoint partition. dense_rank over (dist, vpath-list) mirrors
+    // the kernel's (length, lex-path) order (no parallel edges; dense
+    // eids ranked by (src, dst), so interleaved order = vertex order).
+    "q69_prefix_trail_k" ->
+      s"""WITH RECURSIVE $sqlNationNear,
+         w(src, mid, v, dist, vpath, ve) AS (
+           SELECT f.src, f.dst, f.dst, 1,
+                  [CAST(f.src AS BIGINT), CAST(f.dst AS BIGINT)],
+                  [CAST(f.src * 100 + f.dst AS BIGINT)]
+           FROM nation_near f JOIN nation a ON a.n_nationkey = f.src
+           WHERE a.n_regionkey = 0
+           UNION ALL
+           SELECT w.src, w.mid, e.dst, w.dist + 1,
+                  list_append(w.vpath, CAST(e.dst AS BIGINT)),
+                  list_append(w.ve, CAST(e.src * 100 + e.dst AS BIGINT))
+           FROM w JOIN nation_near e ON w.v = e.src
+           WHERE w.dist < 3
+             AND NOT list_contains(w.ve, CAST(e.src * 100 + e.dst AS BIGINT)))
+         SELECT src, mid, dst, plen, vpath FROM (
+           SELECT src, mid, v AS dst, CAST(dist AS BIGINT) AS plen,
+                  array_to_string(vpath, ',') AS vpath,
+                  dense_rank() OVER (PARTITION BY src, v
+                    ORDER BY dist, vpath) AS rn
+           FROM w WHERE dist >= 2)
+         WHERE rn <= 2""",
+
+    // whole-path ACYCLIC under ALL SHORTEST: seed is the fixed NationNext
+    // hop (a <> m guaranteed by the seed filter), extension rejects ANY
+    // repeated vertex, then the min-dist window keeps every shortest
+    // acyclic path per (src, dst)
+    "q70_prefix_acyclic_all" ->
+      s"""WITH RECURSIVE $sqlNationNext, $sqlNationNear,
+         w(src, mid, v, dist, vpath) AS (
+           SELECT f.src, f.dst, f.dst, 1,
+                  [CAST(f.src AS BIGINT), CAST(f.dst AS BIGINT)]
+           FROM nation_next f JOIN nation a ON a.n_nationkey = f.src
+           WHERE a.n_regionkey = 0 AND f.src <> f.dst
+           UNION ALL
+           SELECT w.src, w.mid, e.dst, w.dist + 1,
+                  list_append(w.vpath, CAST(e.dst AS BIGINT))
+           FROM w JOIN nation_near e ON w.v = e.src
+           WHERE w.dist < 3
+             AND NOT list_contains(w.vpath, CAST(e.dst AS BIGINT)))
+         SELECT src, mid, dst, plen, vpath FROM (
+           SELECT src, mid, v AS dst, CAST(dist AS BIGINT) AS plen,
+                  array_to_string(vpath, ',') AS vpath,
+                  min(dist) OVER (PARTITION BY src, v) AS md
+           FROM w WHERE dist >= 2)
+         WHERE plen = md""",
+
     "q68_composite_trail_enum" ->
       s"""WITH RECURSIVE $sqlNationNext, $sqlNationCNext,
          b(sr, sn, dr, dn, dist, vpath) AS (

@@ -251,6 +251,14 @@ object GraphTableCompiler {
     var pendingPathSurrogate: Option[(DataFrame, Int, String, Seq[String])] =
       None
 
+    // set per pattern by processPattern: a non-WALK path MODE combined
+    // with a search PREFIX over a MIXED pattern compiles as ENUMERATION
+    // (bindPathEdge routes every quantified segment through the
+    // mode-valid path kernels) and the prefix is applied afterwards as a
+    // WHOLE-PATH ranking over the endpoint partition — see
+    // applyWholePathPrefix
+    var enumPrefix = false
+
     def fixedEid(a: String, et: EdgeTable): Column = et.edgeIdCol match {
       case Some(c) => requireIntegralEdgeId(et, c); col(s"$a.$c").cast("long")
       case None => col(s"$a.__geid")
@@ -385,6 +393,58 @@ object GraphTableCompiler {
       case PathMode.Walk => ()
     }
 
+    /** Whole-path search-prefix semantics over a mixed-pattern
+      * ENUMERATION (the `enumPrefix` route): by this point every plan row
+      * is exactly one mode-valid full path (the kernels enumerate
+      * per-segment mode-valid subpaths, the cross-element filters reject
+      * invalid combinations), so ranking rows per (head, tail) endpoint
+      * partition IS the SQL/PGQ prefix semantics. This is deliberately
+      * NOT the per-segment composition used for WALK-mode prefixes
+      * (reference CheckNamedSubpath, match.cpp:709-790): mode validity is
+      * a cross-segment property, so the shortest mode-valid COMBINATION
+      * need not be built from per-segment shortest paths — the standard's
+      * whole-path reading is the only correct one, and the reference
+      * refuses these entirely (match.cpp:80-108).
+      *
+      * Ranking runs on the long-typed interleaved arrays (the kernels'
+      * identity space — any composite-key surrogate translation is
+      * deferred until after this filter): ANY SHORTEST keeps the
+      * (length, lex-path) minimum, ALL SHORTEST every minimum-length row,
+      * SHORTEST k the k smallest DISTINCT paths by dense_rank (join
+      * multiplicity from other patterns shares ranks, so duplicates never
+      * consume k). The window partitions by endpoint keys — group sizes
+      * are per-pair path counts, never the corpus. */
+    def applyWholePathPrefix(p: PathPattern, pcol: String,
+        vPos: Seq[String]): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Seq(vPos.head, vPos.last).flatMap { a =>
+        val ks = bindings(a).keyCols
+        require(ks.nonEmpty, s"vertex '$a' has no declared key columns")
+        ks.map(k => col(s"$a.$k"))
+      }
+      val path = col(pcol)
+      p.prefix.get match {
+        case SearchPrefix.AnyShortest =>
+          val pick = struct(size(path).as("_l"), path.as("_p"))
+          val c = freshName("pmin")
+          plan = plan
+            .withColumn(c, min(pick).over(Window.partitionBy(parts: _*)))
+            .filter(pick === col(c)).drop(c)
+        case SearchPrefix.AllShortest =>
+          val c = freshName("pmin")
+          plan = plan
+            .withColumn(c,
+              min(size(path)).over(Window.partitionBy(parts: _*)))
+            .filter(size(path) === col(c)).drop(c)
+        case SearchPrefix.ShortestK(k) =>
+          val c = freshName("prank")
+          plan = plan
+            .withColumn(c, dense_rank().over(Window.partitionBy(parts: _*)
+              .orderBy(size(path).asc, path.asc)))
+            .filter(col(c) <= k).drop(c)
+      }
+    }
+
     /** Process one alternating vertex/edge element list
       * (reference `ProcessPathList` match.cpp:792-885). For a named path,
       * every edge segment contributes a `[v, e, …, v]` id array — fixed hops
@@ -418,9 +478,11 @@ object GraphTableCompiler {
       // quantified, or several quantified segments) is supported for
       // prefix-less ENUMERATION, where every output row is one concrete
       // full path and cross-element distinctness filters over the segment
-      // arrays are exact whole-path semantics. Under a search prefix the
-      // picked per-segment representatives cannot express "exists a
-      // mode-valid combination" — still guarded.
+      // arrays are exact whole-path semantics. A non-WALK mode UNDER a
+      // search prefix rides the same enumeration (per-segment
+      // representatives cannot express "exists a mode-valid combination",
+      // so the prefix becomes a whole-path ranking AFTER the mode
+      // filters — applyWholePathPrefix).
       val quantifiedEdges = elems.count {
         case e: EdgePattern => e.quantifier.isDefined
         case _ => false
@@ -430,13 +492,8 @@ object GraphTableCompiler {
       // those bindings collapse parallel edges and expose no edge
       // identity, so TRAIL is unenforceable iff a table repeats
       val fixedKernelTables = scala.collection.mutable.ArrayBuffer.empty[String]
-      if (p.mode != PathMode.Walk && quantifiedEdges > 0 &&
-          elems.length != 3 && p.prefix.isDefined)
-        throw GraphAnalysisException(
-          s"Path mode ${p.mode} with a search prefix over a pattern " +
-            "mixing quantified and fixed edges (or multiple quantified " +
-            "segments) is not yet supported — drop the prefix " +
-            "(enumeration) or use a single quantified edge")
+      enumPrefix = p.mode != PathMode.Walk && p.prefix.isDefined &&
+        quantifiedEdges > 0 && elems.length != 3
       currentModeSegs.clear()
       pendingPathSurrogate = None
       // SHORTEST k over a MIXED pattern applies PER QUANTIFIED SEGMENT:
@@ -507,10 +564,12 @@ object GraphTableCompiler {
           val (bAlias, pcol) = bindPathEdge(p, ep, vp, prevV)
           pcol.foreach(c => segCols += col(c))
           prevV = bAlias
-        } else if (needPath) {
-          // fixed hop inside a named path: ordinary join (multiplicity
-          // preserved, like the reference's list_value over plain aliases)
-          // plus its 3-element path segment
+        } else if (needPath || enumPrefix) {
+          // fixed hop inside a named path (or the enumPrefix route, whose
+          // whole-path ranking needs every hop's segment even without a
+          // path variable): ordinary join (multiplicity preserved, like
+          // the reference's list_value over plain aliases) plus its
+          // 3-element path segment
           val aAlias = prevV
           val (bAlias, eAlias, et) =
             bindFixedEdgeEx(ep, vp, prevV, withEid = true)
@@ -554,23 +613,28 @@ object GraphTableCompiler {
                 "(p = ANY SHORTEST …) or drop the prefix")
           applyFixedModeFilters(p, modeVertexPos.toSeq, modeEdgePos.toSeq)
         }
-        else if (p.prefix.isEmpty && elems.length != 3)
+        else if ((p.prefix.isEmpty || enumPrefix) && elems.length != 3)
           applyMixedModeFilters(p, modeVertexPos.toSeq, modeEdgePos.toSeq,
             currentModeSegs.toSeq)
       }
 
-      if (needPath) {
-        val pv = p.pathVar.get
-        if (segCols.isEmpty)
+      if (needPath || enumPrefix) {
+        if (needPath && segCols.isEmpty)
           throw GraphAnalysisException(
-            s"Named path '$pv' must contain at least one edge")
+            s"Named path '${p.pathVar.get}' must contain at least one edge")
         val combined = segCols.toSeq.reduceLeft { (acc, seg) =>
           // drop the segment's head vertex (shared with the previous
           // segment's tail) — array_pop_front analogue
           concat(acc, slice(seg, lit(2), greatest(size(seg) - 1, lit(0))))
         }
-        val pcol = s"__path_$pv"
+        val pcol = p.pathVar.map(pv => s"__path_$pv")
+          .getOrElse(freshName("rankpath"))
         plan = plan.withColumn(pcol, combined)
+        // whole-path prefix ranking runs BEFORE any surrogate translation
+        // (the kernels' long-typed identity space gives deterministic
+        // lexicographic tie-breaks; string surrogates would not)
+        if (enumPrefix)
+          applyWholePathPrefix(p, pcol, modeVertexPos.toSeq)
         // deferred composite-key surrogate translation (enumeration
         // modes): the cross-element mode filters above consumed the
         // long-typed segment arrays; the exposed CONCATENATED column can
@@ -578,7 +642,7 @@ object GraphTableCompiler {
         pendingPathSurrogate.foreach { case (ids, nKeys, _, _) =>
           plan = surrogatizeArrayCol(plan, pcol, ids, nKeys)
         }
-        pathCols(pv) = pcol
+        p.pathVar.foreach(pv => pathCols(pv) = pcol)
       }
     }
 
@@ -707,10 +771,12 @@ object GraphTableCompiler {
             "upper bound or path mode other than WALK")
       val needPath = p.pathVar.isDefined &&
         (p.prefix.isDefined || p.mode != PathMode.Walk)
-      // enumeration (no prefix, non-WALK mode): one row PER mode-valid
-      // path; ALL SHORTEST: one row per shortest path. Both need edge
-      // identity for the arrays / TRAIL checks.
-      val isEnum = p.mode != PathMode.Walk && p.prefix.isEmpty
+      // enumeration (non-WALK mode without a prefix, or the enumPrefix
+      // route where the prefix ranks whole paths afterwards): one row PER
+      // mode-valid path; ALL SHORTEST: one row per shortest path. Both
+      // need edge identity for the arrays / TRAIL checks.
+      val isEnum = p.mode != PathMode.Walk &&
+        (p.prefix.isEmpty || enumPrefix)
       val isAllShortest = p.prefix.contains(SearchPrefix.AllShortest)
       val kOpt = p.prefix.collect { case SearchPrefix.ShortestK(kk) => kk }
       val needEid = needPath || isEnum || isAllShortest || kOpt.isDefined

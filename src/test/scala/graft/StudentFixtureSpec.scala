@@ -466,6 +466,62 @@ class StudentFixtureSpec extends AnyFunSuite {
       Seq(0L, 2L, 3L, 6L, 0L))
   }
 
+  test("search prefixes over MIXED patterns under non-WALK modes: " +
+      "whole-path ranking over the enumeration") {
+    // (Daniel)-[k1]->(b)-[k2]->{1,2}(c) — the mode-filtered enumerations
+    // are pinned by the previous test; the prefix then ranks WHOLE paths
+    // per (a, c) endpoint partition (NOT per-segment composition: mode
+    // validity is cross-segment, so per-segment representatives can't
+    // express "exists a mode-valid combination"). Expected sets are the
+    // hand-ranked (length, lex-path) minima of those enumerations.
+    def ranked(prefix: SearchPrefix, mode: PathMode): Set[Seq[Long]] =
+      matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"), Some(prefix), mode,
+        Seq(VertexPattern(Some("a"), Some("Person"),
+            where = Some("a.name = 'Daniel'")),
+          EdgePattern(Some("k1"), Some("Knows"), EdgeDirection.Right),
+          VertexPattern(Some("b"), Some("Person")),
+          EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right,
+            Some(Quantifier(1, Some(2)))),
+          VertexPattern(Some("c"), Some("Person"))))),
+        columns = Seq(ColumnSpec("element_id(p)", Some("path")))))
+        .collect().toSeq.map(_.getSeq[Long](0).toSeq).toSet
+    // ACYCLIC groups: (0,2) has one path; (0,3) two at len 2, one at 3
+    assert(ranked(SearchPrefix.AllShortest, PathMode.Acyclic) == Set(
+      Seq(0L, 0L, 1L, 3L, 2L), Seq(0L, 0L, 1L, 4L, 3L),
+      Seq(0L, 1L, 2L, 5L, 3L)))
+    // ANY picks the lex-min of the two (0,3) shortest
+    assert(ranked(SearchPrefix.AnyShortest, PathMode.Acyclic) == Set(
+      Seq(0L, 0L, 1L, 3L, 2L), Seq(0L, 0L, 1L, 4L, 3L)))
+    // TRAIL enumeration has 9 paths over 4 destination groups; k=2 keeps
+    // 7 (drops the len-3 third-ranked of the (0,3) and (0,0) groups)
+    assert(ranked(SearchPrefix.ShortestK(2), PathMode.Trail) == Set(
+      Seq(0L, 0L, 1L, 3L, 2L), Seq(0L, 2L, 3L, 6L, 0L, 1L, 2L),
+      Seq(0L, 0L, 1L, 4L, 3L), Seq(0L, 1L, 2L, 5L, 3L),
+      Seq(0L, 2L, 3L, 6L, 0L, 0L, 1L), Seq(0L, 2L, 3L, 6L, 0L),
+      Seq(0L, 0L, 1L, 4L, 3L, 6L, 0L)))
+    // SIMPLE adds the closing-cycle group (0,0), whose shortest is the
+    // 2-edge [0,2,3,6,0]
+    assert(ranked(SearchPrefix.AllShortest, PathMode.Simple) == Set(
+      Seq(0L, 0L, 1L, 3L, 2L), Seq(0L, 0L, 1L, 4L, 3L),
+      Seq(0L, 1L, 2L, 5L, 3L), Seq(0L, 2L, 3L, 6L, 0L)))
+    // no path variable: the ranking array is internal (here TRAIL whole-
+    // path SHORTEST 1 per (a, c) — endpoint columns only)
+    val noVar = matchDF(MatchSpec("pg", Seq(PathPattern(None,
+      Some(SearchPrefix.ShortestK(1)), PathMode.Trail,
+      Seq(VertexPattern(Some("a"), Some("Person"),
+          where = Some("a.name = 'Daniel'")),
+        EdgePattern(Some("k1"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("b"), Some("Person")),
+        EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right,
+          Some(Quantifier(1, Some(2)))),
+        VertexPattern(Some("c"), Some("Person"))))),
+      columns = Seq(ColumnSpec("a.id", Some("a")),
+        ColumnSpec("c.id", Some("c")))))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    // one row per destination group (ranked arrays never leak out)
+    assert(noVar.sorted == Seq((0L, 0L), (0L, 1L), (0L, 2L), (0L, 3L)))
+  }
+
   test("two {1,1} quantified segments enumerate like the fixed-fixed filters") {
     def seg2(mode: PathMode): Set[(Long, Long, Long)] =
       matchDF(MatchSpec("pg", Seq(PathPattern(None, None, mode, Seq(
