@@ -793,6 +793,35 @@ object SparkEntry {
       .select(col("doc_id"), col("chunk_idx"),
         md5(col("chunk_text")).as("chunk_md5"))
 
+  /** Gopher-style repetition stats ([[TextAnalysis.repetitionStats]]):
+    * duplicate-line fractions, repeated 5-gram fraction, top-2-gram
+    * character coverage — the standard pretraining repetition filters.
+    * The synthetic corpus is single-line, so a frequent token is
+    * deterministically remapped to a newline ON BOTH SIDES first, making
+    * the line metrics non-vacuous (word soup repeats, so duplicate lines
+    * genuinely occur). Per-row metrics are codegen'd Columns; only the
+    * top-2-gram pass aggregates (one (doc, gram) shuffle + per-doc
+    * window, group sizes bounded by document length). */
+  private def q71_repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionStats(
+      t(s, d, "documents").withColumn("text",
+        replace(col("text"), lit(" batch "), lit("\n"))),
+      "doc_id", "text")
+
+  /** C4-style filter signals ([[TextAnalysis.c4Flags]]): terminal-
+    * punctuation line fraction, boilerplate/code markers, mean words per
+    * line — pure per-row Columns, plan stays exchange-free. A frequent
+    * token is remapped to `.\n` on both sides so sentence-final lines
+    * actually occur in the synthetic corpus. */
+  private def q72_c4_filters(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.c4Flags(
+      t(s, d, "documents").withColumn("text",
+        replace(col("text"), lit(" join "), lit(".\n"))),
+      "text")
+      .select(col("doc_id"), col("n_lines"),
+        col("terminal_punct_line_frac"), col("has_lorem"),
+        col("has_brace"), col("mean_words_per_line"))
+
   /** Sequence packing ([[graft.ops.Packing]]): documents → fixed-token-
     * budget training blocks, 8 deterministic shards × per-shard running
     * totals. The window is per-shard, so no task ever sees more than
@@ -958,7 +987,9 @@ object SparkEntry {
     "q60_subword_tokens" -> (q60_subword_tokens _),
     "q61_train_test_split" -> (q61_train_test_split _),
     "q62_sequence_pack" -> (q62_sequence_pack _),
-    "q63_chunk_windows" -> (q63_chunk_windows _))
+    "q63_chunk_windows" -> (q63_chunk_windows _),
+    "q71_repetition" -> (q71_repetition _),
+    "q72_c4_filters" -> (q72_c4_filters _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -2036,6 +2067,88 @@ object SparkEntry {
                     '([0-9])([a-zA-Z])', '\1 \2', 'g')), '\s+')) END
              AS n_subwords
          FROM documents""",
+
+    // Gopher repetition rules replayed in SQL: the same token→newline
+    // remap, then line lists / word n-gram lists via list lambdas and
+    // the top-2-gram by (count desc, gram asc) per document
+    "q71_repetition" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  replace(coalesce(text, ''), ' batch ', chr(10)) AS text
+           FROM documents),
+         base AS (
+           SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+               x -> trim(x)), x -> length(x) > 0) AS ls,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+           FROM docs),
+         m AS (
+           SELECT doc_id, ls, ws,
+             CASE WHEN len(ws) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(ws) - 3),
+                    i -> array_to_string(ws[i:i+4], ' ')) END AS g5,
+             CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(ws)),
+                    i -> array_to_string(ws[i:i+1], ' ')) END AS g2
+           FROM base),
+         cnts AS (
+           SELECT doc_id, g, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(g2) AS g FROM m) GROUP BY 1, 2),
+         top AS (
+           SELECT doc_id, cnt * length(g) AS topchars FROM (
+             SELECT doc_id, g, cnt, row_number() OVER (PARTITION BY doc_id
+               ORDER BY cnt DESC, g) AS rn FROM cnts)
+           WHERE rn = 1)
+         SELECT m.doc_id AS doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           round(CASE WHEN len(ls) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+             END, 6) AS dup_line_frac,
+           round(CASE WHEN coalesce(list_sum(list_transform(ls,
+               x -> length(x))), 0) = 0 THEN 0.0
+             ELSE 1.0 - CAST(list_sum(list_transform(list_distinct(ls),
+               x -> length(x))) AS DOUBLE)
+               / list_sum(list_transform(ls, x -> length(x)))
+             END, 6) AS dup_line_char_frac,
+           round(CASE WHEN len(g5) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(g5)) AS DOUBLE) / len(g5)
+             END, 6) AS dup_5gram_frac,
+           round(CASE WHEN length(array_to_string(ws, ' ')) = 0
+               OR top.topchars IS NULL THEN 0.0
+             ELSE CAST(top.topchars AS DOUBLE)
+               / length(array_to_string(ws, ' '))
+             END, 6) AS top_2gram_char_frac
+         FROM m LEFT JOIN top ON m.doc_id = top.doc_id""",
+
+    // C4 filter signals on the token→'.\n' remap (sentence-final lines
+    // exist); booleans are vacuously false on this corpus but the
+    // fractions value-check the line machinery
+    "q72_c4_filters" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  replace(coalesce(text, ''), ' join ',
+                    '.' || chr(10)) AS text
+           FROM documents),
+         base AS (
+           SELECT doc_id, text,
+             list_filter(list_transform(string_split(text, chr(10)),
+               x -> trim(x)), x -> length(x) > 0) AS ls,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+           FROM docs)
+         SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           round(CASE WHEN len(ls) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(ls,
+               l -> regexp_matches(l, '[.!?"'']$'))) AS DOUBLE) / len(ls)
+             END, 6) AS terminal_punct_line_frac,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{') AS has_brace,
+           round(CASE WHEN len(ls) = 0 THEN 0.0
+             ELSE CAST(len(ws) AS DOUBLE) / len(ls) END, 6)
+             AS mean_words_per_line
+         FROM base""",
 
     "q59_corpus_curation" ->
       """WITH canon AS (

@@ -110,6 +110,115 @@ object TextAnalysis {
       .drop("__arr")
   }
 
+  // ---- Gopher-style repetition signals (the standard pretraining
+  // quality rules: fraction of duplicate lines / characters in duplicate
+  // lines / characters in the most frequent word n-gram / repeated
+  // n-gram occurrences). Per-row metrics are pure codegen'd Columns;
+  // only the top-n-gram needs a (doc, gram) aggregation. ----
+
+  /** Trimmed, non-empty lines (null text → no lines). */
+  def textLines(text: Column): Column =
+    filter(transform(split(coalesce(text, lit("")), "\n"), l => trim(l)),
+      l => length(l) > 0)
+
+  /** Lower-cased whitespace words (empty array for blank/null text). */
+  def words(text: Column): Column =
+    when(coalesce(length(trim(text)), lit(0)) === 0,
+      array().cast("array<string>"))
+      .otherwise(tokens(lower(text)))
+
+  /** Word n-grams joined by single spaces (empty when fewer than n
+    * words — `sequence` would otherwise count DOWN). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
+    val w = words(text)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - lit(n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
+  /** Fraction of lines that repeat an earlier line (0 for no lines). */
+  def dupLineFrac(text: Column): Column = {
+    val ls = textLines(text)
+    when(size(ls) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(ls)).cast("double")
+        / size(ls).cast("double"))
+  }
+
+  /** Fraction of line characters belonging to repeated lines. */
+  def dupLineCharFrac(text: Column): Column = {
+    val ls = textLines(text)
+    val tot = aggregate(ls, lit(0L), (a, x) => a + length(x).cast("long"))
+    val dis = aggregate(array_distinct(ls), lit(0L),
+      (a, x) => a + length(x).cast("long"))
+    when(tot === 0, lit(0.0)).otherwise(
+      lit(1.0) - dis.cast("double") / tot.cast("double"))
+  }
+
+  /** Fraction of word n-gram occurrences that are repeats (0 when the
+    * document has fewer than n words). */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(g)).cast("double")
+        / size(g).cast("double"))
+  }
+
+  /** Per-document repetition stats: line-level duplicate fractions,
+    * repeated 5-gram fraction, and the characters covered by the most
+    * frequent word 2-gram as a fraction of total word characters
+    * (space-joined; can exceed 1 on pathological overlap — a signal, not
+    * a probability). The per-row metrics never shuffle; the top-2-gram
+    * pass is one (id, gram) aggregation plus a per-document window —
+    * group sizes are per-document gram counts, bounded by document
+    * length, so the shape survives arbitrary corpus scale. Deterministic
+    * top-gram tie-break: (count desc, gram asc). */
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col(textCol)
+    val base = df.select(col(idCol),
+      size(textLines(t)).cast("long").as("n_lines"),
+      round(dupLineFrac(t), 6).as("dup_line_frac"),
+      round(dupLineCharFrac(t), 6).as("dup_line_char_frac"),
+      round(dupNgramFrac(t, 5), 6).as("dup_5gram_frac"),
+      length(concat_ws(" ", words(t))).cast("long").as("__wchars"))
+    val top = df.select(col(idCol), explode(wordNgrams(t, 2)).as("__g"))
+      .groupBy(idCol, "__g").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("__cnt").desc, col("__g"))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol),
+        (col("__cnt") * length(col("__g"))).cast("long").as("__topchars"))
+    base.join(top, Seq(idCol), "left")
+      .withColumn("top_2gram_char_frac",
+        when(col("__wchars") === 0 || col("__topchars").isNull, lit(0.0))
+          .otherwise(round(col("__topchars").cast("double")
+            / col("__wchars"), 6)))
+      .drop("__wchars", "__topchars")
+  }
+
+  /** C4-style per-document filter signals — pure per-row Columns, no
+    * shuffle anywhere: fraction of lines ending in terminal punctuation,
+    * boilerplate/code markers, and mean words per line. Compose with
+    * [[repetitionStats]] and [[qualityScore]] for a full curation pass. */
+  def c4Flags(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ls = textLines(t)
+    df.withColumn("n_lines", size(ls).cast("long"))
+      .withColumn("terminal_punct_line_frac",
+        when(size(ls) === 0, lit(0.0)).otherwise(
+          round(size(filter(ls, l => l.rlike("[.!?\"']$"))).cast("double")
+            / size(ls).cast("double"), 6)))
+      .withColumn("has_lorem",
+        lower(coalesce(t, lit(""))).contains("lorem ipsum"))
+      .withColumn("has_brace", coalesce(t, lit("")).contains("{"))
+      .withColumn("mean_words_per_line",
+        when(size(ls) === 0, lit(0.0)).otherwise(
+          round(size(words(t)).cast("double")
+            / size(ls).cast("double"), 6)))
+  }
+
   /** Stable content fingerprint (md5 of normalized text) — exact-dup key. */
   def fingerprintMd5(text: Column): Column =
     md5(lower(trim(text)))

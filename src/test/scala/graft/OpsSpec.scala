@@ -215,6 +215,42 @@ class OpsSpec extends AnyFunSuite {
     assert(c0.split(" ").takeRight(2).toSeq == c1.split(" ").take(2).toSeq)
   }
 
+  test("repetition stats: duplicate lines, 5-grams, top-2-gram coverage") {
+    val s = Fixture.init()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "aa\nbb\naa\n\n cc "), // dup line 'aa'; blank line dropped
+      (2L, "a a a a a a"),        // one line; heavy gram repetition
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // 4 lines, 'aa' repeats: 1-3/4 frac; chars 1-6/8; 4 words → no
+    // 5-grams; 2-gram tie → lex-min 'aa bb' (5 chars) over 11 word chars
+    assert(got(1L) == ((4L, 0.25, 0.25, 0.0, 0.454545)))
+    // 'a a' covers 5 occurrences × 3 chars = 15 of 11 word chars — the
+    // documented >1 overlap case; 5-grams: 2 occurrences, 1 distinct
+    assert(got(2L) == ((1L, 0.0, 0.0, 0.5, 1.363636)))
+    assert(got(3L) == ((0L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("c4 flags: terminal punctuation, markers, words per line") {
+    val s = Fixture.init()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Hello there.\nworld\nOk!"),
+      (2L, "foo { lorem IPSUM bar"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Flags(docs, "text")
+      .select("doc_id", "n_lines", "terminal_punct_line_frac",
+        "has_lorem", "has_brace", "mean_words_per_line")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getBoolean(4), r.getDouble(5)))).toMap
+    assert(got(1L) == ((3L, 0.666667, false, false, 1.333333)))
+    assert(got(2L) == ((1L, 0.0, true, true, 5.0)))
+    assert(got(3L) == ((0L, 0.0, false, false, 0.0)))
+  }
+
   test("sequence packing: per-shard block budgets hold, deterministic") {
     val s = Fixture.init()
     import s.implicits._

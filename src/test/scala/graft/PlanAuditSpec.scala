@@ -118,6 +118,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode")) // chunk fan-out in the scan stage
   }
 
+  test("c4 flags (q72) are exchange-free; repetition (q71) shuffles " +
+      "only the (doc, gram) aggregation") {
+    val s = Fixture.init()
+    val p72 = SparkEntry.queries("q72_c4_filters")(s, sf)
+      .queryExecution.executedPlan.toString
+    // every C4 signal is a per-row Column — any exchange means a
+    // line-level metric regressed into an aggregation
+    assert(!p72.contains("Exchange"), p72.take(800))
+    val p71 = SparkEntry.queries("q71_repetition")(s, sf)
+      .queryExecution.executedPlan.toString
+    // per-row metrics + one (doc, gram) count + the per-doc top-gram
+    // window + the doc-key join back: hash exchanges only, and never a
+    // single-partition funnel
+    assert(!p71.contains("Exchange SinglePartition"), p71.take(800))
+    assert(p71.contains("Exchange hashpartitioning"))
+  }
+
   test("curation pipeline (q59): exactly two exchanges, pruned doc scan") {
     val s = Fixture.init()
     val df = SparkEntry.queries("q59_corpus_curation")(s, sf)
