@@ -822,6 +822,54 @@ object SparkEntry {
         col("terminal_punct_line_frac"), col("has_lorem"),
         col("has_brace"), col("mean_words_per_line"))
 
+  /** Benchmark decontamination ([[TextAnalysis.decontaminate]]): the
+    * corpus is split deterministically into a "benchmark" slice (hash
+    * bucket < 5, standing in for an eval suite) and a training corpus;
+    * every corpus doc sharing any 4-gram with the benchmark is flagged.
+    * The benchmark gram set broadcasts; the only corpus shuffle is the
+    * per-doc hit count. */
+  private def q73_decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    TextAnalysis.decontaminate(
+      docs.filter(bucket >= 5), docs.filter(bucket < 5),
+      "doc_id", "text", n = 4)
+  }
+
+  /** PII scrubbing ([[TextAnalysis.redactPii]]): emails → `[EMAIL]`,
+    * IPv4 → `[IP]`, with per-doc counts — pure per-row regex Columns,
+    * exchange-free. Frequent tokens are remapped to a literal email /
+    * address ON BOTH SIDES first so the scrub is non-vacuous on the
+    * synthetic corpus; redacted text is emitted as md5 so the oracle
+    * value-checks the exact replacement output. */
+  private def q74_pii_redact(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.redactPii(
+      t(s, d, "documents")
+        .withColumn("text",
+          replace(col("text"), lit(" data "), lit(" bob@example.com ")))
+        .withColumn("text",
+          replace(col("text"), lit(" scan "), lit(" 10.0.0.1 "))),
+      "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        md5(col("redacted_text")).as("redacted_md5"))
+
+  /** Domain-mixture rebalancing ([[graft.ops.Sampling.mixtureSample]]):
+    * the en-heavy corpus is downsampled by deterministic key hash to a
+    * 50/12.5×4 language mix by token weight — the max-size mixture
+    * achievable without upsampling (the binding stratum keeps rate 1).
+    * One corpus aggregation derives the rates; the sample itself is a
+    * broadcast join + filter above the scan. Output: per-language kept
+    * doc/token totals the oracle recomputes from the same hash. */
+  private def q75_mixture_sample(s: SparkSession, d: String): DataFrame = {
+    val targets = Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+      "fr" -> 0.125, "zh" -> 0.125)
+    Sampling.mixtureSample(t(s, d, "documents"), "doc_id", "lang",
+        TextAnalysis.tokenCount(col("text")), targets)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("kept_tokens"))
+  }
+
   /** Sequence packing ([[graft.ops.Packing]]): documents → fixed-token-
     * budget training blocks, 8 deterministic shards × per-shard running
     * totals. The window is per-shard, so no task ever sees more than
@@ -989,7 +1037,10 @@ object SparkEntry {
     "q62_sequence_pack" -> (q62_sequence_pack _),
     "q63_chunk_windows" -> (q63_chunk_windows _),
     "q71_repetition" -> (q71_repetition _),
-    "q72_c4_filters" -> (q72_c4_filters _))
+    "q72_c4_filters" -> (q72_c4_filters _),
+    "q73_decontaminate" -> (q73_decontaminate _),
+    "q74_pii_redact" -> (q74_pii_redact _),
+    "q75_mixture_sample" -> (q75_mixture_sample _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -2149,6 +2200,95 @@ object SparkEntry {
              ELSE CAST(len(ws) AS DOUBLE) / len(ls) END, 6)
              AS mean_words_per_line
          FROM base""",
+
+    // the oracle rebuilds both gram sets from the same hash-bucket split
+    // and replays the broadcast-semi-join count as a plain left join
+    "q73_decontaminate" ->
+      """WITH b AS (
+           SELECT doc_id, text,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) % 100 AS bk
+           FROM documents),
+         w AS (
+           SELECT doc_id, bk,
+             CASE WHEN length(trim(coalesce(text, ''))) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+           FROM b),
+         g AS (
+           SELECT doc_id, bk,
+             CASE WHEN len(ws) < 4 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+3], ' '))) END AS gs
+           FROM w),
+         bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE bk < 5),
+         corp AS (SELECT doc_id, gs FROM g WHERE bk >= 5),
+         cg AS (SELECT doc_id, unnest(gs) AS gram FROM corp),
+         hits AS (
+           SELECT cg.doc_id AS doc_id, count(*) AS n_grams,
+             sum(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_contaminated
+           FROM cg LEFT JOIN bench USING (gram) GROUP BY 1)
+         SELECT corp.doc_id AS doc_id,
+           CAST(coalesce(hits.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(hits.n_contaminated, 0) AS BIGINT)
+             AS n_contaminated,
+           coalesce(hits.n_contaminated, 0) > 0 AS contaminated
+         FROM corp LEFT JOIN hits USING (doc_id)""",
+
+    // same token remap, same RE2-and-Java-compatible patterns, 'g' flag
+    // to match Spark's replace-all regexp_replace
+    "q74_pii_redact" ->
+      """WITH remap AS (
+           SELECT doc_id,
+             replace(replace(text, ' data ', ' bob@example.com '),
+               ' scan ', ' 10.0.0.1 ') AS text
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN text IS NULL THEN 0 ELSE CAST(len(regexp_extract_all(
+             text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) END AS n_emails,
+           CASE WHEN text IS NULL THEN 0 ELSE CAST(len(regexp_extract_all(
+             text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             AS BIGINT) END AS n_ips,
+           md5(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+             'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'))
+             AS redacted_md5
+         FROM remap""",
+
+    // rates derived exactly as mixtureRates does: W per stratum,
+    // T = min(W/frac), rate = least(1, frac*T/W); every float literal
+    // cast to DOUBLE (DuckDB parses bare decimals as DECIMAL)
+    "q75_mixture_sample" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_tokens,
+             CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                  WHEN 'de' THEN CAST(0.125 AS DOUBLE)
+                  WHEN 'es' THEN CAST(0.125 AS DOUBLE)
+                  WHEN 'fr' THEN CAST(0.125 AS DOUBLE)
+                  WHEN 'zh' THEN CAST(0.125 AS DOUBLE) END AS frac
+           FROM documents),
+         totals AS (
+           SELECT lang, frac, sum(CAST(n_tokens AS DOUBLE)) AS w
+           FROM toks WHERE frac IS NOT NULL GROUP BY 1, 2),
+         cap AS (SELECT min(w / frac) AS t FROM totals),
+         rates AS (
+           SELECT lang, least(CAST(1.0 AS DOUBLE), frac * t / w) AS rate
+           FROM totals, cap),
+         kept AS (
+           SELECT tk.doc_id, tk.lang, tk.n_tokens
+           FROM toks tk JOIN rates r ON tk.lang = r.lang
+           WHERE CAST(CAST(('0x' ||
+               substring(md5(CAST(tk.doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) AS DOUBLE) / CAST(4294967296.0 AS DOUBLE)
+             < r.rate)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+         FROM kept GROUP BY 1""",
 
     "q59_corpus_curation" ->
       """WITH canon AS (

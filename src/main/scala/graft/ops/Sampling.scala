@@ -44,6 +44,56 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < pct)
   }
 
+  /** Deterministic uniform [0,1) from the first 32 md5 bits of the key —
+    * the continuous analogue of [[hashBucket]] for fractional rates. */
+  def hashUnit(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+
+  /** Per-stratum keep rates that rebalance a corpus to target mixture
+    * proportions by `weight` (typically token count), downsampling only:
+    * with stratum totals `W_s` and normalized target fractions `f_s`,
+    * the achievable mixture size is `T = min_s(W_s / f_s)` (set by the
+    * scarcest stratum relative to its target) and each stratum keeps
+    * `rate_s = min(1, f_s * T / W_s)` of its weight. One aggregation
+    * over the corpus + a scalar min over #strata rows — the rates frame
+    * has one row per stratum and is meant to be broadcast. Strata
+    * absent from `targets` are excluded (rate 0 by omission). */
+  def mixtureRates(df: DataFrame, stratumCol: String, weight: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0), "target fractions must be positive")
+    val tot = targets.values.sum
+    val frac = targets.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (k, f)) =>
+        when(col(stratumCol) === k, lit(f / tot)).otherwise(acc)
+      }
+    val totals = df.withColumn("__frac", frac)
+      .filter(col("__frac").isNotNull)
+      .groupBy(stratumCol)
+      .agg(first(col("__frac")).as("__frac"),
+        sum(weight.cast("double")).as("__W"))
+    val cap = totals.agg(min(col("__W") / col("__frac")).as("__T"))
+    totals.crossJoin(cap)
+      .select(col(stratumCol),
+        least(lit(1.0), col("__frac") * col("__T") / col("__W")).as("rate"))
+  }
+
+  /** Deterministic domain-mixture rebalancing: keep each row iff its
+    * key's [[hashUnit]] falls under its stratum's [[mixtureRates]] rate.
+    * The achieved mixture matches `targets` in expectation while keeping
+    * the maximum weight possible without upsampling; membership is a
+    * pure function of the key, so the mix replays across engines and
+    * reruns. Plan shape: one corpus aggregation for the rates, then a
+    * broadcast join + filter above the scan — no corpus-sized shuffle. */
+  def mixtureSample(df: DataFrame, keyCol: String, stratumCol: String,
+      weight: Column, targets: Map[String, Double]): DataFrame = {
+    val rates = mixtureRates(df, stratumCol, weight, targets)
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(hashUnit(col(keyCol)) < col("rate"))
+      .drop("rate")
+  }
+
   /** 'train'/'test' label column for ~`testPct`% held out — the one-scan
     * form: label in a projection instead of two filtered passes. A null
     * key labels null (it has no stable bucket), surfacing dirty keys

@@ -219,6 +219,63 @@ object TextAnalysis {
             / size(ls).cast("double"), 6)))
   }
 
+  /** Benchmark decontamination — the standard pretraining hygiene pass:
+    * flag corpus documents sharing any word n-gram with an evaluation
+    * benchmark. The benchmark gram set is distinct + broadcast (eval
+    * suites are small by construction — if yours is not, swap the
+    * broadcast for a shuffle join, the rest is unchanged); corpus grams
+    * explode per document, so the only corpus-sized shuffle is the
+    * per-document hit count, whose groups are bounded by document
+    * length. Gram identity is case-folded whitespace words.
+    *
+    * @return one row per corpus document: id, n_grams (distinct grams),
+    *         n_contaminated (grams also in the benchmark), contaminated
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val bGrams = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("__g")).distinct()
+      .withColumn("__hit", lit(1L))
+    corpus
+      .select(col(idCol),
+        explode_outer(array_distinct(wordNgrams(col(textCol), n))).as("__g"))
+      .join(broadcast(bGrams), Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(count(col("__g")).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** Email-address pattern — deliberately restricted to syntax shared by
+    * Java regex and RE2 so counts and redactions replay exactly in the
+    * SQL oracle. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 pattern (word-bounded; no range check — a
+    * redaction pass prefers false positives over leaks). */
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing — per-row codegen'd regex counts + global
+    * replacement, no shuffle anywhere: emails → `[EMAIL]`, IPv4 →
+    * `[IP]`. Counts are emitted alongside the redacted text so a
+    * pipeline can filter or audit on PII density. Null text stays null
+    * (nothing to scrub), counts 0.
+    *
+    * @return input plus (n_emails, n_ips, redacted_text)
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val cnt = (re: String) =>
+      when(t.isNull, lit(0L))
+        .otherwise(size(regexp_extract_all(t, lit(re), lit(0))).cast("long"))
+    df.withColumn("n_emails", cnt(emailPattern))
+      .withColumn("n_ips", cnt(ipv4Pattern))
+      .withColumn("redacted_text",
+        regexp_replace(regexp_replace(t, emailPattern, "[EMAIL]"),
+          ipv4Pattern, "[IP]"))
+  }
+
   /** Stable content fingerprint (md5 of normalized text) — exact-dup key. */
   def fingerprintMd5(text: Column): Column =
     md5(lower(trim(text)))

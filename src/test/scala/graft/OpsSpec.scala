@@ -251,6 +251,75 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0.0, false, false, 0.0)))
   }
 
+  test("decontamination: shared n-grams flagged, short/null docs are clean") {
+    val s = init()
+    import s.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x Alpha BETA gamma delta y"),       // case-folded 4-gram hit
+      (2L, "alpha beta gamma zeta eta theta"),  // only 3 shared words: clean
+      (3L, "one two three"),                    // < 4 words: no grams
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    // doc 1 grams: "x alpha beta gamma", "alpha beta gamma delta",
+    // "beta gamma delta y" — exactly one is a benchmark gram
+    assert(got(1L) == ((3L, 1L, true)))
+    assert(got(2L) == ((3L, 0L, false)))
+    assert(got(3L) == ((0L, 0L, false)))
+    assert(got(4L) == ((0L, 0L, false)))
+  }
+
+  test("pii redaction: emails and ips counted and replaced") {
+    val s = init()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "mail bob@example.com or alice@test.org now"),
+      (2L, "host 10.0.0.1 and 192.168.1.255 up"),
+      (3L, "clean text only"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs, "text")
+      .select("doc_id", "n_emails", "n_ips", "redacted_text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        Option(r.getString(3))))).toMap
+    assert(got(1L) == ((2L, 0L, Some("mail [EMAIL] or [EMAIL] now"))))
+    assert(got(2L) == ((0L, 2L, Some("host [IP] and [IP] up"))))
+    assert(got(3L) == ((0L, 0L, Some("clean text only"))))
+    assert(got(4L) == ((0L, 0L, None)))
+  }
+
+  test("mixture sampling: binding stratum keeps rate 1, mix hits targets") {
+    val s = init()
+    import s.implicits._
+    // en: 4 docs x 10 tokens = 40; de: 4 x 30 = 120. Targets 50/50 =>
+    // T = min(40/.5, 120/.5) = 80: en binds (rate 1), de keeps 1/3.
+    val docs = (1L to 4L).map(i => (i, "en", Seq.fill(10)("w").mkString(" "))) ++
+      (5L to 8L).map(i => (i, "de", Seq.fill(30)("w").mkString(" ")))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val w = TextAnalysis.tokenCount(col("text"))
+    val rates = Sampling.mixtureRates(df, "lang", w,
+      Map("en" -> 0.5, "de" -> 0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rates("en") == 1.0)
+    assert(math.abs(rates("de") - 1.0 / 3.0) < 1e-12)
+    val kept = Sampling.mixtureSample(df, "doc_id", "lang", w,
+      Map("en" -> 0.5, "de" -> 0.5))
+    // membership is exactly hashUnit(key) < rate — replay it
+    val expected = df.withColumn("__u", Sampling.hashUnit(col("doc_id")))
+      .collect().filter { r =>
+        r.getDouble(3) < rates(r.getString(1))
+      }.map(_.getLong(0)).toSet
+    assert(kept.collect().map(_.getAs[Long]("doc_id")).toSet == expected)
+    // en never dropped (rate 1)
+    assert(kept.filter(col("lang") === "en").count() == 4)
+    // strata absent from targets are excluded entirely
+    val extra = df.union(Seq((9L, "fr", "a b c")).toDF("doc_id", "lang", "text"))
+    assert(Sampling.mixtureSample(extra, "doc_id", "lang", w,
+      Map("en" -> 0.5, "de" -> 0.5))
+      .filter(col("lang") === "fr").count() == 0)
+  }
+
   test("sequence packing: per-shard block budgets hold, deterministic") {
     val s = Fixture.init()
     import s.implicits._

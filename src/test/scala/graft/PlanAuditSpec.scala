@@ -135,6 +135,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p71.contains("Exchange hashpartitioning"))
   }
 
+  test("pii redaction (q74) exchange-free; decontamination (q73) and " +
+      "mixture rates (q75) broadcast their small sides") {
+    val s = Fixture.init()
+    val p74 = SparkEntry.queries("q74_pii_redact")(s, sf)
+      .queryExecution.executedPlan.toString
+    // regex counts + replacement are per-row Columns — no shuffle at all
+    assert(!p74.contains("Exchange"), p74.take(800))
+    val p73 = SparkEntry.queries("q73_decontaminate")(s, sf)
+      .queryExecution.executedPlan.toString
+    // the benchmark gram set rides a broadcast; the corpus never
+    // funnels through one task
+    assert(p73.contains("BroadcastHashJoin"), p73.take(800))
+    assert(!p73.contains("Exchange SinglePartition"), p73.take(800))
+    val p75 = SparkEntry.queries("q75_mixture_sample")(s, sf)
+      .queryExecution.executedPlan.toString
+    // per-stratum rates join back to the corpus as a broadcast (the
+    // scalar min over #strata rows is the only single-row funnel)
+    assert(p75.contains("BroadcastHashJoin"), p75.take(800))
+  }
+
   test("curation pipeline (q59): exactly two exchanges, pruned doc scan") {
     val s = Fixture.init()
     val df = SparkEntry.queries("q59_corpus_curation")(s, sf)
