@@ -318,6 +318,36 @@ object SparkEntry {
       .withColumn("vpath",
         concat_ws(",", transform(col("vpath"), _.cast("string"))))
 
+  /** MIXED fixed+quantified named path over the COMPOSITE-key ring —
+    * round-6 closure of the "fixed hops in a named path require numeric
+    * vertex keys" restriction: the fixed hop's path segment rides the
+    * SAME memoized dense-rowid space as the quantified kernel (one
+    * comparable id space), and the combined array translates to
+    * '|'-joined declared-key surrogates ONCE, after assembly. Out-degree
+    * 1 makes every (src, dst) path unique — fully value-checkable. */
+  private def q76_composite_mixed_path(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ANY SHORTEST (a:CNation WHERE a.n_regionkey = 0)-[f:CNext]->(m:CNation)-[e:CNext]->{1,2}(b:CNation)
+         COLUMNS (a.n_nationkey AS src, m.n_nationkey AS mid,
+                  b.n_nationkey AS dst, path_length(p) AS plen,
+                  vertices(p) AS vpath)""")
+      .withColumn("vpath", concat_ws(",", col("vpath")))
+
+  /** ACYCLIC over a composite mixed pattern — round-6 closure of the
+    * "cross-element vertex identity requires a single-column numeric key
+    * space" restriction: fixed-hop aliases compare against quantified
+    * segment interiors through joined dense rowids from the shared
+    * mapping. 1 fixed + {1,4} hops on the 5-rings: the length-5 closing
+    * walk (b = a) is excluded by ACYCLIC, so each region-0 start yields
+    * exactly lengths {2,3,4}. */
+  private def q77_composite_mixed_acyclic(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ACYCLIC (a:CNation WHERE a.n_regionkey = 0)-[f:CNext]->(m:CNation)-[e:CNext]->{1,4}(b:CNation)
+         COLUMNS (a.n_nationkey AS src, m.n_nationkey AS mid,
+                  b.n_nationkey AS dst, path_length(p) AS plen,
+                  vertices(p) AS vpath)""")
+      .withColumn("vpath", concat_ws(",", col("vpath")))
+
   /** Property-graph persistence round trip: CREATE writes the `__graft_pg`
     * catalog table; a FRESH registry (a new session/process in production)
     * lazily reloads it — reference `__duckpgq_internal` semantics
@@ -1004,6 +1034,8 @@ object SparkEntry {
     "q66_composite_path_vertices" -> (q66_composite_path_vertices _),
     "q67_two_segment_all_shortest" -> (q67_two_segment_all_shortest _),
     "q68_composite_trail_enum" -> (q68_composite_trail_enum _),
+    "q76_composite_mixed_path" -> (q76_composite_mixed_path _),
+    "q77_composite_mixed_acyclic" -> (q77_composite_mixed_acyclic _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -1712,6 +1744,54 @@ object SparkEntry {
                   min(dist) OVER (PARTITION BY src, v) AS md
            FROM w WHERE dist >= 2)
          WHERE plen = md""",
+
+    // the fixed first hop seeds the walk; out-degree 1 makes every
+    // (src, dst) pair's path unique, so ANY SHORTEST = the walk itself
+    "q76_composite_mixed_path" ->
+      s"""WITH RECURSIVE $sqlNationNext, $sqlNationCNext,
+         w(sr, sn, mr, mn, dr, dn, dist, vpath) AS (
+           SELECT f.src_r, f.src_n, f.dst_r, f.dst_n, f.dst_r, f.dst_n, 1,
+                  [CAST(f.src_r AS VARCHAR) || '|' ||
+                     CAST(f.src_n AS VARCHAR),
+                   CAST(f.dst_r AS VARCHAR) || '|' ||
+                     CAST(f.dst_n AS VARCHAR)]
+           FROM nation_cnext f WHERE f.src_r = 0
+           UNION ALL
+           SELECT w.sr, w.sn, w.mr, w.mn, e.dst_r, e.dst_n, w.dist + 1,
+                  list_append(w.vpath, CAST(e.dst_r AS VARCHAR) || '|' ||
+                    CAST(e.dst_n AS VARCHAR))
+           FROM w JOIN nation_cnext e
+             ON w.dr = e.src_r AND w.dn = e.src_n
+           WHERE w.dist < 3)
+         SELECT sn AS src, mn AS mid, dn AS dst,
+                CAST(dist AS BIGINT) AS plen,
+                array_to_string(vpath, ',') AS vpath
+         FROM w WHERE dist BETWEEN 2 AND 3""",
+
+    // visited-list CTE: the ACYCLIC guard stops the ring's closing walk
+    // (the next vertex is already on the path), leaving lengths 2..4
+    "q77_composite_mixed_acyclic" ->
+      s"""WITH RECURSIVE $sqlNationNext, $sqlNationCNext,
+         w(sr, sn, mr, mn, dr, dn, dist, vpath) AS (
+           SELECT f.src_r, f.src_n, f.dst_r, f.dst_n, f.dst_r, f.dst_n, 1,
+                  [CAST(f.src_r AS VARCHAR) || '|' ||
+                     CAST(f.src_n AS VARCHAR),
+                   CAST(f.dst_r AS VARCHAR) || '|' ||
+                     CAST(f.dst_n AS VARCHAR)]
+           FROM nation_cnext f WHERE f.src_r = 0
+           UNION ALL
+           SELECT w.sr, w.sn, w.mr, w.mn, e.dst_r, e.dst_n, w.dist + 1,
+                  list_append(w.vpath, CAST(e.dst_r AS VARCHAR) || '|' ||
+                    CAST(e.dst_n AS VARCHAR))
+           FROM w JOIN nation_cnext e
+             ON w.dr = e.src_r AND w.dn = e.src_n
+           WHERE w.dist < 5
+             AND NOT list_contains(w.vpath, CAST(e.dst_r AS VARCHAR) ||
+               '|' || CAST(e.dst_n AS VARCHAR)))
+         SELECT sn AS src, mn AS mid, dn AS dst,
+                CAST(dist AS BIGINT) AS plen,
+                array_to_string(vpath, ',') AS vpath
+         FROM w WHERE dist BETWEEN 2 AND 5""",
 
     "q68_composite_trail_enum" ->
       s"""WITH RECURSIVE $sqlNationNext, $sqlNationCNext,

@@ -31,7 +31,7 @@ object GraphTableCompiler {
     * mixed-pattern mode filters: the in-plan interleaved path column plus
     * the identity spaces its values live in. */
   private final case class ModeSeg(pathCol: String, et: EdgeTable,
-      vtTable: String, refKey: String, keyNumeric: Boolean,
+      vtTable: String, refKeys: Seq[String], keyNumeric: Boolean,
       homo: Boolean, headAlias: String, tailAlias: String)
 
   def compile(
@@ -251,6 +251,84 @@ object GraphTableCompiler {
     var pendingPathSurrogate: Option[(DataFrame, Int, String, Seq[String])] =
       None
 
+    /** Key tuple as a comparable struct with normalized field names (so
+      * vertex-side and edge-side structs are type-equal for joins). */
+    def keyStruct(cols: Seq[String], qual: Option[String]): Column =
+      struct(cols.zipWithIndex.map { case (c, i) =>
+        qual.map(q => col(s"$q.$c")).getOrElse(col(c)).as(s"_k$i")
+      }: _*)
+
+    // Dense rowids over the DISTINCT key tuples of one vertex table
+    // (distributed sort + zipWithIndex — the Snapshot strategy; struct
+    // sort order is field-by-field, deterministic). Memoized per
+    // (table, keys): every quantified kernel, fixed hop and mode filter
+    // that shares a key space MUST share one mapping, or dense ids
+    // would not be comparable across elements.
+    val rowidMaps =
+      scala.collection.mutable.Map[(String, Seq[String]), DataFrame]()
+    def rowidMapping(tableName: String, keys: Seq[String]): DataFrame =
+      rowidMaps.getOrElseUpdate((tableName, keys), {
+        val keyRows = resolver(spark, tableName)
+          .select(keyStruct(keys, None).as("__raw")).distinct()
+        spark.createDataFrame(
+          keyRows.sort("__raw").rdd.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row(r.get(0), i)
+          },
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__raw",
+              keyRows.schema.head.dataType),
+            org.apache.spark.sql.types.StructField("__rowid",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+
+    // one dense-rowid column per (alias, key space), attached to the
+    // plan by an inner join against the mapping (inner: kernels drop
+    // null-key endpoints the same way)
+    val aliasRowidCols =
+      scala.collection.mutable.Map[(String, Seq[String]), String]()
+    def attachAliasRowid(alias: String, keys: Seq[String],
+        ids: DataFrame): String =
+      aliasRowidCols.getOrElseUpdate((alias, keys), {
+        val c = freshName(s"__rowid_$alias")
+        plan = plan.join(
+          ids.select(col("__raw"), col("__rowid").as(c)),
+          keyStruct(keys, Some(alias)) === col("__raw")).drop("__raw")
+        c
+      })
+
+    /** One pattern = one dense-id space for its combined path column:
+      * first registration wins, later ones must match or refuse. */
+    def registerPendingSurrogate(ids: DataFrame, nKeys: Int,
+        tableName: String, keys: Seq[String]): Unit =
+      pendingPathSurrogate match {
+        case Some((_, _, t0, k0)) if t0 != tableName || k0 != keys =>
+          throw GraphAnalysisException(
+            "element_id/vertices/edges over a pattern whose composite-key " +
+              "elements bind DIFFERENT vertex tables or keys is not " +
+              "supported — the combined path array would mix dense-id " +
+              "spaces")
+        case None =>
+          pendingPathSurrogate = Some((ids, nKeys, tableName, keys))
+        case _ => () // same space — one translation covers all
+      }
+
+    /** Does any COLUMNS/WHERE expression consume the path variable's
+      * element identities (and so force surrogate translation)? */
+    def pathExposed(p: PathPattern): Boolean = p.pathVar.exists { pv =>
+      val r = s"(?i)(element_id|vertices|edges)\\s*\\(\\s*$pv\\s*\\)".r
+      (spec.columns.map(_.expr) ++ spec.where.toSeq)
+        .exists(t => r.findFirstIn(t).isDefined)
+    }
+
+    // set per pattern by processPattern: the pattern contains a fixed
+    // hop whose path segment must ride dense rowids (composite or
+    // non-numeric vertex keys). Exposing quantified segments then defer
+    // their surrogate translation to the combined column even outside
+    // enumeration — fixed and quantified segments must concatenate in
+    // ONE type space.
+    var deferFixedSurrogates = false
+
     // set per pattern by processPattern: a non-WALK path MODE combined
     // with a search PREFIX over a MIXED pattern compiles as ENUMERATION
     // (bindPathEdge routes every quantified segment through the
@@ -308,12 +386,17 @@ object GraphTableCompiler {
           } plan = plan.filter(
             !arrays_overlap(segEdges(segs(i)), segEdges(segs(j))))
         case PathMode.Acyclic | PathMode.Simple =>
-          segs.find(s => !s.keyNumeric || !s.homo).foreach { s =>
+          // composite / non-numeric segments carry dense rowids; vertex
+          // identity against them goes through the SHARED rowid mapping
+          // (aliases get a joined __rowid column). A segment whose
+          // endpoints span different tables/keys has no single identity
+          // space — refuse loudly.
+          segs.find(s => !s.keyNumeric && !s.homo).foreach { _ =>
             throw GraphAnalysisException(
               s"Path mode ${p.mode} over a mixed pattern requires every " +
-                "quantified segment to bind one single-column numeric " +
-                "vertex key space on both endpoints (cross-element vertex " +
-                "identity is otherwise ambiguous)")
+                "quantified segment to bind one vertex key space on both " +
+                "endpoints (cross-element vertex identity is otherwise " +
+                "ambiguous)")
           }
           val endpointPairs = segs.map(s => (s.headAlias, s.tailAlias))
           for {
@@ -340,13 +423,29 @@ object GraphTableCompiler {
           for {
             s <- segs; v <- vPos
             if bindings(v).table == s.vtTable
-          } plan = plan.filter(!array_contains(segInterior(s),
-            col(s"$v.${s.refKey}").cast("long")))
+          } {
+            val vId =
+              if (s.keyNumeric) col(s"$v.${s.refKeys.head}").cast("long")
+              else col(attachAliasRowid(v, s.refKeys,
+                rowidMapping(s.vtTable, s.refKeys)))
+            plan = plan.filter(!array_contains(segInterior(s), vId))
+          }
           for {
             i <- segs.indices; j <- (i + 1) until segs.length
             if segs(i).vtTable == segs(j).vtTable
-          } plan = plan.filter(
-            !arrays_overlap(segInterior(segs(i)), segInterior(segs(j))))
+          } {
+            // interiors compare raw key values (numeric) or dense rowids
+            // (composite) — two segments may only be compared inside ONE
+            // of those identity spaces
+            if (segs(i).keyNumeric != segs(j).keyNumeric ||
+                segs(i).refKeys != segs(j).refKeys)
+              throw GraphAnalysisException(
+                s"Path mode ${p.mode}: segments over table " +
+                  s"'${segs(i).vtTable}' bind different key declarations " +
+                  "— cross-segment vertex identity is ambiguous")
+            plan = plan.filter(
+              !arrays_overlap(segInterior(segs(i)), segInterior(segs(j))))
+          }
         case PathMode.Walk => ()
       }
     }
@@ -517,6 +616,34 @@ object GraphTableCompiler {
           "SHORTEST k over a multi-hop all-fixed pattern is not supported " +
             "— every path has the same length, so rank explicitly (e.g. " +
             "ORDER BY + LIMIT per group) or add a quantified segment")
+      // pre-scan: will any fixed hop take the fixedSegment route with a
+      // composite / non-numeric key space? Exposing quantified segments
+      // must then defer their surrogate translation so fixed and
+      // quantified segments concatenate in one (dense-rowid) type space.
+      deferFixedSurrogates = (p.pathVar.isDefined &&
+        (p.prefix.isDefined || p.mode != PathMode.Walk) || enumPrefix) && {
+        var i = 1
+        var found = false
+        while (i < elems.length && !found) {
+          val ep = elems(i).asInstanceOf[EdgePattern]
+          if (ep.quantifier.isEmpty &&
+              !(kShortest.isDefined && elems.length == 3)) {
+            val et = resolveEdge(ep.varName.getOrElse("(edge)"), ep.label)
+            val (aK, bK, aV, bV) = ep.direction match {
+              case EdgeDirection.Left =>
+                (et.dstRefKeys, et.srcRefKeys,
+                  pg.vertexLabel(et.dstLabel), pg.vertexLabel(et.srcLabel))
+              case _ =>
+                (et.srcRefKeys, et.dstRefKeys,
+                  pg.vertexLabel(et.srcLabel), pg.vertexLabel(et.dstLabel))
+            }
+            found = !(aK.length == 1 && numericKey(aV, aK.head)) ||
+              !(bK.length == 1 && numericKey(bV, bK.head))
+          }
+          i += 2
+        }
+        found
+      }
       // per-position alias info for the fixed-pattern mode filters
       val modeVertexPos = scala.collection.mutable.ArrayBuffer[String]()
       val modeEdgePos =
@@ -655,30 +782,41 @@ object GraphTableCompiler {
       * distinct. */
     def fixedSegment(p: PathPattern, ep: EdgePattern, et: EdgeTable,
         aAlias: String, eAlias: String, bAlias: String): Column = {
-      if (et.srcKeys.length > 1 || et.dstKeys.length > 1)
-        throw GraphAnalysisException(
-          "named paths over composite edge keys are not yet supported")
-      val (aKey, bKey, aVt, bVt) = ep.direction match {
+      val (aKeys, bKeys, aVt, bVt) = ep.direction match {
         case EdgeDirection.Left =>
-          (et.dstRefKeys.head, et.srcRefKeys.head,
+          (et.dstRefKeys, et.srcRefKeys,
             pg.vertexLabel(et.dstLabel), pg.vertexLabel(et.srcLabel))
         case _ =>
-          (et.srcRefKeys.head, et.dstRefKeys.head,
+          (et.srcRefKeys, et.dstRefKeys,
             pg.vertexLabel(et.srcLabel), pg.vertexLabel(et.dstLabel))
       }
-      if (!numericKey(aVt, aKey) || !numericKey(bVt, bKey))
-        throw GraphAnalysisException(
-          "fixed hops in a named path require numeric vertex keys — the " +
-            "path array would contain nulls for string keys")
-      val aCol = col(s"$aAlias.$aKey").cast("long")
-      val bCol = col(s"$bAlias.$bKey").cast("long")
       val eid: Column = et.edgeIdCol match {
         case Some(c) =>
           requireIntegralEdgeId(et, c)
           col(s"$eAlias.$c").cast("long")
         case None => col(s"$eAlias.__geid")
       }
-      array(aCol, eid, bCol)
+      val aNum = aKeys.length == 1 && numericKey(aVt, aKeys.head)
+      val bNum = bKeys.length == 1 && numericKey(bVt, bKeys.head)
+      if (aNum && bNum)
+        array(col(s"$aAlias.${aKeys.head}").cast("long"), eid,
+          col(s"$bAlias.${bKeys.head}").cast("long"))
+      else {
+        // composite / non-numeric keys ride dense rowids — the same
+        // mapping the quantified kernels use, so mixed segments stay
+        // one comparable id space (and one exposed translation)
+        if (aVt.tableName != bVt.tableName || aKeys != bKeys)
+          throw GraphAnalysisException(
+            "fixed hops in a named path over composite or non-numeric " +
+              "keys require both endpoints in the same vertex table and " +
+              "key columns — the path array cannot mix dense-id spaces")
+        val ids = rowidMapping(aVt.tableName, aKeys)
+        val ra = attachAliasRowid(aAlias, aKeys, ids)
+        val rb = attachAliasRowid(bAlias, bKeys, ids)
+        if (pathExposed(p))
+          registerPendingSurrogate(ids, aKeys.length, aVt.tableName, aKeys)
+        array(col(ra), eid, col(rb))
+      }
     }
 
     /** Fixed-length edge hop: explicit equi-joins per direction
@@ -864,13 +1002,6 @@ object GraphTableCompiler {
       val keyIsNumeric = aRefKeys.length == 1 && bRefKeys.length == 1 &&
         numericKey(aVt, aRefKeys.head) && numericKey(bVt, bRefKeys.head)
 
-      // key tuple as a comparable struct with normalized field names (so
-      // vertex-side and edge-side structs are type-equal for joins)
-      def keyStruct(cols: Seq[String], qual: Option[String]): Column =
-        struct(cols.zipWithIndex.map { case (c, i) =>
-          qual.map(q => col(s"$q.$c")).getOrElse(col(c)).as(s"_k$i")
-        }: _*)
-
       // declared edge identity rides into the kernels so path arrays carry
       // real edge ids (reference rowid analogue); otherwise the synthetic
       // dense id attached by withDenseEid. Declared ids must be numeric —
@@ -910,26 +1041,10 @@ object GraphTableCompiler {
           // kernel; ENUMERATION segments must stay long-typed for the
           // cross-element mode filters, so their translation is deferred
           // to the concatenated path column (processPattern).
-          val exposing = needPath && p.pathVar.exists { pv =>
-            val r = s"(?i)(element_id|vertices|edges)\\s*\\(\\s*$pv\\s*\\)".r
-            (spec.columns.map(_.expr) ++ spec.where.toSeq)
-              .exists(t => r.findFirstIn(t).isDefined)
-          }
-          // dense rowids over the DISTINCT key tuples (distributed sort +
-          // zipWithIndex — the Snapshot strategy); struct sort order is
-          // field-by-field, deterministic
-          val keys = resolver(spark, aVt.tableName)
-            .select(keyStruct(aRefKeys, None).as("__raw")).distinct()
-          val ids = spark.createDataFrame(
-            keys.sort("__raw").rdd.zipWithIndex.map { case (r, i) =>
-              org.apache.spark.sql.Row(r.get(0), i)
-            },
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("__raw",
-                keys.schema.head.dataType),
-              org.apache.spark.sql.types.StructField("__rowid",
-                org.apache.spark.sql.types.LongType, nullable = false))))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val exposing = needPath && pathExposed(p)
+          // shared dense-rowid space (memoized — fixed hops and mode
+          // filters over the same (table, keys) use the SAME mapping)
+          val ids = rowidMapping(aVt.tableName, aRefKeys)
           // edge-side key structs cast field-wise to the vertex key types
           // so the struct equality is exact (e.g. INT edge FK vs BIGINT
           // vertex PK)
@@ -952,21 +1067,13 @@ object GraphTableCompiler {
             .select(keyStruct(aRefKeys, Some(aAlias)).as("__raw")).distinct()
             .join(ids, Seq("__raw"))
             .select(col("__rowid").as("id"))
-          if (exposing && isEnum) {
+          if (exposing && (isEnum || deferFixedSurrogates)) {
             // defer: segment arrays feed long-typed mode filters first
-            pendingPathSurrogate match {
-              case Some((_, _, tbl, keys))
-                  if tbl != aVt.tableName || keys != aRefKeys =>
-                throw GraphAnalysisException(
-                  "element_id/vertices/edges over an enumeration pattern " +
-                    "whose composite-key segments bind DIFFERENT vertex " +
-                    "tables or keys is not supported — the combined path " +
-                    "array would mix dense-id spaces")
-              case None =>
-                pendingPathSurrogate =
-                  Some((ids, aRefKeys.length, aVt.tableName, aRefKeys))
-              case _ => () // same space — one translation covers all
-            }
+            // (enumeration), or must concatenate with composite fixed-hop
+            // segments that are long-typed dense rowids — either way the
+            // COMBINED column translates once, after ranking/filters
+            registerPendingSurrogate(ids, aRefKeys.length,
+              aVt.tableName, aRefKeys)
           } else if (exposing)
             surrogatize = df => surrogatizeArrayCol(df, "path", ids,
               aRefKeys.length)
@@ -1062,7 +1169,7 @@ object GraphTableCompiler {
         else keyStruct(bRefKeys, Some(b)) === col("__pdst")), Some(bVt.label))
       plan = plan.drop("__psrc", "__pdst")
       if (isEnum) currentModeSegs += ModeSeg(segColOpt.get, et,
-        aVt.tableName, aRefKeys.head, keyIsNumeric,
+        aVt.tableName, aRefKeys, keyIsNumeric,
         aVt.tableName == bVt.tableName && aRefKeys == bRefKeys,
         aAlias, bAlias)
       (bAlias, segColOpt)

@@ -175,7 +175,6 @@ object TextAnalysis {
     * top-gram tie-break: (count desc, gram asc). */
   def repetitionStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = col(textCol)
     val base = df.select(col(idCol),
       size(textLines(t)).cast("long").as("n_lines"),
@@ -183,13 +182,15 @@ object TextAnalysis {
       round(dupLineCharFrac(t), 6).as("dup_line_char_frac"),
       round(dupNgramFrac(t, 5), 6).as("dup_5gram_frac"),
       length(concat_ws(" ", words(t))).cast("long").as("__wchars"))
+    // top gram by (count desc, gram asc) as a min-struct aggregation —
+    // map-side combinable, no per-document window sort
     val top = df.select(col(idCol), explode(wordNgrams(t, 2)).as("__g"))
       .groupBy(idCol, "__g").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("__cnt").desc, col("__g"))))
-      .filter(col("__rn") === 1)
+      .groupBy(idCol).agg(min(struct((-col("__cnt")).as("_negc"),
+        col("__g").as("_g"))).as("__top"))
       .select(col(idCol),
-        (col("__cnt") * length(col("__g"))).cast("long").as("__topchars"))
+        ((-col("__top._negc")) * length(col("__top._g")))
+          .cast("long").as("__topchars"))
     base.join(top, Seq(idCol), "left")
       .withColumn("top_2gram_char_frac",
         when(col("__wchars") === 0 || col("__topchars").isNull, lit(0.0))

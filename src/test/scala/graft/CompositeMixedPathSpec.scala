@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+
+/** Round-6 restriction closures: COMPOSITE-key fixed hops inside named
+  * paths (previously "fixed hops in a named path require numeric vertex
+  * keys") and cross-element vertex identity for ACYCLIC/SIMPLE over
+  * mixed patterns with composite segments (previously required a
+  * single-column numeric key space). Fixture: a 5-ring over composite
+  * (grp, id) keys — out-degree 1, so every path is unique and exactly
+  * value-checkable by hand.
+  */
+class CompositeMixedPathSpec extends AnyFunSuite {
+
+  private def graftWithRing(): Graft = {
+    val s = Fixture.init()
+    import s.implicits._
+    (0L to 4L).map(i => ("a", i, s"v$i")).toDF("grp", "id", "name")
+      .createOrReplaceTempView("cvert")
+    (0L to 4L).map(i => ("a", i, "a", (i + 1) % 5)).toDF(
+      "src_g", "src_i", "dst_g", "dst_i")
+      .createOrReplaceTempView("cring")
+    val g = Graft(s, TableResolver.catalog)
+    g.registry.create(s, PropertyGraph("cpg",
+      vertexTables = Seq(VertexTable("cvert", "CV", Seq("grp", "id"))),
+      edgeTables = Seq(EdgeTable("cring", "CR", Seq("src_g", "src_i"),
+        Seq("grp", "id"), "CV", Seq("dst_g", "dst_i"), Seq("grp", "id"),
+        "CV"))), TableResolver.catalog, orReplace = true)
+    g
+  }
+
+  test("composite fixed hop in a named path: all-fixed ANY SHORTEST " +
+      "with surrogate vertices") {
+    val g = graftWithRing()
+    val got = g.graphTable(
+      """cpg MATCH p = ANY SHORTEST (x:CV WHERE x.id = 0)-[e:CR]->(y:CV)
+         COLUMNS (x.id AS src, y.id AS dst, path_length(p) AS plen,
+                  vertices(p) AS vpath)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).mkString(","))).toSet
+    assert(got == Set((0L, 1L, 1L, "a|0,a|1")))
+  }
+
+  test("composite MIXED fixed+quantified named path: one dense-id " +
+      "space, one deferred translation") {
+    val g = graftWithRing()
+    val got = g.graphTable(
+      """cpg MATCH p = ANY SHORTEST (x:CV WHERE x.id = 0)-[f:CR]->(m:CV)-[e:CR]->{1,2}(y:CV)
+         COLUMNS (x.id AS src, m.id AS mid, y.id AS dst,
+                  path_length(p) AS plen, vertices(p) AS vpath)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getSeq[String](4).mkString(","))).toSet
+    assert(got == Set(
+      (0L, 1L, 2L, 2L, "a|0,a|1,a|2"),
+      (0L, 1L, 3L, 3L, "a|0,a|1,a|2,a|3")))
+  }
+
+  test("ACYCLIC vs SIMPLE over a composite mixed pattern: the closing " +
+      "walk discriminates") {
+    val g = graftWithRing()
+    // 1 fixed + {1,4} quantified = total lengths 2..5; the length-5 walk
+    // closes the ring (y = x): excluded by ACYCLIC, kept by SIMPLE
+    def rows(mode: String) = g.graphTable(
+      s"""cpg MATCH p = $mode (x:CV)-[f:CR]->(m:CV)-[e:CR]->{1,4}(y:CV)
+          COLUMNS (x.id AS src, y.id AS dst, path_length(p) AS plen,
+                   vertices(p) AS vpath)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).mkString(","))).toSet
+    val ac = rows("ACYCLIC")
+    val si = rows("SIMPLE")
+    assert(ac.size == 15) // 5 starts x lengths {2,3,4}
+    assert(si.size == 20) // + the closed length-5 walk per start
+    assert(ac.subsetOf(si))
+    assert((si -- ac).forall { case (s, d, l, _) => s == d && l == 5L })
+    // spot-check one closed SIMPLE path's surrogates
+    assert(si.contains((0L, 0L, 5L, "a|0,a|1,a|2,a|3,a|4,a|0")))
+    // and one acyclic path's
+    assert(ac.contains((2L, 0L, 3L, "a|2,a|3,a|4,a|0")))
+  }
+
+  test("TRAIL over a composite mixed pattern with a shared edge table") {
+    val g = graftWithRing()
+    // fixed hop and quantified tail share the cring table: TRAIL must
+    // exclude the fixed edge from the tail. Out-degree 1: the tail can
+    // only repeat the fixed edge after a full wrap (tail length 5 from
+    // m re-traverses (x, m)'s edge at its last step)
+    val got = g.graphTable(
+      """cpg MATCH p = TRAIL (x:CV WHERE x.id = 0)-[f:CR]->(m:CV)-[e:CR]->{4,5}(y:CV)
+         COLUMNS (x.id AS src, y.id AS dst, path_length(p) AS plen)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // total length 5 (y = x: closes using 5 DISTINCT edges — a trail)
+    // survives; total length 6 would repeat the fixed edge — excluded
+    assert(got == Set((0L, 0L, 5L)))
+  }
+
+  test("zero-length quantifier merges endpoints — composite keys too") {
+    val g = graftWithRing()
+    val got = g.graphTable(
+      """cpg MATCH p = ACYCLIC (x:CV WHERE x.id = 1)-[f:CR]->(m:CV)-[e:CR]->{0,1}(y:CV)
+         COLUMNS (x.id AS src, m.id AS mid, y.id AS dst,
+                  path_length(p) AS plen)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // {0,1}: y = m (one vertex occurrence, not a repeat) or one hop on
+    assert(got == Set((1L, 2L, 2L, 1L), (1L, 2L, 3L, 2L)))
+  }
+}
