@@ -900,6 +900,13 @@ object SparkEntry {
         sum(TextAnalysis.tokenCount(col("text"))).as("kept_tokens"))
   }
 
+  /** Corpus profiling ([[TextAnalysis.corpusProfile]]): per-source doc
+    * counts, token totals and exact interpolated token-count quartiles —
+    * one aggregation, partial-merged value→count maps bounded by the
+    * distinct token-count domain. */
+  private def q78_corpus_profile(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.corpusProfile(t(s, d, "documents"), "source", "text")
+
   /** Sequence packing ([[graft.ops.Packing]]): documents → fixed-token-
     * budget training blocks, 8 deterministic shards × per-shard running
     * totals. The window is per-shard, so no task ever sees more than
@@ -1072,7 +1079,8 @@ object SparkEntry {
     "q72_c4_filters" -> (q72_c4_filters _),
     "q73_decontaminate" -> (q73_decontaminate _),
     "q74_pii_redact" -> (q74_pii_redact _),
-    "q75_mixture_sample" -> (q75_mixture_sample _))
+    "q75_mixture_sample" -> (q75_mixture_sample _),
+    "q78_corpus_profile" -> (q78_corpus_profile _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -2369,6 +2377,22 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
          FROM kept GROUP BY 1""",
+
+    // quantile_cont uses the same (n-1)*p interpolated rank as Spark's
+    // exact percentile
+    "q78_corpus_profile" ->
+      """WITH toks AS (
+           SELECT source,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS nt
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           round(quantile_cont(nt, 0.25), 6) AS p25,
+           round(quantile_cont(nt, 0.5), 6) AS p50,
+           round(quantile_cont(nt, 0.75), 6) AS p75
+         FROM toks GROUP BY 1""",
 
     "q59_corpus_curation" ->
       """WITH canon AS (

@@ -277,6 +277,26 @@ object TextAnalysis {
           ipv4Pattern, "[IP]"))
   }
 
+  /** Per-stratum corpus profile: doc counts, token totals, and EXACT
+    * interpolated token-count quartiles (Spark `percentile` — a
+    * distributed value→count map merge, bounded by the number of
+    * DISTINCT per-doc token counts, which is tiny relative to the
+    * corpus; matches `quantile_cont` semantics exactly, both use the
+    * (n-1)·p linear-interpolation rank). The shape every mixture /
+    * curation decision starts from. */
+  def corpusProfile(df: DataFrame, stratumCol: String,
+      textCol: String): DataFrame =
+    df.select(col(stratumCol), tokenCount(col(textCol)).as("__nt"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nt").as("total_tokens"),
+        round(element_at(expr(
+          "percentile(__nt, array(0.25D, 0.5D, 0.75D))"), 1), 6).as("p25"),
+        round(element_at(expr(
+          "percentile(__nt, array(0.25D, 0.5D, 0.75D))"), 2), 6).as("p50"),
+        round(element_at(expr(
+          "percentile(__nt, array(0.25D, 0.5D, 0.75D))"), 3), 6).as("p75"))
+
   /** Stable content fingerprint (md5 of normalized text) — exact-dup key. */
   def fingerprintMd5(text: Column): Column =
     md5(lower(trim(text)))

@@ -320,6 +320,20 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("lang") === "fr").count() == 0)
   }
 
+  test("corpus profile: exact interpolated quartiles per stratum") {
+    val s = init()
+    import s.implicits._
+    val docs = Seq(
+      ("x", "a"), ("x", "a b"), ("x", "a b c"), ("x", "a b c d"),
+      ("y", (1 to 10).map(_ => "t").mkString(" "))).toDF("source", "text")
+    val got = TextAnalysis.corpusProfile(docs, "source", "text")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // counts [1,2,3,4]: rank (n-1)p => 1.75 / 2.5 / 3.25
+    assert(got("x") == ((4L, 10L, 1.75, 2.5, 3.25)))
+    assert(got("y") == ((1L, 10L, 10.0, 10.0, 10.0)))
+  }
+
   test("sequence packing: per-shard block budgets hold, deterministic") {
     val s = Fixture.init()
     import s.implicits._
