@@ -329,6 +329,23 @@ object GraphTableCompiler {
     // ONE type space.
     var deferFixedSurrogates = false
 
+    // identity space of every segment feeding the current pattern's
+    // combined path array: (vertex table, ref keys, numericRaw). Raw
+    // numeric spaces may mix freely when exposed (the reference exposes
+    // plain alias rowids across tables the same way, match.cpp:598-616);
+    // a TRANSLATED (dense-rowid) space may not coexist with any other —
+    // the combined column would run every slot through one mapping and
+    // silently corrupt foreign slots.
+    val segSpaces =
+      scala.collection.mutable.Set[(String, Seq[String], Boolean)]()
+    def checkOneTranslatedSpace(p: PathPattern): Unit =
+      if (pathExposed(p) && segSpaces.exists(!_._3) && segSpaces.size > 1)
+        throw GraphAnalysisException(
+          "element_id/vertices/edges over a named path that mixes a " +
+            "composite/non-numeric key space with any other key space is " +
+            "not supported — the combined path array cannot carry two " +
+            "id spaces (project the element columns directly instead)")
+
     // set per pattern by processPattern: a non-WALK path MODE combined
     // with a search PREFIX over a MIXED pattern compiles as ENUMERATION
     // (bindPathEdge routes every quantified segment through the
@@ -595,6 +612,7 @@ object GraphTableCompiler {
         quantifiedEdges > 0 && elems.length != 3
       currentModeSegs.clear()
       pendingPathSurrogate = None
+      segSpaces.clear()
       // SHORTEST k over a MIXED pattern applies PER QUANTIFIED SEGMENT:
       // each segment contributes its k smallest subpaths given the
       // endpoint bindings — the same per-subpath composition the
@@ -749,6 +767,10 @@ object GraphTableCompiler {
         if (needPath && segCols.isEmpty)
           throw GraphAnalysisException(
             s"Named path '${p.pathVar.get}' must contain at least one edge")
+        // a translated (dense-rowid) space cannot share the combined
+        // array with any other space — refuse BEFORE the concat so the
+        // user sees semantics, not a type error
+        checkOneTranslatedSpace(p)
         val combined = segCols.toSeq.reduceLeft { (acc, seg) =>
           // drop the segment's head vertex (shared with the previous
           // segment's tail) — array_pop_front analogue
@@ -798,10 +820,12 @@ object GraphTableCompiler {
       }
       val aNum = aKeys.length == 1 && numericKey(aVt, aKeys.head)
       val bNum = bKeys.length == 1 && numericKey(bVt, bKeys.head)
-      if (aNum && bNum)
+      if (aNum && bNum) {
+        segSpaces += ((aVt.tableName, aKeys, true))
+        segSpaces += ((bVt.tableName, bKeys, true))
         array(col(s"$aAlias.${aKeys.head}").cast("long"), eid,
           col(s"$bAlias.${bKeys.head}").cast("long"))
-      else {
+      } else {
         // composite / non-numeric keys ride dense rowids — the same
         // mapping the quantified kernels use, so mixed segments stay
         // one comparable id space (and one exposed translation)
@@ -813,6 +837,7 @@ object GraphTableCompiler {
         val ids = rowidMapping(aVt.tableName, aKeys)
         val ra = attachAliasRowid(aAlias, aKeys, ids)
         val rb = attachAliasRowid(bAlias, bKeys, ids)
+        segSpaces += ((aVt.tableName, aKeys, false))
         if (pathExposed(p))
           registerPendingSurrogate(ids, aKeys.length, aVt.tableName, aKeys)
         array(col(ra), eid, col(rb))
@@ -1095,6 +1120,12 @@ object GraphTableCompiler {
         // mode filters consult it; the final COLUMNS projection drops it
         else if (isEnum) Some(freshName("modeseg"))
         else None
+      if (segColOpt.isDefined) {
+        if (keyIsNumeric) {
+          segSpaces += ((aVt.tableName, aRefKeys, true))
+          segSpaces += ((bVt.tableName, bRefKeys, true))
+        } else segSpaces += ((aVt.tableName, aRefKeys, false))
+      }
       val joined =
         if (isEnum || isAllShortest || kOpt.isDefined) {
           // one row PER PATH (multiplicity semantics). Under ANY SHORTEST

@@ -128,13 +128,17 @@ object TextAnalysis {
       .otherwise(tokens(lower(text)))
 
   /** Word n-grams joined by single spaces (empty when fewer than n
-    * words — `sequence` would otherwise count DOWN). */
+    * words). The gram construction is the codegen'd [[
+    * graft.functions.WordShingles]] expression — a declarative
+    * `transform(sequence, i -> concat_ws(slice(w, i, n)))` re-evaluates
+    * the lambda body's token split PER ELEMENT (quadratic in document
+    * length; it cost q73 a 6x slope penalty at the 10x point before
+    * this). */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, "n must be >= 1")
     val w = words(text)
     when(size(w) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(w) - lit(n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(graft.functions.VectorFunctions.word_shingles(w, n))
   }
 
   /** Fraction of lines that repeat an earlier line (0 for no lines). */

@@ -95,6 +95,40 @@ class CompositeMixedPathSpec extends AnyFunSuite {
     assert(got == Set((0L, 0L, 5L)))
   }
 
+  test("named path bridging a numeric table into the composite ring " +
+      "refuses loudly — one array cannot carry two id spaces") {
+    val s = Fixture.init()
+    import s.implicits._
+    (0L to 4L).map(i => (i, s"n$i")).toDF("id", "name")
+      .createOrReplaceTempView("nvert")
+    (0L to 4L).map(i => (i, "a", i)).toDF("src_i", "dst_g", "dst_i")
+      .createOrReplaceTempView("ncross")
+    val g = graftWithRing()
+    g.registry.create(s, PropertyGraph("bridge",
+      vertexTables = Seq(
+        VertexTable("nvert", "NV", Seq("id")),
+        VertexTable("cvert", "CV", Seq("grp", "id"))),
+      edgeTables = Seq(
+        EdgeTable("ncross", "NC", Seq("src_i"), Seq("id"), "NV",
+          Seq("dst_g", "dst_i"), Seq("grp", "id"), "CV"),
+        EdgeTable("cring", "CR", Seq("src_g", "src_i"),
+          Seq("grp", "id"), "CV", Seq("dst_g", "dst_i"), Seq("grp", "id"),
+          "CV"))), TableResolver.catalog, orReplace = true)
+    val ex = intercept[GraphAnalysisException] {
+      g.graphTable(
+        """bridge MATCH p = ANY SHORTEST (n:NV)-[c:NC]->(x:CV)-[e:CR]->{1,2}(y:CV)
+           COLUMNS (n.id AS src, y.id AS dst, vertices(p) AS vpath)""")
+    }
+    assert(ex.getMessage.contains("dense-id spaces"))
+    // WITHOUT the named path the same bridge pattern compiles fine —
+    // the restriction is about the path array, not the join
+    val ok = g.graphTable(
+      """bridge MATCH (n:NV WHERE n.id = 0)-[c:NC]->(x:CV)-[e:CR]->{1,2}(y:CV)
+         COLUMNS (n.id AS src, y.id AS dst)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok == Set((0L, 1L), (0L, 2L)))
+  }
+
   test("zero-length quantifier merges endpoints — composite keys too") {
     val g = graftWithRing()
     val got = g.graphTable(
