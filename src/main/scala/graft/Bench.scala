@@ -31,9 +31,12 @@ object Bench {
       // lets the optimizer prune every computed column from
       // projection-only queries, which would time the scan skeleton
       // instead of the operator
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case _: Throwable => false }
+      // a failed query must be visibly failed in the artifact, not a
+      // plausible-looking wall time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -2217,7 +2217,7 @@ object SparkEntry {
            FROM documents),
          base AS (
            SELECT doc_id,
-             list_filter(list_transform(string_split(text, chr(10)),
+             list_filter(list_transform(string_split_regex(text, '\r?\n'),
                x -> trim(x)), x -> length(x) > 0) AS ls,
              CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
                   ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
@@ -2271,7 +2271,7 @@ object SparkEntry {
            FROM documents),
          base AS (
            SELECT doc_id, text,
-             list_filter(list_transform(string_split(text, chr(10)),
+             list_filter(list_transform(string_split_regex(text, '\r?\n'),
                x -> trim(x)), x -> length(x) > 0) AS ls,
              CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
                   ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
@@ -2362,7 +2362,8 @@ object SparkEntry {
            FROM documents),
          totals AS (
            SELECT lang, frac, sum(CAST(n_tokens AS DOUBLE)) AS w
-           FROM toks WHERE frac IS NOT NULL GROUP BY 1, 2),
+           FROM toks WHERE frac IS NOT NULL GROUP BY 1, 2
+           HAVING sum(CAST(n_tokens AS DOUBLE)) > 0),
          cap AS (SELECT min(w / frac) AS t FROM totals),
          rates AS (
            SELECT lang, least(CAST(1.0 AS DOUBLE), frac * t / w) AS rate

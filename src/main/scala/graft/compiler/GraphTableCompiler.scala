@@ -339,12 +339,31 @@ object GraphTableCompiler {
     val segSpaces =
       scala.collection.mutable.Set[(String, Seq[String], Boolean)]()
     def checkOneTranslatedSpace(p: PathPattern): Unit =
-      if (pathExposed(p) && segSpaces.exists(!_._3) && segSpaces.size > 1)
-        throw GraphAnalysisException(
-          "element_id/vertices/edges over a named path that mixes a " +
-            "composite/non-numeric key space with any other key space is " +
-            "not supported — the combined path array cannot carry two " +
-            "id spaces (project the element columns directly instead)")
+      if (pathExposed(p)) pendingPathSurrogate match {
+        case Some((_, _, tbl, keys)) =>
+          // COMBINED translation runs every slot through one mapping —
+          // any segment outside that space would be silently corrupted
+          if (segSpaces.exists { case (t, k, _) => t != tbl || k != keys })
+            throw GraphAnalysisException(
+              "element_id/vertices/edges over a named path that mixes a " +
+                "composite/non-numeric key space with any other key " +
+                "space is not supported — the combined path array cannot " +
+                "carry two id spaces (project the element columns " +
+                "directly instead)")
+        case None =>
+          // per-kernel translation leaves composite segments as STRING
+          // arrays; raw numeric segments stay long — the concat would
+          // die with a type error, so refuse with semantics instead.
+          // (Several composite spaces translated per-kernel are fine:
+          // each segment carries its own surrogates.)
+          if (segSpaces.exists(!_._3) && segSpaces.exists(_._3))
+            throw GraphAnalysisException(
+              "element_id/vertices/edges over a named path that mixes a " +
+                "composite/non-numeric key space with a numeric key " +
+                "space is not supported — the combined path array cannot " +
+                "carry two id spaces (project the element columns " +
+                "directly instead)")
+      }
 
     // set per pattern by processPattern: a non-WALK path MODE combined
     // with a search PREFIX over a MIXED pattern compiles as ENUMERATION
@@ -405,10 +424,12 @@ object GraphTableCompiler {
         case PathMode.Acyclic | PathMode.Simple =>
           // composite / non-numeric segments carry dense rowids; vertex
           // identity against them goes through the SHARED rowid mapping
-          // (aliases get a joined __rowid column). A segment whose
+          // (aliases get a joined __rowid column). ANY segment whose
           // endpoints span different tables/keys has no single identity
-          // space — refuse loudly.
-          segs.find(s => !s.keyNumeric && !s.homo).foreach { _ =>
+          // space — refuse loudly (numeric too: an undirected bipartite
+          // segment's interior would interleave two tables' raw ids and
+          // alias-vs-interior checks would compare across tables).
+          segs.find(s => !s.homo).foreach { _ =>
             throw GraphAnalysisException(
               s"Path mode ${p.mode} over a mixed pattern requires every " +
                 "quantified segment to bind one vertex key space on both " +

@@ -58,7 +58,12 @@ object Sampling {
     * `rate_s = min(1, f_s * T / W_s)` of its weight. One aggregation
     * over the corpus + a scalar min over #strata rows — the rates frame
     * has one row per stratum and is meant to be broadcast. Strata
-    * absent from `targets` are excluded (rate 0 by omission). */
+    * absent from `targets` are excluded (rate 0 by omission). A target
+    * stratum with no corpus rows or zero total weight is excluded from
+    * the cap and gets no rate row (its rows drop; downsampling cannot
+    * conjure its share) — without the weight guard its W = 0 would
+    * poison T to 0 and its own NaN rate would resolve to keep-all under
+    * `least`, collapsing the sample to exactly the weightless rows. */
   def mixtureRates(df: DataFrame, stratumCol: String, weight: Column,
       targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty, "targets must be non-empty")
@@ -73,6 +78,7 @@ object Sampling {
       .groupBy(stratumCol)
       .agg(first(col("__frac")).as("__frac"),
         sum(weight.cast("double")).as("__W"))
+      .filter(col("__W") > 0)
     val cap = totals.agg(min(col("__W") / col("__frac")).as("__T"))
     totals.crossJoin(cap)
       .select(col(stratumCol),

@@ -116,9 +116,13 @@ object TextAnalysis {
   // n-gram occurrences). Per-row metrics are pure codegen'd Columns;
   // only the top-n-gram needs a (doc, gram) aggregation. ----
 
-  /** Trimmed, non-empty lines (null text → no lines). */
+  /** Trimmed, non-empty lines (null text → no lines). Splits on
+    * `\r?\n` so CRLF text never leaves a trailing `\r` on a line —
+    * Java's `$` matches before it while RE2's does not, which would
+    * silently diverge the terminal-punctuation metric from the SQL
+    * oracle. */
   def textLines(text: Column): Column =
-    filter(transform(split(coalesce(text, lit("")), "\n"), l => trim(l)),
+    filter(transform(split(coalesce(text, lit("")), "\r?\n"), l => trim(l)),
       l => length(l) > 0)
 
   /** Lower-cased whitespace words (empty array for blank/null text). */

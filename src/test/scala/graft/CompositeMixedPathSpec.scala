@@ -129,6 +129,41 @@ class CompositeMixedPathSpec extends AnyFunSuite {
     assert(ok == Set((0L, 1L), (0L, 2L)))
   }
 
+  test("ACYCLIC over a mixed pattern with a heterogeneous NUMERIC " +
+      "segment refuses loudly (review fix: && had silently relaxed ||)") {
+    val s = Fixture.init()
+    import s.implicits._
+    (0L to 2L).map(i => (i, s"n$i")).toDF("id", "name")
+      .createOrReplaceTempView("hnvert")
+    (0L to 2L).map(i => (i, s"m$i")).toDF("id", "name")
+      .createOrReplaceTempView("hmvert")
+    (0L to 2L).map(i => (i, i)).toDF("src", "dst")
+      .createOrReplaceTempView("hnm")
+    (0L to 2L).map(i => (i, (i + 1) % 3)).toDF("src", "dst")
+      .createOrReplaceTempView("hmn")
+    val g = Graft(s, TableResolver.catalog)
+    g.registry.create(s, PropertyGraph("hetero",
+      vertexTables = Seq(
+        VertexTable("hnvert", "HN", Seq("id")),
+        VertexTable("hmvert", "HM", Seq("id"))),
+      edgeTables = Seq(
+        EdgeTable("hnm", "NM", Seq("src"), Seq("id"), "HN",
+          Seq("dst"), Seq("id"), "HM"),
+        EdgeTable("hmn", "MN", Seq("src"), Seq("id"), "HM",
+          Seq("dst"), Seq("id"), "HN"))), TableResolver.catalog,
+      orReplace = true)
+    // the quantified segment binds HN on one end and HM on the other:
+    // its interior would interleave two tables' raw numeric ids, so
+    // alias-vs-interior identity is ambiguous — must refuse, not
+    // silently compare across tables
+    val ex = intercept[GraphAnalysisException] {
+      g.graphTable(
+        """hetero MATCH ACYCLIC (a:HN)-[e:NM]->{1,2}(b:HM)-[f:MN]->(c:HN)
+           COLUMNS (a.id AS src, c.id AS dst)""")
+    }
+    assert(ex.getMessage.contains("one vertex key space"))
+  }
+
   test("zero-length quantifier merges endpoints — composite keys too") {
     val g = graftWithRing()
     val got = g.graphTable(

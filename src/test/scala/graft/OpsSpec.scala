@@ -320,6 +320,37 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("lang") === "fr").count() == 0)
   }
 
+  test("c4 flags: CRLF lines carry no trailing CR into the metrics") {
+    val s = init()
+    import s.implicits._
+    val docs = Seq((1L, "Done.\r\nnext")).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Flags(docs, "text")
+      .select("n_lines", "terminal_punct_line_frac").collect().head
+    // Java $ matches before a trailing \r while RE2's does not — the
+    // \r?\n split removes the divergence entirely
+    assert(got.getLong(0) == 2L)
+    assert(got.getDouble(1) == 0.5)
+  }
+
+  test("mixture sampling: zero-weight stratum is excluded, not a " +
+      "sample collapse") {
+    val s = init()
+    import s.implicits._
+    val docs = ((1L to 4L).map(i => (i, "en", "a b c d e")) ++
+      (5L to 6L).map(i => (i, "de", "   "))).toDF("doc_id", "lang", "text")
+    val w = TextAnalysis.tokenCount(col("text"))
+    val rates = Sampling.mixtureRates(docs, "lang", w,
+      Map("en" -> 0.5, "de" -> 0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // de has zero total weight: no rate row (NOT a NaN that least()
+    // would resolve to keep-all while zeroing en's rate)
+    assert(rates == Map("en" -> 1.0))
+    val kept = Sampling.mixtureSample(docs, "doc_id", "lang", w,
+      Map("en" -> 0.5, "de" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+  }
+
   test("corpus profile: exact interpolated quartiles per stratum") {
     val s = init()
     import s.implicits._
