@@ -907,6 +907,28 @@ object SparkEntry {
   private def q78_corpus_profile(s: SparkSession, d: String): DataFrame =
     TextAnalysis.corpusProfile(t(s, d, "documents"), "source", "text")
 
+  /** C4-style global line dedup ([[TextAnalysis.dedupLines]]): every
+    * distinct line keeps its first (doc_id, idx) occurrence corpus-wide
+    * and documents are reassembled from survivors. The word-soup corpus
+    * repeats heavily once a frequent token is remapped to a newline on
+    * both sides, so the dedup genuinely bites. Rebuilt text emitted as
+    * md5 — the oracle must reproduce the exact reassembly. */
+  private def q79_line_dedup(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.dedupLines(
+      t(s, d, "documents").withColumn("text",
+        replace(col("text"), lit(" batch "), lit("\n"))),
+      "doc_id", "text")
+      .select(col("doc_id"), col("n_lines_kept"),
+        md5(col("dedup_text")).as("dedup_md5"))
+
+  /** CCNet-style unigram LM scoring ([[TextAnalysis.unigramLogProb]]):
+    * mean token log-probability under the corpus's own unigram
+    * distribution — token-count join shuffles on the vocabulary, never
+    * the corpus. Value-checked to 6 decimals (ln on both sides; DuckDB's
+    * bare log is base 10). */
+  private def q80_unigram_logprob(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramLogProb(t(s, d, "documents"), "doc_id", "text")
+
   /** Sequence packing ([[graft.ops.Packing]]): documents → fixed-token-
     * budget training blocks, 8 deterministic shards × per-shard running
     * totals. The window is per-shard, so no task ever sees more than
@@ -1080,7 +1102,9 @@ object SparkEntry {
     "q73_decontaminate" -> (q73_decontaminate _),
     "q74_pii_redact" -> (q74_pii_redact _),
     "q75_mixture_sample" -> (q75_mixture_sample _),
-    "q78_corpus_profile" -> (q78_corpus_profile _))
+    "q78_corpus_profile" -> (q78_corpus_profile _),
+    "q79_line_dedup" -> (q79_line_dedup _),
+    "q80_unigram_logprob" -> (q80_unigram_logprob _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -2378,6 +2402,60 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
          FROM kept GROUP BY 1""",
+
+    // first occurrence = min (doc, idx) struct per line; reassembly =
+    // string_agg ordered by idx — byte-identical to the Spark rebuild
+    "q79_line_dedup" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  replace(coalesce(text, ''), ' batch ', chr(10)) AS text
+           FROM documents),
+         base AS (
+           SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '\r?\n'),
+               x -> trim(x)), x -> length(x) > 0) AS ls
+           FROM docs),
+         lines AS (
+           SELECT doc_id, u.i AS idx, u.l AS l
+           FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(ls) + 1),
+                     i -> {'i': i, 'l': ls[i]})) AS u
+                 FROM base)),
+         firsts AS (
+           SELECT l, min(struct_pack(d := doc_id, i := idx)) AS f
+           FROM lines GROUP BY l),
+         kept AS (
+           SELECT lines.doc_id, lines.idx, lines.l
+           FROM lines JOIN firsts ON lines.l = firsts.l
+           WHERE lines.doc_id = firsts.f.d AND lines.idx = firsts.f.i),
+         rebuilt AS (
+           SELECT doc_id, count(*) AS n_lines_kept,
+                  string_agg(l, chr(10) ORDER BY idx) AS dedup_text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id AS doc_id,
+           CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+           md5(coalesce(r.dedup_text, '')) AS dedup_md5
+         FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""",
+
+    // ln on both sides (DuckDB's bare log is base 10)
+    "q80_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(
+             CASE WHEN length(trim(coalesce(text, ''))) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END)
+             AS t
+           FROM documents),
+         counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+         total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
+         scored AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  round(avg(ln(CAST(c AS DOUBLE) / n)), 6) AS avg_logprob
+           FROM toks JOIN counts USING (t), total GROUP BY doc_id)
+         SELECT d.doc_id AS doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           s.avg_logprob AS avg_logprob
+         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
 
     // quantile_cont uses the same (n-1)*p interpolated rank as Spark's
     // exact percentile

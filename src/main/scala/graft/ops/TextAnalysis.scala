@@ -305,6 +305,65 @@ object TextAnalysis {
         round(element_at(expr(
           "percentile(__nt, array(0.25D, 0.5D, 0.75D))"), 3), 6).as("p75"))
 
+  /** C4-style GLOBAL line dedup: every distinct (trimmed, non-empty)
+    * line keeps only its FIRST occurrence corpus-wide — first by
+    * (id, line index), the deterministic document order — and each
+    * document is reassembled from its surviving lines. Two shuffles,
+    * both scale-correct: a (line → min(id, idx)) aggregation with
+    * map-side partial combine (group sizes = per-line occurrence
+    * counts), then the per-document regroup (group sizes bounded by
+    * document length). Documents whose every line was seen earlier
+    * collapse to the empty string rather than disappearing.
+    *
+    * @return one row per input document: id, n_lines_kept, dedup_text
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(textLines(col(textCol))).as(Seq("__idx", "__line")))
+    val firsts = lines.groupBy("__line")
+      .agg(min(struct(col(idCol).as("_d"), col("__idx").as("_i")))
+        .as("__first"))
+    val kept = lines.join(firsts, Seq("__line"))
+      .filter(col(idCol) === col("__first._d") &&
+        col("__idx") === col("__first._i"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("__idx"), col("__line")))),
+          x => x.getField("__line"))).as("dedup_text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  /** CCNet-style unigram language-model scoring: each document's mean
+    * token log-probability under the corpus's OWN unigram distribution
+    * — the standard cheap proxy for an LM quality filter (low scores =
+    * rare-token soup, boilerplate, encoding garbage). Token counts
+    * aggregate with map-side combine, the corpus total is a one-row
+    * scalar, and the per-token probability join shuffles on the token —
+    * the vocabulary-sized side — never on the corpus.
+    *
+    * @return one row per document: id, n_tokens, avg_logprob (null for
+    *         empty documents)
+    */
+  def unigramLogProb(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("__t"))
+    val counts = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum("__c").cast("double").as("__n"))
+    val scored = toks.join(counts, Seq("__t")).crossJoin(total)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("__c").cast("double") / col("__n"))), 6)
+          .as("avg_logprob"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_logprob"))
+  }
+
   /** Stable content fingerprint (md5 of normalized text) — exact-dup key. */
   def fingerprintMd5(text: Column): Column =
     md5(lower(trim(text)))

@@ -351,6 +351,45 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 3L, 4L))
   }
 
+  test("global line dedup: first (doc, idx) occurrence wins, docs " +
+      "reassemble in order") {
+    val s = init()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "aa\nbb\naa"),   // intra-doc repeat of 'aa'
+      (2L, "bb\ncc"),       // 'bb' already owned by doc 1
+      (3L, "aa\nbb"),       // everything seen: collapses to empty
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got(1L) == ((2L, "aa\nbb")))
+    assert(got(2L) == ((1L, "cc")))
+    assert(got(3L) == ((0L, "")))
+    assert(got(4L) == ((0L, "")))
+  }
+
+  test("unigram logprob: corpus-frequency mean, empty docs null") {
+    val s = init()
+    import s.implicits._
+    // corpus: a a a b  => p(a)=3/4, p(b)=1/4
+    val docs = Seq(
+      (1L, "a a"), (2L, "A b"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val pa = math.log(3.0 / 4.0)
+    val pb = math.log(1.0 / 4.0)
+    assert(got(1L)._1 == 2L)
+    assert(math.abs(got(1L)._2.get - BigDecimal(pa).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(got(2L)._1 == 2L)
+    assert(math.abs(got(2L)._2.get - BigDecimal((pa + pb) / 2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(got(3L) == ((0L, None)))
+  }
+
   test("corpus profile: exact interpolated quartiles per stratum") {
     val s = init()
     import s.implicits._
