@@ -1291,7 +1291,7 @@ object SparkEntry {
     "q39_dedup_groups" ->
       """WITH RECURSIVE dd AS (
            SELECT doc_id,
-             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS sh
+             list_distinct(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS sh
            FROM documents WHERE doc_id < 200),
          pr AS (
            SELECT a.doc_id AS ia, b.doc_id AS ib
@@ -1335,7 +1335,7 @@ object SparkEntry {
     "q43_tfidf" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
          toks AS (SELECT doc_id AS id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS term
            FROM d),
          tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -1353,7 +1353,7 @@ object SparkEntry {
 
     "q44_ngram_freq" ->
       """WITH toks AS (
-           SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+           SELECT string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
            FROM documents),
          grams AS (
            SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
@@ -1925,18 +1925,18 @@ object SparkEntry {
     "q18_dedup_exact" ->
       """SELECT doc_id,
            CASE WHEN text IS NULL THEN doc_id
-                ELSE min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+                ELSE min(doc_id) OVER (PARTITION BY md5(lower(regexp_replace(text, '^\s+|\s+$', '', 'g'))))
            END AS canonical_id,
            CASE WHEN text IS NULL THEN FALSE
                 ELSE doc_id <>
-                  min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+                  min(doc_id) OVER (PARTITION BY md5(lower(regexp_replace(text, '^\s+|\s+$', '', 'g'))))
            END AS is_duplicate
          FROM documents""",
 
     "q19_dedup_jaccard" ->
       """WITH d AS (
            SELECT doc_id,
-             list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS sh
+             list_distinct(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS sh
            FROM documents WHERE doc_id < 200)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -1953,7 +1953,7 @@ object SparkEntry {
     // hash-mismatches a nonempty expectation.
     "q20_dedup_minhash" ->
       """WITH d AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks
            FROM documents WHERE text IS NOT NULL),
          shl AS (
            SELECT doc_id,
@@ -1997,7 +1997,7 @@ object SparkEntry {
     "q24_fingerprint_rolling" ->
       """SELECT doc_id,
            CAST(list_reduce(
-             list_prepend('0', string_split_regex(trim(text), '\s+')),
+             list_prepend('0', string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')),
              (acc, t) -> CAST((CAST(acc AS BIGINT) * 31 +
                 CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 2147483647)
                 % 2147483647 AS VARCHAR)) AS BIGINT) AS fp_roll
@@ -2012,7 +2012,7 @@ object SparkEntry {
       """WITH d AS (
            SELECT doc_id,
              CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(lower(text)), '\s+') END
+                  ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END
                AS toks
            FROM documents),
          h AS (
@@ -2056,40 +2056,41 @@ object SparkEntry {
 
     "q22_text_stats" ->
       """SELECT doc_id,
-           CASE WHEN len(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END
+           CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
              AS n_tokens,
            round(CASE WHEN len(text) = 0 THEN 0.0 ELSE
              CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))
                AS DOUBLE) / len(text) END, 6) AS punct_ratio,
-           round(CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0
+           round(CASE WHEN len(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) = 0
              THEN 0.0 ELSE
-             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
                x -> list_contains(['and','das','de5','der','des','die','ein',
                  'el','es','et','he2','is','ist','la','las','le','le5','les',
                  'los','of','shi4','the','to','un','una','und','with','y',
                  'you3','zai4'], x))) AS DOUBLE) /
-             len(string_split_regex(trim(lower(text)), '\s+')) END, 6)
+             len(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) END, 6)
              AS stopword_ratio,
            (SELECT CASE WHEN max(hits) = 0 THEN 'und'
                    ELSE first(lang ORDER BY hits DESC, lang DESC) END
             FROM (SELECT unnest(['de','en','es','fr','zh']) AS lang,
                          unnest([
-             len(list_intersect(list_distinct(string_split_regex(trim(lower(documents.text)), '\s+')),
+             len(list_intersect(list_distinct(string_split_regex(regexp_replace(lower(documents.text), '^\s+|\s+$', '', 'g'), '\s+')),
                  ['der','die','das','und','ein','ist'])),
-             len(list_intersect(list_distinct(string_split_regex(trim(lower(documents.text)), '\s+')),
+             len(list_intersect(list_distinct(string_split_regex(regexp_replace(lower(documents.text), '^\s+|\s+$', '', 'g'), '\s+')),
                  ['the','and','of','to','is','with'])),
-             len(list_intersect(list_distinct(string_split_regex(trim(lower(documents.text)), '\s+')),
+             len(list_intersect(list_distinct(string_split_regex(regexp_replace(lower(documents.text), '^\s+|\s+$', '', 'g'), '\s+')),
                  ['el','los','las','una','es','y'])),
-             len(list_intersect(list_distinct(string_split_regex(trim(lower(documents.text)), '\s+')),
+             len(list_intersect(list_distinct(string_split_regex(regexp_replace(lower(documents.text), '^\s+|\s+$', '', 'g'), '\s+')),
                  ['le','la','et','les','des','un'])),
-             len(list_intersect(list_distinct(string_split_regex(trim(lower(documents.text)), '\s+')),
+             len(list_intersect(list_distinct(string_split_regex(regexp_replace(lower(documents.text), '^\s+|\s+$', '', 'g'), '\s+')),
                  ['de5','shi4','le5','zai4','he2','you3']))]) AS hits))
              AS lang_guess
          FROM documents""",
 
     "q23_fingerprint" ->
-      "SELECT doc_id, md5(lower(trim(text))) AS fp_md5 FROM documents",
+      """SELECT doc_id, md5(lower(regexp_replace(text, '^\s+|\s+$', '',
+           'g'))) AS fp_md5 FROM documents""",
 
     "q25_sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -2169,8 +2170,8 @@ object SparkEntry {
              -- chunkTokens' explicit isNull branch — without it NULL
              -- falls through to string_split_regex(NULL) and the chunk
              -- md5 becomes NULL instead of md5('')
-             CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN []
-                  ELSE string_split_regex(trim(text), '\s+') END AS arr
+             CASE WHEN text IS NULL OR len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+                  ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS arr
            FROM documents),
          chunks AS (
            SELECT doc_id, arr,
@@ -2187,8 +2188,8 @@ object SparkEntry {
     "q62_sequence_pack" ->
       """WITH toks AS (
            SELECT doc_id,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END
+             CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
                AS n_tokens,
              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                AS UBIGINT) % 8 AS shard
@@ -2211,8 +2212,8 @@ object SparkEntry {
              substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
              % 100 < 20 THEN 'test' ELSE 'train' END AS split,
            count(*) AS n_docs,
-           CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END)
+           CAST(sum(CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END)
              AS BIGINT) AS total_tokens
          FROM documents GROUP BY 1""",
 
@@ -2220,14 +2221,15 @@ object SparkEntry {
     // oracle inserts boundary spaces instead — same token count
     "q60_subword_tokens" ->
       """SELECT doc_id,
-           CASE WHEN len(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END
+           CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
              AS n_tokens,
-           CASE WHEN len(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(
+           CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                ELSE len(string_split_regex(regexp_replace(
                   regexp_replace(regexp_replace(text,
                     '([a-zA-Z])([0-9])', '\1 \2', 'g'),
-                    '([0-9])([a-zA-Z])', '\1 \2', 'g')), '\s+')) END
+                    '([0-9])([a-zA-Z])', '\1 \2', 'g'),
+                  '^\s+|\s+$', '', 'g'), '\s+')) END
              AS n_subwords
          FROM documents""",
 
@@ -2243,8 +2245,8 @@ object SparkEntry {
            SELECT doc_id,
              list_filter(list_transform(string_split_regex(text, '\r?\n'),
                x -> trim(x)), x -> length(x) > 0) AS ls,
-             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+             CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS ws
            FROM docs),
          m AS (
            SELECT doc_id, ls, ws,
@@ -2297,8 +2299,8 @@ object SparkEntry {
            SELECT doc_id, text,
              list_filter(list_transform(string_split_regex(text, '\r?\n'),
                x -> trim(x)), x -> length(x) > 0) AS ls,
-             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+             CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS ws
            FROM docs)
          SELECT doc_id,
            CAST(len(ls) AS BIGINT) AS n_lines,
@@ -2323,9 +2325,9 @@ object SparkEntry {
            FROM documents),
          w AS (
            SELECT doc_id, bk,
-             CASE WHEN length(trim(coalesce(text, ''))) = 0
+             CASE WHEN length(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0
                   THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+                  ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS ws
            FROM b),
          g AS (
            SELECT doc_id, bk,
@@ -2375,8 +2377,8 @@ object SparkEntry {
     "q75_mixture_sample" ->
       """WITH toks AS (
            SELECT doc_id, lang,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END
+             CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
                AS n_tokens,
              CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
                   WHEN 'de' THEN CAST(0.125 AS DOUBLE)
@@ -2441,17 +2443,20 @@ object SparkEntry {
     "q80_unigram_logprob" ->
       """WITH toks AS (
            SELECT doc_id, unnest(
-             CASE WHEN length(trim(coalesce(text, ''))) = 0
+             CASE WHEN length(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0
                   THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(lower(text)), '\s+') END)
+                  ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END)
              AS t
            FROM documents),
-         counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+         counts AS (SELECT t, sum(tf) AS c FROM tf GROUP BY t),
          total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
          scored AS (
-           SELECT doc_id, count(*) AS n_tokens,
-                  round(avg(ln(CAST(c AS DOUBLE) / n)), 6) AS avg_logprob
-           FROM toks JOIN counts USING (t), total GROUP BY doc_id)
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                  round(sum(CAST(tf AS DOUBLE) *
+                      ln(CAST(c AS DOUBLE) / n)) /
+                    sum(CAST(tf AS DOUBLE)), 6) AS avg_logprob
+           FROM tf JOIN counts USING (t), total GROUP BY doc_id)
          SELECT d.doc_id AS doc_id,
            CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
            s.avg_logprob AS avg_logprob
@@ -2462,8 +2467,8 @@ object SparkEntry {
     "q78_corpus_profile" ->
       """WITH toks AS (
            SELECT source,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END
+             CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
                AS nt
            FROM documents)
          SELECT source, count(*) AS n_docs,
@@ -2476,13 +2481,13 @@ object SparkEntry {
     "q59_corpus_curation" ->
       """WITH canon AS (
            SELECT doc_id, text,
-             min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+             min(doc_id) OVER (PARTITION BY md5(lower(regexp_replace(text, '^\s+|\s+$', '', 'g'))))
                AS canonical_id
            FROM documents),
          scored AS (
            SELECT doc_id,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END
+             CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
                AS n_tokens,
              round((
                least(CAST(len(text) AS DOUBLE) / 200.0, 1.0)
@@ -2491,15 +2496,15 @@ object SparkEntry {
                      '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text) END,
                    1.0))
                + least(4.0 * CASE
-                   WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0
+                   WHEN len(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) = 0
                    THEN 0.0 ELSE
                    CAST(len(list_filter(
-                     string_split_regex(trim(lower(text)), '\s+'),
+                     string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
                      x -> list_contains(['and','das','de5','der','des','die',
                        'ein','el','es','et','he2','is','ist','la','las','le',
                        'le5','les','los','of','shi4','the','to','un','una',
                        'und','with','y','you3','zai4'], x))) AS DOUBLE) /
-                   len(string_split_regex(trim(lower(text)), '\s+')) END,
+                   len(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) END,
                    1.0)
              ) / 3.0, 6) AS quality
            FROM canon WHERE doc_id = canonical_id)

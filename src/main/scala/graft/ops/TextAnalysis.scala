@@ -10,19 +10,28 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Strip ALL leading/trailing whitespace. Spark's `trim` strips ASCII
+    * spaces only, so a document ending in `\n` or `\t` would leave a
+    * boundary empty string in every whitespace split — an "" token that
+    * silently joins the vocabulary, inflates counts, and (being
+    * corpus-frequent) misranks document quality. Every tokenizer here
+    * trims through this instead. */
+  def wsTrim(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
+
   /** Whitespace tokenization (split on runs of whitespace). */
   def tokens(text: Column): Column =
-    split(trim(text), "\\s+")
+    split(wsTrim(text), "\\s+")
 
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L))
+    when(length(wsTrim(text)) === 0, lit(0L))
       .otherwise(size(tokens(text)).cast("long"))
 
   /** BPE-ish sub-word count: tokens are further split on letter/digit/other
     * boundaries, approximating byte-pair segmentation without a vocab. */
   def subwordCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L)).otherwise(
-      size(split(trim(text),
+    when(length(wsTrim(text)) === 0, lit(0L)).otherwise(
+      size(split(wsTrim(text),
         "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])")).cast("long"))
 
   /** Punctuation character ratio (0 for empty text). */
@@ -100,7 +109,7 @@ object TextAnalysis {
     // and the row's chunk count would hinge on greatest() skipping nulls —
     // an artifact, not a contract
     df.withColumn("__arr", when(col(textCol).isNull ||
-        length(trim(col(textCol))) === 0,
+        length(wsTrim(col(textCol))) === 0,
         array().cast("array<string>")).otherwise(tokens(col(textCol))))
       .withColumn("chunk_idx", explode(sequence(lit(0L),
         greatest(lit(0L), ceil((size(col("__arr")) - lit(chunkSize))
@@ -127,7 +136,7 @@ object TextAnalysis {
 
   /** Lower-cased whitespace words (empty array for blank/null text). */
   def words(text: Column): Column =
-    when(coalesce(length(trim(text)), lit(0)) === 0,
+    when(coalesce(length(wsTrim(text)), lit(0)) === 0,
       array().cast("array<string>"))
       .otherwise(tokens(lower(text)))
 
@@ -308,24 +317,27 @@ object TextAnalysis {
   /** C4-style GLOBAL line dedup: every distinct (trimmed, non-empty)
     * line keeps only its FIRST occurrence corpus-wide — first by
     * (id, line index), the deterministic document order — and each
-    * document is reassembled from its surviving lines. Two shuffles,
-    * both scale-correct: a (line → min(id, idx)) aggregation with
-    * map-side partial combine (group sizes = per-line occurrence
-    * counts), then the per-document regroup (group sizes bounded by
-    * document length). Documents whose every line was seen earlier
-    * collapse to the empty string rather than disappearing.
+    * document is reassembled from its surviving lines. The (line →
+    * min(id, idx)) aggregation IS the kept set — its output rows carry
+    * the surviving (id, idx, line) triples directly, so the corpus
+    * never re-shuffles against itself. Three exchanges total, all
+    * scale-correct: the line aggregation (map-side partial combine,
+    * group sizes = per-line occurrence counts), the per-document
+    * regroup (group sizes bounded by document length), and the
+    * id-keyed join back to the full document list. Documents whose
+    * every line was seen earlier collapse to the empty string rather
+    * than disappearing.
     *
     * @return one row per input document: id, n_lines_kept, dedup_text
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df.select(col(idCol),
       posexplode(textLines(col(textCol))).as(Seq("__idx", "__line")))
-    val firsts = lines.groupBy("__line")
+    val kept = lines.groupBy("__line")
       .agg(min(struct(col(idCol).as("_d"), col("__idx").as("_i")))
         .as("__first"))
-    val kept = lines.join(firsts, Seq("__line"))
-      .filter(col(idCol) === col("__first._d") &&
-        col("__idx") === col("__first._i"))
+      .select(col("__first._d").as(idCol), col("__first._i").as("__idx"),
+        col("__line"))
     val rebuilt = kept.groupBy(idCol)
       .agg(count(lit(1)).as("n_lines_kept"),
         concat_ws("\n", transform(
@@ -340,24 +352,30 @@ object TextAnalysis {
   /** CCNet-style unigram language-model scoring: each document's mean
     * token log-probability under the corpus's OWN unigram distribution
     * — the standard cheap proxy for an LM quality filter (low scores =
-    * rare-token soup, boilerplate, encoding garbage). Token counts
-    * aggregate with map-side combine, the corpus total is a one-row
-    * scalar, and the per-token probability join shuffles on the token —
-    * the vocabulary-sized side — never on the corpus.
+    * rare-token soup, boilerplate, encoding garbage). The pipeline
+    * reduces to per-(document, token) term frequencies FIRST, so the
+    * probability join moves (doc, distinct-token) rows — never one row
+    * per occurrence — and a corpus-hot token like 'the' contributes at
+    * most one row per document to its join key instead of billions (the
+    * frequency-weighted mean over tf rows equals the plain mean over
+    * occurrences exactly). The tf exchange is reused by both the
+    * vocabulary aggregation and the probability join.
     *
     * @return one row per document: id, n_tokens, avg_logprob (null for
     *         empty documents)
     */
   def unigramLogProb(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(words(col(textCol))).as("__t"))
-    val counts = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val counts = tf.groupBy("__t").agg(sum("__tf").as("__c"))
     val total = counts.agg(sum("__c").cast("double").as("__n"))
-    val scored = toks.join(counts, Seq("__t")).crossJoin(total)
+    val scored = tf.join(counts, Seq("__t")).crossJoin(total)
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("__c").cast("double") / col("__n"))), 6)
-          .as("avg_logprob"))
+      .agg(sum("__tf").as("n_tokens"),
+        round(sum(col("__tf").cast("double") *
+            log(col("__c").cast("double") / col("__n"))) /
+          sum(col("__tf").cast("double")), 6).as("avg_logprob"))
     df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
@@ -366,7 +384,7 @@ object TextAnalysis {
 
   /** Stable content fingerprint (md5 of normalized text) — exact-dup key. */
   def fingerprintMd5(text: Column): Column =
-    md5(lower(trim(text)))
+    md5(lower(wsTrim(text)))
 
   /** Polynomial rolling-hash fingerprint over tokens: base-31 Horner over
     * the token stream mod 2^31−1, each token pre-hashed by its md5's

@@ -351,6 +351,23 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 3L, 4L))
   }
 
+  test("boundary whitespace never yields empty tokens (review fix)") {
+    val s = init()
+    import s.implicits._
+    val docs = Seq((1L, "hello world\n"), (2L, "\tx"), (3L, " \n "),
+      (4L, "a b")).toDF("doc_id", "text")
+    val counts = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // Spark's trim strips spaces only: before the wsTrim fix these were
+    // 3 / 2 / 1 — an "" token joined the vocabulary for every doc with
+    // a trailing newline or tab
+    assert(counts == Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 2L))
+    val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lp == Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 2L))
+  }
+
   test("global line dedup: first (doc, idx) occurrence wins, docs " +
       "reassemble in order") {
     val s = init()
