@@ -929,6 +929,18 @@ object SparkEntry {
   private def q80_unigram_logprob(s: SparkSession, d: String): DataFrame =
     TextAnalysis.unigramLogProb(t(s, d, "documents"), "doc_id", "text")
 
+  /** Int8 embedding quantization ([[graft.ops.Similarity.quantizeInt8]]):
+    * per-vector affine [min,max] → [-128,127] codes — the 4x storage
+    * reduction step for an embedding store. Exchange-free per-row
+    * Columns; codes value-checked exactly (md5 of the code array — the
+    * affine map rounds non-negative values, where both engines'
+    * round-half conventions agree). */
+  private def q81_quantize_embeddings(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(t(s, d, "embeddings"), "embedding")
+      .select(col("vec_id"), round(col("q_min"), 6).as("q_min"),
+        round(col("q_max"), 6).as("q_max"),
+        md5(concat_ws(",", col("q_codes"))).as("codes_md5"))
+
   /** Sequence packing ([[graft.ops.Packing]]): documents → fixed-token-
     * budget training blocks, 8 deterministic shards × per-shard running
     * totals. The window is per-shard, so no task ever sees more than
@@ -1104,7 +1116,8 @@ object SparkEntry {
     "q75_mixture_sample" -> (q75_mixture_sample _),
     "q78_corpus_profile" -> (q78_corpus_profile _),
     "q79_line_dedup" -> (q79_line_dedup _),
-    "q80_unigram_logprob" -> (q80_unigram_logprob _))
+    "q80_unigram_logprob" -> (q80_unigram_logprob _),
+    "q81_quantize_embeddings" -> (q81_quantize_embeddings _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -2461,6 +2474,24 @@ object SparkEntry {
            CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
            s.avg_logprob AS avg_logprob
          FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
+
+    // same affine map, same operation order; round() is HALF-away-from-
+    // zero in both engines on the non-negative scaled values
+    "q81_quantize_embeddings" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         r AS (
+           SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
+         SELECT vec_id,
+           round(mn, 6) AS q_min, round(mx, 6) AS q_max,
+           md5(array_to_string(
+             CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(round(
+                    (x - mn) * 255.0 / (mx - mn)) - 128 AS INTEGER)) END,
+             ',')) AS codes_md5
+         FROM r""",
 
     // quantile_cont uses the same (n-1)*p interpolated rank as Spark's
     // exact percentile

@@ -36,6 +36,39 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Per-vector symmetric int8 quantization — the standard 4x storage
+    * reduction for a 100 TB embedding store: each vector gets its own
+    * [min, max] range mapped affinely onto [-128, 127]. The range
+    * columns are materialized BEFORE the per-element lambda so the
+    * lambda body only references bound columns (a lambda that computes
+    * `array_min(vec)` inline re-evaluates it per element — the q73
+    * lesson). Constant vectors (max = min) map to code 0. Pure per-row
+    * Columns, exchange-free, engine-portable arithmetic (the affine
+    * map rounds a non-negative value, where HALF_UP and
+    * round-half-away-from-zero agree).
+    *
+    * @return input plus (q_min, q_max, q_codes: array<int> in [-128,127])
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("q_min", array_min(v))
+      .withColumn("q_max", array_max(v))
+      .withColumn("q_codes",
+        when(col("q_max") === col("q_min"),
+          transform(v, _ => lit(0).cast("int")))
+          .otherwise(transform(v, x =>
+            (round((x - col("q_min")) * lit(255.0) /
+              (col("q_max") - col("q_min"))) - lit(128)).cast("int"))))
+  }
+
+  /** Inverse of [[quantizeInt8]]: reconstruct approximate doubles from
+    * codes + range (max error = half a quantization step per
+    * component). */
+  def dequantizeInt8(codes: Column, qMin: Column, qMax: Column): Column =
+    when(qMax === qMin, transform(codes, _ => qMin))
+      .otherwise(transform(codes, c =>
+        qMin + (c.cast("double") + lit(128.0)) * (qMax - qMin) / lit(255.0)))
+
   /** Exact top-k cosine neighbors for each row of `queries` against
     * `corpus`. Join is broadcast when the query set is small; ranking is a
     * window per query id (map-side partial top-k via AQE).

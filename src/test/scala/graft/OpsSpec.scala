@@ -351,6 +351,33 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 3L, 4L))
   }
 
+  test("int8 quantization: codes in range, roundtrip error bounded, " +
+      "constant vectors exact") {
+    val s = init()
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.0f, 1.0f, 0.5f, -1.0f)),
+      (2L, Seq(3.25f, 3.25f, 3.25f)),          // constant: max = min
+      (3L, Seq(-2.0f, 2.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "embedding")
+    val rows = q.withColumn("deq", Similarity.dequantizeInt8(
+        col("q_codes"), col("q_min"), col("q_max")))
+      .collect().map(r => (r.getLong(0),
+        (r.getSeq[Float](1), r.getDouble(2), r.getDouble(3),
+          r.getSeq[Int](4), r.getSeq[Double](5)))).toMap
+    rows.foreach { case (_, (orig, mn, mx, codes, deq)) =>
+      assert(codes.forall(c => c >= -128 && c <= 127))
+      val step = if (mx == mn) 0.0 else (mx - mn) / 255.0
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= step / 2 + 1e-9, s"$o vs $d")
+      }
+    }
+    // endpoints map to the ends of the code range
+    assert(rows(1L)._4.min == -128 && rows(1L)._4.max == 127)
+    assert(rows(2L)._4 == Seq(0, 0, 0) && rows(2L)._5 == Seq(3.25, 3.25, 3.25))
+    assert(rows(3L)._4 == Seq(-128, 127))
+  }
+
   test("boundary whitespace never yields empty tokens (review fix)") {
     val s = init()
     import s.implicits._
