@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.{Algorithms, PathFinder}
-import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the beyond-reference pipeline operators), each with an
@@ -941,6 +941,63 @@ object SparkEntry {
         round(col("q_max"), 6).as("q_max"),
         md5(concat_ws(",", col("q_codes"))).as("codes_md5"))
 
+  /** Trained-IVF k-means ([[graft.ops.Similarity.kMeans]]): 2 Lloyd
+    * iterations (spherical — cosine assignment, mean recompute, k=8)
+    * from the deterministic hash-mod init, then a final assignment
+    * against the trained centroids. Centroids are rounded to 6 decimals
+    * after every recompute, so the oracle replays BOTH iterations and
+    * the final assignment from bit-identical constants — a full value
+    * check of the trainer, its tie-break (highest cosine, then lowest
+    * centroid id), and the per-dim mean recompute. The emitted
+    * cos_to_centroid additionally pins the trained centroid VALUES, not
+    * just the argmax. */
+  private def q82_kmeans_train(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val cents = Similarity.kMeans(e, k = 8, iters = 2)
+    Similarity.ivfAssign(e, cents)
+      .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+      .join(broadcast(cents.select(col("centroid_id").cast("long")
+        .as("centroid_id"), col("vec"))), Seq("centroid_id"))
+      .join(e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__v")), Seq("vec_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        round(Similarity.cosine(col("__v"), col("vec")), 6)
+          .as("cos_to_centroid"))
+  }
+
+  /** Per-vertex triangle counts ([[Algorithms.triangleCounts]]) on the
+    * skewed user graph — the degree-ordered enumeration exposed directly
+    * (beyond the reference, which stops at LCC). The oracle is the naive
+    * 3-way SQL join; the operator's oriented wedges are Σ O(√m)² instead
+    * of Σ d² — the shape that survives a celebrity vertex at 100 TB. */
+  private def q83_triangles(s: SparkSession, d: String): DataFrame = {
+    val users = TradeGraph.events(s, d).select(col("user_id").as("id"))
+      .distinct()
+    Algorithms.triangleCounts(users, TradeGraph.userEdges(s, d))
+  }
+
+  /** CountMin sketch ([[graft.ops.Sketches]]): depth 4 × width 32
+    * counters over the corpus token stream, point-queried for the top-20
+    * true tokens. The md5-low-32 bucket scheme lets the oracle replay the
+    * WHOLE sketch — counters, collisions, min-estimates — value-exactly;
+    * est ≥ true is structural (collisions only add), and width 32 is
+    * deliberately small enough that several top tokens DO collide, so the
+    * estimate column exercises the min logic rather than copying the
+    * truth column. */
+  private def q84_countmin(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val (depth, width) = (4, 32)
+    val sketch = Sketches.countMinSketch(docs, "text", depth, width)
+    val truth = docs.filter(col("text").isNotNull &&
+        length(TextAnalysis.wsTrim(col("text"))) > 0)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    val top = truth.orderBy(col("true_cnt").desc, col("token").asc).limit(20)
+    Sketches.countMinEstimate(sketch, top.select("token"), depth, width)
+      .join(top, Seq("token"))
+      .select(col("token"), col("true_cnt"), col("est").as("est_cnt"))
+  }
+
   /** Sequence packing ([[graft.ops.Packing]]): documents → fixed-token-
     * budget training blocks, 8 deterministic shards × per-shard running
     * totals. The window is per-shard, so no task ever sees more than
@@ -1117,7 +1174,10 @@ object SparkEntry {
     "q78_corpus_profile" -> (q78_corpus_profile _),
     "q79_line_dedup" -> (q79_line_dedup _),
     "q80_unigram_logprob" -> (q80_unigram_logprob _),
-    "q81_quantize_embeddings" -> (q81_quantize_embeddings _))
+    "q81_quantize_embeddings" -> (q81_quantize_embeddings _),
+    "q82_kmeans_train" -> (q82_kmeans_train _),
+    "q83_triangles" -> (q83_triangles _),
+    "q84_countmin" -> (q84_countmin _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -2492,6 +2552,119 @@ object SparkEntry {
                     (x - mn) * 255.0 / (mx - mn)) - 128 AS INTEGER)) END,
              ',')) AS codes_md5
          FROM r""",
+
+    // full replay of the 2-iteration spherical k-means: init = vec_id % 8
+    // per-dim means, each recompute rounded to 6 decimals (so both engines
+    // assign against bit-identical centroid constants), assignment =
+    // highest cosine then lowest centroid id — same tie order as
+    // ivfAssign's window
+    "q82_kmeans_train" ->
+      """WITH emb AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         dp AS (
+           SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS comp
+           FROM emb),
+         c0 AS (
+           SELECT vec_id % 8 AS cid, pos, round(avg(comp), 6) AS c
+           FROM dp GROUP BY 1, 2),
+         s1 AS (
+           SELECT dp.vec_id, c0.cid, sum(dp.comp * c0.c) AS dot,
+                  sqrt(sum(dp.comp * dp.comp)) AS nv,
+                  sqrt(sum(c0.c * c0.c)) AS nc
+           FROM dp JOIN c0 USING (pos) GROUP BY 1, 2),
+         a1 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY CASE WHEN nv * nc = 0 THEN 0
+                             ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
+             FROM s1) WHERE rn = 1),
+         c1 AS (
+           SELECT a1.cid, dp.pos, round(avg(dp.comp), 6) AS c
+           FROM dp JOIN a1 USING (vec_id) GROUP BY 1, 2),
+         s2 AS (
+           SELECT dp.vec_id, c1.cid, sum(dp.comp * c1.c) AS dot,
+                  sqrt(sum(dp.comp * dp.comp)) AS nv,
+                  sqrt(sum(c1.c * c1.c)) AS nc
+           FROM dp JOIN c1 USING (pos) GROUP BY 1, 2),
+         a2 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY CASE WHEN nv * nc = 0 THEN 0
+                             ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
+             FROM s2) WHERE rn = 1),
+         c2 AS (
+           SELECT a2.cid, dp.pos, round(avg(dp.comp), 6) AS c
+           FROM dp JOIN a2 USING (vec_id) GROUP BY 1, 2),
+         s3 AS (
+           SELECT dp.vec_id, c2.cid, sum(dp.comp * c2.c) AS dot,
+                  sqrt(sum(dp.comp * dp.comp)) AS nv,
+                  sqrt(sum(c2.c * c2.c)) AS nc
+           FROM dp JOIN c2 USING (pos) GROUP BY 1, 2),
+         a3 AS (
+           SELECT vec_id, cid,
+                  CASE WHEN nv * nc = 0 THEN 0
+                       ELSE dot / (nv * nc) END AS cos FROM (
+             SELECT vec_id, cid, dot, nv, nc,
+                    row_number() OVER (PARTITION BY vec_id
+               ORDER BY CASE WHEN nv * nc = 0 THEN 0
+                             ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
+             FROM s3) WHERE rn = 1)
+         SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id,
+                round(cos, 6) AS cos_to_centroid
+         FROM a3""",
+
+    // naive 3-way-join triangle enumeration over the deduplicated
+    // undirected user graph — each triangle (u, a, b) with a < b found
+    // once, credited to all three corners
+    "q83_triangles" ->
+      s"""WITH ${TradeGraph.sqlUserEdges},
+         und AS (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM user_edges
+           UNION ALL SELECT dst, src FROM user_edges)
+           WHERE src <> dst),
+         tris AS (
+           SELECT x.src AS u, x.dst AS a, y.dst AS b
+           FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
+           JOIN und z ON z.src = x.dst AND z.dst = y.dst
+           WHERE x.src < x.dst),
+         corners AS (SELECT u AS id FROM tris
+           UNION ALL SELECT a FROM tris
+           UNION ALL SELECT b FROM tris),
+         per AS (SELECT id, count(*) AS triangles FROM corners GROUP BY 1)
+         SELECT CAST(u.id AS BIGINT) AS id,
+                CAST(coalesce(per.triangles, 0) AS BIGINT) AS triangles
+         FROM (SELECT DISTINCT user_id AS id FROM events) u
+         LEFT JOIN per USING (id)""",
+
+    // full sketch replay: same md5-low-32 buckets, same depth×width
+    // counters, same min-estimate — collisions and all
+    "q84_countmin" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(
+             regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'))
+             AS token
+           FROM documents
+           WHERE text IS NOT NULL
+             AND len(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
+         truth AS (SELECT token, count(*) AS true_cnt FROM toks GROUP BY 1),
+         top AS (SELECT token, true_cnt FROM truth
+                 ORDER BY true_cnt DESC, token ASC LIMIT 20),
+         sk AS (
+           SELECT d, CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+             token), 9, 8) AS BIGINT) % 32 AS bucket, count(*) AS cnt
+           FROM toks, range(4) t(d) GROUP BY 1, 2),
+         qb AS (
+           SELECT token, d, CAST('0x' || substr(md5(CAST(d AS VARCHAR) ||
+             ':' || token), 9, 8) AS BIGINT) % 32 AS bucket
+           FROM top, range(4) t(d)),
+         est AS (
+           SELECT qb.token, min(coalesce(sk.cnt, 0)) AS est
+           FROM qb LEFT JOIN sk USING (d, bucket) GROUP BY 1)
+         SELECT top.token AS token, CAST(top.true_cnt AS BIGINT) AS true_cnt,
+                CAST(est.est AS BIGINT) AS est_cnt
+         FROM top JOIN est USING (token)""",
 
     // quantile_cont uses the same (n-1)*p interpolated rank as Spark's
     // exact percentile

@@ -184,28 +184,28 @@ object Algorithms {
     comp.join(vertices.select(col("id")).distinct(), Seq("id"), "left_semi")
   }
 
-  /** Local clustering coefficient — reference semantics
-    * (`local_clustering_coefficient.cpp:11-72`): over the *deduplicated
-    * undirected* neighbor relation, count directed neighbor→neighbor links
-    * and divide by d·(d−1); degree < 2 ⇒ 0.0.
-    *
-    * @return (id, lcc: double)
-    */
-  def localClusteringCoefficient(vertices: DataFrame,
-      edges: DataFrame): DataFrame = {
-    val nbr = edges.select(col("src"), col("dst"))
+  /** Deduplicated undirected neighbor relation (both directions, self
+    * loops dropped) — the domain LCC and triangle counting run over. */
+  private def undirectedNbr(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")) // self-loops never count as links
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = nbr.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Degree-ordered (node-iterator++) triangle counting: orient every
-    // undirected edge from the lower-(degree, id)-ranked endpoint to the
-    // higher, enumerate wedges only at each triangle's LOWEST-ranked
-    // vertex, and close them against the oriented edge set. Wedge count is
-    // Σ d_out(v)² with d_out = O(√m) — a celebrity vertex of degree 10⁶
-    // contributes almost no wedges (its edges are oriented INTO it),
-    // unlike the naive nbr⋈nbr⋈nbr which is Θ(Σ d²).
+      .distinct()
+
+  /** Degree-ordered (node-iterator++) triangle enumeration: orient every
+    * undirected edge from the lower-(degree, id)-ranked endpoint to the
+    * higher, enumerate wedges only at each triangle's LOWEST-ranked
+    * vertex, and close them against the oriented edge set. Wedge count is
+    * Σ d_out(v)² with d_out = O(√m) — a celebrity vertex of degree 10⁶
+    * contributes almost no wedges (its edges are oriented INTO it),
+    * unlike the naive nbr⋈nbr⋈nbr which is Θ(Σ d²).
+    *
+    * @param nbr deduplicated undirected relation ([[undirectedNbr]])
+    * @param deg (id, deg) over `nbr`
+    * @return (id, tris: long) — per-corner triangle counts; vertices on
+    *         no triangle have no row
+    */
+  private def cornerTriangles(nbr: DataFrame, deg: DataFrame): DataFrame = {
     val ranked = nbr
       .join(deg.select(col("id").as("src"), col("deg").as("sdeg")),
         Seq("src"))
@@ -225,12 +225,42 @@ object Algorithms {
         col("y.dst").as("b"))
       .join(oriented.as("z").select(col("src").as("a"), col("dst").as("b")),
         Seq("a", "b"), "left_semi")
-    // each triangle found exactly once → credit all three corners; the
-    // reference counts directed neighbor→neighbor links on the doubled
-    // CSR, i.e. links = 2 · triangles(v)
-    val tri = tris.select(explode(array(col("u"), col("a"), col("b")))
-        .as("id"))
-      .groupBy("id").agg((count(lit(1)) * 2).as("links"))
+    // each triangle found exactly once → credit all three corners
+    tris.select(explode(array(col("u"), col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tris"))
+  }
+
+  /** Per-vertex triangle participation counts (beyond the reference's
+    * surface — it stops at LCC). Same degree-ordered enumeration as
+    * [[localClusteringCoefficient]]; global triangle count =
+    * Σ triangles / 3.
+    *
+    * @return (id, triangles: long) — 0 for triangle-free vertices
+    */
+  def triangleCounts(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val nbr = undirectedNbr(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = nbr.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    vertices.select(col("id")).distinct()
+      .join(cornerTriangles(nbr, deg), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("tris"), lit(0L)).as("triangles"))
+  }
+
+  /** Local clustering coefficient — reference semantics
+    * (`local_clustering_coefficient.cpp:11-72`): over the *deduplicated
+    * undirected* neighbor relation, count directed neighbor→neighbor links
+    * and divide by d·(d−1); degree < 2 ⇒ 0.0.
+    *
+    * @return (id, lcc: double)
+    */
+  def localClusteringCoefficient(vertices: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val nbr = undirectedNbr(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = nbr.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the reference counts directed neighbor→neighbor links on the
+    // doubled CSR, i.e. links = 2 · triangles(v)
+    val tri = cornerTriangles(nbr, deg)
+      .select(col("id"), (col("tris") * 2).as("links"))
     val out = vertices.select(col("id")).distinct()
       .join(deg, Seq("id"), "left_outer")
       .join(tri, Seq("id"), "left_outer")

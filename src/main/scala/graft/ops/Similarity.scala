@@ -184,6 +184,53 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         s => s.getField("v")).as("vec"))
 
+  /** Lloyd's k-means over embedding vectors — the trainer behind a real
+    * IVF index (hash-mod [[coarseCentroids]] is an init, not a fit).
+    * Deterministic end to end: init = [[coarseCentroids]]; each
+    * iteration assigns every vector to its nearest centroid by cosine
+    * (spherical k-means — the metric [[ivfTopK]] retrieves with, so the
+    * trained cells match the search geometry) and recomputes per-dim
+    * means. Centroid components are ROUNDED to `roundDecimals` after
+    * init and after every recompute, so an independent engine replaying
+    * the iterations from the same parquet computes every assignment
+    * from bit-identical centroid constants (cross-engine float-sum
+    * order divergence is ~1e-15, far below the rounding).
+    *
+    * A cluster that receives no members simply disappears (group-by
+    * semantics — the same thing an SQL replay produces); with hash-mod
+    * init every cluster starts non-empty.
+    *
+    * Scale shape: one broadcast of the k×dims centroid table per
+    * iteration + one shuffle on (centroid_id, pos) for the recompute —
+    * the corpus is never collected and never re-shuffled on its own
+    * key. `iters` is a handful; each iteration is two narrow stages.
+    *
+    * @return (centroid_id, vec) — the trained centroid table, directly
+    *         consumable by [[ivfAssign]] / the `centroids` overload of
+    *         IVF search
+    */
+  def kMeans(df: DataFrame, k: Int, iters: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", roundDecimals: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    require(iters >= 0, s"iters must be non-negative (got $iters)")
+    val roundVec = (c: DataFrame) => c.withColumn("vec",
+      transform(col("vec"), x => round(x, roundDecimals)))
+    var cents = roundVec(coarseCentroids(df, k, idCol, vecCol))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(df, cents, idCol, vecCol)
+      cents = roundVec(assigned
+        .select(col("centroid_id"),
+          posexplode(col(vecCol).cast("array<double>")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg("col").as("v"))
+        .groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("vec")))
+    }
+    cents
+  }
+
   /** IVF approximate top-k: corpus rows are bucketed by nearest centroid;
     * each query scans only its `nprobe` closest inverted lists — the
     * classic ANN structure, expressed as two joins (assignment is a
@@ -195,8 +242,11 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numCentroids: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = coarseCentroids(corpus, numCentroids, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids
+      .getOrElse(coarseCentroids(corpus, numCentroids, idCol, vecCol))
+      .select(col("centroid_id"), col("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = ivfAssign(corpus, cents.select(col("centroid_id"),
       col("vec")), idCol, vecCol)

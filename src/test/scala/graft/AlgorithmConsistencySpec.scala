@@ -79,6 +79,44 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCounts matches brute-force triple enumeration on random graphs") {
+    val s = Fixture.init()
+    import s.implicits._
+    for (seed <- 61L to 66L) {
+      val (vs, es) = randomGraph(seed)
+      val got = Algorithms.triangleCounts(
+        vs.toDF("id"), es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // oracle: test every unordered vertex triple against the undirected
+      // edge set
+      val linked = es.filter(e => e._1 != e._2)
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      val triples = for {
+        i <- vs.indices; j <- (i + 1) until vs.length
+        k <- (j + 1) until vs.length
+        if linked((vs(i), vs(j))) && linked((vs(i), vs(k))) &&
+          linked((vs(j), vs(k)))
+      } yield (vs(i), vs(j), vs(k))
+      val expect = vs.map(v => v ->
+        triples.count(t => t._1 == v || t._2 == v || t._3 == v).toLong).toMap
+      assert(got == expect, s"(seed $seed)")
+      // LCC consistency: links = 2·triangles on the same graph
+      val lcc = Algorithms.localClusteringCoefficient(
+        vs.toDF("id"), es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val nbr = vs.map(v => v ->
+        es.collect { case (a, b) if a == v && b != v => b
+                     case (a, b) if b == v && a != v => a }.toSet).toMap
+      vs.foreach { v =>
+        val d = nbr(v).size
+        if (d >= 2)
+          assert(math.abs(lcc(v) -
+            2.0 * expect(v) / (d.toLong * (d - 1))) < 1e-9,
+            s"(seed $seed, v $v)")
+      }
+    }
+  }
+
   test("PageRank conserves mass and ranks sources last on random graphs") {
     val s = Fixture.init()
     import s.implicits._

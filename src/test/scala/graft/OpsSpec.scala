@@ -596,4 +596,63 @@ class OpsSpec extends AnyFunSuite {
       Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 4).collect()
     }
   }
+
+  test("kMeans: deterministic, partitions the corpus, and improves " +
+      "assignment quality over the hash-mod init") {
+    val s = init()
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val trained = Similarity.kMeans(e, k = 6, iters = 2)
+    assert(trained.count() <= 6)
+    // identical rerun — no RNG state anywhere
+    val again = Similarity.kMeans(e, k = 6, iters = 2)
+      .select(col("centroid_id"), to_json(col("vec"))).collect().toSet
+    assert(trained.select(col("centroid_id"), to_json(col("vec")))
+      .collect().toSet == again)
+    def meanCos(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(e, cents)
+        .join(cents.select(col("centroid_id"), col("vec")), Seq("centroid_id"))
+        .select(avg(Similarity.cosine(
+          col("embedding").cast("array<double>"), col("vec"))))
+        .head().getDouble(0)
+    val init0 = Similarity.kMeans(e, k = 6, iters = 0)
+    // every vector is assigned exactly once whatever the centroids
+    assert(Similarity.ivfAssign(e, trained).count() == e.count())
+    // Lloyd iterations must not make the mean vector-to-centroid cosine
+    // worse than the unfitted hash-mod init
+    assert(meanCos(trained) >= meanCos(init0) - 1e-9,
+      s"trained ${meanCos(trained)} vs init ${meanCos(init0)}")
+  }
+
+  test("countmin: estimate upper-bounds the true count for EVERY token, " +
+      "and is exact when width removes collisions") {
+    val s = init()
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val truth = docs
+      .filter(col("text").isNotNull &&
+        length(TextAnalysis.wsTrim(col("text"))) > 0)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("true_cnt"))
+      .localCheckpoint()
+    val vocab = truth.count()
+    // tight sketch: collisions certain (width << vocab), min-estimate
+    // must still never undercount
+    val sk = graft.ops.Sketches.countMinSketch(docs, "text", 4, 16)
+    assert(sk.groupBy("d").count().count() == 4)
+    val est = graft.ops.Sketches.countMinEstimate(sk, truth, 4, 16)
+    val under = est.join(truth, Seq("token"))
+      .filter(col("est") < col("true_cnt")).count()
+    assert(under == 0, "CountMin undercounted")
+    // sketch mass: every (d) row sums to the total token count
+    val total = truth.agg(sum("true_cnt")).head().getLong(0)
+    val perRow = sk.groupBy("d").agg(sum("cnt").as("mass"))
+      .collect().map(_.getLong(1))
+    assert(perRow.forall(_ == total), s"mass ${perRow.toSeq} != $total")
+    // wide sketch: no collisions at this vocab → estimates are exact
+    val wide = graft.ops.Sketches.countMinSketch(docs, "text", 4, 1 << 20)
+    val estW = graft.ops.Sketches.countMinEstimate(wide, truth, 4, 1 << 20)
+    val offW = estW.join(truth, Seq("token"))
+      .filter(col("est") =!= col("true_cnt")).count()
+    assert(vocab < 3000 && offW == 0,
+      s"wide sketch diverged on $offW of $vocab tokens")
+  }
 }
