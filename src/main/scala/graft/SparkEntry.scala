@@ -976,6 +976,29 @@ object SparkEntry {
     Algorithms.triangleCounts(users, TradeGraph.userEdges(s, d))
   }
 
+  /** Strongly connected components
+    * ([[Algorithms.stronglyConnectedComponents]], beyond the reference —
+    * WCC is its only component kernel) on a condensation-shaped fixture:
+    * the per-region nation rings (5 directed 5-cycles) plus a one-way
+    * chain between consecutive regions' minimum nations. Weak
+    * connectivity is ONE component; strong connectivity must recover the
+    * 5 rings — a directed result no undirected kernel can produce. The
+    * oracle computes mutual reachability from a recursive closure. */
+  private def q85_scc(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "nation")
+      .select(col("n_nationkey").cast("long").as("id"))
+    val ring = TradeGraph.nationNext(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    val mins = t(s, d, "nation").groupBy(col("n_regionkey"))
+      .agg(min("n_nationkey").as("m"))
+    val chain = mins.as("a").join(mins.as("b"),
+        col("a.n_regionkey") + 1 === col("b.n_regionkey"))
+      .select(col("a.m").cast("long").as("src"),
+        col("b.m").cast("long").as("dst"))
+    Algorithms.stronglyConnectedComponents(v, ring.unionAll(chain))
+  }
+
   /** CountMin sketch ([[graft.ops.Sketches]]): depth 4 × width 32
     * counters over the corpus token stream, point-queried for the top-20
     * true tokens. The md5-low-32 bucket scheme lets the oracle replay the
@@ -1177,7 +1200,8 @@ object SparkEntry {
     "q81_quantize_embeddings" -> (q81_quantize_embeddings _),
     "q82_kmeans_train" -> (q82_kmeans_train _),
     "q83_triangles" -> (q83_triangles _),
-    "q84_countmin" -> (q84_countmin _))
+    "q84_countmin" -> (q84_countmin _),
+    "q85_scc" -> (q85_scc _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -2637,6 +2661,29 @@ object SparkEntry {
                 CAST(coalesce(per.triangles, 0) AS BIGINT) AS triangles
          FROM (SELECT DISTINCT user_id AS id FROM events) u
          LEFT JOIN per USING (id)""",
+
+    // mutual reachability from a recursive closure: component(v) = min
+    // over v and every u with u→*v and v→*u
+    "q85_scc" ->
+      s"""WITH RECURSIVE $sqlNationNext,
+         mins AS (SELECT n_regionkey, min(n_nationkey) AS m
+                  FROM nation GROUP BY 1),
+         chain AS (SELECT a.m AS src, b.m AS dst FROM mins a
+                   JOIN mins b ON a.n_regionkey + 1 = b.n_regionkey),
+         e AS (SELECT src, dst FROM nation_next WHERE src <> dst
+               UNION SELECT src, dst FROM chain),
+         reach(a, b) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         mutual AS (
+           SELECT r1.a AS u, r1.b AS v
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+         SELECT CAST(n.n_nationkey AS BIGINT) AS id,
+           CAST(least(n.n_nationkey, coalesce(min(m.v), n.n_nationkey))
+                AS BIGINT) AS component
+         FROM nation n LEFT JOIN mutual m ON m.u = n.n_nationkey
+         GROUP BY n.n_nationkey""",
 
     // full sketch replay: same md5-low-32 buckets, same depth×width
     // counters, same min-estimate — collisions and all

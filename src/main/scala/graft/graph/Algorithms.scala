@@ -184,6 +184,144 @@ object Algorithms {
     comp.join(vertices.select(col("id")).distinct(), Seq("id"), "left_semi")
   }
 
+  /** Strongly connected components over the DIRECTED edge set (beyond
+    * the reference's surface — WCC is its only component kernel).
+    * Component id = canonical minimum member, same convention as
+    * [[weaklyConnectedComponents]], so the output is directly
+    * SQL-oracle-able via mutual reachability.
+    *
+    * Distributed strategy, the FW-BW/coloring family:
+    *   1. TRIM to fixpoint: peel vertices that cannot lie on a cycle
+    *      (no in-edge or no out-edge among the remaining vertices) —
+    *      each is its own singleton SCC. Entire DAG-like regions drain
+    *      here without running a single fixpoint, which is what bounds
+    *      the outer loop for chain-shaped condensations.
+    *   2. COLOR to fixpoint: propagate the maximum reaching id along
+    *      forward edges, with pointer jumping (color also adopts
+    *      color(color(v)) — reachability composes), so labels converge
+    *      in O(log diameter) rounds, not O(diameter).
+    *   3. CONTAIN: every root r (color(r) = r) is the maximum of its
+    *      SCC, and SCC(r) = vertices of color r that reach r — a
+    *      backward propagation restricted to the color class. All roots
+    *      expand in parallel; found SCCs are removed and the outer loop
+    *      repeats on what is left.
+    * Every step is a join+agg over narrow (id, label) rows with
+    * map-side combine; `localCheckpoint` cuts lineage per round.
+    * Small graphs take the iterative-Tarjan array kernel instead
+    * ([[LocalKernels.scc]]), size-gated by limit-probes like WCC.
+    *
+    * @param vertices (id) — output domain
+    * @param edges (src, dst) — directed
+    * @return (id, component: long)
+    */
+  def stronglyConnectedComponents(vertices: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val sp = vertices.sparkSession
+    import sp.implicits._
+    val probe = PathFinder.localMaxEdges.toInt + 1
+    if (edges.limit(probe).count() <= PathFinder.localMaxEdges &&
+        vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
+      val ids = vertices.select(col("id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      val earr = edges.select(col("src").cast("long"),
+        col("dst").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      return LocalKernels.scc(ids, earr).toSeq.toDF("id", "component")
+    }
+    // self-loops never change SCC membership; dedup once up front
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val domain = vertices.select(col("id").cast("long").as("id"))
+      .union(e0.select(col("src").as("id")))
+      .union(e0.select(col("dst").as("id")))
+      .distinct()
+    def restrict(ed: DataFrame, rem: DataFrame): DataFrame = ed
+      .join(rem.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(rem.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+    var remaining = domain.localCheckpoint()
+    var e = e0.localCheckpoint()
+    var assigned = Seq.empty[(Long, Long)].toDF("id", "root")
+    var done = remaining.isEmpty
+    while (!done) {
+      // 1. TRIM to fixpoint
+      var trimming = true
+      while (trimming) {
+        val core = e.select(col("src").as("id")).distinct()
+          .join(e.select(col("dst").as("id")).distinct(), Seq("id"))
+        val trimmed = remaining.join(core, Seq("id"), "left_anti")
+        if (trimmed.isEmpty) trimming = false
+        else {
+          assigned = assigned
+            .unionAll(trimmed.select(col("id"), col("id").as("root")))
+            .localCheckpoint()
+          remaining = remaining.join(core, Seq("id"), "left_semi")
+            .localCheckpoint()
+          e = restrict(e, remaining).localCheckpoint()
+        }
+      }
+      if (remaining.isEmpty) done = true
+      else {
+        // 2. COLOR: forward max propagation + pointer jumping
+        var color = remaining.select(col("id"), col("id").as("color"))
+          .localCheckpoint()
+        var changed = true
+        while (changed) {
+          val nbrMax = color.join(e, color("id") === e("src"))
+            .select(e("dst").as("id"), col("color"))
+            .groupBy("id").agg(max("color").as("nc"))
+          val step1 = color.join(nbrMax, Seq("id"), "left_outer")
+            .select(col("id"),
+              greatest(col("color"), coalesce(col("nc"), col("color")))
+                .as("color"))
+          val ptr = step1.select(col("id").as("pid"), col("color").as("pc"))
+          val next = step1.join(ptr, step1("color") === ptr("pid"),
+              "left_outer")
+            .select(step1("id"),
+              greatest(step1("color"), coalesce(col("pc"), step1("color")))
+                .as("color"))
+            .localCheckpoint()
+          changed = !next
+            .join(color.select(col("id"), col("color").as("prev")), Seq("id"))
+            .filter(col("color") > col("prev")).isEmpty
+          color = next
+        }
+        // 3. CONTAIN: backward growth from each root within its color
+        var members = color.filter(col("color") === col("id"))
+          .select(col("id"), col("id").as("root")).localCheckpoint()
+        var growing = true
+        while (growing) {
+          val grow = e
+            .join(members.select(col("id").as("dst"), col("root")),
+              Seq("dst"))
+            .select(col("src").as("id"), col("root"))
+            .join(color, Seq("id"))
+            .filter(col("color") === col("root"))
+            .select(col("id"), col("root"))
+            .join(members, Seq("id"), "left_anti")
+            .distinct()
+          if (grow.isEmpty) growing = false
+          else members = members.unionAll(grow).localCheckpoint()
+        }
+        assigned = assigned.unionAll(members).localCheckpoint()
+        remaining = remaining
+          .join(members.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint()
+        e = restrict(e, remaining).localCheckpoint()
+        done = remaining.isEmpty
+      }
+    }
+    e0.unpersist()
+    // canonicalize: the root is the SCC's max; report the min member
+    val canon = assigned.groupBy("root").agg(min("id").as("component"))
+    assigned.join(canon, Seq("root"))
+      .select(col("id"), col("component"))
+      .join(vertices.select(col("id").cast("long").as("id")).distinct(),
+        Seq("id"), "left_semi")
+  }
+
   /** Deduplicated undirected neighbor relation (both directions, self
     * loops dropped) — the domain LCC and triangle counting run over. */
   private def undirectedNbr(edges: DataFrame): DataFrame =
@@ -310,5 +448,12 @@ object Algorithms {
     val (v, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
     localClusteringCoefficient(v, e)
       .select(col("id").as(key), col("lcc"))
+  }
+
+  def scc(spark: SparkSession, pg: PropertyGraph, resolver: TableResolver,
+      vLabel: String, eLabel: String): DataFrame = {
+    val (v, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
+    stronglyConnectedComponents(v, e)
+      .select(col("id").as(key), col("component").as("componentId"))
   }
 }

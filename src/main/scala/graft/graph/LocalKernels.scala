@@ -367,6 +367,62 @@ private[graph] object LocalKernels {
     ids.zip(rank)
   }
 
+  /** Iterative Tarjan SCC with min-member component ids — mirrors
+    * [[Algorithms.stronglyConnectedComponents]]. Explicit DFS stack (no
+    * recursion — a 10⁵-vertex path must not blow the JVM stack); the
+    * domain is vertexIds ∪ edge endpoints, matching the distributed
+    * propagation domain, with output restricted to vertexIds. */
+  def scc(vertexIds: Array[Long], edges: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
+    val adj = mutable.LongMap[mutable.ArrayBuffer[Long]]()
+    val verts = mutable.LinkedHashSet[Long]()
+    vertexIds.foreach(verts += _)
+    edges.foreach { case (s, d) =>
+      verts += s; verts += d
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+    }
+    val index = mutable.LongMap[Int]()
+    val low = mutable.LongMap[Int]()
+    val onStack = mutable.LongMap[Boolean]()
+    val stack = mutable.ArrayBuffer[Long]()
+    var counter = 0
+    val comp = mutable.LongMap[Long]() // v -> min member of its SCC
+    val empty = mutable.ArrayBuffer.empty[Long]
+    verts.foreach { v0 =>
+      if (!index.contains(v0)) {
+        val dfs = mutable.ArrayBuffer[(Long, Int)]((v0, 0))
+        while (dfs.nonEmpty) {
+          val (v, ci) = dfs.last
+          if (ci == 0) {
+            index(v) = counter; low(v) = counter; counter += 1
+            stack += v; onStack(v) = true
+          }
+          val ns = adj.getOrElse(v, empty)
+          if (ci < ns.length) {
+            dfs(dfs.length - 1) = (v, ci + 1)
+            val w = ns(ci)
+            if (!index.contains(w)) dfs += ((w, 0))
+            else if (onStack.getOrElse(w, false))
+              low(v) = math.min(low(v), index(w))
+          } else {
+            if (low(v) == index(v)) {
+              val members = mutable.ArrayBuffer[Long]()
+              var w = 0L
+              while ({ w = stack.remove(stack.length - 1)
+                       onStack(w) = false; members += w; w != v }) ()
+              val m = members.min
+              members.foreach(x => comp(x) = m)
+            }
+            dfs.remove(dfs.length - 1)
+            if (dfs.nonEmpty)
+              low(dfs.last._1) = math.min(low(dfs.last._1), low(v))
+          }
+        }
+      }
+    }
+    vertexIds.map(v => (v, comp(v)))
+  }
+
   /** Union-find WCC with min-member component ids — mirrors
     * [[Algorithms.weaklyConnectedComponents]]. */
   def wcc(vertexIds: Array[Long], edges: Array[(Long, Long)])

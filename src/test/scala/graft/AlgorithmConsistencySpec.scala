@@ -117,6 +117,32 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("SCC matches brute-force mutual reachability on random digraphs") {
+    val s = Fixture.init()
+    import s.implicits._
+    for (seed <- 71L to 76L) {
+      val (vs, es) = randomGraph(seed)
+      val got = Algorithms.stronglyConnectedComponents(
+        vs.toDF("id"), es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // oracle: transitive closure by Floyd-Warshall-style saturation,
+      // then component(v) = min over the mutually-reachable set
+      val n = vs.length
+      val idx = vs.zipWithIndex.toMap
+      val reach = Array.fill(n, n)(false)
+      es.foreach { case (a, b) => reach(idx(a))(idx(b)) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val expect = vs.map { v =>
+        val i = idx(v)
+        val mut = vs.filter(u => u == v ||
+          (reach(i)(idx(u)) && reach(idx(u))(i)))
+        v -> mut.min
+      }.toMap
+      assert(got == expect, s"(seed $seed)")
+    }
+  }
+
   test("PageRank conserves mass and ranks sources last on random graphs") {
     val s = Fixture.init()
     import s.implicits._

@@ -145,6 +145,48 @@ class DistributedKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed SCC (trim + coloring + containment) matches Tarjan") {
+    val s = init()
+    import s.implicits._
+    // two 3-cycles bridged one-way, a 2-cycle, a DAG tail, an isolate:
+    // {0,1,2} → {3,4,5} (one-way bridge keeps them separate SCCs),
+    // {10,11}, chain 20→21→22, isolate 30
+    val v = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L, 21L, 22L, 30L))
+      .toDF("id")
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (10L, 11L), (11L, 10L),
+      (20L, 21L), (21L, 22L)).toDF("src", "dst")
+    val expect = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
+      5L -> 3L, 10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L,
+      22L -> 22L, 30L -> 30L)
+    val local = Algorithms.stronglyConnectedComponents(v, e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expect)
+    val dist = withDistributed {
+      Algorithms.stronglyConnectedComponents(v, e).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(dist == expect)
+    // random digraphs: both strategies agree exactly
+    for (seed <- 81L to 83L) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + rnd.nextInt(8)
+      val vs = (0L until n.toLong).toSeq
+      val es = for {
+        a <- vs; b <- vs if a != b && rnd.nextDouble() < 0.12
+      } yield (a, b)
+      val lv = Algorithms.stronglyConnectedComponents(
+        vs.toDF("id"), es.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dv = withDistributed {
+        Algorithms.stronglyConnectedComponents(
+          vs.toDF("id"), es.toDF("src", "dst")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(lv == dv, s"(seed $seed)")
+    }
+  }
+
   test("Left-direction quantified edge with heterogeneous endpoint labels") {
     // (n:Nation)<-[e:InNation]-{1,1}(c:Customer): a sits on the edge's
     // DESTINATION side; regression for the seed/join role swap
