@@ -29,13 +29,12 @@ object SparkEntry {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
-    * read it as raw nanosecond longs and do exact integer time arithmetic
-    * (double math would lose precision above 2^53). */
-  private def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-  }
+  /** `events` with `ts` normalized to nanosecond longs whatever the
+    * parquet encoding (nanos-as-long, micros timestamp, raw long) — see
+    * [[TradeGraph.normalizeTs]]; all time arithmetic below is exact
+    * integer math on the normalized column. */
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    TradeGraph.events(spark, sfDir)
 
   // =========================================================================
   // Relational core (reference generated-SQL operator coverage, SURVEY §2.F)
@@ -1021,6 +1020,33 @@ object SparkEntry {
       .select(col("token"), col("true_cnt"), col("est").as("est_cnt"))
   }
 
+  /** HyperLogLog distinct-token count ([[Sketches.hllRegisters]], b=8 →
+    * 256 registers) over the corpus token stream, beside the exact
+    * distinct count it approximates. The register state is
+    * md5-checksummed into the output, so the oracle replays EVERY
+    * register (hash, index, leading-zero rank) — the estimate columns
+    * are then deterministic scalar functions of gated state, not a
+    * statistical check. */
+  private def q86_hll(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .filter(col("text").isNotNull &&
+        length(TextAnalysis.wsTrim(col("text"))) > 0)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+    val regs = Sketches.hllRegisters(toks, col("token"), b = 8)
+    Sketches.hllSummary(regs, b = 8)
+      .crossJoin(toks.agg(countDistinct(col("token")).as("exact_distinct")))
+  }
+
+  /** SemDeDup over the embeddings table ([[Similarity.semanticDedup]]):
+    * k-means cluster bucketing (k=8, 1 Lloyd iteration) then
+    * within-cluster cosine ≥ 0.35 against any smaller id. The oracle
+    * replays the k-means iterations from the rounded centroid constants
+    * (the q82 scheme) and the pairwise search as a per-cluster
+    * self-join. */
+  private def q87_semdedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(t(s, d, "embeddings"), threshold = 0.35,
+      k = 8, iters = 1)
+
   /** Sequence packing ([[graft.ops.Packing]]): documents → fixed-token-
     * budget training blocks, 8 deterministic shards × per-shard running
     * totals. The window is per-shard, so no task ever sees more than
@@ -1201,7 +1227,9 @@ object SparkEntry {
     "q82_kmeans_train" -> (q82_kmeans_train _),
     "q83_triangles" -> (q83_triangles _),
     "q84_countmin" -> (q84_countmin _),
-    "q85_scc" -> (q85_scc _))
+    "q85_scc" -> (q85_scc _),
+    "q86_hll" -> (q86_hll _),
+    "q87_semdedup" -> (q87_semdedup _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -2772,5 +2800,100 @@ object SparkEntry {
          FROM events a JOIN events b ON a.user_id = b.user_id
            AND a.event_type = 'view' AND b.event_type = 'click'
            AND epoch_ms(b.ts) >= epoch_ms(a.ts)
-           AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 1800000""")
+           AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 1800000""",
+
+    // full HLL replay: same md5 halves, same register index / rank-field
+    // split, same max-rho registers (checksummed), same bias-corrected
+    // estimate from literal-identical IEEE arithmetic
+    "q86_hll" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(
+             regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'))
+             AS token
+           FROM documents
+           WHERE text IS NOT NULL
+             AND len(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
+         h AS (
+           SELECT CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS hi,
+                  CAST('0x' || substr(md5(token), 9, 8) AS BIGINT) AS lo
+           FROM toks),
+         regs AS (
+           SELECT lo % 256 AS idx,
+             max(CASE WHEN (hi << 24) + (lo >> 8) = 0 THEN 57
+                      ELSE 57 - len(bin((hi << 24) + (lo >> 8))) END) AS rho
+           FROM h GROUP BY 1),
+         byrho AS (
+           SELECT rho, CAST(count(*) AS DOUBLE) AS cnt FROM regs GROUP BY 1),
+         sums AS (
+           SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS nonzero_regs,
+             (256.0 - coalesce(sum(cnt), 0))
+               + coalesce(sum(cnt * pow(2.0, -rho)), 0) AS sum_inv
+           FROM byrho),
+         chk AS (
+           SELECT md5(string_agg(idx || ':' || rho, ',' ORDER BY idx))
+             AS regs_md5 FROM regs),
+         est0 AS (
+           SELECT nonzero_regs, sum_inv, regs_md5,
+             256 - nonzero_regs AS zero_regs,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / sum_inv AS est_raw
+           FROM sums, chk)
+         SELECT CAST(256 AS BIGINT) AS m, nonzero_regs,
+           CAST(zero_regs AS BIGINT) AS zero_regs,
+           round(sum_inv, 6) AS sum_inv,
+           round(est_raw, 4) AS est_raw,
+           round(CASE WHEN est_raw <= 640.0 AND zero_regs > 0
+                 THEN 256.0 * ln(256.0 / zero_regs) ELSE est_raw END, 4)
+             AS est,
+           regs_md5,
+           (SELECT count(DISTINCT token) FROM toks) AS exact_distinct
+         FROM est0""",
+
+    // SemDeDup replay: k-means from rounded centroid constants (the q82
+    // scheme, 1 Lloyd iteration), then the within-cluster pairwise search
+    "q87_semdedup" ->
+      """WITH emb AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         dp AS (
+           SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS comp
+           FROM emb),
+         c0 AS (
+           SELECT vec_id % 8 AS cid, pos, round(avg(comp), 6) AS c
+           FROM dp GROUP BY 1, 2),
+         s1 AS (
+           SELECT dp.vec_id, c0.cid, sum(dp.comp * c0.c) AS dot,
+                  sqrt(sum(dp.comp * dp.comp)) AS nv,
+                  sqrt(sum(c0.c * c0.c)) AS nc
+           FROM dp JOIN c0 USING (pos) GROUP BY 1, 2),
+         a1 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY CASE WHEN nv * nc = 0 THEN 0
+                             ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
+             FROM s1) WHERE rn = 1),
+         c1 AS (
+           SELECT a1.cid, dp.pos, round(avg(dp.comp), 6) AS c
+           FROM dp JOIN a1 USING (vec_id) GROUP BY 1, 2),
+         s2 AS (
+           SELECT dp.vec_id, c1.cid, sum(dp.comp * c1.c) AS dot,
+                  sqrt(sum(dp.comp * dp.comp)) AS nv,
+                  sqrt(sum(c1.c * c1.c)) AS nc
+           FROM dp JOIN c1 USING (pos) GROUP BY 1, 2),
+         a2 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY CASE WHEN nv * nc = 0 THEN 0
+                             ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
+             FROM s2) WHERE rn = 1),
+         dups AS (
+           SELECT DISTINCT b.vec_id AS vec_id
+           FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           JOIN emb ea ON ea.vec_id = a.vec_id
+           JOIN emb eb ON eb.vec_id = b.vec_id
+           WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35)
+         SELECT a2.vec_id,
+           CAST(a2.cid AS BIGINT) AS centroid_id,
+           (dups.vec_id IS NOT NULL) AS is_duplicate
+         FROM a2 LEFT JOIN dups ON a2.vec_id = dups.vec_id""")
 }

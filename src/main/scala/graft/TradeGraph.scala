@@ -73,6 +73,7 @@ object TradeGraph {
       case "nation_adj"  => nationAdj(spark, sfDir)
       case "nation_near" => nationNear(spark, sfDir)
       case "nation_cnext" => nationCNext(spark, sfDir)
+      case "events" => events(spark, sfDir)
       case other => spark.read.parquet(s"$sfDir/$other.parquet")
     }
   }
@@ -149,10 +150,37 @@ object TradeGraph {
           col("n2.n_regionkey").as("dst_r"), col("nn.dst").as("dst_n"))
     }
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet (see SparkEntry.events). */
+  /** Loads `events` with `ts` normalized to NANOSECOND LONGS, whatever
+    * the parquet encoding (see [[normalizeTs]]). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** `events.ts` has shipped as TIMESTAMP(NANOS) parquet (readable only as
+    * raw ns longs via `nanosAsLong` — Spark's reader rejects nanos as a
+    * timestamp), as TIMESTAMP(MICROS) (a `TIMESTAMP_NTZ` to Spark), or as
+    * raw longs. Normalize every encoding to NANOSECOND LONGS at the
+    * loader: all downstream hour/ms bucketing stays the exact integer
+    * arithmetic it was written as (double math loses precision above
+    * 2^53), and the DuckDB oracles replay it with `epoch_ms`/`date_trunc`
+    * over the same parquet's naive timestamps. The NTZ branch measures
+    * from an NTZ epoch literal via `timestampdiff`, which is
+    * session-timezone-INDEPENDENT — a cast through TIMESTAMP would shift
+    * the instant by the session zone and silently diverge from the naive
+    * UTC reading the oracle engine uses. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType => df.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+          * lit(1000L))
+      case TimestampType => df.withColumn("ts",
+        unix_micros(col("ts")) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other — expected long or timestamp")
+    }
   }
 
   /** User-interaction graph derived from the event stream: an edge

@@ -278,6 +278,46 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with (spherical)
+    * [[kMeans]], search for near-duplicates ONLY within a cluster, and
+    * mark a vector a duplicate iff some smaller-id member of its cluster
+    * sits at cosine ≥ `threshold` — the deterministic keep-the-first
+    * variant of the paper's per-ball representative choice, and the
+    * embedding analogue of [[Dedup]]'s min-id exact-dedup canonical rule.
+    *
+    * Scale shape: the all-pairs search never happens — candidates are
+    * bucketed by `centroid_id` (k scales with the corpus so cluster
+    * populations stay bounded), and the within-cluster quadratic work
+    * rides [[Dedup.blockedBucketJoin]], so a hot cluster is split into
+    * bounded join cells instead of one straggler task. One centroid
+    * broadcast per k-means iteration + the bucketed pair join are the
+    * only exchanges over the corpus.
+    *
+    * @return (idCol, centroid_id, is_duplicate)
+    */
+  def semanticDedup(df: DataFrame, threshold: Double, k: Int,
+      iters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = kMeans(df, k, iters, idCol, vecCol)
+    val assigned = ivfAssign(df, cents, idCol, vecCol)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"), col("centroid_id"))
+      .withColumn("n", norm(col("v")))
+    // verify-before-dedup: the distinct carries bare ids, never vectors
+    val dups = Dedup.blockedBucketJoin(assigned, Seq("centroid_id"))
+      .select(col("y.id").as("id"),
+        cosinePre(col("x.v"), col("y.v"), col("x.n"), col("y.n")).as("c"))
+      .filter(col("c") >= threshold)
+      .select("id").distinct()
+    assigned
+      .join(dups.select(col("id"), lit(true).as("__dup")), Seq("id"),
+        "left_outer")
+      .select(col("id").as(idCol),
+        col("centroid_id").cast("long").as("centroid_id"),
+        coalesce(col("__dup"), lit(false)).as("is_duplicate"))
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids` (a small broadcast table (centroid_id, vec)), so queries
     * only scan `nprobe` inverted lists — the classic ANN scale path.

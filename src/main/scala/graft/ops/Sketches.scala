@@ -70,4 +70,89 @@ object Sketches {
       .groupBy(tokenCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ===========================================================================
+  // HyperLogLog distinct-count sketch
+  // ===========================================================================
+
+  /** HyperLogLog registers over an arbitrary key column: `(idx, rho)`
+    * with `idx` in `[0, 2^b)` and `rho` = max over keys hashing to the
+    * register of (leading zeros in the remaining hash bits + 1) — the
+    * Flajolet et al. 2007 construction.
+    *
+    * The hash is the SQL-portable md5 scheme ([[Dedup.portableHash64]]
+    * family) kept as two 32-bit halves so neither engine ever assembles
+    * a value that can overflow a signed 64-bit shift: the register index
+    * is the low `b` bits of the LOW half, and the rank field is the
+    * remaining `64-b` bits `(hi << (32-b)) | (lo >> b)` — at most 2^56
+    * for the minimum b=8, comfortably inside BIGINT on both engines.
+    * Leading zeros come from `length(bin(w))` (minimal binary string in
+    * both Spark and DuckDB), so an independent engine replays every
+    * register value exactly.
+    *
+    * Scale shape: ONE map-side-combinable shuffle on `idx` — at most
+    * 2^b output rows however large the input, and duplicates never need
+    * a distinct pass because `max(rho)` absorbs them. This is the
+    * "count distinct tokens in 100 TB" answer: kilobytes of state, one
+    * narrow exchange, mergeable across partitions/days by the same
+    * `max` (union two register sets and re-aggregate).
+    */
+  def hllRegisters(df: DataFrame, keyCol: Column, b: Int): DataFrame = {
+    require(b >= 8 && b <= 16, s"b must be in [8, 16] (got $b)")
+    val hex = md5(keyCol.cast("string"))
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    val w = shiftleft(hi, 32 - b) + shiftright(lo, b)
+    // field width is 64-b bits; rho = leading zeros + 1 = 65 - b - bitlen(w)
+    val rho = when(w === 0, lit(65 - b))
+      .otherwise(lit(65 - b) - length(bin(w)))
+    df.select(pmod(lo, lit((1L << b))).as("idx"), rho.as("rho"))
+      .groupBy("idx").agg(max("rho").as("rho"))
+  }
+
+  /** One-row HLL summary from [[hllRegisters]] output: the standard
+    * bias-corrected estimate with the small-range (linear counting)
+    * correction, plus an exact md5 checksum of the full register state
+    * so a replaying engine is value-gated on every register, not just
+    * the rounded estimate.
+    *
+    * `sum_inv` adds the 2^-rho terms grouped BY rho first (≤ 57 distinct
+    * values, each `cnt * 2^-rho` with cnt ≤ 2^b): the float sum runs
+    * over a tiny ordered set, keeping cross-engine sum-order divergence
+    * orders of magnitude below the 6-decimal round.
+    *
+    * @return (m, nonzero_regs, zero_regs, sum_inv, est_raw, est, regs_md5)
+    */
+  def hllSummary(registers: DataFrame, b: Int): DataFrame = {
+    val m = 1L << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val byRho = registers.groupBy("rho")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val agg = byRho.agg(
+      coalesce(sum(col("cnt")), lit(0.0)).as("nz"),
+      coalesce(sum(col("cnt") * pow(lit(2.0), -col("rho"))), lit(0.0))
+        .as("inv_nz"))
+    val sums = agg.select(
+      col("nz").cast("long").as("nonzero_regs"),
+      ((lit(m.toDouble) - col("nz")) + col("inv_nz")).as("sum_inv"))
+    val check = registers.agg(
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("rho")))),
+        s => concat_ws(":", s.getField("idx"), s.getField("rho"))), ","))
+        .as("regs_md5"))
+    sums.crossJoin(check)
+      .withColumn("m", lit(m))
+      .withColumn("zero_regs", lit(m) - col("nonzero_regs"))
+      .withColumn("est_raw",
+        lit(alpha * m * m) / col("sum_inv"))
+      .withColumn("est",
+        when(col("est_raw") <= lit(2.5 * m) && col("zero_regs") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zero_regs")))
+          .otherwise(col("est_raw")))
+      .select(col("m"), col("nonzero_regs"), col("zero_regs"),
+        round(col("sum_inv"), 6).as("sum_inv"),
+        round(col("est_raw"), 4).as("est_raw"),
+        round(col("est"), 4).as("est"),
+        col("regs_md5"))
+  }
 }

@@ -15,8 +15,8 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Events parquet schema with `ts` as raw nanosecond longs (Spark's
-    * reader rejects TIMESTAMP(NANOS); see SparkEntry.events). */
+  /** Canonical events shape AFTER loading: `ts` is raw nanosecond longs
+    * whatever the parquet encoding (see [[graft.TradeGraph.normalizeTs]]). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -25,7 +25,20 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based event stream from a directory (or glob) of parquet drops.
+  /** [[eventsSchema]] with `ts` swapped for the type the files at `path`
+    * actually carry — a streaming source needs the schema up front, and
+    * the driver's events parquet has shipped both as TIMESTAMP(NANOS)
+    * (readable only as longs) and TIMESTAMP(MICROS) (TIMESTAMP_NTZ). One
+    * footer read (no data scan) settles it. */
+  private def fileSchema(spark: SparkSession, path: String): StructType = {
+    val onDisk = spark.read.parquet(path).schema("ts").dataType
+    StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = onDisk) else f))
+  }
+
+  /** File-based event stream from a directory (or glob) of parquet drops,
+    * normalized to [[eventsSchema]] + an `event_time` TIMESTAMP column for
+    * watermarks.
     *
     * `path` must select event files ONLY (e.g. `dir/events.parquet` or a
     * drop directory dedicated to the stream): Spark's file source applies
@@ -33,7 +46,17 @@ object EventStreams {
     * glob would surface as all-null rows. */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema).parquet(path)
+    graft.TradeGraph.normalizeTs(
+        spark.readStream.schema(fileSchema(spark, path)).parquet(path))
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Batch twin of [[readEventStream]]: the same normalized shape
+    * (ns-long `ts` + `event_time`) over a static read, so any streaming
+    * operator here can be parity-checked against itself in batch mode. */
+  def readEventsBatch(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.TradeGraph.normalizeTs(spark.read.parquet(path))
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
   }
 

@@ -145,9 +145,8 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       // batch oracle: every event contributes to the 5 one-minute-spaced
       // windows of length 5 min that contain it
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val want = s.read.schema(EventStreams.eventsSchema)
-        .parquet("/root/testdata/sf0.001/events*")
+      val want = EventStreams
+        .readEventsBatch(s, "/root/testdata/sf0.001/events*")
         .withColumn("ms", expr("ts DIV 1000000"))
         .select(col("user_id"), col("ms")).collect()
         .flatMap { r =>
@@ -175,10 +174,8 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
         .toSet
       // batch twin: the SAME operator over the static DataFrame (watermarks
       // are no-ops in batch) — one plan, two execution modes
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val batchEv = s.read.schema(EventStreams.eventsSchema)
-        .parquet("/root/testdata/sf0.001/events*")
-        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      val batchEv = EventStreams
+        .readEventsBatch(s, "/root/testdata/sf0.001/events*")
       val want = EventStreams.eventFollowJoin(batchEv)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -189,10 +186,8 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
 
   test("same-type follow join excludes self-pairs") {
     val s = init()
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchEv = s.read.schema(EventStreams.eventsSchema)
-      .parquet("/root/testdata/sf0.001/events*")
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    val batchEv = EventStreams
+      .readEventsBatch(s, "/root/testdata/sf0.001/events*")
     val pairs = EventStreams.eventFollowJoin(batchEv, "click", "click")
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(pairs.nonEmpty && pairs.forall { case (a, b) => a != b })
