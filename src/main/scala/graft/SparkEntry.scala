@@ -1037,15 +1037,17 @@ object SparkEntry {
       .crossJoin(toks.agg(countDistinct(col("token")).as("exact_distinct")))
   }
 
-  /** SemDeDup over the embeddings table ([[Similarity.semanticDedup]]):
-    * k-means cluster bucketing (k=8, 1 Lloyd iteration) then
-    * within-cluster cosine ≥ 0.35 against any smaller id. The oracle
-    * replays the k-means iterations from the rounded centroid constants
-    * (the q82 scheme) and the pairwise search as a per-cluster
-    * self-join. */
+  /** SemDeDup over the embeddings table ([[Similarity.semanticDedup]])
+    * at the scale-aware DERIVED k (k = ceil(n / targetBucket)): at
+    * oracle scale n ≤ 1e4 that is k = 1 — one cluster, so the oracle
+    * collapses to the exact pairwise rule (cosine ≥ 0.35 against any
+    * smaller id, zero-norm guarded) with centroid_id ≡ 0, value-gating
+    * the derived-default path end to end. The k-means replay itself is
+    * q82's job; the multi-bucket pair search is spec-covered
+    * (OpsSpec blocked-bucket + skewed-fixture tests). */
   private def q87_semdedup(s: SparkSession, d: String): DataFrame =
     Similarity.semanticDedup(t(s, d, "embeddings"), threshold = 0.35,
-      k = 8, iters = 1)
+      iters = 1)
 
   /** Sequence packing ([[graft.ops.Packing]]): documents → fixed-token-
     * budget training blocks, 8 deterministic shards × per-shard running
@@ -2848,52 +2850,22 @@ object SparkEntry {
            (SELECT count(DISTINCT token) FROM toks) AS exact_distinct
          FROM est0""",
 
-    // SemDeDup replay: k-means from rounded centroid constants (the q82
-    // scheme, 1 Lloyd iteration), then the within-cluster pairwise search
+    // SemDeDup at the derived k (ceil(n / 1e4) = 1 at oracle scale):
+    // one cluster ⇒ centroid_id ≡ 0 and the dedup rule is the exact
+    // pairwise search, zero-norm guarded like Spark's cosinePre
     "q87_semdedup" ->
       """WITH emb AS (
            SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
-         dp AS (
-           SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS comp
-           FROM emb),
-         c0 AS (
-           SELECT vec_id % 8 AS cid, pos, round(avg(comp), 6) AS c
-           FROM dp GROUP BY 1, 2),
-         s1 AS (
-           SELECT dp.vec_id, c0.cid, sum(dp.comp * c0.c) AS dot,
-                  sqrt(sum(dp.comp * dp.comp)) AS nv,
-                  sqrt(sum(c0.c * c0.c)) AS nc
-           FROM dp JOIN c0 USING (pos) GROUP BY 1, 2),
-         a1 AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-               ORDER BY CASE WHEN nv * nc = 0 THEN 0
-                             ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
-             FROM s1) WHERE rn = 1),
-         c1 AS (
-           SELECT a1.cid, dp.pos, round(avg(dp.comp), 6) AS c
-           FROM dp JOIN a1 USING (vec_id) GROUP BY 1, 2),
-         s2 AS (
-           SELECT dp.vec_id, c1.cid, sum(dp.comp * c1.c) AS dot,
-                  sqrt(sum(dp.comp * dp.comp)) AS nv,
-                  sqrt(sum(c1.c * c1.c)) AS nc
-           FROM dp JOIN c1 USING (pos) GROUP BY 1, 2),
-         a2 AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-               ORDER BY CASE WHEN nv * nc = 0 THEN 0
-                             ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
-             FROM s2) WHERE rn = 1),
          dups AS (
            SELECT DISTINCT b.vec_id AS vec_id
-           FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-           JOIN emb ea ON ea.vec_id = a.vec_id
-           JOIN emb eb ON eb.vec_id = b.vec_id
-           WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35)
-         SELECT a2.vec_id,
-           CAST(a2.cid AS BIGINT) AS centroid_id,
-           (dups.vec_id IS NOT NULL) AS is_duplicate
-         FROM a2 LEFT JOIN dups ON a2.vec_id = dups.vec_id""")
+           FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+           WHERE CASE WHEN list_dot_product(a.v, a.v) = 0
+                        OR list_dot_product(b.v, b.v) = 0 THEN 0
+                      ELSE list_cosine_similarity(a.v, b.v) END >= 0.35)
+         SELECT e.vec_id,
+           CAST(0 AS BIGINT) AS centroid_id,
+           (d.vec_id IS NOT NULL) AS is_duplicate
+         FROM emb e LEFT JOIN dups d ON e.vec_id = d.vec_id""")
 }

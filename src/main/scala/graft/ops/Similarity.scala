@@ -287,23 +287,41 @@ object Similarity {
     * embedding analogue of [[Dedup]]'s min-id exact-dedup canonical rule.
     *
     * Scale shape: the all-pairs search never happens — candidates are
-    * bucketed by `centroid_id` (k scales with the corpus so cluster
-    * populations stay bounded), and the within-cluster quadratic work
+    * bucketed by `centroid_id`, and the within-cluster quadratic work
     * rides [[Dedup.blockedBucketJoin]], so a hot cluster is split into
     * bounded join cells instead of one straggler task. One centroid
     * broadcast per k-means iteration + the bucketed pair join are the
     * only exchanges over the corpus.
     *
+    * THE QUADRATIC-PER-BUCKET CONTRACT: total pairwise work is
+    * Θ(Σ_c |cluster_c|²). blockedBucketJoin bounds the per-TASK cost
+    * (no cell exceeds blockSize² candidates), but the per-CLUSTER total
+    * still grows quadratically in cluster population — so k must scale
+    * with the corpus. The default (`k = 0`) derives
+    * k = ceil(n / targetBucket) from one corpus count, holding the MEAN
+    * cluster at ≤ `targetBucket` (1e4) vectors ⇒ expected total work
+    * ≈ n · targetBucket, linear in the corpus. Pass an explicit k only
+    * when you know the corpus size; a fixed k at growing n is O(n²/k).
+    *
+    * @param k clusters; 0 (default) = derive ceil(n / targetBucket)
     * @return (idCol, centroid_id, is_duplicate)
     */
-  def semanticDedup(df: DataFrame, threshold: Double, k: Int,
+  def semanticDedup(df: DataFrame, threshold: Double, k: Int = 0,
       iters: Int = 1, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cents = kMeans(df, k, iters, idCol, vecCol)
+      vecCol: String = "embedding", targetBucket: Int = 10000): DataFrame = {
+    require(k >= 0, s"k must be non-negative (got $k)")
+    val kEff =
+      if (k > 0) k
+      else math.max(1L, (df.count() + targetBucket - 1) / targetBucket)
+        .min(Int.MaxValue).toInt
+    val cents = kMeans(df, kEff, iters, idCol, vecCol)
+    // persisted: consumed twice (pair search + final left join) — without
+    // it the whole k-means + assignment pipeline recomputes
     val assigned = ivfAssign(df, cents, idCol, vecCol)
       .select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"), col("centroid_id"))
       .withColumn("n", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify-before-dedup: the distinct carries bare ids, never vectors
     val dups = Dedup.blockedBucketJoin(assigned, Seq("centroid_id"))
       .select(col("y.id").as("id"),

@@ -135,10 +135,13 @@ object Sketches {
     val sums = agg.select(
       col("nz").cast("long").as("nonzero_regs"),
       ((lit(m.toDouble) - col("nz")) + col("inv_nz")).as("sum_inv"))
+    // NULL (not md5("")) on zero registers: the DuckDB twin's string_agg
+    // over zero rows is NULL, so md5(NULL) is NULL — match that edge case.
     val check = registers.agg(
-      md5(array_join(transform(
-        array_sort(collect_list(struct(col("idx"), col("rho")))),
-        s => concat_ws(":", s.getField("idx"), s.getField("rho"))), ","))
+      when(count(lit(1)) > 0,
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("rho")))),
+          s => concat_ws(":", s.getField("idx"), s.getField("rho"))), ",")))
         .as("regs_md5"))
     sums.crossJoin(check)
       .withColumn("m", lit(m))

@@ -29,9 +29,13 @@ object EventStreams {
     * actually carry — a streaming source needs the schema up front, and
     * the driver's events parquet has shipped both as TIMESTAMP(NANOS)
     * (readable only as longs) and TIMESTAMP(MICROS) (TIMESTAMP_NTZ). One
-    * footer read (no data scan) settles it. */
+    * footer read (no data scan) settles it. On an empty drop directory the
+    * probe can't infer anything — fall back to [[eventsSchema]] (ns-long
+    * `ts`) so a dedicated empty dir can still start the stream. */
   private def fileSchema(spark: SparkSession, path: String): StructType = {
-    val onDisk = spark.read.parquet(path).schema("ts").dataType
+    val onDisk =
+      try spark.read.parquet(path).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     StructType(eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = onDisk) else f))
   }

@@ -623,6 +623,41 @@ class OpsSpec extends AnyFunSuite {
       s"trained ${meanCos(trained)} vs init ${meanCos(init0)}")
   }
 
+  test("semanticDedup: derived k scales with the corpus and the pair " +
+      "search stays bounded on a skewed fixture") {
+    val s = init()
+    import s.implicits._
+    val dims = 52
+    def oneHot(d: Int): Array[Float] =
+      Array.tabulate(dims)(i => if (i == d) 1.0f else 0.0f)
+    // skewed fixture: 150 identical vectors (one hot semantic cluster —
+    // far above the 50-vector target bucket) + 50 mutually orthogonal
+    val rows = (0L until 150L).map(i => (i, oneHot(0))) ++
+      (150L until 200L).map(i => (i, oneHot((i - 150).toInt + 2)))
+    val df = rows.toDF("vec_id", "embedding")
+    // n=200 / targetBucket=50 derives k=4
+    val out = Similarity.semanticDedup(df, threshold = 0.9,
+        targetBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 200)
+    val cids = out.map(_._2).toSet
+    // derivation happened: ids live in [0, 4) and the orthogonal tail
+    // spreads over >1 cluster (a fixed k=1 default would give {0})
+    assert(cids.forall(c => c >= 0L && c < 4L), s"cids $cids")
+    assert(cids.size >= 2, s"cids $cids")
+    // identical vectors always share a cluster: everyone after vec 0 is
+    // a duplicate; the orthogonal tail (pairwise cosine 0) never is —
+    // the skewed 150-member bucket still resolves exactly because
+    // blockedBucketJoin splits it into bounded cells
+    val dupIds = out.filter(_._3).map(_._1).toSet
+    assert(dupIds == (1L until 150L).toSet, s"got ${dupIds.size} dups")
+    // the hot cluster's population exceeds the target bucket (the skew
+    // is real) — the per-task bound comes from the blocked join, whose
+    // exactness is pinned by the blocked-bucket-join spec above
+    val hotPop = out.groupBy(_._2).map(_._2.length).max
+    assert(hotPop >= 150, s"hot cluster $hotPop")
+  }
+
   test("countmin: estimate upper-bounds the true count for EVERY token, " +
       "and is exact when width removes collisions") {
     val s = init()
@@ -654,5 +689,15 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("est") =!= col("true_cnt")).count()
     assert(vocab < 3000 && offW == 0,
       s"wide sketch diverged on $offW of $vocab tokens")
+  }
+
+  test("hllSummary: zero-document input yields NULL regs_md5 (the " +
+      "DuckDB string_agg-over-zero-rows twin), not md5 of empty string") {
+    val s = init()
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("idx", "rho")
+    val row = graft.ops.Sketches.hllSummary(empty, b = 8).head()
+    assert(row.getAs[Long]("nonzero_regs") == 0L)
+    assert(row.isNullAt(row.fieldIndex("regs_md5")))
   }
 }

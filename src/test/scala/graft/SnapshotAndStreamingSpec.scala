@@ -76,6 +76,19 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
     intercept[GraphAnalysisException] { unweighted.csrWeights }
   }
 
+  test("readEventStream starts on an empty drop directory (schema " +
+      "probe falls back instead of failing inference)") {
+    val s = init()
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-drop")
+    val stream = EventStreams.readEventStream(s, dir.toString)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("empty_drop_out").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("empty_drop_out").count() == 0L)
+    } finally q.stop()
+  }
+
   test("streaming hourly aggregates match the batch equivalent") {
     val s = init()
     val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
