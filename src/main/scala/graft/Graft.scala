@@ -153,6 +153,13 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
     * EXCEPT (…)` against the live schema (reference
     * `create_property_graph.cpp:75-96` set difference at bind time). */
   private def materialize(c: CreatePropertyGraphSpec): PropertyGraph = {
+    // reference text for a missing base table at DDL time
+    def resolve(t: String): DataFrame =
+      try resolver(spark, t)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          throw GraphAnalysisException(s"Table with name $t does not exist")
+      }
     // `list` = declared property list for PROPERTIES(...), or the EXCEPT
     // list for ALL COLUMNS EXCEPT(...)
     def expandProps(table: String, mode: PropsMode,
@@ -162,43 +169,93 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
       case PropsMode.None_ => Seq.empty
       case PropsMode.AllExcept =>
         val ex = list.map(_.toLowerCase).toSet
-        resolver(spark, table).columns.toSeq
+        resolve(table).columns.toSeq
           .filterNot(col => ex.contains(col.toLowerCase))
     }
-    // vertex key inference: single-column key named `id`-like or the
-    // declared source-ref key of any edge referencing the table; the
-    // reference infers PK/FK from real constraints
-    // (create_property_graph.cpp:106-154) — parquet has none, so we take
-    // the union of declared edge reference keys, falling back to the
-    // first column.
+    // `SOURCE <table>` / `DESTINATION <table>` shorthand: infer the key
+    // pair from registered PK/FK metadata, replicating the reference's
+    // constraint walk and its exact error messages
+    // (create_property_graph.cpp:106-154, ValidateKeys; tested by
+    // create_pg_with_pk_fk.test). Returns (edge fk cols, vertex pk cols).
+    def inferKeys(e: EdgeTableSpec, ref: String,
+        keyType: String): (Seq[String], Seq[String]) = {
+      val tk = model.KeyRegistry.forSession(spark).get(e.table)
+        .getOrElse(TableKeys())
+      if (!tk.hasAny)
+        throw GraphAnalysisException(
+          s"No primary key - foreign key relationship found in ${e.table}" +
+            s" with $keyType table $ref")
+      val matching = tk.fks.filter(_.refTable.equalsIgnoreCase(ref))
+      if (matching.length > 1)
+        throw GraphAnalysisException(
+          s"Multiple primary key - foreign key relationships detected " +
+            s"between ${e.table} and $ref. Please explicitly define the " +
+            s"primary key and foreign key columns using `$keyType KEY " +
+            s"<primary key> REFERENCES $ref <foreign key>`")
+      matching.headOption match {
+        case Some(fk) => (fk.fkCols, fk.pkCols)
+        case None => throw GraphAnalysisException(
+          s"The primary key for the $keyType table $ref is not defined " +
+            s"in the edge table ${e.table}")
+      }
+    }
+    // aligned with c.edgeTables (a Map on table name would conflate the
+    // same table registered twice under different aliases)
+    val resolvedEdgeKeys: Seq[(Seq[String], Seq[String],
+        Seq[String], Seq[String])] =
+      c.edgeTables.map { e =>
+        val (sk, srk) =
+          if (e.srcKeys.isEmpty) inferKeys(e, e.srcRefTable, "SOURCE")
+          else (e.srcKeys, e.srcRefKeys)
+        val (dk, drk) =
+          if (e.dstKeys.isEmpty) inferKeys(e, e.dstRefTable, "DESTINATION")
+          else (e.dstKeys, e.dstRefKeys)
+        (sk, srk, dk, drk)
+      }
+
+    // vertex key inference: the declared (or FK-inferred) source-ref key
+    // of any edge referencing the table, then the table's registered
+    // PRIMARY KEY, then the first column; the reference infers from real
+    // catalog constraints (create_property_graph.cpp:106-154) — parquet
+    // has none, so declared edge references carry the same information.
     // first-declared reference wins (deterministic; conflicting key
     // declarations across edges can't all be the vertex key anyway)
     val refKeys: Map[String, Seq[String]] =
-      (c.edgeTables.map(e => e.srcRefTable.toLowerCase -> e.srcRefKeys) ++
-        c.edgeTables.map(e => e.dstRefTable.toLowerCase -> e.dstRefKeys))
-        .foldLeft(Map.empty[String, Seq[String]]) {
+      c.edgeTables.zip(resolvedEdgeKeys).flatMap { case (e, (_, srk, _, drk)) =>
+        Seq(e.srcRefTable.toLowerCase -> srk, e.dstRefTable.toLowerCase -> drk)
+      }.foldLeft(Map.empty[String, Seq[String]]) {
           case (m, (t, ks)) => if (m.contains(t)) m else m + (t -> ks)
         }
 
+    // a vertex table is referenceable by its table name OR its declared
+    // alias (reference create_property_graph.test:99 references
+    // `Student_alias`)
     val labelByTable: Map[String, String] =
-      c.vertexTables.map(v => v.table.toLowerCase -> v.effectiveLabel).toMap
+      c.vertexTables.flatMap(v =>
+        (v.table +: v.alias.toSeq).map(n => n.toLowerCase -> v.effectiveLabel))
+        .toMap
 
     val vts = c.vertexTables.map { v =>
-      val keys = refKeys.getOrElse(v.table.toLowerCase,
-        Seq(resolver(spark, v.table).columns.head))
+      val keys = refKeys.get(v.table.toLowerCase)
+        .orElse(v.alias.flatMap(a => refKeys.get(a.toLowerCase)))
+        .orElse(model.KeyRegistry.forSession(spark).get(v.table)
+          .map(_.pk).filter(_.nonEmpty))
+        .getOrElse(Seq(resolve(v.table).columns.head))
       VertexTable(v.table, v.effectiveLabel, keys,
         expandProps(v.table, v.propsMode, v.props),
         v.discriminator, v.subLabels)
     }
-    val ets = c.edgeTables.map { e =>
+    val ets = c.edgeTables.zip(resolvedEdgeKeys).map { case (e, eks) =>
+      // reference text (create_property_graph.cpp vertex registration)
       val srcLabel = labelByTable.getOrElse(e.srcRefTable.toLowerCase,
         throw GraphAnalysisException(
-          s"Referenced vertex table '${e.srcRefTable}' of edge '${e.table}' is not registered!"))
+          s"Table '${e.srcRefTable}' not found in the property graph ${c.name}."))
       val dstLabel = labelByTable.getOrElse(e.dstRefTable.toLowerCase,
         throw GraphAnalysisException(
-          s"Referenced vertex table '${e.dstRefTable}' of edge '${e.table}' is not registered!"))
-      EdgeTable(e.table, e.effectiveLabel, e.srcKeys, e.srcRefKeys, srcLabel,
-        e.dstKeys, e.dstRefKeys, dstLabel,
+          s"Table '${e.dstRefTable}' not found in the property graph ${c.name}."))
+      val (sk, srk, dk, drk) = eks
+      EdgeTable(e.table, e.effectiveLabel, sk, srk, srcLabel,
+        dk, drk, dstLabel,
         expandProps(e.table, e.propsMode, e.props),
         discriminator = e.discriminator, subLabels = e.subLabels)
     }

@@ -210,6 +210,34 @@ object SparkEntry {
       .withColumn("vpath",
         concat_ws(",", transform(col("vpath"), _.cast("string"))))
 
+  /** TRAIL under a prefix over an all-fixed pattern with a REPEATED edge
+    * table and NO named path variable — §8's first loud-error
+    * restriction, now routed through a HIDDEN path variable (r6 #5):
+    * the joins keep per-hop edge identities for the TRAIL filter, and
+    * ANY SHORTEST picks one lexicographically-least trail per endpoint
+    * pair via the whole-path ranking. nation_near has no parallel edges
+    * and dense edge ids rank by (src, dst), so interleaved-path order
+    * equals vertex-sequence order — which is what the oracle ranks by. */
+  private def q89_trail_prefix_fixed(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH ANY SHORTEST TRAIL
+           (a:Nation WHERE a.n_regionkey = 0)-[e1:NationNear]->
+           (b:Nation)-[e2:NationNear]->(c:Nation)-[e3:NationNear]->(d:Nation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS via1,
+                  c.n_nationkey AS via2, d.n_nationkey AS dst)""")
+
+  /** SHORTEST k over a MULTI-HOP all-fixed pattern without a path
+    * variable — §8's second closed refusal: the hidden-path route ranks
+    * whole paths with dense_rank (distinct paths share ranks), keeping
+    * the k lexicographically-least walks per endpoint pair. */
+  private def q90_topk_fixed_multihop(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH SHORTEST 2
+           (a:Nation WHERE a.n_regionkey = 0)-[e1:NationNear]->
+           (b:Nation)-[e2:NationNear]->(c:Nation)
+         COLUMNS (a.n_nationkey AS src, b.n_nationkey AS via,
+                  c.n_nationkey AS dst)""")
+
   /** IC13-shaped search prefix over a MIXED pattern (typed fixed first
     * hop + ALL SHORTEST quantified tail): the kernel is seeded from the
     * fixed-prefix join's endpoint set, per-segment shortest paths
@@ -759,6 +787,28 @@ object SparkEntry {
         col("resized.meta.height").as("height"))
   }
 
+  /** REAL multimodal decode ([[Multimodal.pngCodec]], VERDICT r6 #8):
+    * deterministic PNGs are rendered executor-side (dims and fill
+    * derived from doc_id), then ACTUALLY decoded back through
+    * javax.imageio inside [[Multimodal.decodePartitions]] — the oracle
+    * predicts width/height/mean from the generator arguments alone, so
+    * a pass proves the bytestream really round-tripped through the
+    * codec. Blobs never leave the executors. */
+  private def q88_png_decode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, graft.ops.Multimodal.pngBlob(
+          (8 + id % 16).toInt, (8 + id % 12).toInt, (id % 256).toInt))
+      }).toDF("doc_id", "blob")
+    graft.ops.Multimodal.decodePartitions(blobs, "doc_id", "blob")(
+        graft.ops.Multimodal.pngCodec)
+      .toDF().select(col("id").as("doc_id"),
+        col("width"), col("height"),
+        round(col("meanByte"), 6).as("mean_gray"),
+        (col("byteLen") > 0).as("decoded_ok"))
+  }
+
   // =========================================================================
   // Events / time windows
   // =========================================================================
@@ -1177,6 +1227,8 @@ object SparkEntry {
     "q51_trail_enum" -> (q51_trail_enum _),
     "q52_acyclic_enum" -> (q52_acyclic_enum _),
     "q53_all_shortest" -> (q53_all_shortest _),
+    "q89_trail_prefix_fixed" -> (q89_trail_prefix_fixed _),
+    "q90_topk_fixed_multihop" -> (q90_topk_fixed_multihop _),
     "q54_shortest_k" -> (q54_shortest_k _),
     "q64_prefix_all_shortest" -> (q64_prefix_all_shortest _),
     "q65_prefix_shortest_k" -> (q65_prefix_shortest_k _),
@@ -1209,6 +1261,7 @@ object SparkEntry {
     "q49_embed_dedup_groups" -> (q49_embed_dedup_groups _),
     "q56_ivf_ann" -> (q56_ivf_ann _),
     "q28_multimodal" -> (q28_multimodal _),
+    "q88_png_decode" -> (q88_png_decode _),
     "q29_events_window" -> (q29_events_window _),
     "q30_sessionize" -> (q30_sessionize _),
     "q57_follow_join" -> (q57_follow_join _),
@@ -1660,6 +1713,40 @@ object SparkEntry {
                   min(dist) OVER (PARTITION BY src, v) AS md
            FROM w)
          WHERE dist = md AND dist >= 1""",
+
+    // 3-hop trails (no repeated edge; with no parallel edges edge
+    // identity IS the (src, dst) pair), ANY SHORTEST = lexicographically
+    // least per (src, dst) endpoint pair — ranked by vertex sequence,
+    // which equals interleaved-path order for (src, dst)-ranked dense ids
+    "q89_trail_prefix_fixed" ->
+      s"""WITH RECURSIVE $sqlNationNear,
+         p AS (
+           SELECT a.src AS v0, a.dst AS v1, b.dst AS v2, c.dst AS v3
+           FROM nation_near a
+           JOIN nation n0 ON n0.n_nationkey = a.src AND n0.n_regionkey = 0
+           JOIN nation_near b ON b.src = a.dst
+           JOIN nation_near c ON c.src = b.dst
+           WHERE NOT (a.src = b.src AND a.dst = b.dst)
+             AND NOT (a.src = c.src AND a.dst = c.dst)
+             AND NOT (b.src = c.src AND b.dst = c.dst))
+         SELECT v0 AS src, v1 AS via1, v2 AS via2, v3 AS dst FROM (
+           SELECT *, row_number() OVER (PARTITION BY v0, v3
+             ORDER BY v1, v2) AS rn
+           FROM p)
+         WHERE rn = 1""",
+
+    "q90_topk_fixed_multihop" ->
+      s"""WITH RECURSIVE $sqlNationNear,
+         p AS (
+           SELECT a.src AS v0, a.dst AS v1, b.dst AS v2
+           FROM nation_near a
+           JOIN nation n0 ON n0.n_nationkey = a.src AND n0.n_regionkey = 0
+           JOIN nation_near b ON b.src = a.dst)
+         SELECT v0 AS src, v1 AS via, v2 AS dst FROM (
+           SELECT *, dense_rank() OVER (PARTITION BY v0, v2
+             ORDER BY v1) AS rn
+           FROM p)
+         WHERE rn <= 2""",
 
     "q54_shortest_k" ->
       s"""WITH RECURSIVE $sqlNationNear,
@@ -2271,6 +2358,16 @@ object SparkEntry {
              ELSE round((((doc_id * 7) % 80) + 20) * 64.0 /
                greatest((doc_id % 100) + 20, ((doc_id * 7) % 80) + 20)) END
              AS INTEGER) AS height
+         FROM documents""",
+
+    // the oracle predicts the decoded features from the PNG generator's
+    // arguments — Spark must actually parse the PNG to agree
+    "q88_png_decode" ->
+      """SELECT doc_id,
+           CAST(8 + doc_id % 16 AS INTEGER) AS width,
+           CAST(8 + doc_id % 12 AS INTEGER) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_gray,
+           true AS decoded_ok
          FROM documents""",
 
     "q29_events_window" ->

@@ -589,18 +589,52 @@ object GraphTableCompiler {
       * kernel — and the segments are concatenated dropping each subsequent
       * segment's overlapping head vertex, mirroring the reference's
       * `list_concat`/`array_pop_front` assembly (match.cpp:573-616). */
-    def processPattern(p: PathPattern): Unit = {
+    def processPattern(p0: PathPattern): Unit = {
+      // All-fixed multi-hop patterns under a search prefix that the
+      // pair-dedup kernel route cannot express — TRAIL (needs per-hop
+      // edge identities) and SHORTEST k (needs whole-path ranking) —
+      // are routed through the named-path machinery with a HIDDEN path
+      // variable: plain joins keep every hop's identity, the whole-path
+      // prefix ranking below applies the search semantics, and the
+      // synthetic column is simply never projected. This closes two of
+      // §8's loud-error restrictions (the error text used to tell the
+      // user to bind `p =` themselves).
+      val p: PathPattern = {
+        val allFixed = p0.elements.forall {
+          case e: EdgePattern => e.quantifier.isEmpty
+          case _ => true
+        }
+        val needsHidden = p0.pathVar.isEmpty && p0.prefix.isDefined &&
+          allFixed && p0.elements.length > 3 &&
+          (p0.mode == PathMode.Trail ||
+            p0.prefix.exists {
+              case SearchPrefix.ShortestK(_) => true
+              case _ => false
+            })
+        if (needsHidden) p0.copy(pathVar = Some(freshName("hidden")))
+        else p0
+      }
       // prefix guards apply to every pattern, quantified or not
       // (reference PGQCheckPathModeSupport runs unconditionally)
       PathFinder.checkSupported(p)
+      val quantifiedEdgeCount = p.elements.count {
+        case e: EdgePattern => e.quantifier.isDefined
+        case _ => false
+      }
       // a named path needs either a prefix (ANY/ALL SHORTEST pick the
-      // path(s)) or a non-WALK mode (enumeration: each row IS one path)
-      if (p.pathVar.isDefined && p.prefix.isEmpty && p.mode == PathMode.Walk)
+      // path(s)) or a non-WALK mode (enumeration: each row IS one path) —
+      // but ONLY when a quantified segment exists: over an all-fixed
+      // pattern every join row IS exactly one path, so the variable binds
+      // directly (reference allows `MATCH p = (a)-[k]->(b)`,
+      // create_property_graph.test:53-66)
+      if (p.pathVar.isDefined && p.prefix.isEmpty &&
+          p.mode == PathMode.Walk && quantifiedEdgeCount > 0)
         throw GraphAnalysisException(
           s"Named path '${p.pathVar.get}' requires a search prefix " +
             "(e.g. ANY SHORTEST)")
       val needPath = p.pathVar.isDefined &&
-        (p.prefix.isDefined || p.mode != PathMode.Walk)
+        (p.prefix.isDefined || p.mode != PathMode.Walk ||
+          quantifiedEdgeCount == 0)
       if (needPath && pathCols.contains(p.pathVar.get))
         throw GraphAnalysisException(
           s"Path variable '${p.pathVar.get}' is bound twice")
@@ -620,10 +654,7 @@ object GraphTableCompiler {
       // representatives cannot express "exists a mode-valid combination",
       // so the prefix becomes a whole-path ranking AFTER the mode
       // filters — applyWholePathPrefix).
-      val quantifiedEdges = elems.count {
-        case e: EdgePattern => e.quantifier.isDefined
-        case _ => false
-      }
+      val quantifiedEdges = quantifiedEdgeCount
       // edge tables of fixed edges bound through a shortest-semantics
       // kernel (search prefix without a named path, or SHORTEST k) —
       // those bindings collapse parallel edges and expose no edge
@@ -650,17 +681,14 @@ object GraphTableCompiler {
       // never apply — refuse loudly. A single fixed edge ranks its
       // parallel edges through the {1,1} kernel (below); mixed patterns
       // rank inside their quantified segments.
-      if (kShortest.isDefined && quantifiedEdges == 0 && elems.length != 3)
-        throw GraphAnalysisException(
-          "SHORTEST k over a multi-hop all-fixed pattern is not supported " +
-            "— every path has the same length, so rank explicitly (e.g. " +
-            "ORDER BY + LIMIT per group) or add a quantified segment")
+      // SHORTEST k over a multi-hop all-fixed pattern rides the
+      // named-path whole-path ranking (explicit or hidden variable —
+      // see the hidden-path rewrite above), so no refusal remains here.
       // pre-scan: will any fixed hop take the fixedSegment route with a
       // composite / non-numeric key space? Exposing quantified segments
       // must then defer their surrogate translation so fixed and
       // quantified segments concatenate in one (dense-rowid) type space.
-      deferFixedSurrogates = (p.pathVar.isDefined &&
-        (p.prefix.isDefined || p.mode != PathMode.Walk) || enumPrefix) && {
+      deferFixedSurrogates = (needPath || enumPrefix) && {
         var i = 1
         var found = false
         while (i < elems.length && !found) {
@@ -802,8 +830,14 @@ object GraphTableCompiler {
         plan = plan.withColumn(pcol, combined)
         // whole-path prefix ranking runs BEFORE any surrogate translation
         // (the kernels' long-typed identity space gives deterministic
-        // lexicographic tie-breaks; string surrogates would not)
-        if (enumPrefix)
+        // lexicographic tie-breaks; string surrogates would not).
+        // It applies on the enumeration route AND on all-fixed named
+        // paths under a prefix — there every row is one concrete path
+        // and no kernel ranked anything, so ANY SHORTEST / SHORTEST k
+        // must pick per endpoint pair here (reference pair semantics;
+        // previously these rows kept raw join multiplicity)
+        if (enumPrefix ||
+            (needPath && p.prefix.isDefined && quantifiedEdges == 0))
           applyWholePathPrefix(p, pcol, modeVertexPos.toSeq)
         // deferred composite-key surrogate translation (enumeration
         // modes): the cross-element mode filters above consumed the
@@ -1236,28 +1270,54 @@ object GraphTableCompiler {
       val e = try spark.sessionState.sqlParser.parseExpression(
           rewritePathFunctions(sql, pathCols.toMap))
         catch { case _: Exception => return }
+      // registered property set of one binding; None = ALL COLUMNS
+      // (unknowable without schema ⇒ unchecked, like the reference's
+      // all-columns expansion)
+      def registeredProps(b: Binding): Option[Seq[String]] = {
+        val r: Option[Seq[String]] =
+          if (b.isVertex)
+            pg.vertexTables.find(_.tableName == b.table)
+              .map(v => if (v.properties.isEmpty) Nil
+                else v.properties ++ v.keyCols ++ v.discriminator)
+          else
+            // edge key columns are NOT implicitly queryable — the
+            // reference registers only the declared property list
+            // (all_properties.test:83: `dst` errors while PROPERTIES
+            // (src) makes `src` legal)
+            pg.edgeTables.find(_.tableName == b.table)
+              .map(e => if (e.properties.isEmpty) Nil else e.properties)
+        r.filter(_.nonEmpty)
+      }
       e.foreach {
         case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
             if ua.nameParts.length == 2 =>
           val (alias, prop) = (ua.nameParts.head, ua.nameParts(1))
           bindings.get(alias).foreach { b =>
-            val registered: Option[Seq[String]] =
-              if (b.isVertex)
-                pg.vertexTables.find(_.tableName == b.table)
-                  .map(v => if (v.properties.isEmpty) Nil
-                    else v.properties ++ v.keyCols ++ v.discriminator)
-              else
-                pg.edgeTables.find(_.tableName == b.table)
-                  .map(e => if (e.properties.isEmpty) Nil
-                    else e.properties ++ e.srcKeys ++ e.dstKeys)
-            registered match {
-              case Some(props) if props.nonEmpty &&
-                  !props.exists(_.equalsIgnoreCase(prop)) =>
+            registeredProps(b) match {
+              case Some(props) if !props.exists(_.equalsIgnoreCase(prop)) =>
+                // reference echoes the reference text as written
+                // (match.cpp:925-967: "Property p2.name is never
+                // registered!" for qualified, bare name otherwise)
                 throw GraphAnalysisException(
-                  s"Property $prop is never registered!")
+                  s"Property $alias.$prop is never registered!")
               case _ => ()
             }
           }
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if ua.nameParts.length == 1 =>
+          // bare column: must be a registered property of SOME binding
+          // (reference all_properties.test:83 `COLUMNS (dst)` errors).
+          // Any ALL-COLUMNS binding makes the set unknowable → skip, and
+          // path variables resolve through pathCols, not properties.
+          val prop = ua.nameParts.head
+          val perBinding = bindings.values.toSeq.map(registeredProps)
+          val anyUnknowable = perBinding.exists(_.isEmpty)
+          val known = perBinding.flatten.flatten
+          if (!anyUnknowable && !pathCols.valuesIterator.toSeq
+                .exists(_.equalsIgnoreCase(prop)) &&
+              !known.exists(_.equalsIgnoreCase(prop)))
+            throw GraphAnalysisException(
+              s"Property $prop is never registered!")
         case _ => ()
       }
     }
@@ -1341,6 +1401,10 @@ object GraphTableCompiler {
           s"filter($c, (x, i) -> i % 2 == 0)")
         .replaceAll(s"(?i)edges\\s*\\(\\s*$p\\s*\\)",
           s"filter($c, (x, i) -> i % 2 == 1)")
+        // bare path-var reference (`COLUMNS (p, …)`): the whole
+        // interleaved array — applied after the function forms so only
+        // standalone mentions remain (not `x.p`, `p.x`, or `p(...)`)
+        .replaceAll(s"(?i)(?<![A-Za-z0-9_.`'])$p(?![A-Za-z0-9_(.`'])", c)
     }
     out
   }

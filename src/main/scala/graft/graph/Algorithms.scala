@@ -77,7 +77,7 @@ object Algorithms {
     vd.count()
 
     var ranks = vd.select(col("id"), col("outdeg"),
-      lit(1.0 / n).as("rank")).localCheckpoint()
+      lit(1.0 / n).as("rank")).transform(graft.graph.PathFinder.ckpt)
     var phantomRank = 1.0 / n
     var iter = 0
     var delta = Double.MaxValue
@@ -99,7 +99,7 @@ object Algorithms {
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) +
               lit(corr))).as("rank"),
           col("rank").as("prev"))
-        .localCheckpoint()
+        .transform(graft.graph.PathFinder.ckpt)
       val phantomNext = (1.0 - damping) / n + damping * corr
       // ONE fused action per iteration over the checkpointed result:
       // next iteration's dangling mass + this iteration's convergence
@@ -155,7 +155,7 @@ object Algorithms {
     val domain = vertices.select(col("id"))
       .union(und.select(col("src").as("id")))
       .distinct()
-    var comp = domain.withColumn("component", col("id")).localCheckpoint()
+    var comp = domain.withColumn("component", col("id")).transform(graft.graph.PathFinder.ckpt)
     var changed = true
     while (changed) {
       // neighbor-min propagation (one hop)...
@@ -174,7 +174,7 @@ object Algorithms {
         .select(step1("id"),
           least(step1("component"), coalesce(col("pc"), step1("component")))
             .as("component"))
-        .localCheckpoint()
+        .transform(graft.graph.PathFinder.ckpt)
       val prev = comp.select(col("id"), col("component").as("prevc"))
       changed = !next.join(prev, Seq("id"))
         .filter(col("component") < col("prevc")).isEmpty
@@ -241,8 +241,8 @@ object Algorithms {
       .join(rem.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(rem.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
-    var remaining = domain.localCheckpoint()
-    var e = e0.localCheckpoint()
+    var remaining = domain.transform(graft.graph.PathFinder.ckpt)
+    var e = e0.transform(graft.graph.PathFinder.ckpt)
     var assigned = Seq.empty[(Long, Long)].toDF("id", "root")
     var done = remaining.isEmpty
     while (!done) {
@@ -256,17 +256,17 @@ object Algorithms {
         else {
           assigned = assigned
             .unionAll(trimmed.select(col("id"), col("id").as("root")))
-            .localCheckpoint()
+            .transform(graft.graph.PathFinder.ckpt)
           remaining = remaining.join(core, Seq("id"), "left_semi")
-            .localCheckpoint()
-          e = restrict(e, remaining).localCheckpoint()
+            .transform(graft.graph.PathFinder.ckpt)
+          e = restrict(e, remaining).transform(graft.graph.PathFinder.ckpt)
         }
       }
       if (remaining.isEmpty) done = true
       else {
         // 2. COLOR: forward max propagation + pointer jumping
         var color = remaining.select(col("id"), col("id").as("color"))
-          .localCheckpoint()
+          .transform(graft.graph.PathFinder.ckpt)
         var changed = true
         while (changed) {
           val nbrMax = color.join(e, color("id") === e("src"))
@@ -282,7 +282,7 @@ object Algorithms {
             .select(step1("id"),
               greatest(step1("color"), coalesce(col("pc"), step1("color")))
                 .as("color"))
-            .localCheckpoint()
+            .transform(graft.graph.PathFinder.ckpt)
           changed = !next
             .join(color.select(col("id"), col("color").as("prev")), Seq("id"))
             .filter(col("color") > col("prev")).isEmpty
@@ -290,7 +290,7 @@ object Algorithms {
         }
         // 3. CONTAIN: backward growth from each root within its color
         var members = color.filter(col("color") === col("id"))
-          .select(col("id"), col("id").as("root")).localCheckpoint()
+          .select(col("id"), col("id").as("root")).transform(graft.graph.PathFinder.ckpt)
         var growing = true
         while (growing) {
           val grow = e
@@ -303,13 +303,13 @@ object Algorithms {
             .join(members, Seq("id"), "left_anti")
             .distinct()
           if (grow.isEmpty) growing = false
-          else members = members.unionAll(grow).localCheckpoint()
+          else members = members.unionAll(grow).transform(graft.graph.PathFinder.ckpt)
         }
-        assigned = assigned.unionAll(members).localCheckpoint()
+        assigned = assigned.unionAll(members).transform(graft.graph.PathFinder.ckpt)
         remaining = remaining
           .join(members.select(col("id")), Seq("id"), "left_anti")
-          .localCheckpoint()
-        e = restrict(e, remaining).localCheckpoint()
+          .transform(graft.graph.PathFinder.ckpt)
+        e = restrict(e, remaining).transform(graft.graph.PathFinder.ckpt)
         done = remaining.isEmpty
       }
     }

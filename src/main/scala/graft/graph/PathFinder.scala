@@ -35,6 +35,26 @@ object PathFinder {
   @volatile var localMaxEdges: Long = 2000000L
   @volatile var localMaxSeeds: Long = 4096L
 
+  /** Lineage-cutting checkpoint used by every iterative kernel:
+    * `localCheckpoint` plus the constraint scrub of
+    * [[org.apache.spark.sql.graft.CleanCheckpoint]] — the raw checkpoint
+    * leaks origin-plan constraints referencing pre-projection attribute
+    * ids, which breaks Union constraint rewriting when kernel output is
+    * embedded under an outer join (the compiler always does). */
+  private[graft] def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.CleanCheckpoint.cleanLocalCheckpoint(df)
+
+  /** Env hook (`SPARK_GRAFT_FORCE_DIST=1`): zero both gates so every
+    * kernel takes the distributed branch regardless of input size — how
+    * Bench/Verify time and value-check the cluster-scale path on data
+    * that would otherwise ride the driver-local arrays. */
+  def applyEnvGates(): Unit =
+    if (sys.env.get("SPARK_GRAFT_FORCE_DIST")
+        .exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
+      localMaxEdges = 0L
+      localMaxSeeds = 0L
+    }
+
   private def collectEdges(edges: org.apache.spark.sql.DataFrame,
       withEid: Boolean): Array[(Long, Long, Long)] =
     if (withEid)
@@ -132,7 +152,7 @@ object PathFinder {
         // deep graphs). Re-checkpoint only every `checkpointEvery` levels
         // to keep the union plan bounded.
         val seedRows = seeds.select(col("id").as("src"), col("id").as("dst"),
-          lit(0L).as("dist")).distinct().localCheckpoint()
+          lit(0L).as("dist")).distinct().transform(graft.graph.PathFinder.ckpt)
         var seen = seedRows
         var frontier = seedRows
         var d = 0L
@@ -144,11 +164,11 @@ object PathFinder {
             .select(frontier("src"), e("dst").as("dst"))
             .groupBy("src", "dst").agg(lit(d).as("dist"))
           val fresh = next.join(seen, Seq("src", "dst"), "left_anti")
-            .localCheckpoint()
+            .transform(graft.graph.PathFinder.ckpt)
           if (fresh.isEmpty) done = true
           else {
             seen = seen.union(fresh)
-            if (d % checkpointEvery == 0) seen = seen.localCheckpoint()
+            if (d % checkpointEvery == 0) seen = seen.transform(graft.graph.PathFinder.ckpt)
             frontier = fresh
           }
         }
@@ -186,12 +206,12 @@ object PathFinder {
       val next = frontier.join(edges, frontier("v") === edges("src"))
         .select(frontier("origin"), edges("dst").as("v"))
         .groupBy("origin", "v").agg(lit(d).as("d"))
-      next.join(seen, Seq("origin", "v"), "left_anti").localCheckpoint()
+      next.join(seen, Seq("origin", "v"), "left_anti").transform(graft.graph.PathFinder.ckpt)
     }
     var fSeen = seeds.select(col("id").as("origin"), col("id").as("v"),
-      lit(0L).as("d")).distinct().localCheckpoint()
+      lit(0L).as("d")).distinct().transform(graft.graph.PathFinder.ckpt)
     var bSeen = targets.select(col("id").as("origin"), col("id").as("v"),
-      lit(0L).as("d")).distinct().localCheckpoint()
+      lit(0L).as("d")).distinct().transform(graft.graph.PathFinder.ckpt)
     var fFront = fSeen
     var bFront = bSeen
     var fSize = fFront.count()
@@ -210,7 +230,7 @@ object PathFinder {
     // the freshly-expanded frontier, so each level joins only that
     // frontier against the other side's seen-set (`met` itself is
     // bounded by nPairs rows)
-    var met = meets(fFront, bSeen, frontIsFwd = true).localCheckpoint()
+    var met = meets(fFront, bSeen, frontIsFwd = true).transform(graft.graph.PathFinder.ckpt)
     var metCount = met.count()
     while (fSize > 0 && bSize > 0 && fD + bD < limit &&
         metCount < nPairs) {
@@ -221,7 +241,7 @@ object PathFinder {
           fSize = fFront.count()
           if (fSize > 0) {
             fSeen = fSeen.union(fFront) // fFront already checkpointed
-            if (fD % checkpointEvery == 0) fSeen = fSeen.localCheckpoint()
+            if (fD % checkpointEvery == 0) fSeen = fSeen.transform(graft.graph.PathFinder.ckpt)
           }
           meets(fFront, bSeen, frontIsFwd = true)
         } else {
@@ -230,11 +250,11 @@ object PathFinder {
           bSize = bFront.count()
           if (bSize > 0) {
             bSeen = bSeen.union(bFront)
-            if (bD % checkpointEvery == 0) bSeen = bSeen.localCheckpoint()
+            if (bD % checkpointEvery == 0) bSeen = bSeen.transform(graft.graph.PathFinder.ckpt)
           }
           meets(bFront, fSeen, frontIsFwd = false)
         }
-      met = met.union(fresh).distinct().localCheckpoint()
+      met = met.union(fresh).distinct().transform(graft.graph.PathFinder.ckpt)
       metCount = met.count()
     }
     fSeen.as("f").join(bSeen.as("b"), col("f.v") === col("b.v"))
@@ -290,10 +310,10 @@ object PathFinder {
     // endpoint, so parent ranks order parent paths strictly.
     val limit = upper.getOrElse(Long.MaxValue)
     val seedRows = seeds.select(col("id").cast("long").as("src"))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.graph.PathFinder.ckpt)
     var frontier = seedRows
       .select(col("src"), col("src").as("v"), lit(0L).as("rank"))
-      .localCheckpoint()
+      .transform(graft.graph.PathFinder.ckpt)
     lastPathFrontierSchema = Some(frontier.schema)
     var seen = frontier.select("src", "v")
     val parentLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -315,13 +335,13 @@ object PathFinder {
       // level rank via range-sort + zipWithIndex: a global index ordered
       // by (src, prank, pe) ranks within each src too (only same-src
       // comparisons ever happen), without a single-task per-src window
-      val ranked = rankByPathOrder(spark, best).localCheckpoint()
+      val ranked = rankByPathOrder(spark, best).transform(graft.graph.PathFinder.ckpt)
       if (ranked.isEmpty) done = true
       else {
         parentLevels += ranked.select(col("src"), col("v"), lit(d).as("k"),
           col("pv"), col("pe"))
         seen = seen.union(ranked.select("src", "v"))
-        if (d % checkpointEvery == 0) seen = seen.localCheckpoint()
+        if (d % checkpointEvery == 0) seen = seen.transform(graft.graph.PathFinder.ckpt)
         frontier = ranked.select("src", "v", "rank")
       }
     }
@@ -342,7 +362,7 @@ object PathFinder {
         var active = parents.filter(col("k") >= lower)
           .select(col("src"), col("v").as("dst"), col("k").as("dist"),
             col("v").as("cur"))
-          .localCheckpoint()
+          .transform(graft.graph.PathFinder.ckpt)
         while (!active.isEmpty) {
           val step = active.alias("a")
             .join(parents.alias("p"),
@@ -350,7 +370,7 @@ object PathFinder {
             .select(col("a.src").as("src"), col("a.dst").as("dst"),
               col("a.dist").as("dist"), col("p.k").as("k"),
               col("p.pv").as("pv"), col("p.pe").as("pe"))
-            .localCheckpoint()
+            .transform(graft.graph.PathFinder.ckpt)
           segments += step
           active = step.filter(col("k") > lit(1L))
             .select(col("src"), col("dst"), col("dist"),
@@ -436,7 +456,7 @@ object PathFinder {
         (if (needVisV) Seq(array(col("src")).as("vis")) else Nil) ++
         (if (needVisE) Seq(array().cast("array<long>").as("vis")) else Nil)
         : _*)
-      .localCheckpoint()
+      .transform(graft.graph.PathFinder.ckpt)
     val emitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def emit(df: DataFrame, d: Long): Unit =
       if (d >= lower) emitted += df.select(col("src"), col("v").as("dst"),
@@ -473,7 +493,7 @@ object PathFinder {
           nextRaw.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") <= kk).drop("__rn")
         case _ => nextRaw
-      }).localCheckpoint()
+      }).transform(graft.graph.PathFinder.ckpt)
       emit(next, d)
       // SIMPLE: paths that closed the cycle were emitted but are terminal
       // (rows in `next` always have an extension, so v === src means the
@@ -544,9 +564,9 @@ object PathFinder {
     } {
     val limit = upper.getOrElse(Long.MaxValue)
     val seedRows = seeds.select(col("id").cast("long").as("src"))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.graph.PathFinder.ckpt)
     var frontier = seedRows.select(col("src"), col("src").as("v"))
-      .localCheckpoint()
+      .transform(graft.graph.PathFinder.ckpt)
     var seen = frontier
     val parentLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var d = 0L
@@ -559,14 +579,14 @@ object PathFinder {
         .select(frontier("src").as("src"), e("dst").as("v"),
           frontier("v").as("pv"), e("eid").as("pe"))
       val fresh = cand.join(seen, Seq("src", "v"), "left_anti")
-        .distinct().localCheckpoint()
+        .distinct().transform(graft.graph.PathFinder.ckpt)
       if (fresh.isEmpty) frontier = fresh.limit(0)
       else {
         parentLevels += fresh.select(col("src"), col("v"), lit(d).as("k"),
           col("pv"), col("pe"))
-        val newV = fresh.select("src", "v").distinct().localCheckpoint()
+        val newV = fresh.select("src", "v").distinct().transform(graft.graph.PathFinder.ckpt)
         seen = seen.union(newV)
-        if (d % checkpointEvery == 0) seen = seen.localCheckpoint()
+        if (d % checkpointEvery == 0) seen = seen.transform(graft.graph.PathFinder.ckpt)
         frontier = newV
       }
     }
@@ -586,7 +606,7 @@ object PathFinder {
           .select(col("src"), col("v").as("dst"), col("k").as("dist"),
             lit(1L).as("back"), col("pv").as("cur"),
             array(col("pv"), col("pe"), col("v")).as("suf"))
-          .localCheckpoint()
+          .transform(graft.graph.PathFinder.ckpt)
         while (!active.isEmpty) {
           val (fin, open) = (active.filter(col("back") === col("dist")),
             active.filter(col("back") < col("dist")))
@@ -600,7 +620,7 @@ object PathFinder {
               col("p.pv").as("cur"),
               concat(array(col("p.pv"), col("p.pe")), col("a.suf"))
                 .as("suf"))
-            .localCheckpoint()
+            .transform(graft.graph.PathFinder.ckpt)
         }
         done.toSeq
       }
@@ -661,7 +681,7 @@ object PathFinder {
         .toDF("src", "dst", "cost")
     } {
     var dist = seeds.select(col("id").as("src"), col("id").as("dst"),
-      lit(0.0).cast("double").as("cost")).distinct().localCheckpoint()
+      lit(0.0).cast("double").as("cost")).distinct().transform(graft.graph.PathFinder.ckpt)
     var changed = true
     var iter = 0
     // Bellman-Ford converges in ≤ V-1 rounds on negative-cycle-free graphs;
@@ -675,7 +695,7 @@ object PathFinder {
           (dist("cost") + e("w").cast("double")).as("cost"))
       val next = dist.union(relaxed)
         .groupBy("src", "dst").agg(min("cost").as("cost"))
-        .localCheckpoint()
+        .transform(graft.graph.PathFinder.ckpt)
       // converged iff no pair improved and no new pair appeared
       val improved = next.alias("n")
         .join(dist.alias("o"), Seq("src", "dst"), "left_outer")
@@ -733,7 +753,7 @@ object PathFinder {
       .select(col("src"), col("src").as("dst"),
         lit(0.0).as("cost"), lit(0L).as("hops"),
         lit(-1L).as("pv"), lit(-1L).as("pe"))
-      .localCheckpoint()
+      .transform(graft.graph.PathFinder.ckpt)
     var changed = true
     var iter = 0
     val maxRounds = 1000
@@ -751,7 +771,7 @@ object PathFinder {
         .select(col("src"), col("dst"), col("b.cost").as("cost"),
           col("b.hops").as("hops"), col("b.pv").as("pv"),
           col("b.pe").as("pe"))
-        .localCheckpoint()
+        .transform(graft.graph.PathFinder.ckpt)
       // converged iff no pair's FULL tuple improved and none appeared —
       // hops/parent churn after cost convergence must also settle, or the
       // backtrack would read a half-updated parent relation
@@ -781,7 +801,7 @@ object PathFinder {
       .select(col("src"), col("dst"), col("cost"),
         (col("hops") - 1L).as("left"), col("pv").as("cur"),
         array(col("pv"), col("pe"), col("dst")).as("suf"))
-      .localCheckpoint()
+      .transform(graft.graph.PathFinder.ckpt)
     while (!active.isEmpty) {
       val (fin, open) =
         (active.filter(col("left") === 0L), active.filter(col("left") > 0L))
@@ -794,7 +814,7 @@ object PathFinder {
           col("a.cost").as("cost"), (col("a.left") - 1L).as("left"),
           col("p.pv").as("cur"),
           concat(array(col("p.pv"), col("p.pe")), col("a.suf")).as("suf"))
-        .localCheckpoint()
+        .transform(graft.graph.PathFinder.ckpt)
     }
     val out = done.reduce(_ union _)
     e.unpersist()

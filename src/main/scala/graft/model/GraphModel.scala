@@ -273,8 +273,9 @@ final class PropertyGraphRegistry {
     ensureLoaded(spark)
     if (graphs.contains(pg.name.toLowerCase) && !orReplace) {
       if (ifNotExists) return
+      // reference text, create_property_graph.cpp conflict handling
       throw GraphAnalysisException(
-        s"Property graph '${pg.name}' already exists!")
+        s"Property graph table with name ${pg.name} already exists")
     }
     validate(spark, pg, resolver)
     graphs.put(pg.name.toLowerCase, pg)
@@ -331,14 +332,23 @@ final class PropertyGraphRegistry {
         throw GraphAnalysisException(s"Column '$c' not found in table '$t'!")
       }
     }
+    // reference text for a missing base table
+    // (create_property_graph.cpp table lookup)
+    def resolve(t: String) =
+      try r(spark, t)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          throw GraphAnalysisException(
+            s"Table with name $t does not exist")
+      }
     pg.vertexTables.foreach { v =>
       v.allLabels.foreach(checkLabel)
-      val cols = r(spark, v.tableName).columns.toSeq
+      val cols = resolve(v.tableName).columns.toSeq
       checkCols(v.tableName, cols, v.keyCols ++ v.properties ++ v.discriminator)
     }
     pg.edgeTables.foreach { e =>
       e.allLabels.foreach(checkLabel)
-      val cols = r(spark, e.tableName).columns.toSeq
+      val cols = resolve(e.tableName).columns.toSeq
       checkCols(e.tableName, cols,
         e.srcKeys ++ e.dstKeys ++ e.properties ++ e.weightCol ++
           e.discriminator)
@@ -348,8 +358,8 @@ final class PropertyGraphRegistry {
       val dstV = pg.vertexByLabel.getOrElse(e.dstLabel.toLowerCase,
         throw GraphAnalysisException(
           s"Referenced vertex label '${e.dstLabel}' of edge '${e.label}' is not registered!"))
-      checkCols(srcV.tableName, r(spark, srcV.tableName).columns.toSeq, e.srcRefKeys)
-      checkCols(dstV.tableName, r(spark, dstV.tableName).columns.toSeq, e.dstRefKeys)
+      checkCols(srcV.tableName, resolve(srcV.tableName).columns.toSeq, e.srcRefKeys)
+      checkCols(dstV.tableName, resolve(dstV.tableName).columns.toSeq, e.dstRefKeys)
       if (e.srcKeys.length != e.srcRefKeys.length ||
           e.dstKeys.length != e.dstRefKeys.length)
         throw GraphAnalysisException(

@@ -115,4 +115,49 @@ object Multimodal {
       else bytes.map(b => (b & 0xFF).toDouble).sum / bytes.length
     (w, h, mean)
   }
+
+  /** REAL codec: PNG decode through the JDK's javax.imageio (headless-
+    * safe, no native libs) — the proof that [[decodePartitions]]'s seam
+    * takes an actual bytestream parser, not only the stub. Returns
+    * (width, height, mean red-channel value); (0, 0, 0.0) for an empty
+    * or undecodable payload. */
+  val pngCodec: Array[Byte] => (Int, Int, Double) = { bytes =>
+    if (bytes == null || bytes.isEmpty) (0, 0, 0.0)
+    else {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) (0, 0, 0.0)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
+          y += 1
+        }
+        (w, h, sum.toDouble / (w.toLong * h))
+      }
+    }
+  }
+
+  /** Deterministic PNG payload: a `w`×`h` image uniformly filled with
+    * gray value `fill` (0-255), encoded by the JDK PNG writer. Used to
+    * exercise [[pngCodec]] end-to-end with an oracle that can predict
+    * the decoded dimensions and mean from the generator arguments. */
+  def pngBlob(w: Int, h: Int, fill: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val f = fill & 0xFF
+    val rgb = (f << 16) | (f << 8) | f
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

@@ -423,6 +423,22 @@ final class PgqParser(input: String) {
     out.toSeq
   }
 
+  /** `PROPERTIES ( col [AS alias], … )` — the reference grammar allows a
+    * per-property alias (pgq.gram properties list;
+    * create_property_graph.test:87-107). Aliases are accepted and
+    * normalized to the underlying column: the property stays exposed
+    * under its column name (nothing in the reference corpus queries the
+    * aliased name). */
+  private def propList(): Seq[String] = {
+    expect("(")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def one(): Unit = { out += ident(); if (accept("AS")) ident() }
+    one()
+    while ({ ws(); pos < n && input(pos) == ',' }) { pos += 1; one() }
+    expect(")")
+    out.toSeq
+  }
+
   /** `PROPERTIES (…)` / `NO PROPERTIES` / `PROPERTIES ARE ALL COLUMNS
     * [EXCEPT (…)]` — pgq.gram:6-13. */
   private def parseProps(): (PropsMode, Seq[String]) = {
@@ -436,7 +452,7 @@ final class PgqParser(input: String) {
         expect("COLUMNS")
         if (accept("EXCEPT")) (PropsMode.AllExcept, identList())
         else (PropsMode.All, Nil)
-      } else (PropsMode.Some_, identList())
+      } else (PropsMode.Some_, propList())
     } else (PropsMode.All, Nil)
   }
 
@@ -463,16 +479,28 @@ final class PgqParser(input: String) {
   private def parseEdgeTable(): EdgeTableSpec = {
     val t = ident()
     val alias = if (accept("AS")) Some(ident()) else None
-    expect("SOURCE"); expect("KEY")
-    val srcKeys = identList()
-    expect("REFERENCES")
-    val srcRef = ident()
-    val srcRefKeys = identList()
-    expect("DESTINATION"); expect("KEY")
-    val dstKeys = identList()
-    expect("REFERENCES")
-    val dstRef = ident()
-    val dstRefKeys = identList()
+    // `SOURCE KEY (fk) REFERENCES v (pk)` or the `SOURCE v` shorthand,
+    // whose keys are inferred from registered PK/FK metadata at
+    // materialization (reference create_property_graph.cpp:106-154;
+    // create_pg_with_pk_fk.test). Mixing is a syntax error exactly like
+    // the reference's PEG grammar: `KEY (fk) REFERENCES v` without the
+    // pk column list does not parse.
+    expect("SOURCE")
+    val (srcKeys, srcRef, srcRefKeys) =
+      if (accept("KEY")) {
+        val ks = identList()
+        expect("REFERENCES")
+        val ref = ident()
+        (ks, ref, identList())
+      } else (Seq.empty[String], ident(), Seq.empty[String])
+    expect("DESTINATION")
+    val (dstKeys, dstRef, dstRefKeys) =
+      if (accept("KEY")) {
+        val ks = identList()
+        expect("REFERENCES")
+        val ref = ident()
+        (ks, ref, identList())
+      } else (Seq.empty[String], ident(), Seq.empty[String])
     val (pm, props) = parseProps()
     val (label, disc, subs) = parseLabel()
     EdgeTableSpec(t, alias, srcKeys, srcRef, srcRefKeys,

@@ -1,0 +1,44 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Workaround for a constraint leak in `Dataset.localCheckpoint`
+  * (observed on Spark 4.1.2): the checkpoint snapshots the origin plan's
+  * constraints into [[LogicalRDD]] WITHOUT the `outputSet` filter every
+  * ordinary operator applies in `QueryPlanConstraints.constraints`, so a
+  * checkpointed projection can carry constraints referencing
+  * pre-projection attribute ids (e.g. `isnotnull(dist#918)` while the
+  * output's attribute is `dist#1028`). Unioning several such frames —
+  * exactly what the iterative graph kernels build per level — and
+  * embedding the union under an outer join then makes
+  * `UnionBase.rewriteConstraints` throw `key not found: <attr>` when it
+  * rewrites child constraints into the union's output space.
+  *
+  * [[cleanLocalCheckpoint]] checkpoints, then rebuilds the LogicalRDD
+  * with its constraint set filtered to the output (the same filter the
+  * non-leaf operators apply) and its computed stats preserved, so
+  * size-based planning (broadcast decisions) is unaffected. The RDD is
+  * materialized exactly once, as with a plain `localCheckpoint`.
+  *
+  * Lives under `org.apache.spark.sql` for `private[sql]` access to
+  * `Dataset.ofRows` — the standard extension-library technique, public
+  * Spark API everywhere else.
+  */
+object CleanCheckpoint {
+  def cleanLocalCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.queryExecution.logical match {
+      case lr: LogicalRDD =>
+        val spark = ck.sparkSession.asInstanceOf[SparkSession]
+        val kept = lr.constraints.filter(c =>
+          c.references.subsetOf(lr.outputSet) && c.deterministic)
+        Dataset.ofRows(spark,
+          new LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(
+            spark, Some(lr.computeStats()), Some(kept)))
+      case _ => ck
+    }
+  }
+}

@@ -21,6 +21,25 @@ class DistributedKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("compiler-embedded distributed kernel output survives constraint " +
+      "propagation (localCheckpoint leak regression)") {
+    // Spark's raw localCheckpoint snapshots origin-plan constraints into
+    // LogicalRDD unfiltered; unioned per-level checkpoints embedded under
+    // the compiler's outer joins then threw `key not found: dist#N` in
+    // UnionBase.rewriteConstraints. CleanCheckpoint scrubs them — these
+    // six queries are exactly the ones that failed before the scrub.
+    val s = Fixture.init()
+    withDistributed {
+      for (q <- Seq("q11_varlen", "q12_shortest_path",
+          "q37_varlen_undirected", "q46_multiseg_path",
+          "q66_composite_path_vertices", "q76_composite_mixed_path")) {
+        val n = SparkEntry.queries(q)(s, "/root/testdata/sf0.001")
+          .queryExecution.toRdd.count()
+        assert(n > 0, s"$q returned no rows on the distributed branch")
+      }
+    }
+  }
+
   test("distributed BFS distances match goldens — shortest_path.test:61-82") {
     withDistributed {
       val s = init()

@@ -130,18 +130,21 @@ class SqlIntegrationSpec extends AnyFunSuite {
       gtSecond.select("mid").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
-  test("TRAIL under a prefix on an all-fixed pattern: loud error without " +
-      "a path variable, enforced with one") {
+  test("TRAIL under a prefix on an all-fixed pattern works WITHOUT a " +
+      "path variable (hidden-path route, §8 restriction closed)") {
     val g = mkGraft
-    // without a named path the shortest-semantics binding has no edge
-    // identities — must refuse, not silently degrade to WALK
-    val err = intercept[graft.model.GraphAnalysisException] {
-      g.sqlGraph(
-        """SELECT * FROM GRAPH_TABLE (pg
-             MATCH ANY SHORTEST TRAIL (a:Person)-[k1:Knows]->(b:Person)-[k2:Knows]->(c:Person)
-             COLUMNS (a.id AS aid, c.id AS cid)) t""")
-    }
-    assert(err.getMessage.contains("edge identities"))
+    // previously a loud error ("bind a named path variable"); the
+    // compiler now binds a hidden one, so the fixed hops keep their
+    // eids for the TRAIL filter and the whole-path ranking applies
+    // ANY SHORTEST per endpoint pair
+    val hidden = g.sqlGraph(
+      """SELECT * FROM GRAPH_TABLE (pg
+           MATCH ANY SHORTEST TRAIL (a:Person)-[k1:Knows]->(b:Person)-[k2:Knows]->(c:Person)
+           COLUMNS (a.id AS aid, c.id AS cid)) t""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hidden.nonEmpty)
+    // ANY SHORTEST = exactly one surviving row per endpoint pair
+    assert(hidden.length == hidden.distinct.length)
     // hops on DISTINCT edge tables can never repeat an edge — TRAIL is
     // vacuous there and the prefix form must keep working
     val ok = g.sqlGraph(
@@ -150,13 +153,18 @@ class SqlIntegrationSpec extends AnyFunSuite {
            COLUMNS (a.id AS aid, sc.id AS sid)) t""")
     assert(ok.count() > 0)
     // with a named path the fixed hops keep their eids and the TRAIL
-    // filter applies: no row may bind the same physical edge twice
+    // filter applies: no row may bind the same physical edge twice —
+    // and the hidden route must agree with the explicit one endpoint-
+    // for-endpoint
     val rows = g.sqlGraph(
       """SELECT * FROM GRAPH_TABLE (pg
            MATCH p = ANY SHORTEST TRAIL (a:Person)-[k1:Knows]->(b:Person)-[k2:Knows]->(c:Person)
            COLUMNS (a.id AS aid, b.id AS bid, c.id AS cid, edges(p) AS ep)) t""")
-      .collect().map(r => r.getSeq[Long](3).toList)
-    assert(rows.nonEmpty && rows.forall(ep => ep.distinct == ep))
+      .collect()
+    assert(rows.nonEmpty &&
+      rows.forall(r => { val ep = r.getSeq[Long](3); ep.distinct == ep }))
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      hidden.toSet)
   }
 
   test("COPY TO csv — copy_to_duckpgq.test") {

@@ -702,19 +702,37 @@ class StudentFixtureSpec extends AnyFunSuite {
     assert(df.count() == 8)
   }
 
-  test("SHORTEST k over a multi-hop ALL-FIXED pattern raises (no kernel " +
-      "anywhere would apply the k bound)") {
-    val e = intercept[GraphAnalysisException] {
-      matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"),
-        Some(SearchPrefix.ShortestK(2)), PathMode.Walk, Seq(
-          VertexPattern(Some("a"), Some("Person")),
-          EdgePattern(Some("k1"), Some("Knows"), EdgeDirection.Right),
-          VertexPattern(Some("m"), Some("Person")),
-          EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right),
-          VertexPattern(Some("b"), Some("Person"))))),
-        columns = Seq(ColumnSpec("a.id", Some("aid")))))
-    }
-    assert(e.msg.contains("all-fixed"))
+  test("SHORTEST k over a multi-hop ALL-FIXED pattern ranks whole paths " +
+      "(§8 refusal closed — hidden/explicit path var route)") {
+    // know 2-hop walks: 11 total, only (a=0, b=3) has two (via 1 and
+    // via 2); SHORTEST 1 must keep the lexicographically-least (via 1)
+    val df = matchDF(MatchSpec("pg", Seq(PathPattern(Some("p"),
+      Some(SearchPrefix.ShortestK(1)), PathMode.Walk, Seq(
+        VertexPattern(Some("a"), Some("Person")),
+        EdgePattern(Some("k1"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("m"), Some("Person")),
+        EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("a.id", Some("aid")),
+        ColumnSpec("m.id", Some("mid")), ColumnSpec("b.id", Some("bid")))))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10, s"got ${rows.length} rows")
+    assert(rows.count { case (a, _, b) => a == 0L && b == 3L } == 1)
+    assert(rows.contains((0L, 1L, 3L)) && !rows.contains((0L, 2L, 3L)))
+    // and WITHOUT a path variable the hidden-path route gives the same
+    // result set (the old loud error)
+    val hidden = matchDF(MatchSpec("pg", Seq(PathPattern(None,
+      Some(SearchPrefix.ShortestK(1)), PathMode.Walk, Seq(
+        VertexPattern(Some("a"), Some("Person")),
+        EdgePattern(Some("k1"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("m"), Some("Person")),
+        EdgePattern(Some("k2"), Some("Knows"), EdgeDirection.Right),
+        VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("a.id", Some("aid")),
+        ColumnSpec("m.id", Some("mid")), ColumnSpec("b.id", Some("bid")))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hidden.toSet == rows.toSet)
   }
 
   test("ambiguous label-less edge still raises") {
@@ -782,9 +800,12 @@ class StudentFixtureSpec extends AnyFunSuite {
       edgeTables = Seq(
         EdgeTable("know_multi", "Knows", Seq("src"), Seq("id"), "Person",
           Seq("dst"), Seq("id"), "Person")))
-    // fixed hop: one row per physical edge, each with its own eid
+    // fixed hop under SHORTEST 2: both parallel edges survive as
+    // DISTINCT paths, each with its own eid (ANY SHORTEST would keep
+    // only the lexicographically-least — whole-path ranking now applies
+    // to fixed named paths too)
     val fixed = GraphTableCompiler.compile(s, MatchSpec("pgm",
-      Seq(PathPattern(Some("p"), Some(SearchPrefix.AnyShortest),
+      Seq(PathPattern(Some("p"), Some(SearchPrefix.ShortestK(2)),
         PathMode.Walk, Seq(
           VertexPattern(Some("a"), Some("Person"), where = Some("a.id = 0")),
           EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right),
@@ -797,6 +818,18 @@ class StudentFixtureSpec extends AnyFunSuite {
       s"parallel edges collapsed to one eid: ${eids.mkString(",")}")
     // sorted by (src, dst, createdate): (0,1,100)→0, (0,1,200)→1, (1,2,300)→2
     assert(eids.toSeq == Seq(0L, 1L))
+    // ANY SHORTEST on the same fixed hop: pair-deduped to the min eid,
+    // exactly like the quantified kernel below
+    val anyFixed = GraphTableCompiler.compile(s, MatchSpec("pgm",
+      Seq(PathPattern(Some("pa"), Some(SearchPrefix.AnyShortest),
+        PathMode.Walk, Seq(
+          VertexPattern(Some("a"), Some("Person"), where = Some("a.id = 0")),
+          EdgePattern(Some("k"), Some("Knows"), EdgeDirection.Right),
+          VertexPattern(Some("b"), Some("Person"))))),
+      columns = Seq(ColumnSpec("element_id(pa)", Some("path")))),
+      mpg, TableResolver.catalog)
+    val anyPaths = anyFixed.collect().map(_.getSeq[Long](0))
+    assert(anyPaths.length == 1 && anyPaths.head == Seq(0L, 0L, 1L))
     // quantified kernel: ANY SHORTEST dedups the pair and picks the
     // lexicographically-minimal path — the LOWEST-ranked parallel edge
     val q = GraphTableCompiler.compile(s, MatchSpec("pgm",
@@ -820,7 +853,9 @@ class StudentFixtureSpec extends AnyFunSuite {
           VertexPattern(Some("b"), Some("Person"))))),
         columns = Seq(ColumnSpec("a.age", Some("age")))))
     }
-    assert(e.msg.contains("Property age is never registered!"))
+    // qualified reference text, as the reference echoes it
+    // (all_properties.test:62 "Property p2.name is never registered!")
+    assert(e.msg.contains("Property a.age is never registered!"))
   }
 
   test("label suggestion errors — create_property_graph_info.hpp:146-212") {

@@ -18,13 +18,21 @@ keep their selectivity instead of exploding quadratically:
 - events.ts: shifted by i*400 days, so the hour-partitioned user graph
   is 10 disjoint copies of the original.
 
-Usage: gen_scale.py <srcSfDir> <outDir> [replicas=10]
+Usage: gen_scale.py <srcSfDir> <outDir> [replicas=10] [--events-only]
+
+--events-only writes just events.parquet — the input of the user
+interaction graph (~100k edges per sf0.1 replica), so replicas=40 yields
+a ~4M-edge graph: above PathFinder's 2M-edge local-kernel gate, forcing
+the distributed branch by SIZE rather than by env override.
 """
 import sys, os
 import duckdb
 
-src, out = sys.argv[1], sys.argv[2]
-R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+flags = {a for a in sys.argv[1:] if a.startswith("--")}
+src, out = args[0], args[1]
+R = int(args[2]) if len(args) > 2 else 10
+events_only = "--events-only" in flags
 OFF = 10_000_000
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
@@ -36,8 +44,12 @@ def gen(table, sql):
     print(f"{table}: {n}")
 
 # dims shared across replicas
-for t in ["region", "nation"]:
+for t in (["region", "nation"] if not events_only else []):
     gen(t, f"SELECT * FROM '{src}/{t}.parquet'")
+
+if events_only:
+    def gen(table, sql):  # relational tables skipped in events-only mode
+        pass
 
 gen("customer", f"""
   SELECT c_custkey + i*{OFF} AS c_custkey, c_name, c_nationkey, c_acctbal,
