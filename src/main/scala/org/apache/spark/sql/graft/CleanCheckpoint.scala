@@ -27,6 +27,12 @@ import org.apache.spark.sql.execution.LogicalRDD
   * Spark API everywhere else.
   */
 object CleanCheckpoint {
+  /** Eager on purpose: the per-level kernel loops probe the
+    * checkpointed frame with `isEmpty` (a limit-1 job) — under a LAZY
+    * local checkpoint that materializes only the first partition, the
+    * lineage is never truncated and every subsequent level recomputes
+    * the whole history (measured: the kernel specs hang). The dedicated
+    * materialization job per level is the price of bounded lineage. */
   def cleanLocalCheckpoint(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()
     ck.queryExecution.logical match {
