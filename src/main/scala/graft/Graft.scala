@@ -51,7 +51,7 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
     * Spark SQL unchanged — the same SQL-to-SQL strategy as the reference.
     */
   def sqlGraph(query: String): DataFrame =
-    spark.sql(rewriteGraphTables(query))
+    spark.sql(rewriteGraphTables(rewriteTableFunctions(query)))
 
   /** The substitution pass behind [[sqlGraph]] (also used by the
     * [[graft.plans.GraftExtensions]] parser override): compiles each
@@ -64,6 +64,7 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
       "(?i)(?<![A-Za-z0-9_])(?:GRAPH_TABLE|GRAPH\\s+TABLE)\\s*\\(")
     val sb = new StringBuilder(query)
     var searchFrom = 0
+    var unnamedCount = 0
     var m = pat.matcher(sb)
     while (m.find(searchFrom)) {
       if (insideStringLiteral(sb, m.start())) {
@@ -75,12 +76,132 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
         val inner = sb.substring(open + 1, close)
         val name = s"__graft_gt_${gtCounter.incrementAndGet()}"
         graphTable(inner).createOrReplaceTempView(name)
-        sb.replace(m.start(), close + 1, name)
+        // DuckDB names an un-aliased derived table `unnamed_subquery`
+        // (then `unnamed_subquery2`, …), and queries reference those names
+        // (unnamed_subquery.test, multiple_graph_table.test:57-95); attach
+        // the same alias when the user didn't write one.
+        val replacement =
+          if (hasExplicitAlias(sb, close + 1)) name
+          else {
+            unnamedCount += 1
+            val alias = if (unnamedCount == 1) "unnamed_subquery"
+              else s"unnamed_subquery$unnamedCount"
+            s"$name AS $alias"
+          }
+        sb.replace(m.start(), close + 1, replacement)
         searchFrom = 0
         m = pat.matcher(sb)
       }
     }
     sb.toString
+  }
+
+  /** True when the token following position `pos` is a user-written table
+    * alias (optionally introduced by AS) rather than a clause keyword. */
+  private def hasExplicitAlias(s: CharSequence, pos: Int): Boolean = {
+    var i = pos
+    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    if (i >= s.length) return false
+    val c = s.charAt(i)
+    if (!Character.isLetter(c) && c != '_') return false
+    val sbTok = new StringBuilder
+    while (i < s.length &&
+        (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '_')) {
+      sbTok += s.charAt(i); i += 1
+    }
+    val tok = sbTok.toString.toLowerCase
+    if (tok == "as") return true
+    !Set("where", "group", "order", "limit", "having", "union", "intersect",
+      "except", "join", "inner", "left", "right", "full", "cross", "on",
+      "using", "qualify", "window", "offset", "fetch", "natural", "anti",
+      "semi", "lateral", "positional", "asof", "when", "then", "else", "end",
+      "and", "or", "not", "select", "from", "with").contains(tok)
+  }
+
+  /** Substitutes the reference's algorithm/introspection table functions
+    * (`pagerank(pg, v, e)`, `weakly_connected_component(…)`,
+    * `local_clustering_coefficient(…)`, `summarize_property_graph(pg)`,
+    * `get_pg_v/etablenames('pg')`, `get_pg_v/ecolnames('pg','t')` —
+    * reference registrations `pgq_scan.cpp:281-294`,
+    * `summarize_property_graph.cpp`, `pagerank.cpp`) with temp views
+    * computed by the Scala API, so the full SQL surface of the reference
+    * replays verbatim. Same SQL-to-SQL strategy as [[rewriteGraphTables]]. */
+  def rewriteTableFunctions(query: String): String = {
+    val fnPat = java.util.regex.Pattern.compile(
+      "(?i)(?<![A-Za-z0-9_.])(pagerank|weakly_connected_component|" +
+        "strongly_connected_component|local_clustering_coefficient|" +
+        "summarize_property_graph|get_pg_vtablenames|get_pg_etablenames|" +
+        "get_pg_vcolnames|get_pg_ecolnames)\\s*\\(([^()]*)\\)")
+    val sb = new StringBuilder(query)
+    var m = fnPat.matcher(sb)
+    var guard = 0
+    while (m.find() && guard < 64) {
+      guard += 1
+      val fn = m.group(1).toLowerCase
+      val args = m.group(2).split(",").map(_.trim
+        .stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      val df = tableFunction(fn, args)
+      val name = s"__graft_tf_${gtCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(name)
+      // the reference aliases each generated subquery by a short function
+      // alias (CreateTableFunctionSubquery: "lcc"/"pagerank"/"wcc" —
+      // local_clustering_coefficient.cpp:31, pagerank.cpp:22,
+      // weakly_connected_component.cpp:24) so queries can reference
+      // `lcc.id` without writing an alias — attach the same default
+      val defaultAlias = fn match {
+        case "local_clustering_coefficient" => Some("lcc")
+        case "pagerank" => Some("pagerank")
+        case "weakly_connected_component" => Some("wcc")
+        case "strongly_connected_component" => Some("scc")
+        case _ => None
+      }
+      val replacement = defaultAlias match {
+        case Some(a) if !hasExplicitAlias(sb, m.end()) => s"$name AS $a"
+        case _ => name
+      }
+      sb.replace(m.start(), m.end(), replacement)
+      m = fnPat.matcher(sb)
+    }
+    sb.toString
+  }
+
+  private def tableFunction(fn: String, args: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def pg(i: Int) = registry.get(spark, args(i))
+    fn match {
+      case "pagerank" =>
+        graph.Algorithms.pagerank(spark, pg(0), resolver, args(1), args(2))
+      case "weakly_connected_component" =>
+        graph.Algorithms.wcc(spark, pg(0), resolver, args(1), args(2))
+      case "strongly_connected_component" =>
+        graph.Algorithms.scc(spark, pg(0), resolver, args(1), args(2))
+      case "local_clustering_coefficient" =>
+        // the reference emits FLOAT (local_clustering_coefficient.cpp)
+        graph.Algorithms.lcc(spark, pg(0), resolver, args(1), args(2))
+          .select(col("*"), col("lcc").cast("float")
+            .as("local_clustering_coefficient")).drop("lcc")
+      case "summarize_property_graph" =>
+        ddl.Introspect.summarize(spark, pg(0), resolver)
+      case "get_pg_vtablenames" =>
+        ddl.Introspect.vertexTableNames(spark, pg(0))
+          .select(col("table_name").as("vtables"))
+      case "get_pg_etablenames" =>
+        ddl.Introspect.edgeTableNames(spark, pg(0))
+          .select(col("table_name").as("etables"))
+      case "get_pg_vcolnames" =>
+        ddl.Introspect.vertexColumnNames(spark, pg(0), resolver)
+          .filter(org.apache.spark.sql.functions.lower(col("table_name")) ===
+            args(1).toLowerCase)
+          .select(col("column_name").as("colnames"))
+      case "get_pg_ecolnames" =>
+        ddl.Introspect.edgeColumnNames(spark, pg(0), resolver)
+          .filter(org.apache.spark.sql.functions.lower(col("table_name")) ===
+            args(1).toLowerCase)
+          .select(col("column_name").as("colnames"))
+      case other => throw GraphAnalysisException(
+        s"Unknown table function '$other'")
+    }
   }
 
   /** True when `pos` falls inside a single- or double-quoted SQL literal.
@@ -254,9 +375,15 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
         throw GraphAnalysisException(
           s"Table '${e.dstRefTable}' not found in the property graph ${c.name}."))
       val (sk, srk, dk, drk) = eks
+      // tables registered with a hidden insertion-rowid column use it as
+      // the edge identity — path arrays then carry DuckDB's physical edge
+      // rowids exactly (shortest_path.cpp:212-217)
+      val eid = if (resolve(e.table).columns.contains("__rowid"))
+        Some("__rowid") else None
       EdgeTable(e.table, e.effectiveLabel, sk, srk, srcLabel,
         dk, drk, dstLabel,
         expandProps(e.table, e.propsMode, e.props),
+        edgeIdCol = eid,
         discriminator = e.discriminator, subLabels = e.subLabels)
     }
     PropertyGraph(c.name, vts, ets)

@@ -1176,8 +1176,13 @@ object SparkEntry {
     graft.ddl.Introspect.describe(s, TradeGraph.graph)
 
   private def q32_summarize_pg(s: SparkSession, d: String): DataFrame =
+    // full-precision degree averages are exact long/long divisions —
+    // rounded to 6 here (and in the oracle) purely for stable float
+    // hashing in the driver compare
     graft.ddl.Introspect.summarize(s, TradeGraph.graph,
       TradeGraph.resolver(d))
+      .withColumn("avg_in_degree", round(col("avg_in_degree"), 6))
+      .withColumn("avg_out_degree", round(col("avg_out_degree"), 6))
 
   private def q33_derive_vertex(s: SparkSession, d: String): DataFrame =
     graft.ddl.Introspect.deriveVertexTable(
@@ -1319,39 +1324,69 @@ object SparkEntry {
   }
 
   /** Oracle for q32 generated from the model: per-table aggregate SELECTs
-    * UNION ALL'd, with the derived-view CTEs prepended. */
+    * UNION ALL'd, with the derived-view CTEs prepended — the reference's
+    * exact 22-column SUMMARIZE shape (summarize_property_graph.cpp:104-140;
+    * quantiles are `quantile_disc`, the exact form of the reference's
+    * approx_quantile). */
   private def summarizeOracle: String = {
     val pg = TradeGraph.graph
+    val nullL = "CAST(NULL AS BIGINT)"
+    val nullD = "CAST(NULL AS DOUBLE)"
+    val nullS = "CAST(NULL AS VARCHAR)"
     val vparts = pg.vertexTables.map { v =>
-      s"""SELECT 'trade' AS property_graph, '${v.label}' AS label,
-          'vertex' AS kind, count(*) AS n_rows,
-          CAST(NULL AS BIGINT) AS n_distinct_src,
-          CAST(NULL AS BIGINT) AS n_distinct_dst,
-          CAST(NULL AS DOUBLE) AS avg_out_degree,
-          CAST(NULL AS DOUBLE) AS med_out_degree,
-          CAST(NULL AS BIGINT) AS max_out_degree,
-          CAST(NULL AS BIGINT) AS n_isolated
+      s"""SELECT '${v.tableName}' AS table_name, TRUE AS is_vertex_table,
+          $nullS AS source_table, $nullS AS destination_table,
+          count(*) AS vertex_count, $nullL AS edge_count,
+          $nullL AS unique_source_count, $nullL AS unique_destination_count,
+          $nullL AS isolated_sources, $nullL AS isolated_destinations,
+          $nullD AS avg_in_degree, $nullL AS min_in_degree,
+          $nullL AS max_in_degree, $nullL AS q25_in_degree,
+          $nullL AS q50_in_degree, $nullL AS q75_in_degree,
+          $nullD AS avg_out_degree, $nullL AS min_out_degree,
+          $nullL AS max_out_degree, $nullL AS q25_out_degree,
+          $nullL AS q50_out_degree, $nullL AS q75_out_degree
           FROM ${v.tableName}"""
     }
     val eparts = pg.edgeTables.map { e =>
       val et = e.tableName
       val src = e.srcKeys.head
       val dst = e.dstKeys.head
-      val vt = pg.vertexLabel(e.srcLabel)
-      s"""SELECT 'trade' AS property_graph, '${e.label}' AS label,
-          'edge' AS kind,
-          (SELECT count(*) FROM $et) AS n_rows,
-          (SELECT count(DISTINCT $src) FROM $et) AS n_distinct_src,
-          (SELECT count(DISTINCT $dst) FROM $et) AS n_distinct_dst,
-          (SELECT round(avg(d), 4) FROM
-             (SELECT count(*) AS d FROM $et GROUP BY $src)) AS avg_out_degree,
-          (SELECT round(quantile_cont(d, 0.5), 4) FROM
-             (SELECT count(*) AS d FROM $et GROUP BY $src)) AS med_out_degree,
-          (SELECT CAST(max(d) AS BIGINT) FROM
-             (SELECT count(*) AS d FROM $et GROUP BY $src)) AS max_out_degree,
-          (SELECT count(*) FROM ${vt.tableName} v WHERE NOT EXISTS
-             (SELECT 1 FROM $et WHERE $src = v.${vt.keyCols.head}
-                OR $dst = v.${vt.keyCols.head})) AS n_isolated"""
+      val svt = pg.vertexLabel(e.srcLabel)
+      val dvt = pg.vertexLabel(e.dstLabel)
+      def deg(keyCol: String, agg: String, alias: String): String =
+        s"""(SELECT $agg FROM
+           (SELECT count(*) AS d FROM $et GROUP BY $keyCol)) AS $alias"""
+      s"""SELECT '$et' AS table_name, FALSE AS is_vertex_table,
+          '${svt.tableName}' AS source_table,
+          '${dvt.tableName}' AS destination_table,
+          $nullL AS vertex_count,
+          (SELECT count(*) FROM $et) AS edge_count,
+          (SELECT count(DISTINCT $src) FROM $et) AS unique_source_count,
+          (SELECT count(DISTINCT $dst) FROM $et) AS unique_destination_count,
+          (SELECT count(*) FROM ${svt.tableName} v WHERE NOT EXISTS
+             (SELECT 1 FROM $et WHERE $src = v.${svt.keyCols.head}))
+            AS isolated_sources,
+          (SELECT count(*) FROM ${dvt.tableName} v WHERE NOT EXISTS
+             (SELECT 1 FROM $et WHERE $dst = v.${dvt.keyCols.head}))
+            AS isolated_destinations,
+          ${deg(dst, "round(avg(d), 6)", "avg_in_degree")},
+          ${deg(dst, "CAST(min(d) AS BIGINT)", "min_in_degree")},
+          ${deg(dst, "CAST(max(d) AS BIGINT)", "max_in_degree")},
+          ${deg(dst, "CAST(quantile_disc(d, 0.25) AS BIGINT)",
+        "q25_in_degree")},
+          ${deg(dst, "CAST(quantile_disc(d, 0.5) AS BIGINT)",
+        "q50_in_degree")},
+          ${deg(dst, "CAST(quantile_disc(d, 0.75) AS BIGINT)",
+        "q75_in_degree")},
+          ${deg(src, "round(avg(d), 6)", "avg_out_degree")},
+          ${deg(src, "CAST(min(d) AS BIGINT)", "min_out_degree")},
+          ${deg(src, "CAST(max(d) AS BIGINT)", "max_out_degree")},
+          ${deg(src, "CAST(quantile_disc(d, 0.25) AS BIGINT)",
+        "q25_out_degree")},
+          ${deg(src, "CAST(quantile_disc(d, 0.5) AS BIGINT)",
+        "q50_out_degree")},
+          ${deg(src, "CAST(quantile_disc(d, 0.75) AS BIGINT)",
+        "q75_out_degree")}"""
     }
     s"""WITH $sqlNationNext, $sqlNationAdj, $sqlNationNear, $sqlNationCNext
         ${(vparts ++ eparts).mkString("\nUNION ALL\n")}"""

@@ -97,8 +97,20 @@ object GraphTableCompiler {
         case _ => df
       }
 
+    /** DuckDB's `rowid` pseudo-column: tables registered through a
+      * rowid-aware resolver (the sqllogictest session, or any user
+      * resolver that appends one) carry a hidden `__rowid` column in
+      * insertion order; expose it as `rowid` when the table has no real
+      * column of that name (DuckDB's shadowing rule). Stars never expand
+      * either spelling — see starCols. */
+    def withRowid(df: DataFrame): DataFrame =
+      if (df.columns.contains("__rowid") &&
+          !df.columns.exists(_.equalsIgnoreCase("rowid")))
+        df.withColumn("rowid", col("__rowid"))
+      else df
+
     def vertexDF(v: VertexTable, label: Option[String]): DataFrame =
-      subLabelFilter(resolver(spark, v.tableName), v.subLabels,
+      subLabelFilter(withRowid(resolver(spark, v.tableName)), v.subLabels,
         v.discriminator, label, v.tableName)
 
     /** Bind a vertex pattern: join (or reuse) its table; returns alias.
@@ -167,8 +179,17 @@ object GraphTableCompiler {
 
     /** Declared edge-id columns must be integral — casting a string id to
       * long would silently null every eid in the path arrays. */
+    /** Case-insensitive schema lookup — declared keys may differ in case
+      * from the physical column (`REFERENCES School (id)` vs column `Id`,
+      * shortest_path.test:37; Spark SQL resolution is case-insensitive, so
+      * Scala-side schema access must be too). */
+    def fieldType(df: DataFrame, name: String)
+        : org.apache.spark.sql.types.DataType =
+      df.schema.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(df.schema(name)).dataType
+
     def requireIntegralEdgeId(et: EdgeTable, c: String): Unit =
-      resolver(spark, et.tableName).schema(c).dataType match {
+      fieldType(resolver(spark, et.tableName), c) match {
         case org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
@@ -178,8 +199,22 @@ object GraphTableCompiler {
             s"column (found $other)")
       }
 
+    // memoized per compile: one probe per (table, key tuple)
+    val uniqueChecked = scala.collection.mutable.Set[String]()
+    def requireUniqueKeys(vt: VertexTable, keys: Seq[String]): Unit = {
+      val k = vt.tableName + "|" + keys.mkString(",")
+      if (!uniqueChecked.add(k)) return
+      val dup = resolver(spark, vt.tableName)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).limit(1).count() > 0
+      if (dup) throw GraphAnalysisException(
+        "Non-existent/non-unique vertices detected. Make sure all " +
+          "vertices referred by edge tables exist and are unique for " +
+          "path-finding queries")
+    }
+
     def numericKey(vt: VertexTable, key: String): Boolean =
-      resolver(spark, vt.tableName).schema(key).dataType match {
+      fieldType(resolver(spark, vt.tableName), key) match {
         case org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
@@ -611,8 +646,22 @@ object GraphTableCompiler {
               case SearchPrefix.ShortestK(_) => true
               case _ => false
             })
-        if (needsHidden) p0.copy(pathVar = Some(freshName("hidden")))
-        else p0
+        val p0a = if (needsHidden) p0.copy(pathVar = Some(freshName("hidden")))
+          else p0
+        // a named path over a quantified pattern with no prefix and WALK
+        // mode defaults to ANY SHORTEST — DuckDB's Kleene semantics is
+        // shortest-per-pair (iterativelength), and the reference binds the
+        // named path to that representative (`MATCH p = (a)-[k]->{1,3}(b)`
+        // returns one shortest path per reachable pair,
+        // complex_matching.test:327-340)
+        val hasQuantified = p0a.elements.exists {
+          case e: EdgePattern => e.quantifier.isDefined
+          case _ => false
+        }
+        if (p0a.pathVar.isDefined && p0a.prefix.isEmpty &&
+            p0a.mode == PathMode.Walk && hasQuantified)
+          p0a.copy(prefix = Some(SearchPrefix.AnyShortest))
+        else p0a
       }
       // prefix guards apply to every pattern, quantified or not
       // (reference PGQCheckPathModeSupport runs unconditionally)
@@ -621,17 +670,6 @@ object GraphTableCompiler {
         case e: EdgePattern => e.quantifier.isDefined
         case _ => false
       }
-      // a named path needs either a prefix (ANY/ALL SHORTEST pick the
-      // path(s)) or a non-WALK mode (enumeration: each row IS one path) —
-      // but ONLY when a quantified segment exists: over an all-fixed
-      // pattern every join row IS exactly one path, so the variable binds
-      // directly (reference allows `MATCH p = (a)-[k]->(b)`,
-      // create_property_graph.test:53-66)
-      if (p.pathVar.isDefined && p.prefix.isEmpty &&
-          p.mode == PathMode.Walk && quantifiedEdgeCount > 0)
-        throw GraphAnalysisException(
-          s"Named path '${p.pathVar.get}' requires a search prefix " +
-            "(e.g. ANY SHORTEST)")
       val needPath = p.pathVar.isDefined &&
         (p.prefix.isDefined || p.mode != PathMode.Walk ||
           quantifiedEdgeCount == 0)
@@ -771,11 +809,31 @@ object GraphTableCompiler {
           modeEdgePos += ((eAlias, et))
           prevV = bAlias
         } else if (p.prefix.isDefined) {
-          // prefix without a path variable: shortest semantics dedup pairs
-          fixedKernelTables +=
-            resolveEdge(ep.varName.getOrElse("(edge)"), ep.label).tableName
-          val (bAlias, _) = bindPathEdge(p, ep, vp, prevV)
-          prevV = bAlias
+          // prefix without a path variable: shortest semantics dedup pairs.
+          // A hop whose endpoints live in DIFFERENT key spaces (distinct
+          // vertex tables or key columns) must NOT ride the kernel — one
+          // shared id space would conflate e.g. Person 0 with School 0 and
+          // the visited set would drop the real pair (shortest_path.test:37
+          // `ANY SHORTEST (a:Person)-[s:StudyAt]->(b:School)`). The
+          // reference only plans path-finding for quantified patterns
+          // (match.cpp:673-707), so a heterogeneous fixed hop under a
+          // prefix is a plain join there too.
+          val et0 = resolveEdge(ep.varName.getOrElse("(edge)"), ep.label)
+          val sameSpace =
+            pg.vertexLabel(et0.srcLabel).tableName ==
+              pg.vertexLabel(et0.dstLabel).tableName &&
+            et0.srcRefKeys.map(_.toLowerCase) ==
+              et0.dstRefKeys.map(_.toLowerCase)
+          if (sameSpace) {
+            fixedKernelTables += et0.tableName
+            val (bAlias, _) = bindPathEdge(p, ep, vp, prevV)
+            prevV = bAlias
+          } else {
+            val (bAlias, eAlias, et) = bindFixedEdgeEx(ep, vp, prevV,
+              withEid = p.mode == PathMode.Trail)
+            modeEdgePos += ((eAlias, et))
+            prevV = bAlias
+          }
         } else {
           val (bAlias, eAlias, et) = bindFixedEdgeEx(ep, vp, prevV,
             withEid = p.mode == PathMode.Trail)
@@ -918,8 +976,9 @@ object GraphTableCompiler {
         throw GraphAnalysisException(s"Edge variable '$eName' is bound twice")
       bindings(eName) = Binding(eName, isVertex = false, et.tableName)
 
-      val table = if (withEid && et.edgeIdCol.isEmpty) withDenseEid(et)
-        else resolver(spark, et.tableName)
+      val table = withRowid(
+        if (withEid && et.edgeIdCol.isEmpty) withDenseEid(et)
+        else resolver(spark, et.tableName))
       val baseDF = edgeSubFilter(table, et, ep.label)
       val eDF0 = ep.direction match {
         case EdgeDirection.Undirected => undirectedView(baseDF, et)
@@ -959,7 +1018,7 @@ object GraphTableCompiler {
         // sub-label bitmask applies to it too (the element's inline WHERE
         // references the first alias and is hoisted there only, like the
         // reference's element-WHERE handling)
-        val e2DF = edgeSubFilter(resolver(spark, et.tableName), et,
+        val e2DF = edgeSubFilter(withRowid(resolver(spark, et.tableName)), et,
           ep.label).alias(e2)
         val cond = keysEq(e2, et.srcKeys, bAlias, et.srcRefKeys) &&
           keysEq(e2, et.dstKeys, aAlias, et.dstRefKeys)
@@ -1082,6 +1141,14 @@ object GraphTableCompiler {
       val keyIsNumeric = aRefKeys.length == 1 && bRefKeys.length == 1 &&
         numericKey(aVt, aRefKeys.head) && numericKey(bVt, bRefKeys.head)
 
+      // the reference's CSR build refuses duplicate vertex keys for
+      // path-finding queries (csr_creation.cpp:121-125,
+      // non-unique-vertices.test:36-75) — a kernel over a non-injective
+      // key space silently collapses duplicates, so raise the same loud
+      // error. Fixed-hop joins (no kernel) legitimately keep duplicates.
+      requireUniqueKeys(aVt, aRefKeys)
+      requireUniqueKeys(bVt, bRefKeys)
+
       // declared edge identity rides into the kernels so path arrays carry
       // real edge ids (reference rowid analogue); otherwise the synthetic
       // dense id attached by withDenseEid. Declared ids must be numeric —
@@ -1129,7 +1196,7 @@ object GraphTableCompiler {
           // so the struct equality is exact (e.g. INT edge FK vs BIGINT
           // vertex PK)
           val vKeyTypes = aRefKeys.map(k =>
-            resolver(spark, aVt.tableName).schema(k).dataType)
+            fieldType(resolver(spark, aVt.tableName), k))
           def edgeKeyStruct(cols: Seq[String]): Column =
             struct(cols.zipWithIndex.map { case (c, i) =>
               col(c).cast(vKeyTypes(i)).as(s"_k$i")
@@ -1274,18 +1341,25 @@ object GraphTableCompiler {
       // (unknowable without schema ⇒ unchecked, like the reference's
       // all-columns expansion)
       def registeredProps(b: Binding): Option[Seq[String]] = {
+        // the rowid pseudo-column is always addressable when the resolver
+        // carries one, even under a restricted PROPERTIES list (DuckDB
+        // exposes rowid regardless of registered properties)
+        def rowidProp: Seq[String] =
+          if (resolver(spark, b.table).columns.contains("__rowid"))
+            Seq("rowid") else Nil
         val r: Option[Seq[String]] =
           if (b.isVertex)
             pg.vertexTables.find(_.tableName == b.table)
               .map(v => if (v.properties.isEmpty) Nil
-                else v.properties ++ v.keyCols ++ v.discriminator)
+                else v.properties ++ v.keyCols ++ v.discriminator ++ rowidProp)
           else
             // edge key columns are NOT implicitly queryable — the
             // reference registers only the declared property list
             // (all_properties.test:83: `dst` errors while PROPERTIES
             // (src) makes `src` legal)
             pg.edgeTables.find(_.tableName == b.table)
-              .map(e => if (e.properties.isEmpty) Nil else e.properties)
+              .map(e => if (e.properties.isEmpty) Nil
+                else e.properties ++ rowidProp)
         r.filter(_.nonEmpty)
       }
       e.foreach {
@@ -1346,12 +1420,15 @@ object GraphTableCompiler {
       // ALL-COLUMNS (empty properties) expands from the table's physical
       // schema, not `alias.*`, so synthetic plan columns (`__geid`) never
       // leak through a star
+      // `__rowid` (and the derived `rowid` pseudo-column) never expand
+      // through a star — DuckDB hides rowid from `*` too
       bindings.find(_._1.equalsIgnoreCase(alias)).map(_._2) match {
         case Some(b) if b.isVertex =>
           pg.vertexTables.find(_.tableName == b.table) match {
             case Some(vt) if vt.properties.nonEmpty =>
               vt.properties.map(c => col(s"$alias.${bq(c)}"))
             case _ => resolver(spark, b.table).columns.toSeq
+              .filterNot(_.startsWith("__"))
               .map(c => col(s"$alias.${bq(c)}"))
           }
         case Some(b) =>
@@ -1359,30 +1436,59 @@ object GraphTableCompiler {
             case Some(et) if et.properties.nonEmpty =>
               et.properties.map(c => col(s"$alias.${bq(c)}"))
             case _ => resolver(spark, b.table).columns.toSeq
+              .filterNot(_.startsWith("__"))
               .map(c => col(s"$alias.${bq(c)}"))
           }
         case None => Seq(col(s"$alias.*"))
       }
-    val cols: Seq[Column] = spec.columns.flatMap { cs =>
+    // (column, known output name) — the name drives DuckDB-style `_1`
+    // dedup below; None for stars/complex expressions (no dedup there)
+    val cols: Seq[(Column, Option[String])] = spec.columns.flatMap { cs =>
       cs.expr.trim match {
         case "*" =>
           // default/bare star = all named vertex bindings' columns
           // (reference transform_pgq.cpp:310-322)
-          vertexAliases.flatMap(starCols)
+          vertexAliases.flatMap(starCols).map(_ -> None)
         case s if s.endsWith(".*") =>
-          starCols(s.stripSuffix(".*").trim)
+          starCols(s.stripSuffix(".*").trim).map(_ -> None)
+        case s if pathCols.keys.exists(_.equalsIgnoreCase(s)) &&
+            cs.alias.isEmpty =>
+          // a bare path variable is not projectable — reference binder
+          // text (shortest_path.test:85, complex_matching.test:74); use
+          // element_id(p)/vertices(p)/edges(p)
+          throw GraphAnalysisException(s"Property $s is never registered!")
         case s if bindings.keys.exists(_.equalsIgnoreCase(s)) =>
           // bare element reference → whole row as a struct (reference
           // basic_match.test:309-323, SURVEY §1.2 struct-valued columns)
-          Seq(struct(starCols(s): _*).as(cs.alias.getOrElse(s)))
+          val n = cs.alias.getOrElse(s)
+          Seq(struct(starCols(s): _*).as(n) -> Some(n))
         case s =>
           val rewritten = rewritePathFunctions(s, pathCols.toMap)
           val c = expr(rewritten)
+          val name = cs.alias.orElse {
+            // `a.prop` / `prop`: the output name is the trailing
+            // identifier, which is what downstream SQL references
+            val idRe = "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?$"
+            if (s.matches(idRe)) Some(s.split("\\.").last) else None
+          }
           Seq(cs.alias.map(c.as).getOrElse(
-            if (rewritten == s) c else c.as(s)))
+            if (rewritten == s) c else c.as(s)) -> name)
       }
     }
-    plan.select(cols: _*)
+    // DuckDB disambiguates duplicate output names by suffixing `_1`, `_2`…
+    // (`select id, id_1 from graph_table(… COLUMNS (p.id, p2.id))`,
+    // nested_subquery.test:32) — mirror that so downstream SQL can
+    // reference both.
+    val seen = scala.collection.mutable.Map[String, Int]()
+    val deduped = cols.map {
+      case (c, None) => c
+      case (c, Some(n)) =>
+        val k = n.toLowerCase
+        val cnt = seen.getOrElse(k, 0)
+        seen(k) = cnt + 1
+        if (cnt == 0) c else c.as(s"${n}_$cnt")
+    }
+    plan.select(deduped: _*)
   }
 
   /** Rewrites SQL/PGQ path column functions over a named path `p` into

@@ -1,6 +1,6 @@
 package graft.ddl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
@@ -42,97 +42,142 @@ object Introspect {
       "destination_key", "discriminator", "sub_labels", "properties")
   }
 
-  /** Per-table statistics: vertex/edge counts, distinct endpoints, isolated
-    * vertices, and degree stats — the reference's SUMMARIZE output shape
-    * (vertex count, edge count, avg/min/max in/out degree, isolated nodes —
-    * `summarize_property_graph.cpp:54-177`).
+  /** Per-table statistics in the reference's exact 22-column SUMMARIZE
+    * shape (`summarize_property_graph.cpp:104-140`): table_name,
+    * is_vertex_table, source/destination_table, vertex_count, edge_count,
+    * unique source/destination counts, isolated sources/destinations, and
+    * avg/min/max/q25/q50/q75 of the in- and out-degree DISTRIBUTIONS
+    * (degree groups, not all vertices — matching the reference's CTEs).
     *
-    * All tables are folded into LABEL-KEYED unions before aggregating, so
-    * the whole SUMMARIZE is a constant number of stages regardless of how
-    * many tables the graph registers (a per-table plan would be ~4 exchanges
-    * × N tables). Keys are cast to string for the union — injective, so
-    * grouping/distinct/anti-join semantics are unchanged. */
+    * All tables are folded into ORDINAL-KEYED unions before aggregating,
+    * so the whole SUMMARIZE is a constant number of stages regardless of
+    * how many tables the graph registers (the reference emits ~6
+    * correlated subqueries per table). Quantiles are EXACT discrete
+    * quantiles (`sorted[ceil(p·n)−1]`, DuckDB `quantile_disc` semantics)
+    * computed from the per-table degree HISTOGRAM — ≤ max-degree distinct
+    * values per table, tiny at any corpus scale, no full sort (the
+    * reference settles for `approx_quantile` to dodge that sort). Keys are
+    * cast to string for the union — injective, so grouping/distinct/
+    * anti-join semantics are unchanged. */
   def summarize(spark: SparkSession, pg: PropertyGraph,
       resolver: TableResolver): DataFrame = {
     import spark.implicits._
 
-    // ---- vertex side: one unioned scan, counts per label ----
-    val vLabels = pg.vertexTables.map(_.label).toDF("label")
-    val vCounts = pg.vertexTables
-      .map(v => resolver(spark, v.tableName).select(lit(v.label).as("label")))
+    // ---- vertex side: one unioned scan, counts per table ordinal ----
+    val vMeta = pg.vertexTables.zipWithIndex
+      .map { case (v, i) => (i, v.tableName) }.toDF("i", "table_name")
+    val vCounts = pg.vertexTables.zipWithIndex
+      .map { case (v, i) =>
+        resolver(spark, v.tableName).select(lit(i).as("i")) }
       .reduce(_ unionByName _)
-      .groupBy("label").agg(count(lit(1)).as("cnt"))
-    // left join from the label list so empty tables still get a 0-count row
-    val vparts = vLabels.join(vCounts, Seq("label"), "left")
-      .select(lit(pg.name).as("property_graph"),
-        col("label"), lit("vertex").as("kind"),
-        coalesce(col("cnt"), lit(0L)).as("n_rows"),
-        lit(null).cast("long").as("n_distinct_src"),
-        lit(null).cast("long").as("n_distinct_dst"),
-        lit(null).cast("double").as("avg_out_degree"),
-        lit(null).cast("double").as("med_out_degree"),
-        lit(null).cast("long").as("max_out_degree"),
-        lit(null).cast("long").as("n_isolated"))
+      .groupBy("i").agg(count(lit(1)).as("cnt"))
+    val nullL = lit(null).cast("long")
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    // left join from the table list so empty tables still get a 0-count row
+    val vparts = vMeta.join(vCounts, Seq("i"), "left")
+      .select(col("i"), col("table_name"), lit(true).as("is_vertex_table"),
+        nullS.as("source_table"), nullS.as("destination_table"),
+        coalesce(col("cnt"), lit(0L)).as("vertex_count"),
+        nullL.as("edge_count"),
+        nullL.as("unique_source_count"), nullL.as("unique_destination_count"),
+        nullL.as("isolated_sources"), nullL.as("isolated_destinations"),
+        nullD.as("avg_in_degree"), nullL.as("min_in_degree"),
+        nullL.as("max_in_degree"), nullL.as("q25_in_degree"),
+        nullL.as("q50_in_degree"), nullL.as("q75_in_degree"),
+        nullD.as("avg_out_degree"), nullL.as("min_out_degree"),
+        nullL.as("max_out_degree"), nullL.as("q25_out_degree"),
+        nullL.as("q50_out_degree"), nullL.as("q75_out_degree"))
 
-    // ---- edge side: one unioned edge scan, per-label degree pipeline ----
-    val eLabels = pg.edgeTables.map(_.label).toDF("label")
-    val allEdges = pg.edgeTables
-      .map(e => resolver(spark, e.tableName).select(
-        lit(e.label).as("label"),
+    // a graph may register no edge tables at all
+    // (summarize_property_graph.test:50-63 `snb2`)
+    if (pg.edgeTables.isEmpty)
+      return vparts.orderBy(asc("i")).drop("i")
+
+    // ---- edge side: one unioned edge scan keyed by table ordinal ----
+    val eMeta = pg.edgeTables.zipWithIndex
+      .map { case (e, i) =>
+        val srcT = pg.vertexLabel(e.srcLabel).tableName
+        val dstT = pg.vertexLabel(e.dstLabel).tableName
+        (i, e.tableName, srcT, dstT)
+      }.toDF("i", "table_name", "source_table", "destination_table")
+    val allEdges = pg.edgeTables.zipWithIndex
+      .map { case (e, i) => resolver(spark, e.tableName).select(
+        lit(i).as("i"),
         col(e.srcKeys.head).cast("string").as("src"),
-        col(e.dstKeys.head).cast("string").as("dst")))
+        col(e.dstKeys.head).cast("string").as("dst")) }
       .reduce(_ unionByName _)
-    // two passes over the union total: a groupBy per endpoint (Catalyst
-    // reuses each exchange across its consumers). The src groupBy yields
-    // edge count (= Σ degree), distinct src (= group count) and all degree
-    // stats; the dst groupBy yields distinct dst; their key sets union
-    // into the touched-vertex set for the isolated anti-join.
-    val sdeg = allEdges.groupBy("label", "src").agg(count(lit(1)).as("d"))
-    val ddeg = allEdges.groupBy("label", "dst").agg(count(lit(1)).as("d"))
-    // Exact interpolated median WITHOUT a full sort (the reference uses
-    // approx_quantile to dodge that sort, summarize_property_graph.cpp:54-98;
-    // we can stay exact AND scale): degrees are integers, so reduce to
-    // the degree HISTOGRAM (≤ max-degree distinct values per label — tiny
-    // even at 100 TB) and take the frequency-weighted exact percentile,
-    // identical to quantile_cont(0.5) over the raw degrees. Count, sum,
-    // avg and max fold out of the same histogram — no separate stats pass.
-    val stats = sdeg.groupBy("label", "d").agg(count(lit(1)).as("c"))
-      .groupBy("label").agg(
-        sum(col("d") * col("c")).as("cnt"),
-        sum("c").as("dsrc"),
-        round(sum(col("d") * col("c")) / sum("c"), 4).as("avgd"),
-        round(percentile(col("d"), lit(0.5), col("c")), 4).as("medd"),
-        max("d").as("maxd"))
-    val dstStats = ddeg.groupBy("label").agg(count(lit(1)).as("ddst"))
-    // per-label vertex key sets of each edge's SOURCE vertex table (a
-    // vertex table referenced by k edge labels is scanned k times, as the
-    // reference's per-table isolated-nodes CTEs do)
-    val allVkeys = pg.edgeTables
-      .map { e =>
-        val srcV = pg.vertexLabel(e.srcLabel)
-        resolver(spark, srcV.tableName).select(
-          lit(e.label).as("label"),
-          col(srcV.keyCols.head).cast("string").as("vk"))
+    // one degree pipeline per direction; Catalyst reuses the union scan.
+    // Degree stats are over the degree GROUPS (vertices with ≥1 edge on
+    // that side), exactly the reference's degree_groups CTE.
+    def degreeStats(side: String): DataFrame = {
+      val deg = allEdges.groupBy(col("i"), col(side).as("vk"))
+        .agg(count(lit(1)).as("d"))
+      val hist = deg.groupBy("i", "d").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("i").orderBy("d")
+      val cum = hist
+        .withColumn("__n", sum("c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("i")))
+        .withColumn("__cum", sum("c").over(w))
+      def q(p: Double): Column =
+        min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("d")))
+      cum.groupBy("i").agg(
+        sum(col("d") * col("c")).as(s"${side}_edges"),
+        sum("c").as(s"${side}_groups"),
+        (sum(col("d") * col("c")).cast("double") / sum("c"))
+          .as(s"${side}_avg"),
+        min("d").as(s"${side}_min"), max("d").as(s"${side}_max"),
+        q(0.25).as(s"${side}_q25"), q(0.5).as(s"${side}_q50"),
+        q(0.75).as(s"${side}_q75"))
+    }
+    val outStats = degreeStats("src")
+    val inStats = degreeStats("dst")
+    // isolated vertices per (edge table, side): endpoint-reference vertex
+    // table keys with no matching edge foreign key — one unioned anti-join
+    val refKeys = pg.edgeTables.zipWithIndex.flatMap { case (e, i) =>
+      Seq(("src", pg.vertexLabel(e.srcLabel)),
+        ("dst", pg.vertexLabel(e.dstLabel))).map { case (side, vt) =>
+        resolver(spark, vt.tableName).select(lit(i).as("i"),
+          lit(side).as("side"), col(vt.keyCols.head).cast("string").as("vk"))
       }
-      .reduce(_ unionByName _)
-    val touched = sdeg.select(col("label"), col("src").as("vk"))
-      .union(ddeg.select(col("label"), col("dst").as("vk"))).distinct()
-    val isolated = allVkeys.join(touched, Seq("label", "vk"), "left_anti")
-      .groupBy("label").agg(count(lit(1)).as("iso"))
-    val eparts = eLabels
-      .join(stats, Seq("label"), "left")
-      .join(dstStats, Seq("label"), "left")
-      .join(isolated, Seq("label"), "left")
-      .select(lit(pg.name).as("property_graph"),
-        col("label"), lit("edge").as("kind"),
-        coalesce(col("cnt"), lit(0L)).as("n_rows"),
-        coalesce(col("dsrc"), lit(0L)).as("n_distinct_src"),
-        coalesce(col("ddst"), lit(0L)).as("n_distinct_dst"),
-        col("avgd").as("avg_out_degree"),
-        col("medd").as("med_out_degree"),
-        col("maxd").as("max_out_degree"),
-        coalesce(col("iso"), lit(0L)).as("n_isolated"))
+    }.reduce(_ unionByName _)
+    val fkKeys = allEdges.select(col("i"), lit("src").as("side"),
+        col("src").as("vk"))
+      .union(allEdges.select(col("i"), lit("dst").as("side"),
+        col("dst").as("vk"))).distinct()
+    val isolated = refKeys.join(fkKeys, Seq("i", "side", "vk"), "left_anti")
+      .groupBy("i", "side").agg(count(lit(1)).as("iso"))
+    val isoSrc = isolated.filter(col("side") === "src")
+      .select(col("i"), col("iso").as("iso_src"))
+    val isoDst = isolated.filter(col("side") === "dst")
+      .select(col("i"), col("iso").as("iso_dst"))
+    val eparts = eMeta
+      .join(outStats, Seq("i"), "left")
+      .join(inStats, Seq("i"), "left")
+      .join(isoSrc, Seq("i"), "left")
+      .join(isoDst, Seq("i"), "left")
+      .select(col("i"), col("table_name"), lit(false).as("is_vertex_table"),
+        col("source_table"), col("destination_table"),
+        nullL.as("vertex_count"),
+        coalesce(col("src_edges"), lit(0L)).as("edge_count"),
+        coalesce(col("src_groups"), lit(0L)).as("unique_source_count"),
+        coalesce(col("dst_groups"), lit(0L)).as("unique_destination_count"),
+        coalesce(col("iso_src"), lit(0L)).as("isolated_sources"),
+        coalesce(col("iso_dst"), lit(0L)).as("isolated_destinations"),
+        col("dst_avg").as("avg_in_degree"), col("dst_min").as("min_in_degree"),
+        col("dst_max").as("max_in_degree"), col("dst_q25").as("q25_in_degree"),
+        col("dst_q50").as("q50_in_degree"), col("dst_q75").as("q75_in_degree"),
+        col("src_avg").as("avg_out_degree"),
+        col("src_min").as("min_out_degree"),
+        col("src_max").as("max_out_degree"),
+        col("src_q25").as("q25_out_degree"),
+        col("src_q50").as("q50_out_degree"),
+        col("src_q75").as("q75_out_degree"))
+    // declaration order: vertex tables first, then edge tables (the
+    // reference's UNION ALL of per-table CTEs)
     vparts.unionByName(eparts)
+      .orderBy(desc("is_vertex_table"), asc("i")).drop("i")
   }
 
   /** `PRAGMA show_property_graphs` analogue. */

@@ -422,6 +422,24 @@ object Algorithms {
     val key = vt.keyCols.head
     val v = resolver(spark, vt.tableName)
       .select(col(key).cast("long").as("id"))
+    // reference parity: duplicate vertex keys break the dense CSR mapping
+    // (csr_creation.cpp:121-125; non-unique-vertices.test:83 errors on
+    // weakly_connected_component too)
+    if (v.groupBy("id").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).limit(1).count() > 0)
+      throw graft.model.GraphAnalysisException(
+        "Non-existent/non-unique vertices detected. Make sure all " +
+          "vertices referred by edge tables exist and are unique")
+    // reference parity: the table functions build their CSR from a
+    // sum(create_csr_vertex(...)) subquery that yields NULL over an empty
+    // edge table, so the per-vertex scalar errors "CSR not found" — but
+    // ONLY when it evaluates on at least one vertex row; an empty vertex
+    // table short-circuits to an empty result first
+    // (local_clustering_coefficient.test:26 vs :47-49)
+    if (resolver(spark, et.tableName).limit(1).isEmpty &&
+        !v.limit(1).isEmpty)
+      throw graft.model.GraphAnalysisException(
+        "CSR not found. Is the graph populated?")
     val e = resolver(spark, et.tableName).select(
       col(et.srcKeys.head).cast("long").as("src"),
       col(et.dstKeys.head).cast("long").as("dst"))

@@ -64,7 +64,12 @@ object SltRunner {
     var i = 0
     def collectUntil(stop: String => Boolean): Seq[String] = {
       val buf = mutable.ArrayBuffer.empty[String]
-      while (i < lines.length && !stop(lines(i))) { buf += lines(i); i += 1 }
+      while (i < lines.length && !stop(lines(i))) {
+        // a comment line inside a record block (`# Self loops` after an
+        // INSERT, weakly_connected_component.test:44) is not SQL
+        if (!lines(i).trim.startsWith("#")) buf += lines(i)
+        i += 1
+      }
       buf.toSeq
     }
     while (i < lines.length && skipFile.isEmpty) {
@@ -185,9 +190,14 @@ object SltRunner {
         try {
           val dfOpt = session.execute(
             splitStatements(sql).headOption.getOrElse(sql))
-          val got = dfOpt.map(renderRows).getOrElse(Nil)
+          val rows = dfOpt.map(_.collect().toSeq).getOrElse(Nil)
+          val got = rows.map(renderRow(_, boolAsInt = false))
+          // sqllogictest renders a boolean under an `I` type column as
+          // 1/0 (summarize_property_graph.test:22 vs :46) — accept either
+          val gotI = rows.map(renderRow(_, boolAsInt = true))
           val want = normalizeExpectedRows(expected)
-          if (got.sorted == want.sorted) RecordResult(r, "pass")
+          if (got.sorted == want.sorted || gotI.sorted == want.sorted)
+            RecordResult(r, "pass")
           else RecordResult(r, "fail",
             s"rows differ: got=${got.sorted.take(6).mkString("|")} " +
               s"want=${want.sorted.take(6).mkString("|")}")
@@ -246,18 +256,28 @@ object SltRunner {
   private def normalizeExpectedRows(expected: Seq[String]): Seq[String] =
     expected.map(_.replace("\t", ""))
 
-  def renderRows(df: DataFrame): Seq[String] = {
-    val rows = df.collect()
-    rows.toSeq.map(r => (0 until r.length).map(i =>
-      renderValue(r.get(i))).mkString(""))
-  }
+  def renderRows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(renderRow(_, boolAsInt = false))
+
+  private def renderRow(r: Row, boolAsInt: Boolean): String =
+    (0 until r.length).map { i =>
+      r.get(i) match {
+        case b: java.lang.Boolean if boolAsInt => if (b) "1" else "0"
+        case v => renderValue(v)
+      }
+    }.mkString("\u0001")
 
   private def renderValue(v: Any): String = v match {
     case null => "NULL"
     case s: String => if (s.isEmpty) "(empty)" else s
     case b: Boolean => if (b) "true" else "false"
     case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
-    case f: Float => renderDouble(f.toDouble)
+    // Scala's Float.toString prints the shortest float32 round-trip —
+    // exactly DuckDB's FLOAT rendering (0.6666667, not 0.66666668...)
+    case f: java.lang.Float =>
+      val fl = f.floatValue
+      if (fl == math.rint(fl) && math.abs(fl) < 1e15f) s"${fl.toLong}.0"
+      else fl.toString
     case d: Double => renderDouble(d)
     case i: java.lang.Integer => i.toString
     case l: java.lang.Long => l.toString
@@ -269,10 +289,32 @@ object SltRunner {
       r.schema.fieldNames.zipWithIndex.map { case (f, i) =>
         s"'$f': ${renderListValue(r.get(i))}"
       }.mkString("{", ", ", "}")
-    case ts: java.sql.Timestamp => ts.toString
+    case ts: java.sql.Timestamp => renderTimestamp(ts.toLocalDateTime)
+    case dt: java.time.LocalDateTime => renderTimestamp(dt)
+    case in: java.time.Instant =>
+      renderTimestamp(java.time.LocalDateTime.ofInstant(in,
+        java.time.ZoneOffset.UTC))
     case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => renderDate(d)
     case other => other.toString
   }
+
+  /** DuckDB timestamp rendering: `yyyy-MM-dd HH:mm:ss[.fraction]` with the
+    * fraction's trailing zeros trimmed and no `+` on 5-digit years
+    * (`2010-09-22 20:50:17.62`, `44488-11-08 06:37:29`). */
+  private def renderTimestamp(dt: java.time.LocalDateTime): String = {
+    val date = renderDate(dt.toLocalDate)
+    val base = f"$date ${dt.getHour}%02d:${dt.getMinute}%02d:${dt.getSecond}%02d"
+    val nanos = dt.getNano
+    if (nanos == 0) base
+    else {
+      val frac = f"$nanos%09d".reverse.dropWhile(_ == '0').reverse
+      s"$base.$frac"
+    }
+  }
+
+  private def renderDate(d: java.time.LocalDate): String =
+    f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
 
   /** DuckDB prints integral doubles as `N.0`, everything else with
     * minimal digits. */
@@ -301,20 +343,39 @@ final class SltSession(spark0: SparkSession) {
   import SltRunner.SkipStatement
 
   val spark: SparkSession = spark0.newSession()
-  private val g = Graft(spark, TableResolver.catalog)
+  /** Mini table store first (it carries the hidden `__rowid` column and
+    * resolves quoted/reserved names directly), catalog fallback. */
+  private val resolver: TableResolver = new TableResolver {
+    def apply(s: SparkSession, t: String): DataFrame =
+      tables.getOrElse(t.toLowerCase, TableResolver.catalog(s, t))
+  }
+  private val g = Graft(spark, resolver)
   private val keyReg = model.KeyRegistry.forSession(spark)
   private val tables = mutable.Map.empty[String, DataFrame]
+  /** DuckPGQ's per-connection CSR list (`duckpgq_state` csr_list): csr id →
+    * snapshot, populated by the canonical CREATE_CSR_EDGE statement. */
+  private val csrs = mutable.Map.empty[Long, _root_.graft.graph.GraphSnapshot]
+  private lazy val testDir: String =
+    java.nio.file.Files.createTempDirectory("graft_slt_").toString
+  import spark.implicits._
 
   /** Executes one statement; Some(df) when it produces rows. */
   def execute(statement: String): Option[DataFrame] = {
-    val stmt = statement.trim.stripSuffix(";").trim
+    val stmt = preprocess(statement.trim.stripSuffix(";").trim)
     if (stmt.isEmpty) return None
     val u = stmt.toUpperCase.replaceAll("\\s+", " ")
+    if (u.contains("DUCKDB_DATABASES()") || u.contains("DUCKDB_CONSTRAINTS()")
+        || u.contains("INFORMATION_SCHEMA."))
+      throw SkipStatement("host-catalog introspection (duckdb_* / " +
+        "information_schema)")
     if (u.startsWith("CREATE TABLE") ||
-        u.startsWith("CREATE OR REPLACE TABLE")) {
+        u.startsWith("CREATE OR REPLACE TABLE") ||
+        u.startsWith("CREATE TEMP TABLE") ||
+        u.startsWith("CREATE TEMPORARY TABLE")) {
       createTable(stmt); None
     } else if (u.startsWith("INSERT INTO")) { insert(stmt); None }
     else if (u.startsWith("DROP TABLE")) { dropTable(stmt); None }
+    else if (u.startsWith("ALTER TABLE")) { alterTable(stmt); None }
     else if (u.startsWith("CREATE PROPERTY GRAPH") ||
         u.startsWith("CREATE OR REPLACE PROPERTY GRAPH") ||
         u.startsWith("DROP PROPERTY GRAPH") ||
@@ -326,6 +387,17 @@ final class SltSession(spark0: SparkSession) {
         g.registry.get(spark, name)))
     } else if (u.startsWith("IMPORT DATABASE")) {
       importDatabase(stmt); None
+    } else if (u.startsWith("COPY ") || u.startsWith("COPY(")) {
+      copyTo(stmt); None
+    } else if (u.startsWith("EXPLAIN")) {
+      explain(stmt); None
+    } else if (u.startsWith("PRAGMA CREATE_VERTEX_TABLE")) {
+      pragmaCreateVertexTable(stmt); None
+    } else if (u.startsWith("PRAGMA SHOW_PROPERTY_GRAPHS") ||
+        u.startsWith("CALL SHOW_PROPERTY_GRAPHS")) {
+      Some(_root_.graft.ddl.Introspect.showPropertyGraphs(spark))
+    } else if (u.contains("CREATE_CSR_EDGE")) {
+      createCsr(stmt); None
     } else if (u.startsWith("ATTACH") || u.startsWith("USE ") ||
         u.startsWith("PRAGMA") || u.startsWith("SET ") ||
         u.startsWith("CHECKPOINT") || u.startsWith("EXPORT") ||
@@ -335,10 +407,326 @@ final class SltSession(spark0: SparkSession) {
       // query (SELECT/FROM/WITH…): DuckDB's FROM-first shorthand becomes
       // SELECT *; GRAPH_TABLE spans are compiled and substituted
       if (u.contains("__DUCKPGQ_INTERNAL")) registerInternalView()
-      val q = if (u.startsWith("FROM ") || u.startsWith("FROM(") ||
+      val q0 = if (u.startsWith("FROM ") || u.startsWith("FROM(") ||
           u.startsWith("FROM\n")) s"SELECT * $stmt" else stmt
-      Some(g.sqlGraph(q))
+      Some(g.sqlGraph(rewriteReadCsv(rewriteCsrCalls(q0))))
     }
+  }
+
+  /** csv files written by [[copyTo]] and whether they carry a header —
+    * replayed `FROM '<path>'` reads sniff like DuckDB would. */
+  private val writtenCsv = mutable.Map[String, Boolean]()
+  private var fileViewN = 0
+
+  private def fileView(path0: String): String = {
+    val path = if (new java.io.File(path0).isAbsolute) path0
+      else s"/root/reference/$path0"
+    fileViewN += 1
+    val view = s"__file_$fileViewN"
+    val df = if (path.endsWith(".parquet")) spark.read.parquet(path)
+      else spark.read
+        .option("header", writtenCsv.getOrElse(path, true).toString)
+        .option("inferSchema", "true").csv(path)
+    df.createOrReplaceTempView(view)
+    view
+  }
+
+  /** `read_csv('<path>')` and DuckDB's bare `FROM '<path>'` file refs →
+    * temp views (header presence from the COPY that wrote the file;
+    * inferred schema — DuckDB's sniffing defaults). */
+  private def rewriteReadCsv(q: String): String = {
+    val fnPat = "(?i)\\bread_csv(?:_auto)?\\s*\\(\\s*'([^']+)'\\s*\\)".r
+    val refPat = "(?i)\\b(FROM|JOIN)\\s+'([^']+\\.(?:csv|txt|parquet))'".r
+    var out = q
+    var n = 0
+    var m = fnPat.findFirstMatchIn(out)
+    while (m.isDefined && n < 16) {
+      n += 1
+      out = out.substring(0, m.get.start) + fileView(m.get.group(1)) +
+        out.substring(m.get.end)
+      m = fnPat.findFirstMatchIn(out)
+    }
+    var m2 = refPat.findFirstMatchIn(out)
+    while (m2.isDefined && n < 32) {
+      n += 1
+      out = out.substring(0, m2.get.start) + m2.get.group(1) + " " +
+        fileView(m2.get.group(2)) + out.substring(m2.get.end)
+      m2 = refPat.findFirstMatchIn(out)
+    }
+    out
+  }
+
+  /** Dialect shims applied to every statement: DuckDB's bare `count()`,
+    * CTE materialization hints, positional join, scalar csr functions. */
+  private def preprocess(stmt0: String): String = {
+    var s = stmt0.replace("__TEST_DIR__", testDir)
+    s = s.replaceAll("(?i)\\bcount\\(\\s*\\)", "count(*)")
+    s = s.replaceAll("(?i)\\bAS\\s+(?:NOT\\s+)?MATERIALIZED\\s*\\(", "AS (")
+    s = s.replaceAll("(?i)^EXPLAIN\\s+ANALYZE\\b", "EXPLAIN")
+    s = rewriteScalarCsr(s)
+    s = rewritePositionalJoin(s)
+    s
+  }
+
+  /** `delete_csr(N)` / `csr_get_w_type(N)` are scalar functions over the
+    * session CSR list (`delete_csr.test:84-103`,
+    * `get_csr_w_type.test:86-158`) — evaluate them to literals. */
+  private def rewriteScalarCsr(s: String): String = {
+    val del = "(?i)\\bdelete_csr\\s*\\(\\s*(\\d+)\\s*\\)".r
+    val wt = "(?i)\\bcsr_get_w_type\\s*\\(\\s*(\\d+)\\s*\\)".r
+    val s1 = del.replaceAllIn(s, m => {
+      val id = m.group(1).toLong
+      val existed = csrs.remove(id).map { sn => sn.unpersist(); true }
+        .getOrElse(false)
+      existed.toString
+    })
+    wt.replaceAllIn(s1, m => {
+      val id = m.group(1).toLong
+      val snap = csrs.getOrElse(id,
+        throw GraphAnalysisException(s"CSR with id $id does not exist"))
+      snap.weightType.toString
+    })
+  }
+
+  /** `A a POSITIONAL JOIN B b` — pair rows by position (DuckDB extension,
+    * `csr_segfault.test:9`): zipWithIndex both sides, join on the index. */
+  private def rewritePositionalJoin(s: String): String = {
+    val pat = ("(?i)FROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+POSITIONAL\\s+JOIN\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+([A-Za-z_][A-Za-z0-9_]*)").r
+    pat.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        def indexed(t: String, view: String): Unit = {
+          val df = resolver(spark, t)
+          val schema = org.apache.spark.sql.types.StructType(
+            df.schema.fields :+ org.apache.spark.sql.types.StructField(
+              "__pos_idx", org.apache.spark.sql.types.LongType,
+              nullable = false))
+          spark.createDataFrame(
+            df.rdd.zipWithIndex.map { case (r, i) =>
+              Row.fromSeq(r.toSeq :+ i) }, schema)
+            .createOrReplaceTempView(view)
+        }
+        indexed(m.group(1), "__pos_l")
+        indexed(m.group(3), "__pos_r")
+        s.substring(0, m.start) +
+          s"FROM __pos_l ${m.group(2)} JOIN __pos_r ${m.group(4)} ON " +
+          s"${m.group(2)}.__pos_idx = ${m.group(4)}.__pos_idx" +
+          s.substring(m.end)
+    }
+  }
+
+  /** `get_csr_v/e/w(N)` table functions (`pgq_scan.cpp:15-153`, column
+    * names csrv/csre/csrw; the v array carries V+2 entries — offsets plus
+    * two guard slots holding the edge count). */
+  private def rewriteCsrCalls(q: String): String = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pat = "(?i)\\bget_csr_([vew])\\s*\\(\\s*(\\d+)\\s*\\)".r
+    var out = q
+    var m = pat.findFirstMatchIn(out)
+    var n = 0
+    while (m.isDefined && n < 16) {
+      n += 1
+      val kind = m.get.group(1).toLowerCase
+      val id = m.get.group(2).toLong
+      val snap = csrs.getOrElse(id,
+        throw GraphAnalysisException(s"CSR with id $id does not exist"))
+      val view = s"__csr_${kind}_$id"
+      val df = kind match {
+        case "v" =>
+          val ecount = snap.edges.count()
+          snap.csrOffsets.orderBy("rowid")
+            .select(col("offset").as("csrv"))
+            .unionAll(Seq(ecount, ecount).toDF("csrv"))
+        case "e" => snap.csrEdges.select(col("dst").as("csre"))
+        case "w" => snap.csrWeights.select(col("w").as("csrw"))
+      }
+      df.createOrReplaceTempView(view)
+      out = out.substring(0, m.get.start) + view + out.substring(m.get.end)
+      m = pat.findFirstMatchIn(out)
+    }
+    out
+  }
+
+  /** The canonical CSR-construction statement (`csr_creation.cpp`; every
+    * reference test builds CSRs with this exact boilerplate): parse the
+    * graph tables and keys out of the FROM/JOIN clause and build a
+    * [[graft.graph.GraphSnapshot]] under the given csr id. */
+  private def createCsr(stmt: String): Unit = {
+    val idRe = "(?is)CREATE_CSR_EDGE\\s*\\(\\s*(\\d+)\\s*,".r
+    val id = idRe.findFirstMatchIn(stmt).map(_.group(1).toLong).getOrElse(
+      throw SkipStatement("unparsed CREATE_CSR_EDGE (no csr id)"))
+    val fromRe = ("(?is)FROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+k\\s+JOIN\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+a\\s+on\\s+a\\.([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\s*=\\s*k\\.([A-Za-z_][A-Za-z0-9_]*)\\s+JOIN\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+c\\s+on\\s+c\\.([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\s*=\\s*k\\.([A-Za-z_][A-Za-z0-9_]*)\\s*$").r
+    val m = fromRe.findFirstMatchIn(stmt).getOrElse(
+      throw SkipStatement("unparsed CREATE_CSR_EDGE join boilerplate"))
+    val (etab, vtab, vkey, skey, dkey) =
+      (m.group(1), m.group(2), m.group(3), m.group(4), m.group(7))
+    // optional 8th argument after k.rowid: the weight expression — a
+    // literal (type decides int vs double) or an edge column
+    val wRe = "(?is)k\\.rowid\\s*,\\s*([^)\\s]+)\\s*\\)\\s*as\\s+temp".r
+    val weight = wRe.findFirstMatchIn(stmt).map(_.group(1))
+    var edf = resolver(spark, etab)
+    val wCol = weight.map { w =>
+      if (w.matches("\\d+")) {
+        edf = edf.withColumn("__w",
+          org.apache.spark.sql.functions.lit(w.toLong)); "__w"
+      } else if (w.matches("\\d+\\.\\d+")) {
+        edf = edf.withColumn("__w",
+          org.apache.spark.sql.functions.lit(w.toDouble)); "__w"
+      } else w.stripPrefix("k.")
+    }
+    val snap = _root_.graft.graph.Snapshot.build(spark,
+      resolver(spark, vtab), vkey, edf, skey, dkey, wCol)
+    csrs.remove(id).foreach(_.unpersist())
+    csrs(id) = snap
+  }
+
+  /** `COPY (<query>) TO '<path>'` / `COPY <table> TO '<path>'` — a single
+    * CSV file like DuckDB writes (driver-side; replay fixtures are tiny). */
+  private def copyTo(stmt: String): Unit = {
+    val qRe = "(?is)^COPY\\s*\\((.*)\\)\\s*TO\\s*'([^']+)'\\s*(.*)$".r
+    val tRe = ("(?is)^COPY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s*'([^']+)'" +
+      "\\s*(.*)$").r
+    val (df, path, opts) = stmt match {
+      case qRe(q, p, o) =>
+        val q2 = if (q.trim.toUpperCase.startsWith("FROM"))
+          s"SELECT * ${q.trim}" else q
+        (g.sqlGraph(rewriteReadCsv(rewriteCsrCalls(q2))), p, o)
+      case tRe(t, p, o) => (resolver(spark, t).drop("__rowid"), p, o)
+      case _ => throw SkipStatement(s"unparsed COPY: ${stmt.take(50)}")
+    }
+    // `(HEADER FALSE)` / `(HEADER 0)` suppress the header row; DuckDB's
+    // CSV COPY writes one by default
+    val header = !opts.toUpperCase.matches("(?s).*HEADER\\s+(FALSE|0).*")
+    writtenCsv(path) = header
+    val rows = df.collect()
+    val cols = df.columns
+    val out = new java.io.PrintWriter(path, "UTF-8")
+    try {
+      if (header) out.println(cols.mkString(","))
+      rows.foreach { r =>
+        out.println((0 until r.length).map { i =>
+          val v = r.get(i)
+          if (v == null) ""
+          else {
+            val s = v.toString
+            if (s.contains(",") || s.contains("\"") || s.contains("\n"))
+              "\"" + s.replace("\"", "\"\"") + "\""
+            else s
+          }
+        }.mkString(","))
+      }
+    } finally out.close()
+  }
+
+  /** EXPLAIN [ANALYZE] — compile (and for what was ANALYZE, run) the inner
+    * statement; the plan text itself is engine-specific. */
+  private def explain(stmt: String): Unit = {
+    val inner0 = stmt.replaceFirst("(?i)^EXPLAIN\\s+", "").trim
+    if (inner0.toUpperCase.startsWith("COPY")) { copyTo(inner0); return }
+    val inner = if (inner0.toUpperCase.startsWith("FROM"))
+      s"SELECT * $inner0" else inner0
+    // force full planning; result rows are irrelevant to `statement ok`
+    g.sqlGraph(rewriteReadCsv(rewriteCsrCalls(inner)))
+      .queryExecution.executedPlan
+    ()
+  }
+
+  private val reservedNames = Set("group", "select", "from", "where",
+    "order", "table", "join", "union", "all", "and", "or", "not")
+
+  /** `PRAGMA create_vertex_table(edges, src, dst, name, idCol)`
+    * (`create_vertex_table.test`). */
+  private def pragmaCreateVertexTable(stmt: String): Unit = {
+    val re = ("(?is)PRAGMA\\s+CREATE_VERTEX_TABLE\\s*\\(\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\)").r
+    val m = re.findFirstMatchIn(stmt).getOrElse(
+      throw GraphAnalysisException(
+        s"""syntax error at or near "${stmt.split("[(,)]").map(_.trim)
+          .find(t => reservedNames.contains(t.toLowerCase))
+          .getOrElse(stmt.take(20))}""""))
+    val (etab, srcC, dstC, name, idC) =
+      (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))
+    if (reservedNames.contains(name.toLowerCase))
+      throw GraphAnalysisException(s"""syntax error at or near "$name"""")
+    if (tables.contains(name.toLowerCase))
+      throw GraphAnalysisException(
+        s"""Table with name "$name" already exists!""")
+    val edges = try resolver(spark, etab)
+      catch {
+        case _: Exception => throw GraphAnalysisException(
+          s"Table with name $etab does not exist!")
+      }
+    if (!edges.columns.exists(_.equalsIgnoreCase(srcC)) ||
+        !edges.columns.exists(_.equalsIgnoreCase(dstC)))
+      throw GraphAnalysisException(
+        s"Column $srcC or $dstC not found in table $etab")
+    val df = _root_.graft.ddl.Introspect
+      .deriveVertexTable(edges, srcC, dstC, idC)
+    registerTable(name, df)
+  }
+
+  /** `ALTER TABLE t RENAME [COLUMN] a TO b | RENAME TO t2 | ADD COLUMN c
+    * type | DROP [COLUMN] c` over the mini store. */
+  private def alterTable(stmt: String): Unit = {
+    val renameCol = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+" +
+      "RENAME\\s+(?:COLUMN\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*$").r
+    val renameTab = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+" +
+      "RENAME\\s+TO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$").r
+    val addCol = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+ADD" +
+      "\\s+(?:COLUMN\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+([A-Za-z0-9_()]+)" +
+      "\\s*$").r
+    val dropCol = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+" +
+      "DROP\\s+(?:COLUMN\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*$").r
+    def existing(t: String): DataFrame = tables.getOrElse(t.toLowerCase,
+      throw GraphAnalysisException(s"Table $t does not exist"))
+    stmt match {
+      case renameTab(t, t2) =>
+        val df = existing(t)
+        tables.remove(t.toLowerCase); spark.catalog.dropTempView(t)
+        registerTable(t2, df.drop("__rowid"))
+      case renameCol(t, a, b) =>
+        replaceTable(t, existing(t).withColumnRenamed(a, b))
+      case addCol(t, c, tpe) =>
+        replaceTable(t, existing(t).withColumn(c,
+          org.apache.spark.sql.functions.lit(null).cast(sparkType(tpe))))
+      case dropCol(t, c) =>
+        replaceTable(t, existing(t).drop(c))
+      case _ => throw SkipStatement(s"unparsed ALTER: ${stmt.take(50)}")
+    }
+  }
+
+  private def replaceTable(name: String, df: DataFrame): Unit = {
+    tables(name.toLowerCase) = df
+    df.drop("__rowid").createOrReplaceTempView(name)
+  }
+
+  /** Registers `df` as table `name`, appending the hidden `__rowid`
+    * insertion-order column (DuckDB's rowid pseudo-column; the resolver
+    * exposes it to the PGQ compiler while the temp view stays clean so
+    * `SELECT *` matches DuckDB, which hides rowid from stars). */
+  private def registerTable(name: String, df0: DataFrame,
+      startRowid: Long = 0L): Unit = {
+    val df = if (df0.columns.contains("__rowid")) df0
+      else {
+        val schema = org.apache.spark.sql.types.StructType(
+          df0.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "__rowid", org.apache.spark.sql.types.LongType, nullable = false))
+        spark.createDataFrame(
+          df0.rdd.zipWithIndex.map { case (r, i) =>
+            Row.fromSeq(r.toSeq :+ (startRowid + i)) }, schema)
+      }
+    val pinned = df.localCheckpoint()
+    tables(name.toLowerCase) = pinned
+    pinned.drop("__rowid").createOrReplaceTempView(name)
   }
 
   /** `import database 'dir'` — the reference test corpus loads its LDBC
@@ -357,9 +745,8 @@ final class SltSession(spark0: SparkSession) {
       throw SkipStatement(s"import database: no parquet under $dir")
     files.foreach { f =>
       val name = f.getName.stripSuffix(".parquet")
-      val df = spark.read.parquet(f.getPath)
-      tables(name.toLowerCase) = df
-      df.createOrReplaceTempView(name)
+      // rowids in file order — DuckDB's COPY-load insertion order
+      registerTable(name, spark.read.parquet(f.getPath))
       keyReg.register(name, TableKeys())
     }
   }
@@ -420,12 +807,18 @@ final class SltSession(spark0: SparkSession) {
 
   // ------------------------------------------------------- CREATE TABLE
 
+  private val ident = "([A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\")"
+  private def unq(s: String): String =
+    if (s.startsWith("\"") && s.endsWith("\"")) s.substring(1, s.length - 1)
+    else s
+
   private val createRe =
-    ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS" +
-      "\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)\\s*$").r
+    ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?TABLE\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?" + ident + "\\s*\\((.*)\\)\\s*$").r
 
   private def createTable(stmt: String): Unit = stmt match {
-    case createRe(orReplace, name, body) =>
+    case createRe(orReplace, name0, body) =>
+      val name = unq(name0)
       if (orReplace == null && tables.contains(name.toLowerCase))
         throw GraphAnalysisException(
           s"Table with name \"$name\" already exists!")
@@ -438,23 +831,26 @@ final class SltSession(spark0: SparkSession) {
           pk = identsIn(c.substring(c.indexOf('(')))
         } else if (cu.startsWith("FOREIGN KEY")) {
           val m = ("(?is)FOREIGN\\s+KEY\\s*\\(([^)]*)\\)\\s*REFERENCES\\s+" +
-            "([A-Za-z_][A-Za-z0-9_]*)\\s*\\(([^)]*)\\)").r
+            ident + "\\s*\\(([^)]*)\\)").r
             .findFirstMatchIn(c).getOrElse(
               throw SkipStatement(s"unparsed constraint: $c"))
-          fks += ForeignKeySpec(identsIn(m.group(1)), m.group(2),
+          fks += ForeignKeySpec(identsIn(m.group(1)), unq(m.group(2)),
             identsIn(m.group(3)))
         } else if (cu.startsWith("UNIQUE") || cu.startsWith("CHECK")) {
           () // no engine effect in replay
         } else {
-          val toks = c.split("\\s+", 3)
-          val colName = toks(0)
-          val tpe = sparkType(if (toks.length > 1) toks(1) else "STRING")
+          val cm = ("(?s)^" + ident + "\\s*(.*)$").r.findFirstMatchIn(c)
+            .getOrElse(throw SkipStatement(s"unparsed column: $c"))
+          val colName = unq(cm.group(1))
+          val rest = cm.group(2).trim
+          val tpe = sparkType(
+            if (rest.isEmpty) "STRING" else rest.split("\\s+")(0))
           fields += StructField(colName, tpe)
           if (cu.contains("PRIMARY KEY")) pk = Seq(colName)
-          val rm = ("(?is)REFERENCES\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*" +
+          val rm = ("(?is)REFERENCES\\s+" + ident + "\\s*" +
             "\\(([^)]*)\\)").r.findFirstMatchIn(c)
           rm.foreach { m =>
-            fks += ForeignKeySpec(Seq(colName), m.group(1),
+            fks += ForeignKeySpec(Seq(colName), unq(m.group(1)),
               identsIn(m.group(2)))
           }
         }
@@ -468,29 +864,39 @@ final class SltSession(spark0: SparkSession) {
             "Failed to create foreign key: there is no primary key or " +
               s"unique constraint for referenced table \"${fk.refTable}\"")
       }
-      val schema = StructType(fields.toSeq)
+      val schema = StructType(fields.toSeq :+
+        StructField("__rowid", LongType, nullable = false))
       val df = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
       tables(name.toLowerCase) = df
-      df.createOrReplaceTempView(name)
+      df.drop("__rowid").createOrReplaceTempView(name)
       keyReg.register(name, TableKeys(pk, fks.toSeq))
     case _ =>
-      // CREATE TABLE t AS SELECT … — evaluate the query and register
-      val asRe = "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+" +
-        "([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.*)$"
+      // CREATE TABLE t [(col, …)] AS <query|FROM 'file'> — evaluate and
+      // register (`create_vertex_table.test:56` renames parquet columns
+      // through the column list)
+      val asRe = "(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?" +
+        "(?:TEMP(?:ORARY)?\\s+)?TABLE\\s+" + ident +
+        "\\s*(\\([^)]*\\))?\\s*AS\\s+(.*)$"
       asRe.r.findFirstMatchIn(stmt) match {
         case Some(m) =>
-          val df = g.sqlGraph(m.group(2))
-          tables(m.group(1).toLowerCase) = df
-          df.createOrReplaceTempView(m.group(1))
-          keyReg.register(m.group(1), TableKeys())
+          val raw = m.group(3).trim
+          val body = if (raw.startsWith("(") && raw.endsWith(")") &&
+              balancedWithout(raw)) raw.substring(1, raw.length - 1).trim
+            else raw
+          val q = if (body.toUpperCase.startsWith("FROM"))
+            s"SELECT * $body" else body
+          var df = g.sqlGraph(rewriteReadCsv(rewriteCsrCalls(q)))
+          if (m.group(2) != null) df = df.toDF(identsIn(m.group(2)): _*)
+          registerTable(unq(m.group(1)), df)
+          keyReg.register(unq(m.group(1)), TableKeys())
         case None => throw SkipStatement(
           s"unparsed CREATE TABLE: ${stmt.take(60)}")
       }
   }
 
   private def dropTable(stmt: String): Unit = {
-    val name = stmt.split("\\s+").last
+    val name = unq(stmt.split("\\s+").last)
     tables.remove(name.toLowerCase)
     keyReg.drop(name)
     spark.catalog.dropTempView(name)
@@ -499,57 +905,100 @@ final class SltSession(spark0: SparkSession) {
   // -------------------------------------------------------- INSERT INTO
 
   private val insertRe =
-    ("(?is)^INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*" +
+    ("(?is)^INSERT\\s+INTO\\s+" + ident + "\\s*" +
       "(\\([^)]*\\))?\\s*VALUES\\s*(.*)$").r
 
   private def insert(stmt: String): Unit = stmt match {
-    case insertRe(name, colsOpt, valuesSql) =>
+    case insertRe(name0, colsOpt, valuesSql) =>
+      val name = unq(name0)
       val existing = tables.getOrElse(name.toLowerCase,
         throw GraphAnalysisException(s"Table $name does not exist"))
-      val schema = existing.schema
+      val schema = StructType(existing.schema.filterNot(_.name == "__rowid"))
       val cols: Seq[String] =
         if (colsOpt == null) schema.fieldNames.toSeq
         else identsIn(colsOpt)
       val incoming = spark.sql(s"SELECT * FROM VALUES $valuesSql")
-      val renamed = incoming.toDF(cols: _*)
+      val renamed = incoming.toDF(cols.map(c => c): _*)
       import org.apache.spark.sql.functions.{col => fcol, lit}
       val aligned = renamed.select(schema.fields.map { f =>
         if (cols.exists(_.equalsIgnoreCase(f.name)))
-          fcol(cols.find(_.equalsIgnoreCase(f.name)).get)
+          fcol(s"`${cols.find(_.equalsIgnoreCase(f.name)).get}`")
             .cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
-      val updated = existing.unionByName(aligned).localCheckpoint()
-      tables(name.toLowerCase) = updated
-      updated.createOrReplaceTempView(name)
+      appendRows(name, existing, aligned)
     case _ =>
       // query-form INSERT: `INSERT INTO t (SELECT …)` / `INSERT INTO t
-      // SELECT …` — evaluated through the same graph-aware SQL path
-      val qm = ("(?is)^INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*" +
-        "\\(?\\s*((?:SELECT|FROM|WITH)\\b.*?)\\)?\\s*$").r
+      // SELECT …` / `INSERT INTO t FROM …` — evaluated through the same
+      // graph-aware SQL path
+      val qm = ("(?is)^INSERT\\s+INTO\\s+" + ident + "\\s+(.*)$").r
         .findFirstMatchIn(stmt)
+          .filter { m =>
+            val q = m.group(2).trim.stripPrefix("(").trim.toUpperCase
+            q.startsWith("SELECT") || q.startsWith("FROM") ||
+              q.startsWith("WITH")
+          }
       qm match {
         case Some(m) =>
-          val name = m.group(1)
+          val name = unq(m.group(1))
           val existing = tables.getOrElse(name.toLowerCase,
             throw GraphAnalysisException(s"Table $name does not exist"))
-          val incoming = g.sqlGraph(m.group(2))
+          // strip one WRAPPING paren pair only when it encloses the whole
+          // query (`INSERT INTO t (SELECT …)`), never a trailing `)` that
+          // belongs to the query text (`… from range(0, 5000)`)
+          val raw = m.group(2).trim
+          val sql0 = if (raw.startsWith("(") && raw.endsWith(")") &&
+              balancedWithout(raw)) raw.substring(1, raw.length - 1).trim
+            else raw
+          val sql = if (sql0.toUpperCase.startsWith("FROM"))
+            s"SELECT * $sql0" else sql0
+          val incoming = g.sqlGraph(rewriteCsrCalls(sql))
           import org.apache.spark.sql.functions.{col => fcol}
-          val aligned = incoming.toDF(existing.schema.fieldNames.toSeq: _*)
-            .select(existing.schema.fields.map(f =>
+          val fields = existing.schema.fields.filterNot(_.name == "__rowid")
+          val aligned = incoming.toDF(fields.map(_.name).toIndexedSeq: _*)
+            .select(fields.map(f =>
               fcol(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-          val updated = existing.unionByName(aligned).localCheckpoint()
-          tables(name.toLowerCase) = updated
-          updated.createOrReplaceTempView(name)
+          appendRows(name, existing, aligned)
         case None => throw SkipStatement(
           s"unparsed INSERT: ${stmt.take(60)}")
       }
   }
 
+  /** Appends `aligned` (no `__rowid`) to `existing`, continuing the
+    * insertion-order rowid sequence. */
+  private def appendRows(name: String, existing: DataFrame,
+      aligned: DataFrame): Unit = {
+    val start: Long = if (existing.isEmpty) 0L
+      else existing.agg(org.apache.spark.sql.functions.max("__rowid"))
+        .head.getLong(0) + 1L
+    val schema = StructType(aligned.schema.fields :+
+      StructField("__rowid", LongType, nullable = false))
+    val withId = spark.createDataFrame(
+      aligned.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (start + i)) }, schema)
+    val updated = existing.unionByName(withId).localCheckpoint()
+    tables(name.toLowerCase) = updated
+    updated.drop("__rowid").createOrReplaceTempView(name)
+  }
+
   // ------------------------------------------------------------ helpers
 
+  /** True when the outermost parens of `s` pair with each other (so
+    * stripping both yields balanced text). */
+  private def balancedWithout(s: String): Boolean = {
+    var depth = 0
+    var idx = 0
+    for (c <- s) {
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0 && idx < s.length - 1)
+        return false }
+      idx += 1
+    }
+    depth == 0
+  }
+
   private def identsIn(parens: String): Seq[String] =
-    parens.replaceAll("[()]", " ").split(",").map(_.trim)
+    parens.replaceAll("[()]", " ").split(",").map(s => unq(s.trim))
       .filter(_.nonEmpty).toSeq
 
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {

@@ -60,9 +60,12 @@ class QuotingSpec extends AnyFunSuite {
     val g = mkGraft
     val pg = g.registry.get(g.spark, "pg_quoted")
     val sm = Introspect.summarize(g.spark, pg, TableResolver.catalog)
-      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
-    assert(sm.contains(("person", "vertex", 3L))) // 3 vertices
-    assert(sm.contains(("knows", "edge", 3L)))    // 3 edges
+      .selectExpr("table_name", "is_vertex_table",
+        "coalesce(vertex_count, edge_count)")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+      .toSeq
+    assert(sm.contains(("select", true, 3L))) // 3 vertices
+    assert(sm.contains(("group", false, 3L))) // 3 edges
     val pr = Algorithms.pagerank(g.spark, pg, TableResolver.catalog,
       "person", "knows")
     assert(pr.count() == 3L)

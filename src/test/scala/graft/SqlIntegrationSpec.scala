@@ -238,14 +238,20 @@ class SqlIntegrationSpec extends AnyFunSuite {
     assert(e.msg.contains("quantifier") || e.msg.contains("parse error"))
   }
 
-  test("guards: prefix-less named WALK path, missing arrow") {
+  test("prefix-less named WALK path defaults to ANY SHORTEST; missing arrow") {
     val s = Fixture.init()
     val g = Graft(s, TableResolver.catalog)
     g.registry.create(s, Fixture.pg, TableResolver.catalog, orReplace = true)
-    val e2 = intercept[GraphAnalysisException] {
-      g.graphTable("pg MATCH p = (a:Person)-[k:Knows]->{1,2}(b:Person) COLUMNS (a.id)")
-    }
-    assert(e2.msg.contains("search prefix"))
+    // DuckDB's Kleene semantics: `p = (a)-[k]->{1,2}(b)` without a prefix
+    // binds ONE shortest path per reachable pair
+    // (complex_matching.test:327-340) — r7 turned the old loud error into
+    // the reference behavior
+    val rows = g.graphTable(
+      "pg MATCH p = (a:Person WHERE a.id = 0)-[k:Knows]->{1,2}(b:Person) " +
+        "COLUMNS (a.id AS a_id, b.id AS b_id, path_length(p) AS len)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // know edges: 0→1, 0→2, 0→3; 2 hops: 0→…→{2,3}; shortest per pair
+    assert(rows == Set((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L)))
     val e3 = intercept[GraphAnalysisException] {
       PgqParser.graphTable("pg MATCH (a:Person)-[k:Knows](b:Person) COLUMNS (a.id)")
     }
