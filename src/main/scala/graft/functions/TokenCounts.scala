@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType,
+  StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row term frequencies: `array<string>` of tokens →
+  * `array<struct<t: string, tf: long>>` with one entry per DISTINCT
+  * token, counted in one local hash pass.
+  *
+  * This replaces the `explode → groupBy(id, token)` shape for
+  * per-document tf: the aggregation that used to shuffle one row per
+  * token OCCURRENCE corpus-wide now happens inside the row (document
+  * lengths bound the hash), so downstream pipelines shuffle only
+  * per-(doc, distinct-token) rows they actually need — and map-side
+  * partial aggregation sees pre-combined input.
+  *
+  * Entry order is insertion order (first occurrence), deterministic for a
+  * given token stream.
+  */
+object TokenCounts {
+  def countRow(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Long](
+      math.max(16, n / 2))
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val c = m.get(t)
+      m.put(t, if (c == null) 1L else c + 1L)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = InternalRow(e.getKey, e.getValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Fused `token_counts(words(text))` directly over the raw text: one
+  * lowercase pass plus one byte scan — no regex split, no intermediate
+  * token array. Exact parity with `words()`
+  * ([[graft.ops.TextAnalysis.words]]): tokens are maximal runs of
+  * non-whitespace in `lower(text)` where whitespace is Java regex `\s` =
+  * ASCII `[ \t\n\x0B\f\r]` (multi-byte UTF-8 units are ≥ 0x80 and never
+  * collide), and blank/null text yields an empty array.
+  */
+object TfFromText {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def countRow(text: UTF8String): ArrayData = {
+    val lower = text.toLowerCase
+    val bytes = lower.getBytes
+    val n = bytes.length
+    val m = new java.util.LinkedHashMap[UTF8String, Long](64)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        val t = UTF8String.fromBytes(bytes, start, i - start)
+        val c = m.get(t)
+        m.put(t, if (c == null) 1L else c + 1L)
+      }
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = InternalRow(e.getKey, e.getValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class TfFromTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "tf_from_text"
+
+  override def nullSafeEval(a: Any): Any =
+    TfFromText.countRow(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TfFromText.countRow($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class TokenCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_counts"
+
+  override def nullSafeEval(a: Any): Any =
+    TokenCounts.countRow(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TokenCounts.countRow($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TextFunctions {
+  def token_counts(tokens: Column): Column =
+    Bridge.column(TokenCountsExpr(Bridge.expression(tokens)))
+  def tf_from_text(text: Column): Column =
+    Bridge.column(TfFromTextExpr(Bridge.expression(text)))
+}

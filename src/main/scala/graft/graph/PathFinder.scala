@@ -55,15 +55,44 @@ object PathFinder {
       localMaxSeeds = 0L
     }
 
+  /** Driver-side memo of collected edge arrays, keyed by the ANALYZED
+    * plan's semantic hash — the analogue of the reference's per-session
+    * CSR reuse (a csr id, once built, serves every subsequent query until
+    * delete_csr; csr_creation checks existence first). A data change
+    * produces a different plan (new scan/checkpoint), so entries can't go
+    * stale; bounded to 2 arrays ≤ localMaxEdges each so the worst case
+    * stays a couple hundred MB on a driver sized for local kernels. */
+  private val edgeMemo =
+    new java.util.LinkedHashMap[(Int, String), Array[(Long, Long, Long)]](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), Array[(Long, Long, Long)]])
+          : Boolean = size() > 3
+    }
+
+  private def memoized(key: (Int, String))(
+      build: => Array[(Long, Long, Long)]): Array[(Long, Long, Long)] = {
+    edgeMemo.synchronized {
+      val hit = edgeMemo.get(key)
+      if (hit != null) return hit
+    }
+    val arr = build
+    edgeMemo.synchronized { edgeMemo.put(key, arr) }
+    arr
+  }
+
   private def collectEdges(edges: org.apache.spark.sql.DataFrame,
       withEid: Boolean): Array[(Long, Long, Long)] =
-    if (withEid)
-      edges.select(col("src").cast("long"), col("dst").cast("long"),
-        col("eid").cast("long")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    else
-      edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), 0L))
+    memoized((edges.queryExecution.analyzed.semanticHash(),
+        if (withEid) "eid" else "raw")) {
+      if (withEid)
+        edges.select(col("src").cast("long"), col("dst").cast("long"),
+          col("eid").cast("long")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      else
+        edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), 0L))
+    }
 
   private def collectSeeds(seeds: org.apache.spark.sql.DataFrame): Array[Long] =
     seeds.select(col("id").cast("long")).collect().map(_.getLong(0))
@@ -86,12 +115,70 @@ object PathFinder {
       local: Array[Long] => DataFrame)(
       distributed: => DataFrame): DataFrame = {
     val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
-    if (eSmall &&
-        seeds.limit(localMaxSeeds.toInt + 1).count() <= localMaxSeeds) {
-      // finally: a throwing kernel (e.g. negative-cycle detection) must
-      // not leak the persisted edge set in a long-lived session
-      try local(collectSeeds(seeds)) finally e.unpersist()
-    } else distributed
+    // probe + collect fused: one limited collect instead of a count probe
+    // followed by a second full evaluation of the seed plan (seeds are
+    // often a filtered scan, not a cached view — two passes doubled it)
+    val seedProbe = if (eSmall) probeSeeds(seeds) else None
+    seedProbe match {
+      case Some(seedArr) =>
+        // finally: a throwing kernel (e.g. negative-cycle detection) must
+        // not leak the persisted edge set in a long-lived session
+        try local(seedArr) finally e.unpersist()
+      case None => distributed
+    }
+  }
+
+  /** One `limit(localMaxSeeds+1)` collect: Some(ids) when under the gate,
+    * None (→ distributed) otherwise. */
+  private def probeSeeds(seeds: DataFrame): Option[Array[Long]] = {
+    val arr = seeds.select(col("id").cast("long"))
+      .limit(localMaxSeeds.toInt + 1).collect().map(_.getLong(0))
+    if (arr.length <= localMaxSeeds) Some(arr) else None
+  }
+
+  /** Gate + edge-IDENTITY provisioning for the path kernels: the local
+    * branch collects the raw edge pairs and, when the plan carries no
+    * declared eid column, assigns the dense (src,dst)-ranked ids ON THE
+    * DRIVER — running [[Snapshot.denseEdgeIds]]'s distributed range-sort
+    * + zipWithIndex just to collect the result back was pure overhead
+    * when the array ends up driver-local anyway (it cost q55 a full sort
+    * + persist + collect of the user graph per query). Identical id
+    * assignment: rank by (src, dst), parallel edges distinct consecutive
+    * ids, ties interchangeable. The distributed branch attaches
+    * denseEdgeIds and persists, exactly as before. */
+  private def withEids(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame)(
+      local: (Array[(Long, Long, Long)], Array[Long]) => DataFrame)(
+      distributed: DataFrame => DataFrame): DataFrame = {
+    val clean = dropNullEndpoints(edges)
+    val hasEid = clean.columns.contains("eid")
+    val eSmall = clean.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
+    val seedProbe = if (eSmall) probeSeeds(seeds) else None
+    if (seedProbe.isDefined) {
+      val arr = if (hasEid) collectEdges(clean, withEid = true)
+        else memoized((clean.queryExecution.analyzed.semanticHash(),
+          "denseLocal")) {
+          denseEidsLocal(collectEdges(clean, withEid = false))
+        }
+      local(arr, seedProbe.get)
+    } else {
+      val e0 = if (hasEid) clean
+        else Snapshot.denseEdgeIds(spark,
+          clean.select(col("src"), col("dst")), Seq("src", "dst"))
+      val e = e0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("eid").cast("long").as("eid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      distributed(e)
+    }
+  }
+
+  /** Driver-side twin of [[Snapshot.denseEdgeIds]] for already-collected
+    * pairs: stable (src, dst) sort, index = id. */
+  private def denseEidsLocal(
+      arr: Array[(Long, Long, Long)]): Array[(Long, Long, Long)] = {
+    val sorted = arr.sortBy(t => (t._1, t._2))
+    Array.tabulate(sorted.length)(i =>
+      (sorted(i)._1, sorted(i)._2, i.toLong))
   }
 
   /** Every mode/prefix the reference raises NotImplemented for
@@ -276,22 +363,14 @@ object PathFinder {
     *              edge rowids (shortest_path.cpp:212-217)
     */
   def shortestPaths(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
-      lower: Long, upper: Option[Long]): DataFrame = {
-    val clean = dropNullEndpoints(edges)
-    val e0 = if (clean.columns.contains("eid")) clean
-      else Snapshot.denseEdgeIds(spark, clean.select(col("src"), col("dst")),
-        Seq("src", "dst"))
-    val e = e0.select(col("src"), col("dst"), col("eid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    localOrElse(e, seeds) { seedArr =>
+      lower: Long, upper: Option[Long]): DataFrame =
+    withEids(spark, edges, seeds) { (earr, seedArr) =>
       import spark.implicits._
       LocalKernels.shortestPaths(
-        collectEdges(e, withEid = true), seedArr, lower,
-        upper.getOrElse(Long.MaxValue))
+        earr, seedArr, lower, upper.getOrElse(Long.MaxValue))
         .toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
         .toDF("src", "dst", "dist", "path")
-    } (distributedShortestPaths(spark, e, seeds, lower, upper))
-  }
+    } (e => distributedShortestPaths(spark, e, seeds, lower, upper))
 
   private def distributedShortestPaths(spark: SparkSession, e: DataFrame,
       seeds: DataFrame, lower: Long, upper: Option[Long]): DataFrame = {
@@ -423,15 +502,7 @@ object PathFinder {
     if (mode == PathMode.Walk && upper.isEmpty)
       throw GraphAnalysisException(
         "WALK enumeration needs a finite upper bound")
-    val clean = dropNullEndpoints(edges)
-    val e0 = if (clean.columns.contains("eid")) clean
-      else Snapshot.denseEdgeIds(spark, clean.select(col("src"), col("dst")),
-        Seq("src", "dst"))
-    val e = e0.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("eid").cast("long").as("eid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    localOrElse(e, seeds) { seedArr =>
-      val earr = collectEdges(e, withEid = true)
+    withEids(spark, edges, seeds) { (earr, seedArr) =>
       // the per-vertex top-k prune is only sound for WALK (see
       // LocalKernels.kShortestWalks); mode-constrained sets are finite
       val res = (mode, pruneK) match {
@@ -443,7 +514,7 @@ object PathFinder {
       import spark.implicits._
       res.toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
         .toDF("src", "dst", "dist", "path")
-    } {
+    } { e =>
     val limit = upper.getOrElse(Long.MaxValue)
     // the visited column tracks only what the mode consults (TRAIL: edge
     // ids; ACYCLIC/SIMPLE: vertices; WALK: nothing) — the path column
@@ -547,21 +618,13 @@ object PathFinder {
     */
   def allShortestPaths(spark: SparkSession, edges: DataFrame,
       seeds: DataFrame, lower: Long, upper: Option[Long]): DataFrame = {
-    val clean = dropNullEndpoints(edges)
-    val e0 = if (clean.columns.contains("eid")) clean
-      else Snapshot.denseEdgeIds(spark, clean.select(col("src"), col("dst")),
-        Seq("src", "dst"))
-    val e = e0.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("eid").cast("long").as("eid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    localOrElse(e, seeds) { seedArr =>
+    withEids(spark, edges, seeds) { (earr, seedArr) =>
       import spark.implicits._
       LocalKernels.allShortestPaths(
-        collectEdges(e, withEid = true), seedArr, lower,
-        upper.getOrElse(Long.MaxValue))
+        earr, seedArr, lower, upper.getOrElse(Long.MaxValue))
         .toSeq.map(t => (t._1, t._2, t._3, t._4.toSeq))
         .toDF("src", "dst", "dist", "path")
-    } {
+    } { e =>
     val limit = upper.getOrElse(Long.MaxValue)
     val seedRows = seeds.select(col("id").cast("long").as("src"))
       .distinct().transform(graft.graph.PathFinder.ckpt)

@@ -221,20 +221,19 @@ object TextAnalysis {
     * boilerplate/code markers, and mean words per line. Compose with
     * [[repetitionStats]] and [[qualityScore]] for a full curation pass. */
   def c4Flags(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val ls = textLines(t)
-    df.withColumn("n_lines", size(ls).cast("long"))
+    // one fused codegen pass ([[graft.functions.C4StatsExpr]]) — the
+    // declarative form re-split the text three times and ran an
+    // interpreted rlike lambda per line
+    val scanned = df.withColumn("__c4",
+      graft.functions.C4Functions.c4_stats(coalesce(col(textCol), lit(""))))
+    scanned
+      .withColumn("n_lines", col("__c4.n_lines"))
       .withColumn("terminal_punct_line_frac",
-        when(size(ls) === 0, lit(0.0)).otherwise(
-          round(size(filter(ls, l => l.rlike("[.!?\"']$"))).cast("double")
-            / size(ls).cast("double"), 6)))
-      .withColumn("has_lorem",
-        lower(coalesce(t, lit(""))).contains("lorem ipsum"))
-      .withColumn("has_brace", coalesce(t, lit("")).contains("{"))
-      .withColumn("mean_words_per_line",
-        when(size(ls) === 0, lit(0.0)).otherwise(
-          round(size(words(t)).cast("double")
-            / size(ls).cast("double"), 6)))
+        col("__c4.terminal_punct_line_frac"))
+      .withColumn("has_lorem", col("__c4.has_lorem"))
+      .withColumn("has_brace", col("__c4.has_brace"))
+      .withColumn("mean_words_per_line", col("__c4.mean_words_per_line"))
+      .drop("__c4")
   }
 
   /** Benchmark decontamination — the standard pretraining hygiene pass:
@@ -283,15 +282,17 @@ object TextAnalysis {
     * @return input plus (n_emails, n_ips, redacted_text)
     */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val cnt = (re: String) =>
-      when(t.isNull, lit(0L))
-        .otherwise(size(regexp_extract_all(t, lit(re), lit(0))).cast("long"))
-    df.withColumn("n_emails", cnt(emailPattern))
-      .withColumn("n_ips", cnt(ipv4Pattern))
-      .withColumn("redacted_text",
-        regexp_replace(regexp_replace(t, emailPattern, "[EMAIL]"),
-          ipv4Pattern, "[IP]"))
+    // one fused codegen expression ([[graft.functions.PiiScanExpr]]) —
+    // previously 4 independent regex projections; the struct is
+    // materialized in its own projection so the scan runs ONCE per row
+    val scanned = df.withColumn("__pii",
+      graft.functions.PiiFunctions.pii_scan(col(textCol)))
+    scanned
+      .withColumn("n_emails",
+        coalesce(col("__pii.n_emails"), lit(0L)))
+      .withColumn("n_ips", coalesce(col("__pii.n_ips"), lit(0L)))
+      .withColumn("redacted_text", col("__pii.redacted"))
+      .drop("__pii")
   }
 
   /** Per-stratum corpus profile: doc counts, token totals, and EXACT
@@ -366,8 +367,21 @@ object TextAnalysis {
     */
   def unigramLogProb(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val tf = df.select(col(idCol), explode(words(col(textCol))).as("__t"))
-      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    // per-document tf computed INSIDE the row (codegen
+    // [[graft.functions.TokenCountsExpr]] hash pass) — the old
+    // `explode → groupBy(id, token)` shuffled one row per token
+    // OCCURRENCE corpus-wide before this. The tf relation below is
+    // exchange-FREE: its rows are born pre-combined, so the only corpus
+    // shuffles left are the vocabulary aggregation (map-side combined to
+    // per-partition vocab partials) and the per-document regroup
+    // (map-side combined to one partial per doc per partition). The
+    // probability join stays skew-robust exactly as before: a corpus-hot
+    // token contributes ≤1 row per document to its join key — and AQE
+    // broadcasts the vocabulary side when it is small enough.
+    val tf = df.select(col(idCol),
+        explode(graft.functions.TextFunctions.tf_from_text(
+          coalesce(col(textCol), lit("")))).as("__e"))
+      .select(col(idCol), col("__e.t").as("__t"), col("__e.tf").as("__tf"))
     val counts = tf.groupBy("__t").agg(sum("__tf").as("__c"))
     val total = counts.agg(sum("__c").cast("double").as("__n"))
     val scored = tf.join(counts, Seq("__t")).crossJoin(total)
