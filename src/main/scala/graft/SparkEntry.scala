@@ -1078,13 +1078,19 @@ object SparkEntry {
     * are then deterministic scalar functions of gated state, not a
     * statistical check. */
   private def q86_hll(s: SparkSession, d: String): DataFrame = {
+    // HLL registers are idempotent under duplicates (max(rho) per idx), so
+    // hash the DISTINCT token set — the per-occurrence form md5'd all 10M
+    // occurrences at the 10x point; per-document tf comes from the fused
+    // byte-scan expression, so the dedup shuffle moves vocab partials
     val toks = t(s, d, "documents")
       .filter(col("text").isNotNull &&
         length(TextAnalysis.wsTrim(col("text"))) > 0)
-      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .select(explode(graft.functions.TextFunctions.tf_from_text(
+        col("text"))).as("__e"))
+      .select(col("__e.t").as("token")).distinct()
     val regs = Sketches.hllRegisters(toks, col("token"), b = 8)
     Sketches.hllSummary(regs, b = 8)
-      .crossJoin(toks.agg(countDistinct(col("token")).as("exact_distinct")))
+      .crossJoin(toks.agg(count(col("token")).as("exact_distinct")))
   }
 
   /** SemDeDup over the embeddings table ([[Similarity.semanticDedup]])

@@ -107,34 +107,45 @@ object Introspect {
         col(e.srcKeys.head).cast("string").as("src"),
         col(e.dstKeys.head).cast("string").as("dst")) }
       .reduce(_ unionByName _)
-    // one degree pipeline per direction; Catalyst reuses the union scan.
-    // Degree stats are over the degree GROUPS (vertices with ≥1 edge on
-    // that side), exactly the reference's degree_groups CTE.
-    def degreeStats(side: String): DataFrame = {
-      val deg = allEdges.groupBy(col("i"), col(side).as("vk"))
-        .agg(count(lit(1)).as("d"))
-      val hist = deg.groupBy("i", "d").agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("i").orderBy("d")
-      val cum = hist
-        .withColumn("__n", sum("c").over(
-          org.apache.spark.sql.expressions.Window.partitionBy("i")))
-        .withColumn("__cum", sum("c").over(w))
-      def q(p: Double): Column =
-        min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("d")))
-      cum.groupBy("i").agg(
-        sum(col("d") * col("c")).as(s"${side}_edges"),
-        sum("c").as(s"${side}_groups"),
-        (sum(col("d") * col("c")).cast("double") / sum("c"))
-          .as(s"${side}_avg"),
-        min("d").as(s"${side}_min"), max("d").as(s"${side}_max"),
-        q(0.25).as(s"${side}_q25"), q(0.5).as(s"${side}_q50"),
-        q(0.75).as(s"${side}_q75"))
-    }
-    val outStats = degreeStats("src")
-    val inStats = degreeStats("dst")
+    // ONE side-tagged degree pipeline serves both directions, and its
+    // degree relation doubles as the distinct-foreign-key set for the
+    // isolated anti-join — a per-direction pipeline re-evaluated every
+    // derived edge view up to 4× (measured 2× wall on q32). Degree stats
+    // are over the degree GROUPS (vertices with ≥1 edge on that side),
+    // exactly the reference's degree_groups CTE.
+    val sided = allEdges
+      .select(col("i"), lit("src").as("side"), col("src").as("vk"))
+      .unionByName(allEdges
+        .select(col("i"), lit("dst").as("side"), col("dst").as("vk")))
+    val deg = sided.groupBy("i", "side", "vk").agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy("i", "side", "d").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("i", "side").orderBy("d")
+    val cum = hist
+      .withColumn("__n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("i", "side")))
+      .withColumn("__cum", sum("c").over(w))
+    def q(p: Double): Column =
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("d")))
+    val stats = cum.groupBy("i", "side").agg(
+      sum(col("d") * col("c")).as("edges"),
+      sum("c").as("groups"),
+      (sum(col("d") * col("c")).cast("double") / sum("c")).as("avg"),
+      min("d").as("mn"), max("d").as("mx"),
+      q(0.25).as("q25"), q(0.5).as("q50"), q(0.75).as("q75"))
+    // both directions fold to one row per table: conditional-first pivot
+    def sideCol(side: String, c: String): Column =
+      max(when(col("side") === side, col(c))).as(s"${side}_$c")
+    val statsWide = stats.groupBy("i").agg(
+      sideCol("src", "edges"), sideCol("src", "groups"),
+      sideCol("src", "avg"), sideCol("src", "mn"), sideCol("src", "mx"),
+      sideCol("src", "q25"), sideCol("src", "q50"), sideCol("src", "q75"),
+      sideCol("dst", "edges"), sideCol("dst", "groups"),
+      sideCol("dst", "avg"), sideCol("dst", "mn"), sideCol("dst", "mx"),
+      sideCol("dst", "q25"), sideCol("dst", "q50"), sideCol("dst", "q75"))
     // isolated vertices per (edge table, side): endpoint-reference vertex
-    // table keys with no matching edge foreign key — one unioned anti-join
+    // table keys with no matching edge foreign key — the deg relation IS
+    // the distinct fk-key set, no second edge pass
     val refKeys = pg.edgeTables.zipWithIndex.flatMap { case (e, i) =>
       Seq(("src", pg.vertexLabel(e.srcLabel)),
         ("dst", pg.vertexLabel(e.dstLabel))).map { case (side, vt) =>
@@ -142,21 +153,15 @@ object Introspect {
           lit(side).as("side"), col(vt.keyCols.head).cast("string").as("vk"))
       }
     }.reduce(_ unionByName _)
-    val fkKeys = allEdges.select(col("i"), lit("src").as("side"),
-        col("src").as("vk"))
-      .union(allEdges.select(col("i"), lit("dst").as("side"),
-        col("dst").as("vk"))).distinct()
-    val isolated = refKeys.join(fkKeys, Seq("i", "side", "vk"), "left_anti")
-      .groupBy("i", "side").agg(count(lit(1)).as("iso"))
-    val isoSrc = isolated.filter(col("side") === "src")
-      .select(col("i"), col("iso").as("iso_src"))
-    val isoDst = isolated.filter(col("side") === "dst")
-      .select(col("i"), col("iso").as("iso_dst"))
+    val isolated = refKeys
+      .join(deg.select("i", "side", "vk"), Seq("i", "side", "vk"),
+        "left_anti")
+      .groupBy("i").agg(
+        sum(when(col("side") === "src", 1L).otherwise(0L)).as("iso_src"),
+        sum(when(col("side") === "dst", 1L).otherwise(0L)).as("iso_dst"))
     val eparts = eMeta
-      .join(outStats, Seq("i"), "left")
-      .join(inStats, Seq("i"), "left")
-      .join(isoSrc, Seq("i"), "left")
-      .join(isoDst, Seq("i"), "left")
+      .join(statsWide, Seq("i"), "left")
+      .join(isolated, Seq("i"), "left")
       .select(col("i"), col("table_name"), lit(false).as("is_vertex_table"),
         col("source_table"), col("destination_table"),
         nullL.as("vertex_count"),
@@ -165,12 +170,12 @@ object Introspect {
         coalesce(col("dst_groups"), lit(0L)).as("unique_destination_count"),
         coalesce(col("iso_src"), lit(0L)).as("isolated_sources"),
         coalesce(col("iso_dst"), lit(0L)).as("isolated_destinations"),
-        col("dst_avg").as("avg_in_degree"), col("dst_min").as("min_in_degree"),
-        col("dst_max").as("max_in_degree"), col("dst_q25").as("q25_in_degree"),
+        col("dst_avg").as("avg_in_degree"), col("dst_mn").as("min_in_degree"),
+        col("dst_mx").as("max_in_degree"), col("dst_q25").as("q25_in_degree"),
         col("dst_q50").as("q50_in_degree"), col("dst_q75").as("q75_in_degree"),
         col("src_avg").as("avg_out_degree"),
-        col("src_min").as("min_out_degree"),
-        col("src_max").as("max_out_degree"),
+        col("src_mn").as("min_out_degree"),
+        col("src_mx").as("max_out_degree"),
         col("src_q25").as("q25_out_degree"),
         col("src_q50").as("q50_out_degree"),
         col("src_q75").as("q75_out_degree"))

@@ -41,15 +41,24 @@ object Sketches {
       s"depth must be in [1, 16] (got $depth)")
     require(width >= 2 && width <= (1 << 30),
       s"width must be in [2, 2^30] (got $width)")
-    val toks = df
+    // hash per DISTINCT token, weighted by its occurrence count — the
+    // per-occurrence form computed depth md5s for EVERY token instance
+    // (40M hashes at the 10x point); counters are Σ count × [bucket
+    // match], identical values. Per-document tf comes from the fused
+    // byte-scan expression, so the corpus shuffle moves vocab-sized
+    // partials only.
+    val tokCounts = df
       .filter(col(textCol).isNotNull &&
         length(TextAnalysis.wsTrim(col(textCol))) > 0)
-      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
-    toks
-      .select(posexplode(array((0 until depth).map(d =>
+      .select(explode(graft.functions.TextFunctions.tf_from_text(
+        col(textCol))).as("__e"))
+      .select(col("__e.t").as("token"), col("__e.tf").as("__tf"))
+      .groupBy("token").agg(sum("__tf").as("__n"))
+    tokCounts
+      .select(col("__n"), posexplode(array((0 until depth).map(d =>
         cmBucket(col("token"), d, width)): _*)))
       .groupBy(col("pos").as("d"), col("col").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("__n").as("cnt"))
   }
 
   /** Point-query the sketch: CountMin estimate (min over the `depth`

@@ -429,13 +429,19 @@ object TextAnalysis {
         round(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
   }
 
-  /** Greedy per-document stats frame. */
+  /** Greedy per-document stats frame — one fused tokenization pass
+    * ([[graft.functions.TextStatsExpr]]); the declarative composition
+    * re-split the text ~8 times (five per-language intersects alone).
+    * Null text keeps the old per-metric semantics: null stats, 'und'
+    * language. */
   def documentStats(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
-      .withColumn("punct_ratio", round(punctRatio(t), 6))
-      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
-      .withColumn("lang_guess", langId(t))
-      .withColumn("quality", qualityScore(t))
+    val st = df.withColumn("__ts",
+      graft.functions.TextStatsFunctions.text_stats(col(textCol)))
+    st.withColumn("n_tokens", col("__ts.n_tokens"))
+      .withColumn("punct_ratio", col("__ts.punct_ratio"))
+      .withColumn("stopword_ratio", col("__ts.stopword_ratio"))
+      .withColumn("lang_guess", coalesce(col("__ts.lang_guess"), lit("und")))
+      .withColumn("quality", col("__ts.quality"))
+      .drop("__ts")
   }
 }
