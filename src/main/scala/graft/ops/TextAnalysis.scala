@@ -192,28 +192,19 @@ object TextAnalysis {
     * top-gram tie-break: (count desc, gram asc). */
   def repetitionStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val t = col(textCol)
-    val base = df.select(col(idCol),
-      size(textLines(t)).cast("long").as("n_lines"),
-      round(dupLineFrac(t), 6).as("dup_line_frac"),
-      round(dupLineCharFrac(t), 6).as("dup_line_char_frac"),
-      round(dupNgramFrac(t, 5), 6).as("dup_5gram_frac"),
-      length(concat_ws(" ", words(t))).cast("long").as("__wchars"))
-    // top gram by (count desc, gram asc) as a min-struct aggregation —
-    // map-side combinable, no per-document window sort
-    val top = df.select(col(idCol), explode(wordNgrams(t, 2)).as("__g"))
-      .groupBy(idCol, "__g").agg(count(lit(1)).as("__cnt"))
-      .groupBy(idCol).agg(min(struct((-col("__cnt")).as("_negc"),
-        col("__g").as("_g"))).as("__top"))
-      .select(col(idCol),
-        ((-col("__top._negc")) * length(col("__top._g")))
-          .cast("long").as("__topchars"))
-    base.join(top, Seq(idCol), "left")
-      .withColumn("top_2gram_char_frac",
-        when(col("__wchars") === 0 || col("__topchars").isNull, lit(0.0))
-          .otherwise(round(col("__topchars").cast("double")
-            / col("__wchars"), 6)))
-      .drop("__wchars", "__topchars")
+    // one fused pass ([[graft.functions.RepetitionStatsExpr]]): every
+    // metric here is per-DOCUMENT — including the most-frequent-2-gram,
+    // which previously rode an explode + two (id, gram) aggregations —
+    // so the whole operator is exchange-free
+    val scanned = df.select(col(idCol),
+      graft.functions.RepetitionFunctions.repetition_stats(
+        coalesce(col(textCol), lit(""))).as("__rep"))
+    scanned.select(col(idCol),
+      col("__rep.n_lines").as("n_lines"),
+      col("__rep.dup_line_frac").as("dup_line_frac"),
+      col("__rep.dup_line_char_frac").as("dup_line_char_frac"),
+      col("__rep.dup_5gram_frac").as("dup_5gram_frac"),
+      col("__rep.top_2gram_char_frac").as("top_2gram_char_frac"))
   }
 
   /** C4-style per-document filter signals — pure per-row Columns, no
