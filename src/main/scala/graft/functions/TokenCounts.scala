@@ -89,6 +89,42 @@ object TfFromText {
   }
 }
 
+/** Plain token COUNT by byte scan — the `size(split(trim(text), "\\s+"))`
+  * count without the regex or the token array. Same `\s` semantics as
+  * [[TfFromText]]; case never affects a count. */
+object TokenCountOf {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def countTokens(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var count = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) { count += 1; while (i < n && !isWs(bytes(i))) i += 1 }
+    }
+    count
+  }
+}
+
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_count"
+
+  override def nullSafeEval(a: Any): Any =
+    TokenCountOf.countTokens(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TokenCountOf.countTokens($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class TfFromTextExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("t", StringType, nullable = false),
@@ -130,4 +166,6 @@ object TextFunctions {
     Bridge.column(TokenCountsExpr(Bridge.expression(tokens)))
   def tf_from_text(text: Column): Column =
     Bridge.column(TfFromTextExpr(Bridge.expression(text)))
+  def token_count(text: Column): Column =
+    Bridge.column(TokenCountExpr(Bridge.expression(text)))
 }

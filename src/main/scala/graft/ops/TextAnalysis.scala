@@ -24,8 +24,10 @@ object TextAnalysis {
     split(wsTrim(text), "\\s+")
 
   def tokenCount(text: Column): Column =
-    when(length(wsTrim(text)) === 0, lit(0L))
-      .otherwise(size(tokens(text)).cast("long"))
+    // fused byte-scan count ([[graft.functions.TokenCountExpr]]) — same
+    // value as size(tokens(wsTrim)) for every input (blank → 0), no regex
+    // split, no token array; null text stays null like the old form
+    graft.functions.TextFunctions.token_count(text)
 
   /** BPE-ish sub-word count: tokens are further split on letter/digit/other
     * boundaries, approximating byte-pair segmentation without a vocab. */
