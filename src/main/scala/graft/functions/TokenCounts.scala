@@ -89,6 +89,48 @@ object TfFromText {
   }
 }
 
+/** Lowercased token ARRAY by byte scan — exact
+  * [[graft.ops.TextAnalysis.words]] parity for non-blank text: maximal
+  * runs of non-`\s` in `lower(text)` (ASCII whitespace; multi-byte UTF-8
+  * units are ≥ 0x80). Blank input yields an EMPTY array (callers guard
+  * null with coalesce, matching words()' blank branch). NOT a drop-in
+  * for `tokens()`, whose un-guarded split of "" yields `[""]`. */
+object TokensOf {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def tokensRow(text: UTF8String): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[AnyRef](16)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) out.add(UTF8String.fromBytes(bytes, start, i - start))
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+case class TokensOfExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokens_of"
+
+  override def nullSafeEval(a: Any): Any =
+    TokensOf.tokensRow(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TokensOf.tokensRow($x);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Plain token COUNT by byte scan — the `size(split(trim(text), "\\s+"))`
   * count without the regex or the token array. Same `\s` semantics as
   * [[TfFromText]]; case never affects a count. */
@@ -168,4 +210,6 @@ object TextFunctions {
     Bridge.column(TfFromTextExpr(Bridge.expression(text)))
   def token_count(text: Column): Column =
     Bridge.column(TokenCountExpr(Bridge.expression(text)))
+  def tokens_of(text: Column): Column =
+    Bridge.column(TokensOfExpr(Bridge.expression(text)))
 }

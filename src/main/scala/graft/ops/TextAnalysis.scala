@@ -136,11 +136,11 @@ object TextAnalysis {
     filter(transform(split(coalesce(text, lit("")), "\r?\n"), l => trim(l)),
       l => length(l) > 0)
 
-  /** Lower-cased whitespace words (empty array for blank/null text). */
+  /** Lower-cased whitespace words (empty array for blank/null text) —
+    * fused byte-scan tokenizer ([[graft.functions.TokensOfExpr]]), no
+    * regex split, identical token stream. */
   def words(text: Column): Column =
-    when(coalesce(length(wsTrim(text)), lit(0)) === 0,
-      array().cast("array<string>"))
-      .otherwise(tokens(lower(text)))
+    graft.functions.TextFunctions.tokens_of(coalesce(text, lit("")))
 
   /** Word n-grams joined by single spaces (empty when fewer than n
     * words). The gram construction is the codegen'd [[
