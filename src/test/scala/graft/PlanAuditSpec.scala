@@ -118,8 +118,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode")) // chunk fan-out in the scan stage
   }
 
-  test("c4 flags (q72) are exchange-free; repetition (q71) shuffles " +
-      "only the (doc, gram) aggregation") {
+  test("c4 flags (q72) and repetition stats (q71) are exchange-free") {
     val s = Fixture.init()
     val p72 = SparkEntry.queries("q72_c4_filters")(s, sf)
       .queryExecution.executedPlan.toString
@@ -128,11 +127,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p72.contains("Exchange"), p72.take(800))
     val p71 = SparkEntry.queries("q71_repetition")(s, sf)
       .queryExecution.executedPlan.toString
-    // per-row metrics + one (doc, gram) count + the per-doc top-gram
-    // window + the doc-key join back: hash exchanges only, and never a
-    // single-partition funnel
-    assert(!p71.contains("Exchange SinglePartition"), p71.take(800))
-    assert(p71.contains("Exchange hashpartitioning"))
+    // RepetitionStatsExpr computes every Gopher metric (incl. the
+    // top-2-gram fraction) per document in one fused byte-scan pass —
+    // the former (doc, gram) count + window + join-back shuffle is gone
+    assert(!p71.contains("Exchange"), p71.take(800))
+    assert(p71.contains("repetition_stats"))
   }
 
   test("pii redaction (q74) exchange-free; decontamination (q73) and " +
