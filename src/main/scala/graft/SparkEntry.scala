@@ -27,7 +27,7 @@ object SparkEntry {
 
   // ---------- helpers ----------
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    TradeGraph.baseTable(spark, sfDir, name)
 
   /** `events` with `ts` normalized to nanosecond longs whatever the
     * parquet encoding (nanos-as-long, micros timestamp, raw long) — see

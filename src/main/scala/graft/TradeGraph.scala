@@ -74,12 +74,24 @@ object TradeGraph {
       case "nation_near" => nationNear(spark, sfDir)
       case "nation_cnext" => nationCNext(spark, sfDir)
       case "events" => events(spark, sfDir)
-      case other => spark.read.parquet(s"$sfDir/$other.parquet")
+      case other => baseTable(spark, sfDir, other)
     }
   }
 
+  /** Memoized parquet loader: every `spark.read.parquet` call re-lists the
+    * path and re-reads footers for schema — a driver job per call, paid by
+    * EVERY query that touches the table (the bench fires hundreds). The
+    * analyzed relation (with its resolved FileIndex) is parked once per
+    * (session, path) as a temp view; `spark.table` reuses it job-free.
+    * Data is NOT cached — at the 100 TB target only the plan is worth
+    * pinning, and scans stay streaming parquet reads. */
+  def baseTable(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cachedView(spark, s"base_$name:$sfDir", cache = false) {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
   private def nation(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/nation.parquet")
+    baseTable(spark, sfDir, "nation")
 
   // derived views are rebuilt by every query that touches them (the
   // registry stores names, not plans) — cache one copy per
@@ -87,13 +99,13 @@ object TradeGraph {
   // cacheTable), so the cache lives and dies with the session instead of
   // pinning it from a driver-global map (a map value holding a DataFrame
   // would strongly reference the session and defeat weak keys)
-  private def cachedView(spark: SparkSession, key: String)
-      (build: => DataFrame): DataFrame = {
+  private def cachedView(spark: SparkSession, key: String,
+      cache: Boolean = true)(build: => DataFrame): DataFrame = {
     val name = "__graft_view_" + key.replaceAll("[^A-Za-z0-9_]", "_")
     this.synchronized {
       if (!spark.catalog.tableExists(name)) {
         build.createOrReplaceTempView(name)
-        spark.catalog.cacheTable(name)
+        if (cache) spark.catalog.cacheTable(name)
       }
     }
     spark.table(name)
@@ -154,7 +166,9 @@ object TradeGraph {
     * the parquet encoding (see [[normalizeTs]]). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+    cachedView(spark, s"events_norm:$sfDir", cache = false) {
+      normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+    }
   }
 
   /** `events.ts` has shipped as TIMESTAMP(NANOS) parquet (readable only as
