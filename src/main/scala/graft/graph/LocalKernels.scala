@@ -423,6 +423,77 @@ private[graph] object LocalKernels {
     vertexIds.map(v => (v, comp(v)))
   }
 
+  /** Per-corner triangle counts over the deduplicated undirected relation
+    * — mirrors [[Algorithms.triangleCounts]]'s degree-ordered semantics
+    * exactly (orient each undirected edge from the lower-(deg, id) end,
+    * find each triangle once at its (lowest, middle) oriented edge by
+    * sorted-adjacency intersection, credit all three corners). The
+    * intersections run in parallel across driver cores; the distributed
+    * wedge join stays the strategy above the size gate.
+    *
+    * @return (id, deg, tris) for every vertex with ≥1 undirected neighbor
+    */
+  def triangles(edges: Array[(Long, Long)]): Array[(Long, Long, Long)] = {
+    // canonical undirected pair set (self-loops never count as links)
+    val und = mutable.HashSet[(Long, Long)]()
+    edges.foreach { case (s, d) =>
+      if (s != d) und += ((math.min(s, d), math.max(s, d)))
+    }
+    val ids = {
+      val s = mutable.LongMap[Unit]()
+      und.foreach { case (a, b) => s(a) = (); s(b) = () }
+      s.keys.toArray
+    }
+    val idx = mutable.LongMap[Int]()
+    ids.zipWithIndex.foreach { case (v, i) => idx(v) = i }
+    val n = ids.length
+    val deg = new Array[Int](n)
+    und.foreach { case (a, b) => deg(idx(a)) += 1; deg(idx(b)) += 1 }
+    // orientation rank: (deg, id) — identical to the DataFrame filter
+    def ranksBelow(i: Int, j: Int): Boolean =
+      deg(i) < deg(j) || (deg(i) == deg(j) && ids(i) < ids(j))
+    val outDeg = new Array[Int](n)
+    und.foreach { case (a, b) =>
+      val (i, j) = (idx(a), idx(b))
+      if (ranksBelow(i, j)) outDeg(i) += 1 else outDeg(j) += 1
+    }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
+    val adj = new Array[Int](off(n))
+    val fill = java.util.Arrays.copyOf(off, n)
+    und.foreach { case (a, b) =>
+      val (ia, ib) = (idx(a), idx(b))
+      val (lo, hi) = if (ranksBelow(ia, ib)) (ia, ib) else (ib, ia)
+      adj(fill(lo)) = hi; fill(lo) += 1
+    }
+    i = 0
+    while (i < n) {
+      java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1
+    }
+    val tris = new java.util.concurrent.atomic.AtomicLongArray(n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { u =>
+      var p = off(u)
+      while (p < off(u + 1)) {
+        val v = adj(p)
+        // two-pointer intersect N+(u) ∩ N+(v)
+        var x = off(u); var y = off(v)
+        while (x < off(u + 1) && y < off(v + 1)) {
+          val (cu, cv) = (adj(x), adj(y))
+          if (cu < cv) x += 1
+          else if (cu > cv) y += 1
+          else {
+            tris.getAndIncrement(u); tris.getAndIncrement(v)
+            tris.getAndIncrement(cu)
+            x += 1; y += 1
+          }
+        }
+        p += 1
+      }
+    }
+    Array.tabulate(n)(k => (ids(k), deg(k).toLong, tris.get(k)))
+  }
+
   /** Union-find WCC with min-member component ids — mirrors
     * [[Algorithms.weaklyConnectedComponents]]. */
   def wcc(vertexIds: Array[Long], edges: Array[(Long, Long)])

@@ -117,6 +117,38 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("triangle family: local edge-iterator kernel and distributed " +
+      "wedge join agree on random graphs") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    def withDist[T](body: => T): T = {
+      val e = PathFinder.localMaxEdges
+      PathFinder.localMaxEdges = 0
+      try body finally PathFinder.localMaxEdges = e
+    }
+    for (seed <- 71L to 76L) {
+      val (vs, es) = randomGraph(seed)
+      val localTri = Algorithms.triangleCounts(
+        vs.toDF("id"), es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val distTri = withDist(Algorithms.triangleCounts(
+        vs.toDF("id"), es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(localTri == distTri, s"(seed $seed triangles)")
+      val localLcc = Algorithms.localClusteringCoefficient(
+        vs.toDF("id"), es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val distLcc = withDist(Algorithms.localClusteringCoefficient(
+        vs.toDF("id"), es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+      assert(localLcc.keySet == distLcc.keySet, s"(seed $seed lcc keys)")
+      localLcc.foreach { case (v, x) =>
+        assert(math.abs(x - distLcc(v)) < 1e-12, s"(seed $seed, v $v)")
+      }
+    }
+  }
+
   test("SCC matches brute-force mutual reachability on random digraphs") {
     val s = Fixture.init()
     import s.implicits._
