@@ -132,15 +132,16 @@ object Algorithms {
   def weaklyConnectedComponents(vertices: DataFrame,
       edges: DataFrame): DataFrame = {
     // small-graph strategy: union-find on driver arrays (size-gated by
-    // limit-probes, not full counts — see PathFinder strategy gates)
+    // limit-probes, not full counts — see PathFinder strategy gates; a
+    // kernel-memo hit answers the gate and the collect without a job)
     val probe = PathFinder.localMaxEdges.toInt + 1
-    if (edges.limit(probe).count() <= PathFinder.localMaxEdges) {
+    val pre = PathFinder.lookupEdgePairs(edges)
+    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
+        edges.limit(probe).count() <= PathFinder.localMaxEdges)) {
       if (vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
         val ids = vertices.select(col("id").cast("long")).distinct()
           .collect().map(_.getLong(0))
-        val earr = edges.select(col("src").cast("long"),
-          col("dst").cast("long")).collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
+        val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
         val sp = vertices.sparkSession
         import sp.implicits._
         return LocalKernels.wcc(ids, earr).toSeq.toDF("id", "component")
@@ -219,13 +220,13 @@ object Algorithms {
     val sp = vertices.sparkSession
     import sp.implicits._
     val probe = PathFinder.localMaxEdges.toInt + 1
-    if (edges.limit(probe).count() <= PathFinder.localMaxEdges &&
+    val pre = PathFinder.lookupEdgePairs(edges)
+    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
+        edges.limit(probe).count() <= PathFinder.localMaxEdges) &&
         vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
       val ids = vertices.select(col("id").cast("long")).distinct()
         .collect().map(_.getLong(0))
-      val earr = edges.select(col("src").cast("long"),
-        col("dst").cast("long")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
       return LocalKernels.scc(ids, earr).toSeq.toDF("id", "component")
     }
     // self-loops never change SCC membership; dedup once up front
@@ -404,10 +405,10 @@ object Algorithms {
   private def localTriangles(edges: DataFrame)
       : Option[Array[(Long, Long, Long)]] = {
     val probe = PathFinder.localMaxEdges.toInt + 1
-    if (edges.limit(probe).count() > PathFinder.localMaxEdges) return None
-    val earr = edges.select(col("src").cast("long"),
-      col("dst").cast("long")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val pre = PathFinder.lookupEdgePairs(edges)
+    if (!pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
+        edges.limit(probe).count() <= PathFinder.localMaxEdges)) return None
+    val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
     Some(LocalKernels.triangles(earr))
   }
 

@@ -94,6 +94,23 @@ object PathFinder {
           .collect().map(r => (r.getLong(0), r.getLong(1), 0L))
     }
 
+  /** Memo probe for the algorithm kernels (WCC/SCC/triangles): a hit
+    * answers BOTH the size gate (array length) and the collect itself, so
+    * a graph-family query sequence over one edge view pays one probe and
+    * one collect for the whole session instead of two jobs per query. */
+  private[graph] def lookupEdgePairs(edges: org.apache.spark.sql.DataFrame)
+      : Option[Array[(Long, Long)]] = {
+    val key = (edges.queryExecution.analyzed.semanticHash(), "raw")
+    val hit = edgeMemo.synchronized(edgeMemo.get(key))
+    Option(hit).map(_.map(t => (t._1, t._2)))
+  }
+
+  /** Memoized (src, dst) collect sharing the kernel memo's "raw" slot —
+    * call only under a size gate. */
+  private[graph] def collectEdgePairs(edges: org.apache.spark.sql.DataFrame)
+      : Array[(Long, Long)] =
+    collectEdges(edges, withEid = false).map(t => (t._1, t._2))
+
   private def collectSeeds(seeds: org.apache.spark.sql.DataFrame): Array[Long] =
     seeds.select(col("id").cast("long")).collect().map(_.getLong(0))
 
