@@ -154,6 +154,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p75.contains("BroadcastHashJoin"), p75.take(800))
   }
 
+  test("session job-count budget: memoized reads and kernel memo keep " +
+      "per-query Spark jobs bounded") {
+    // Regression guard for the round-7 job-count work: base-table reads
+    // are parked once per (session, path), and the graph family shares
+    // one probe + one collect through the kernel edge memo. Budgets are
+    // ~2x the measured warm counts — a blown budget means a per-query
+    // schema job, probe, or collect crept back in (each costs a
+    // scheduling round-trip per query at any scale).
+    val s = Fixture.init()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    s.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+    def jobsOf(name: String): Int = {
+      val j0 = jobs.get()
+      SparkEntry.queries(name)(s, sf).queryExecution.toRdd.count()
+      // listener events are posted asynchronously; give the bus a beat
+      Thread.sleep(200)
+      jobs.get() - j0
+    }
+    val budgets = Seq("q11_varlen" -> 20, "q48_persisted_pg" -> 10,
+      "q17_lcc" -> 16, "q83_triangles" -> 10, "q1_agg" -> 6)
+    // warm pass populates the view store and the kernel memo
+    budgets.foreach { case (q, _) => jobsOf(q) }
+    budgets.foreach { case (q, budget) =>
+      val n = jobsOf(q)
+      assert(n <= budget, s"$q fired $n jobs (budget $budget)")
+    }
+  }
+
   test("curation pipeline (q59): exactly two exchanges, pruned doc scan") {
     val s = Fixture.init()
     val df = SparkEntry.queries("q59_corpus_curation")(s, sf)
