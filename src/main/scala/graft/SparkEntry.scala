@@ -1105,6 +1105,21 @@ object SparkEntry {
     Similarity.semanticDedup(t(s, d, "embeddings"), threshold = 0.35,
       iters = 1)
 
+  /** Per-language weighted reservoir sample
+    * ([[Sampling.weightedReservoir]], Efraimidis–Spirakis A-ES): the 10
+    * highest u^(1/n_chars) scores per language are a without-replacement
+    * sample with inclusion probability ∝ document length. u is the
+    * engine-portable md5 hash unit, so the oracle replays the exact
+    * member set; the shard pre-prune window is a provable superset of the
+    * stratum top-k, so the oracle needs only the direct window. */
+  private def q91_weighted_reservoir(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedReservoir(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "doc_id", "lang", col("n_chars"), k = 10)
+      .select(col("lang"), col("sample_rank"),
+        col("doc_id").cast("long").as("doc_id"), col("sample_score"))
+
   /** Sequence packing ([[graft.ops.Packing]]): documents → fixed-token-
     * budget training blocks, 8 deterministic shards × per-shard running
     * totals. The window is per-shard, so no task ever sees more than
@@ -1295,7 +1310,8 @@ object SparkEntry {
     "q84_countmin" -> (q84_countmin _),
     "q85_scc" -> (q85_scc _),
     "q86_hll" -> (q86_hll _),
-    "q87_semdedup" -> (q87_semdedup _))
+    "q87_semdedup" -> (q87_semdedup _),
+    "q91_weighted_reservoir" -> (q91_weighted_reservoir _))
 
   // =========================================================================
   // DuckDB oracles — same outputs, plain SQL over the same parquet tables.
@@ -3005,5 +3021,28 @@ object SparkEntry {
          SELECT e.vec_id,
            CAST(0 AS BIGINT) AS centroid_id,
            (d.vec_id IS NOT NULL) AS is_duplicate
-         FROM emb e LEFT JOIN dups d ON e.vec_id = d.vec_id""")
+         FROM emb e LEFT JOIN dups d ON e.vec_id = d.vec_id""",
+
+    // A-ES weighted reservoir: the exact per-language top-10 of
+    // round(u^(1/n_chars), 9) with u = the shared md5 hash unit — the
+    // shard pre-prune in the engine is a superset, so the direct window
+    // is the whole oracle
+    "q91_weighted_reservoir" ->
+      """WITH scored AS (
+           SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+             round(pow(
+               CAST(CAST(('0x' ||
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS UBIGINT) AS DOUBLE) / CAST(4294967296.0 AS DOUBLE),
+               1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_score
+           FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+             AND CAST(n_chars AS DOUBLE) > 0),
+         ranked AS (
+           SELECT lang, doc_id, sample_score,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY sample_score DESC, doc_id ASC) AS sample_rank
+           FROM scored)
+         SELECT lang, sample_rank, doc_id, sample_score
+         FROM ranked WHERE sample_rank <= 10""")
 }

@@ -100,6 +100,59 @@ object Sampling {
       .drop("rate")
   }
 
+  /** Deterministic weighted reservoir sample WITHOUT replacement, per
+    * stratum (Efraimidis–Spirakis A-ES, Inf. Process. Lett. 97(5), 2006):
+    * each row draws u = [[hashUnit]](key) and scores s = u^(1/w); the k
+    * highest scores per stratum ARE a without-replacement sample with
+    * inclusion probability proportional to weight. Because u is a pure
+    * function of the key (not an RNG), membership replays exactly across
+    * engines, reruns, retries and repartitioning — the same property all
+    * [[Sampling]] ops guarantee — and the whole operator is expressible
+    * as two windows over codegen'd column math (SQL-oracle-able).
+    *
+    * Scale shape: a naive per-stratum top-k window sorts ENTIRE strata —
+    * a handful of giant strata would straggle at corpus scale. Instead a
+    * pre-prune window over (stratum, shard) — shard = [[hashBucket]] of
+    * the key, uniform by construction — keeps k rows per shard cell
+    * (provably a superset of the stratum top-k), so the final exact
+    * window sorts ≤ shards·k rows per stratum. One skew-free corpus
+    * shuffle + one tiny one, no RNG state, no driver pass.
+    *
+    * Scores are rounded to 9 decimals BEFORE ranking, and ties break on
+    * the key: double `pow` agrees across engines to ~1e-15, so the
+    * rounded ordering is engine-portable the same way the float-rounding
+    * discipline works in every other oracle pair. Rows with null/≤0
+    * weight or a null key are excluded (they have no defined draw).
+    *
+    * @return input columns + `sample_score` (the rounded A-ES score) +
+    *         `sample_rank` (1..k within the stratum, best first)
+    */
+  def weightedReservoir(df: DataFrame, keyCol: String, stratumCol: String,
+      weight: Column, k: Int, shards: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    require(shards >= 1, s"shards must be positive (got $shards)")
+    import org.apache.spark.sql.expressions.Window
+    val scored = df
+      .filter(col(keyCol).isNotNull && weight.isNotNull &&
+        weight.cast("double") > 0)
+      .withColumn("sample_score",
+        round(pow(hashUnit(col(keyCol)), lit(1.0) / weight.cast("double")),
+          9))
+    val order = Seq(col("sample_score").desc, col(keyCol).asc)
+    val pre = scored
+      .withColumn("__shard", hashBucket(col(keyCol), shards))
+      .withColumn("__prn", row_number().over(
+        Window.partitionBy(col(stratumCol), col("__shard"))
+          .orderBy(order: _*)))
+      .filter(col("__prn") <= k)
+    pre
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(order: _*))
+        .cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("__shard", "__prn")
+  }
+
   /** 'train'/'test' label column for ~`testPct`% held out — the one-scan
     * form: label in a projection instead of two filtered passes. A null
     * key labels null (it has no stable bucket), surfacing dirty keys

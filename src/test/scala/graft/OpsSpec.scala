@@ -197,6 +197,61 @@ class OpsSpec extends AnyFunSuite {
     assert(strat.count() == 500)
   }
 
+  test("weighted reservoir: A-ES semantics, shard pre-prune superset, " +
+      "weight monotonicity") {
+    val s = Fixture.init()
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // two strata; weights rise with id so heavy rows should dominate
+    val df = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 1.0 + (i / 4).toDouble))
+      .toDF("id", "stratum", "w")
+    val got = Sampling.weightedReservoir(df, "id", "stratum", col("w"),
+      k = 15)
+    // exactly k per stratum, ranks 1..k, deterministic across calls
+    val byStr = got.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStr == Map("a" -> 15L, "b" -> 15L))
+    val again = Sampling.weightedReservoir(df, "id", "stratum", col("w"),
+      k = 15).select("stratum", "sample_rank", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val first = got.select("stratum", "sample_rank", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(first == again)
+    // the shard pre-prune must be invisible: equal to the direct top-k
+    // window over the same scores (superset proof exercised end-to-end),
+    // at several shard counts including shards=1 (no pruning at all)
+    val direct = df
+      .withColumn("sample_score",
+        round(pow(Sampling.hashUnit(col("id")), lit(1.0) / col("w")), 9))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(col("sample_score").desc, col("id").asc)).cast("long"))
+      .filter(col("sample_rank") <= 15)
+      .select("stratum", "sample_rank", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    for (sh <- Seq(1, 4, 64)) {
+      val v = Sampling.weightedReservoir(df, "id", "stratum", col("w"),
+        k = 15, shards = sh).select("stratum", "sample_rank", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(v == direct, s"shards=$sh diverged from the direct window")
+    }
+    // inclusion ∝ weight: the sampled mean weight must clearly exceed
+    // the population mean (deterministic given the fixed hash draws)
+    val popMean = df.agg(avg("w")).collect()(0).getDouble(0)
+    val sampMean = got.agg(avg("w")).collect()(0).getDouble(0)
+    assert(sampMean > popMean,
+      s"sample mean $sampMean not above population mean $popMean")
+    // null keys and non-positive weights draw nothing
+    val dirty = Seq((Some(1L), "a", 5.0), (None, "a", 5.0),
+      (Some(2L), "a", 0.0), (Some(3L), "a", -1.0))
+      .toDF("id", "stratum", "w")
+    val kept = Sampling.weightedReservoir(dirty, "id", "stratum", col("w"),
+      k = 10).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("token chunking: overlap, boundaries, empty docs") {
     val s = Fixture.init()
     import s.implicits._
