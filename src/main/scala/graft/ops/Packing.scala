@@ -50,6 +50,12 @@ object Packing {
     require(!df.columns.contains("shard") && !df.columns.contains("block"),
       "input already has a 'shard' or 'block' column — rename it first " +
         "(packBlocks would silently overwrite it)")
+    // df.rdd here is LAZY plan construction (no job runs): it is the one
+    // API that answers "how parallel is this input" so the default shard
+    // count scales with the data. executedPlan.outputPartitioning is
+    // UnknownPartitioning(0) for unbucketed scans and a conf default
+    // would not grow with the input, so both suggested alternatives
+    // change the documented contract.
     val nShards =
       if (shards > 0) shards else math.max(32, df.rdd.getNumPartitions)
     val w = Window.partitionBy("shard").orderBy(col(keyCol), col(tokenCol))
