@@ -126,6 +126,55 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming weighted reservoir converges to the batch sample " +
+      "regardless of arrival order and batching") {
+    val s = init()
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Row
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("lang"),
+        col("n_chars").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // three unordered chunks covering every row exactly once (shuffled
+    // deterministically, split in thirds), plus a re-delivery of part of
+    // chunk 1 inside chunk 3 (the merge must be idempotent)
+    val shuffled = docs.sortBy(d => d._1 * 2654435761L % 97)
+    val third = (shuffled.length + 2) / 3
+    val parts = shuffled.grouped(third).toSeq
+    val chunks = Seq(parts(0), parts(1), parts(2) ++ parts(0).take(5))
+    val ms = MemoryStream[(Long, String, Double)](s)
+    val latest =
+      new scala.collection.concurrent.TrieMap[String, Set[(Long, Long, Double)]]()
+    val q = graft.streaming.CorpusStreams.weightedReservoir(
+        ms.toDF().toDF("doc_id", "stratum", "weight"), k = 7,
+        keyCol = "doc_id", stratumCol = "stratum", weightCol = "weight")
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().groupBy(_.getString(0)).foreach { case (st, rows) =>
+          latest(st) = rows.map((r: Row) =>
+            (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        }
+      }.start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val batch = graft.ops.Sampling.weightedReservoir(
+        docs.toSeq.toDF("doc_id", "stratum", "w"),
+        "doc_id", "stratum", col("w"), k = 7)
+      .select(col("stratum"), col("sample_rank"), col("doc_id"),
+        col("sample_score"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (st, rows) => st -> rows.map(r =>
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet }
+    assert(latest.nonEmpty && batch.nonEmpty)
+    assert(latest.keySet == batch.keySet)
+    batch.foreach { case (st, want) =>
+      assert(latest(st) == want, s"stratum $st diverged from batch")
+    }
+  }
+
   test("flatMapGroupsWithState milestones match the batch counts") {
     val s = init()
     val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
