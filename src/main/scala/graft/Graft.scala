@@ -130,6 +130,7 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
     val fnPat = java.util.regex.Pattern.compile(
       "(?i)(?<![A-Za-z0-9_.])(pagerank|weakly_connected_component|" +
         "strongly_connected_component|local_clustering_coefficient|" +
+        "triangle_counts|" +
         "summarize_property_graph|get_pg_vtablenames|get_pg_etablenames|" +
         "get_pg_vcolnames|get_pg_ecolnames)\\s*\\(([^()]*)\\)")
     val sb = new StringBuilder(query)
@@ -154,6 +155,7 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
         case "pagerank" => Some("pagerank")
         case "weakly_connected_component" => Some("wcc")
         case "strongly_connected_component" => Some("scc")
+        case "triangle_counts" => Some("triangles")
         case _ => None
       }
       val replacement = defaultAlias match {
@@ -176,6 +178,8 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
         graph.Algorithms.wcc(spark, pg(0), resolver, args(1), args(2))
       case "strongly_connected_component" =>
         graph.Algorithms.scc(spark, pg(0), resolver, args(1), args(2))
+      case "triangle_counts" =>
+        graph.Algorithms.triangles(spark, pg(0), resolver, args(1), args(2))
       case "local_clustering_coefficient" =>
         // the reference emits FLOAT (local_clustering_coefficient.cpp)
         graph.Algorithms.lcc(spark, pg(0), resolver, args(1), args(2))

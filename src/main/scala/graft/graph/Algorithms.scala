@@ -517,4 +517,12 @@ object Algorithms {
     stronglyConnectedComponents(v, e)
       .select(col("id").as(key), col("component").as("componentId"))
   }
+
+  /** `triangle_counts(pg, v, e)` table function — beyond the reference
+    * (which stops at LCC), same scaffold as [[scc]]. */
+  def triangles(spark: SparkSession, pg: PropertyGraph,
+      resolver: TableResolver, vLabel: String, eLabel: String): DataFrame = {
+    val (v, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
+    triangleCounts(v, e).select(col("id").as(key), col("triangles"))
+  }
 }

@@ -167,6 +167,44 @@ class SqlIntegrationSpec extends AnyFunSuite {
       hidden.toSet)
   }
 
+  test("triangle_counts table function: SQL surface + default alias") {
+    val g = mkGraft
+    // Fixture Knows graph: per-person triangle participation, queried
+    // through the same substitution strategy as pagerank/wcc/scc — the
+    // bare call gets the 'triangles' default alias
+    val got = g.sqlGraph(
+      """SELECT s.name, t.triangles
+         FROM triangle_counts('pg', 'Person', 'Knows') t
+         JOIN student s ON s.id = t.id
+         ORDER BY t.triangles DESC, s.name""")
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // bare call → the 'triangles' default alias qualifies columns
+    val aliased = g.sqlGraph(
+      """SELECT triangles.id FROM triangle_counts('pg', 'Person', 'Knows')
+         ORDER BY triangles.id""")
+    assert(aliased.collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+    // oracle: brute-force count on the undirected deduped know edges
+    val und = Fixture.spark.table("know")
+      .select("src", "dst").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0))))
+      .filter(p => p._1 != p._2).toSet
+    val people = Fixture.spark.table("student").select("id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ids = people.map(_._1)
+    def tri(v: Long): Long = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if a != v && b != v &&
+        und((v, a)) && und((v, b)) && und((a, b))
+    } yield 1).size.toLong
+    val want = people.map { case (id, n) => (n, tri(id)) }
+      .sortBy { case (n, t) => (-t, n) }
+    assert(rows.toSeq == want.toSeq)
+  }
+
   test("COPY TO csv — copy_to_duckpgq.test") {
     val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
     mkGraft.copyTo(
