@@ -375,6 +375,42 @@ object SparkEntry {
                   vertices(p) AS vpath)""")
       .withColumn("vpath", concat_ws(",", col("vpath")))
 
+  /** Named path whose segments span TWO vertex-key spaces — round-7
+    * closure of the "combined path array cannot carry two id spaces"
+    * restriction (the reference errors on the whole feature,
+    * match.cpp:80-108): the fixed NBridge hop starts at a NUMERIC-keyed
+    * Nation and lands on a COMPOSITE-keyed CNation, then the quantified
+    * CNext segment walks the composite ring. Each segment translates to
+    * string surrogates through its OWN space (fixed hops inline from
+    * their alias columns, composite segments through their dense-rowid
+    * mapping) and the string arrays concatenate — so `vertices(p)` mixes
+    * plain numeric text ("0") with '|'-joined tuples ("0|5") slot by
+    * slot. Out-degree 1 keeps every (src, plen) path unique. */
+  private def q92_mixed_space_path(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ANY SHORTEST (a:Nation WHERE a.n_regionkey = 0)-[g:NBridge]->(c:CNation)-[h:CNext]->{1,3}(b:CNation)
+         COLUMNS (a.n_nationkey AS src, c.n_nationkey AS cn,
+                  b.n_nationkey AS dst, path_length(p) AS plen,
+                  vertices(p) AS vpath)""")
+      .withColumn("vpath", concat_ws(",", col("vpath")))
+
+  /** ACYCLIC across segments bound through DIFFERENT key declarations of
+    * ONE table — round-7 closure of the "different key declarations —
+    * identity is ambiguous" restriction: the numeric NationNext segment
+    * and the composite CNext segment both walk `nation` rows; vertex
+    * identity across them is the PHYSICAL ROW, resolved through the
+    * key-space bijection (raw numeric key ↔ dense composite rowid joined
+    * through the table itself), and alias pairs over the two labels
+    * compare on one declaration's key set. On the 5-ring with quantifiers
+    * {1,3}+1+{1,3}, total hops of 5..7 revisit a vertex, so exactly the
+    * 3-, and 4-hop splits survive: (1,1), (1,2), (2,1) per start. */
+  private def q93_cross_space_acyclic(s: SparkSession, d: String): DataFrame =
+    TradeGraph.graft(s, d).graphTable(
+      """trade MATCH p = ACYCLIC (a:Nation WHERE a.n_regionkey = 0)-[e:NationNext]->{1,3}(m:Nation)-[g:NBridge]->(c:CNation)-[h:CNext]->{1,3}(b:CNation)
+         COLUMNS (a.n_nationkey AS src, m.n_nationkey AS mid,
+                  c.n_nationkey AS cn, b.n_nationkey AS dst,
+                  path_length(p) AS plen)""")
+
   /** Property-graph persistence round trip: CREATE writes the `__graft_pg`
     * catalog table; a FRESH registry (a new session/process in production)
     * lazily reloads it — reference `__duckpgq_internal` semantics
@@ -915,6 +951,16 @@ object SparkEntry {
       "doc_id", "text", n = 4)
   }
 
+  /** Cross-document duplicated spans ([[TextAnalysis.duplicatedSpans]]):
+    * a 5-gram occurring in ≥2 distinct documents marks a duplicated
+    * position; per doc the duplicated fraction and the LONGEST
+    * consecutive duplicated run — the Lee-et-al exact-substring-dedup
+    * signal, here over the synthetic corpus whose shared vocabulary
+    * produces real cross-doc spans. */
+  private def q94_duplicated_spans(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.duplicatedSpans(t(s, d, "documents"), "doc_id", "text",
+      n = 5, minDocs = 2)
+
   /** PII scrubbing ([[TextAnalysis.redactPii]]): emails → `[EMAIL]`,
     * IPv4 → `[IP]`, with per-doc counts — pure per-row regex Columns,
     * exchange-free. Frequent tokens are remapped to a literal email /
@@ -1263,6 +1309,9 @@ object SparkEntry {
     "q68_composite_trail_enum" -> (q68_composite_trail_enum _),
     "q76_composite_mixed_path" -> (q76_composite_mixed_path _),
     "q77_composite_mixed_acyclic" -> (q77_composite_mixed_acyclic _),
+    "q92_mixed_space_path" -> (q92_mixed_space_path _),
+    "q93_cross_space_acyclic" -> (q93_cross_space_acyclic _),
+    "q94_duplicated_spans" -> (q94_duplicated_spans _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2114,6 +2163,53 @@ object SparkEntry {
                 array_to_string(vpath, ',') AS vpath
          FROM b WHERE dist BETWEEN 1 AND 3""",
 
+    // segments span two key spaces: slot 0 is the numeric Nation key as
+    // plain text, every later slot the '|'-joined CNation tuple — the
+    // per-segment surrogate forms the engine emits. Out-degree 1 makes
+    // each (src, dist) walk unique, so ANY SHORTEST = the walk itself.
+    "q92_mixed_space_path" ->
+      s"""WITH RECURSIVE $sqlNationNext, $sqlNationCNext,
+         w(src, cn, dr, dn, dist, vpath) AS (
+           SELECT f.src_n, f.dst_n, f.dst_r, f.dst_n, 1,
+                  [CAST(f.src_n AS VARCHAR),
+                   CAST(f.dst_r AS VARCHAR) || '|' ||
+                     CAST(f.dst_n AS VARCHAR)]
+           FROM nation_cnext f WHERE f.src_r = 0
+           UNION ALL
+           SELECT w.src, w.cn, e.dst_r, e.dst_n, w.dist + 1,
+                  list_append(w.vpath, CAST(e.dst_r AS VARCHAR) || '|' ||
+                    CAST(e.dst_n AS VARCHAR))
+           FROM w JOIN nation_cnext e
+             ON w.dr = e.src_r AND w.dn = e.src_n
+           WHERE w.dist < 4)
+         SELECT src, cn, dn AS dst, CAST(dist AS BIGINT) AS plen,
+                array_to_string(vpath, ',') AS vpath
+         FROM w WHERE dist BETWEEN 2 AND 4""",
+
+    // cross-space ACYCLIC: all three hops are the SAME ring step, so the
+    // path is the start's p-th successors; all-distinct on the 5-ring
+    // means total hops <= 4, i.e. splits (1,1), (1,2), (2,1). The
+    // position table enumerates the ring walk once; the (h1, h2) grid
+    // reads m, c, b off it.
+    "q93_cross_space_acyclic" ->
+      s"""WITH RECURSIVE $sqlNationNext,
+         pos(start, p, k) AS (
+           SELECT n_nationkey, 0, n_nationkey FROM nation
+           WHERE n_regionkey = 0
+           UNION ALL
+           SELECT pos.start, pos.p + 1, e.dst
+           FROM pos JOIN nation_next e ON pos.k = e.src
+           WHERE pos.p < 4)
+         SELECT p1.start AS src, p1.k AS mid, p2.k AS cn, p3.k AS dst,
+                CAST(t1.h1 + 1 + t2.h2 AS BIGINT) AS plen
+         FROM (VALUES (1), (2), (3)) t1(h1),
+              (VALUES (1), (2), (3)) t2(h2),
+              pos p1, pos p2, pos p3
+         WHERE t1.h1 + 1 + t2.h2 <= 4
+           AND p1.p = t1.h1
+           AND p2.start = p1.start AND p2.p = t1.h1 + 1
+           AND p3.start = p1.start AND p3.p = t1.h1 + 1 + t2.h2""",
+
     "q13_reachability" ->
       s"""WITH RECURSIVE $sqlNationNext,
          b(src, dst, dist) AS (
@@ -2630,6 +2726,54 @@ object SparkEntry {
              AS n_contaminated,
            coalesce(hits.n_contaminated, 0) > 0 AS contaminated
          FROM corp LEFT JOIN hits USING (doc_id)""",
+
+    // cross-document duplicated spans: same tokenize/5-gram build as the
+    // engine, doc-frequency >= 2 marks a position, runs via the classic
+    // pos - row_number() grouping — the whole pipeline replays in SQL
+    "q94_duplicated_spans" ->
+      """WITH w AS (
+           SELECT doc_id,
+             CASE WHEN length(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(ws) - 3),
+                    i -> array_to_string(ws[i:i+4], ' ')) END AS gs
+           FROM w),
+         gp AS (
+           SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos,
+                  unnest(gs) AS gram
+           FROM g WHERE len(gs) > 0),
+         pd AS (SELECT DISTINCT doc_id, gram FROM gp),
+         dup AS (SELECT gram FROM pd GROUP BY gram HAVING count(*) >= 2),
+         fl AS (
+           SELECT gp.doc_id AS doc_id, gp.pos AS pos,
+                  dup.gram IS NOT NULL AS d
+           FROM gp LEFT JOIN dup USING (gram)),
+         dp AS (
+           SELECT doc_id, pos - row_number()
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM fl WHERE d),
+         mx AS (
+           SELECT doc_id, max(r) AS max_dup_run FROM
+             (SELECT doc_id, grp, count(*) AS r FROM dp GROUP BY 1, 2)
+           GROUP BY 1),
+         agg AS (
+           SELECT doc_id, count(*) AS n_grams,
+                  sum(CASE WHEN d THEN 1 ELSE 0 END) AS dup_grams
+           FROM fl GROUP BY 1)
+         SELECT d.doc_id AS doc_id,
+           CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(agg.dup_grams, 0) AS BIGINT) AS dup_grams,
+           CAST(coalesce(mx.max_dup_run, 0) AS BIGINT) AS max_dup_run,
+           CASE WHEN coalesce(agg.n_grams, 0) = 0 THEN 0.0
+                ELSE round(CAST(agg.dup_grams AS DOUBLE) / agg.n_grams, 6)
+           END AS dup_frac
+         FROM documents d
+         LEFT JOIN agg USING (doc_id) LEFT JOIN mx USING (doc_id)""",
 
     // same token remap, same RE2-and-Java-compatible patterns, 'g' flag
     // to match Spark's replace-all regexp_replace

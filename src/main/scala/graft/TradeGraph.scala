@@ -64,6 +64,16 @@ object TradeGraph {
       // as (region, nation) tuples
       EdgeTable("nation_cnext", "CNext", Seq("src_r", "src_n"),
         Seq("n_regionkey", "n_nationkey"), "CNation", Seq("dst_r", "dst_n"),
+        Seq("n_regionkey", "n_nationkey"), "CNation"),
+      // BRIDGE between the two key spaces over the same physical table:
+      // the same ring step, source declared through the NUMERIC Nation
+      // key, destination through the COMPOSITE CNation tuple — the
+      // fixture for named paths whose segments span different vertex-key
+      // spaces (per-segment surrogate translation) and for cross-space
+      // ACYCLIC/SIMPLE identity (key-space bijection through the shared
+      // table rows)
+      EdgeTable("nation_cnext", "NBridge", Seq("src_n"),
+        Seq("n_nationkey"), "Nation", Seq("dst_r", "dst_n"),
         Seq("n_regionkey", "n_nationkey"), "CNation")))
 
   /** Resolver: parquet tables + the derived views above. */

@@ -44,6 +44,21 @@ object GraphTableCompiler {
       vtTable: String, refKeys: Seq[String], keyNumeric: Boolean,
       homo: Boolean, headAlias: String, tailAlias: String)
 
+  /** How one path segment's long-typed array becomes its string-surrogate
+    * form on the PER-SEGMENT translation route (a named path whose
+    * segments span more than one vertex-key space — each segment
+    * translates through its OWN space, then the string arrays
+    * concatenate). [[InlineStr]] carries a ready column expression (fixed
+    * hops build surrogates straight from their alias columns; numeric
+    * quantified segments cast element-wise); [[JoinStr]] names an in-plan
+    * segment column that must run through the dense-rowid mapping join
+    * (composite / non-numeric quantified segments). */
+  private sealed trait SegXlate
+  private final case class InlineStr(strArr: org.apache.spark.sql.Column)
+      extends SegXlate
+  private final case class JoinStr(colName: String,
+      ids: org.apache.spark.sql.DataFrame, nKeys: Int) extends SegXlate
+
   def compile(
       spark: SparkSession,
       spec: MatchSpec,
@@ -303,6 +318,7 @@ object GraphTableCompiler {
         .withColumnRenamed("__sparr", c)
     }
 
+
     // set by bindPathEdge's composite-key branch when an ENUMERATION
     // pattern exposes element_id/vertices/edges: the per-segment arrays
     // must stay long-typed for the cross-element mode filters, so the
@@ -357,6 +373,49 @@ object GraphTableCompiler {
         c
       })
 
+    /** Bijection between two vertex-identity SPACES of one table, built
+      * through the table's own rows: (`__from` → `__to`) long pairs.
+      * Numeric spaces use the raw key value, composite/non-numeric ones
+      * their dense rowid from the shared memoized mapping. Both declared
+      * key sets are unique over the table (kernel-verified for every
+      * quantified segment), so the map is one row per table row and a
+      * translation through it preserves multiplicity. */
+    def spaceBijection(table: String,
+        fromKeys: Seq[String], fromNumeric: Boolean,
+        toKeys: Seq[String], toNumeric: Boolean): DataFrame = {
+      def side(df: DataFrame, keys: Seq[String], numeric: Boolean,
+          out: String): DataFrame =
+        if (numeric) df.withColumn(out, col(keys.head).cast("long"))
+        else df.join(rowidMapping(table, keys)
+            .select(col("__raw"), col("__rowid").as(out)),
+          keyStruct(keys, None) === col("__raw")).drop("__raw")
+      side(side(resolver(spark, table), fromKeys, fromNumeric, "__from"),
+        toKeys, toNumeric, "__to").select("__from", "__to")
+    }
+
+    /** Translates every slot of an `array<long>` id column through a
+      * (`__from` → `__to`) map — distinct arrays posexploded, joined,
+      * re-collected in slot order (the [[surrogatizeArrayCol]] shape).
+      * Empty arrays survive (left join-back + coalesce); ids missing
+      * from the map keep their value (cannot happen for table rows —
+      * defensive only). */
+    def translateIdArray(df: DataFrame, c: String, m: DataFrame): DataFrame = {
+      val pos = df.select(col(c).as("__parr")).distinct()
+        .select(col("__parr"),
+          posexplode_outer(col("__parr")).as(Seq("__pos", "__el")))
+      val tr = pos.join(m.select(col("__from").as("__el"), col("__to")),
+          Seq("__el"), "left")
+        .groupBy("__parr")
+        .agg(expr("transform(array_sort(" +
+          "filter(collect_list(struct(__pos, coalesce(__to, __el) AS __t))," +
+          " x -> x.__pos IS NOT NULL)), x -> x.__t)").as("__tarr"))
+      df.join(tr, df(c) === tr("__parr"), "left")
+        .drop(c).drop("__parr")
+        .withColumn(c, coalesce(col("__tarr"),
+          expr("CAST(array() AS array<bigint>)")))
+        .drop("__tarr")
+    }
+
     /** One pattern = one dense-id space for its combined path column:
       * first registration wins, later ones must match or refuse. */
     def registerPendingSurrogate(ids: DataFrame, nKeys: Int,
@@ -389,6 +448,27 @@ object GraphTableCompiler {
     // ONE type space.
     var deferFixedSurrogates = false
 
+    // set per pattern by processPattern's pre-scan: the pattern's exposed
+    // named path spans MORE THAN ONE vertex-key space and at least one of
+    // them is composite/non-numeric. One combined translation (or one raw
+    // long array) cannot represent that, so each segment translates to
+    // string surrogates through its OWN space and the STRING arrays
+    // concatenate — the per-segment-translation route. Whole-path prefix
+    // ranking still runs on the long-typed combined array first (same
+    // deterministic (length, lex) tie-break as the single-space route;
+    // cross-space long comparisons are arbitrary but stable).
+    var perSegSurrogates = false
+    // per-segment translation recipes, parallel to processPattern's
+    // segCols (filled by bindPathEdge / fixedSegment; consulted only when
+    // perSegSurrogates)
+    val segXlates = scala.collection.mutable.ArrayBuffer[SegXlate]()
+
+    /** '|'-joined declared-key surrogate of an already-joined vertex
+      * alias — the same text [[surrogatizeArrayCol]] produces from the
+      * dense-rowid mapping, built directly from the alias columns. */
+    def aliasSurr(alias: String, keys: Seq[String]): Column =
+      concat_ws("|", keys.map(k => col(s"$alias.$k").cast("string")): _*)
+
     // identity space of every segment feeding the current pattern's
     // combined path array: (vertex table, ref keys, numericRaw). Raw
     // numeric spaces may mix freely when exposed (the reference exposes
@@ -399,7 +479,9 @@ object GraphTableCompiler {
     val segSpaces =
       scala.collection.mutable.Set[(String, Seq[String], Boolean)]()
     def checkOneTranslatedSpace(p: PathPattern): Unit =
-      if (pathExposed(p)) pendingPathSurrogate match {
+      // the per-segment route translates each segment through its own
+      // space — mixing is its whole point, nothing to refuse
+      if (pathExposed(p) && !perSegSurrogates) pendingPathSurrogate match {
         case Some((_, _, tbl, keys)) =>
           // COMBINED translation runs every slot through one mapping —
           // any segment outside that space would be silently corrupted
@@ -503,12 +585,12 @@ object GraphTableCompiler {
           } {
             val (bi, bj) = (bindings(vPos(i)), bindings(vPos(j)))
             if (bi.table == bj.table) {
-              if (bi.keyCols != bj.keyCols)
-                throw GraphAnalysisException(
-                  s"Path mode ${p.mode}: vertices '${vPos(i)}' and " +
-                    s"'${vPos(j)}' bind table '${bi.table}' through " +
-                    "different key declarations — identity is ambiguous")
-              val neq = !keysEq(vPos(i), bi.keyCols, vPos(j), bj.keyCols)
+              // both aliases carry FULL rows of the shared table, so row
+              // identity can be compared on either declaration's key set
+              // even when the two labels declare DIFFERENT keys (each
+              // declared key set is unique — kernel-verified for segment
+              // endpoints); pick bi's
+              val neq = !keysEq(vPos(i), bi.keyCols, vPos(j), bi.keyCols)
               val guard = segs.zip(endpointPairs).collectFirst {
                 case (s, (h, t))
                     if (h == vPos(i) && t == vPos(j)) ||
@@ -533,16 +615,26 @@ object GraphTableCompiler {
             if segs(i).vtTable == segs(j).vtTable
           } {
             // interiors compare raw key values (numeric) or dense rowids
-            // (composite) — two segments may only be compared inside ONE
-            // of those identity spaces
-            if (segs(i).keyNumeric != segs(j).keyNumeric ||
-                segs(i).refKeys != segs(j).refKeys)
-              throw GraphAnalysisException(
-                s"Path mode ${p.mode}: segments over table " +
-                  s"'${segs(i).vtTable}' bind different key declarations " +
-                  "— cross-segment vertex identity is ambiguous")
-            plan = plan.filter(
-              !arrays_overlap(segInterior(segs(i)), segInterior(segs(j))))
+            // (composite). Same space: direct overlap. DIFFERENT key
+            // declarations over the one table: translate segment j's
+            // interior into segment i's identity space through the
+            // table-row bijection, then compare — identity is the shared
+            // physical row, not the declaration.
+            if (segs(i).keyNumeric == segs(j).keyNumeric &&
+                segs(i).refKeys == segs(j).refKeys)
+              plan = plan.filter(
+                !arrays_overlap(segInterior(segs(i)), segInterior(segs(j))))
+            else {
+              val m = spaceBijection(segs(i).vtTable,
+                segs(j).refKeys, segs(j).keyNumeric,
+                segs(i).refKeys, segs(i).keyNumeric)
+              val (ci, cj) = (freshName("intr"), freshName("intr"))
+              plan = plan.withColumn(ci, segInterior(segs(i)))
+                .withColumn(cj, segInterior(segs(j)))
+              plan = translateIdArray(plan, cj, m)
+              plan = plan.filter(!arrays_overlap(col(ci), col(cj)))
+                .drop(ci, cj)
+            }
           }
         case PathMode.Walk => ()
       }
@@ -578,13 +670,11 @@ object GraphTableCompiler {
         } {
           val (bi, bj) = (bindings(vPos(i)), bindings(vPos(j)))
           if (bi.table == bj.table) {
-            if (bi.keyCols != bj.keyCols)
-              throw GraphAnalysisException(
-                s"Path mode ${p.mode}: vertices '${vPos(i)}' and " +
-                  s"'${vPos(j)}' bind table '${bi.table}' through " +
-                  "different key declarations — identity is ambiguous")
+            // different key DECLARATIONS over one table still identify
+            // the same rows: compare on one declaration's key set (both
+            // aliases carry the full row)
             plan = plan.filter(
-              !keysEq(vPos(i), bi.keyCols, vPos(j), bj.keyCols))
+              !keysEq(vPos(i), bi.keyCols, vPos(j), bi.keyCols))
           }
         }
       case PathMode.Walk => ()
@@ -728,6 +818,7 @@ object GraphTableCompiler {
       currentModeSegs.clear()
       pendingPathSurrogate = None
       segSpaces.clear()
+      segXlates.clear()
       // SHORTEST k over a MIXED pattern applies PER QUANTIFIED SEGMENT:
       // each segment contributes its k smallest subpaths given the
       // endpoint bindings — the same per-subpath composition the
@@ -773,6 +864,34 @@ object GraphTableCompiler {
           i += 2
         }
         found
+      }
+      // pre-scan: does the pattern's exposed path span MORE THAN ONE
+      // vertex-key space, at least one of them composite/non-numeric?
+      // Then no single translation (nor a raw long array) can represent
+      // the combined column, and each segment translates through its own
+      // space — the per-segment-translation route (segXlates recipes).
+      perSegSurrogates = (needPath || enumPrefix) && pathExposed(p) && {
+        val spaces =
+          scala.collection.mutable.Set[(String, Seq[String], Boolean)]()
+        var i = 1
+        while (i < elems.length) {
+          val ep = elems(i).asInstanceOf[EdgePattern]
+          val et = resolveEdge(ep.varName.getOrElse("(edge)"), ep.label)
+          val (aK, bK, aV, bV) = ep.direction match {
+            case EdgeDirection.Left =>
+              (et.dstRefKeys, et.srcRefKeys,
+                pg.vertexLabel(et.dstLabel), pg.vertexLabel(et.srcLabel))
+            case _ =>
+              (et.srcRefKeys, et.dstRefKeys,
+                pg.vertexLabel(et.srcLabel), pg.vertexLabel(et.dstLabel))
+          }
+          spaces += ((aV.tableName, aK,
+            aK.length == 1 && numericKey(aV, aK.head)))
+          spaces += ((bV.tableName, bK,
+            bK.length == 1 && numericKey(bV, bK.head)))
+          i += 2
+        }
+        spaces.exists(!_._3) && spaces.map(s => (s._1, s._2)).size > 1
       }
       // per-position alias info for the fixed-pattern mode filters
       val modeVertexPos = scala.collection.mutable.ArrayBuffer[String]()
@@ -922,6 +1041,28 @@ object GraphTableCompiler {
         if (enumPrefix ||
             (needPath && p.prefix.isDefined && quantifiedEdges == 0))
           applyWholePathPrefix(p, pcol, modeVertexPos.toSeq)
+        if (perSegSurrogates) {
+          // per-segment-translation route (segments span several key
+          // spaces): mode filters and ranking consumed the long-typed
+          // arrays above; now each segment becomes its string-surrogate
+          // form through its OWN space — fixed hops and numeric segments
+          // inline (InlineStr), composite quantified segments through
+          // their mapping join (JoinStr) — and the STRING arrays
+          // re-concatenate into the exposed path column
+          require(segXlates.length == segCols.length,
+            s"segment translation recipes out of sync: ${segXlates.length}" +
+              s" != ${segCols.length}")
+          val strSegs = segXlates.toSeq.map {
+            case InlineStr(c) => c
+            case JoinStr(name, ids, n) =>
+              plan = surrogatizeArrayCol(plan, name, ids, n)
+              col(name)
+          }
+          val comb2 = strSegs.reduceLeft { (acc, seg) =>
+            concat(acc, slice(seg, lit(2), greatest(size(seg) - 1, lit(0))))
+          }
+          plan = plan.withColumn(pcol, comb2)
+        } else
         // deferred composite-key surrogate translation (enumeration
         // modes): the cross-element mode filters above consumed the
         // long-typed segment arrays; the exposed CONCATENATED column can
@@ -958,6 +1099,11 @@ object GraphTableCompiler {
       }
       val aNum = aKeys.length == 1 && numericKey(aVt, aKeys.head)
       val bNum = bKeys.length == 1 && numericKey(bVt, bKeys.head)
+      // a fixed hop's string-surrogate form needs no mapping join: the
+      // aliases already carry the declared key columns (only consulted on
+      // the per-segment-translation route)
+      segXlates += InlineStr(array(aliasSurr(aAlias, aKeys),
+        eid.cast("string"), aliasSurr(bAlias, bKeys)))
       if (aNum && bNum) {
         segSpaces += ((aVt.tableName, aKeys, true))
         segSpaces += ((bVt.tableName, bKeys, true))
@@ -965,20 +1111,28 @@ object GraphTableCompiler {
           col(s"$bAlias.${bKeys.head}").cast("long"))
       } else {
         // composite / non-numeric keys ride dense rowids — the same
-        // mapping the quantified kernels use, so mixed segments stay
-        // one comparable id space (and one exposed translation)
-        if (aVt.tableName != bVt.tableName || aKeys != bKeys)
-          throw GraphAnalysisException(
-            "fixed hops in a named path over composite or non-numeric " +
-              "keys require both endpoints in the same vertex table and " +
-              "key columns — the path array cannot mix dense-id spaces")
-        val ids = rowidMapping(aVt.tableName, aKeys)
-        val ra = attachAliasRowid(aAlias, aKeys, ids)
-        val rb = attachAliasRowid(bAlias, bKeys, ids)
-        segSpaces += ((aVt.tableName, aKeys, false))
-        if (pathExposed(p))
-          registerPendingSurrogate(ids, aKeys.length, aVt.tableName, aKeys)
-        array(col(ra), eid, col(rb))
+        // memoized mapping the quantified kernels use. Each SIDE uses its
+        // own space: a homogeneous hop stays one comparable space (and,
+        // off the per-segment route, one combined exposed translation —
+        // registered below); a hop BRIDGING two spaces builds each slot
+        // in its side's space, which the combined column only ever feeds
+        // to the whole-path ranking (deterministic either way) — exposure
+        // of a bridging hop always rides the per-segment route, where the
+        // string form above is exact
+        def sideId(alias: String, keys: Seq[String], vt: VertexTable,
+            num: Boolean): Column =
+          if (num) {
+            segSpaces += ((vt.tableName, keys, true))
+            col(s"$alias.${keys.head}").cast("long")
+          } else {
+            val ids = rowidMapping(vt.tableName, keys)
+            segSpaces += ((vt.tableName, keys, false))
+            if (pathExposed(p) && !perSegSurrogates)
+              registerPendingSurrogate(ids, keys.length, vt.tableName, keys)
+            col(attachAliasRowid(alias, keys, ids))
+          }
+        array(sideId(aAlias, aKeys, aVt, aNum), eid,
+          sideId(bAlias, bKeys, bVt, bNum))
       }
     }
 
@@ -1239,7 +1393,12 @@ object GraphTableCompiler {
             .select(keyStruct(aRefKeys, Some(aAlias)).as("__raw")).distinct()
             .join(ids, Seq("__raw"))
             .select(col("__rowid").as("id"))
-          if (exposing && (isEnum || deferFixedSurrogates)) {
+          if (exposing && perSegSurrogates) {
+            // per-segment-translation route: the segment stays long-typed
+            // through mode filters and ranking; its JoinStr recipe (above)
+            // translates it through its OWN mapping at assembly
+            ()
+          } else if (exposing && (isEnum || deferFixedSurrogates)) {
             // defer: segment arrays feed long-typed mode filters first
             // (enumeration), or must concatenate with composite fixed-hop
             // segments that are long-typed dense rowids — either way the
@@ -1271,7 +1430,19 @@ object GraphTableCompiler {
         if (keyIsNumeric) {
           segSpaces += ((aVt.tableName, aRefKeys, true))
           segSpaces += ((bVt.tableName, bRefKeys, true))
-        } else segSpaces += ((aVt.tableName, aRefKeys, false))
+          // per-segment-translation route: numeric segments become
+          // strings by an element-wise cast (raw keys and edge ids both
+          // surface as their decimal text, matching aliasSurr)
+          segXlates += InlineStr(
+            transform(col(segColOpt.get), _.cast("string")))
+        } else {
+          segSpaces += ((aVt.tableName, aRefKeys, false))
+          // composite/non-numeric segments translate through their OWN
+          // dense-rowid mapping at assembly time (memoized — same object
+          // the kernel join below uses)
+          segXlates += JoinStr(segColOpt.get,
+            rowidMapping(aVt.tableName, aRefKeys), aRefKeys.length)
+        }
       }
       val joined =
         if (isEnum || isAllShortest || kOpt.isDefined) {

@@ -257,6 +257,65 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** Cross-document duplicated-SPAN detection — the distributed
+    * approximation of suffix-array exact-substring deduplication (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"):
+    * a word n-gram occurring in at least `minDocs` DISTINCT documents
+    * marks a duplicated span position, and per document the operator
+    * reports how much of it is cross-corpus duplicated text — including
+    * the LONGEST CONSECUTIVE duplicated run (a run of r grams covers
+    * r + n - 1 words), the "memorized span" signal used to trim or drop
+    * documents whose content is lifted wholesale from elsewhere.
+    * Within-document repeats ([[repetitionStats]]) and whole-document
+    * near-dups ([[graft.ops.Dedup]]) don't see this: a 200-word license
+    * header pasted into thousands of otherwise-distinct documents is
+    * exactly a long cross-document duplicated span.
+    *
+    * Scale shape: gram rows reduce to DISTINCT (doc, gram) pairs before
+    * the doc-frequency aggregate and its semi-join, so a corpus-hot gram
+    * contributes ≤1 row per document to its join key (the q80 skew
+    * rule); the position-level flag join keys on (doc, gram) — no
+    * corpus-wide hot key — and the run/window pass partitions by
+    * document (group size bounded by document length). No all-pairs
+    * anywhere; AQE's skew split applies to the one gram-keyed semi-join.
+    *
+    * @return one row per document: id, n_grams (gram positions),
+    *         dup_grams (positions whose gram appears in ≥ minDocs docs),
+    *         dup_frac (rounded 6), max_dup_run (longest consecutive
+    *         duplicated gram run, 0 when none)
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2 (a span is duplicated " +
+      "when it appears in at least two documents)")
+    import org.apache.spark.sql.expressions.Window
+    // posexplode_outer keeps gram-less documents (null pos/gram row)
+    val g = df.select(col(idCol),
+      posexplode_outer(wordNgrams(col(textCol), n)).as(Seq("__pos", "__g")))
+    val pd = g.filter(col("__g").isNotNull)
+      .select(col(idCol), col("__g")).distinct()
+    val dupG = pd.groupBy("__g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs).select("__g")
+    val dupDocGram = pd.join(dupG, Seq("__g"), "left_semi")
+      .withColumn("__dup", lit(1))
+    val flagged = g.join(dupDocGram, Seq(idCol, "__g"), "left")
+    val dupPos = flagged.filter(col("__dup").isNotNull)
+      .withColumn("__grp", col("__pos") -
+        row_number().over(Window.partitionBy(idCol).orderBy("__pos")))
+    val maxRun = dupPos.groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(idCol).agg(max("__run").as("max_dup_run"))
+    flagged.groupBy(idCol)
+      .agg(count(col("__pos")).as("n_grams"),
+        count(col("__dup")).as("dup_grams"))
+      .join(maxRun, Seq(idCol), "left")
+      .withColumn("max_dup_run", coalesce(col("max_dup_run"), lit(0L)))
+      .withColumn("dup_frac", when(col("n_grams") === 0, lit(0.0))
+        .otherwise(round(col("dup_grams").cast("double") /
+          col("n_grams").cast("double"), 6)))
+  }
+
   /** Email-address pattern — deliberately restricted to syntax shared by
     * Java regex and RE2 so counts and redactions replay exactly in the
     * SQL oracle. */

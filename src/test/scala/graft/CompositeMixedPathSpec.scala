@@ -95,8 +95,8 @@ class CompositeMixedPathSpec extends AnyFunSuite {
     assert(got == Set((0L, 0L, 5L)))
   }
 
-  test("named path bridging a numeric table into the composite ring " +
-      "refuses loudly — one array cannot carry two id spaces") {
+  test("named path bridging a numeric table into the composite ring: " +
+      "per-segment surrogate translation (round-7 closure)") {
     val s = Fixture.init()
     import s.implicits._
     (0L to 4L).map(i => (i, s"n$i")).toDF("id", "name")
@@ -114,19 +114,93 @@ class CompositeMixedPathSpec extends AnyFunSuite {
         EdgeTable("cring", "CR", Seq("src_g", "src_i"),
           Seq("grp", "id"), "CV", Seq("dst_g", "dst_i"), Seq("grp", "id"),
           "CV"))), TableResolver.catalog, orReplace = true)
-    val ex = intercept[GraphAnalysisException] {
-      g.graphTable(
-        """bridge MATCH p = ANY SHORTEST (n:NV)-[c:NC]->(x:CV)-[e:CR]->{1,2}(y:CV)
-           COLUMNS (n.id AS src, y.id AS dst, vertices(p) AS vpath)""")
-    }
-    assert(ex.getMessage.contains("dense-id spaces"))
-    // WITHOUT the named path the same bridge pattern compiles fine —
-    // the restriction is about the path array, not the join
-    val ok = g.graphTable(
-      """bridge MATCH (n:NV WHERE n.id = 0)-[c:NC]->(x:CV)-[e:CR]->{1,2}(y:CV)
-         COLUMNS (n.id AS src, y.id AS dst)""")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(ok == Set((0L, 1L), (0L, 2L)))
+    // previously refused ("one array cannot carry two id spaces"): now
+    // each segment translates through its OWN space and the exposed
+    // array mixes plain numeric text with '|'-joined composite tuples
+    val got = g.graphTable(
+      """bridge MATCH p = ANY SHORTEST (n:NV)-[c:NC]->(x:CV)-[e:CR]->{1,2}(y:CV)
+         COLUMNS (n.id AS src, y.id AS dst, path_length(p) AS plen,
+                  vertices(p) AS vpath)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).mkString(","))).toSet
+    assert(got.size == 10) // 5 starts x dists {2,3}
+    assert(got.contains((0L, 1L, 2L, "0,a|0,a|1")))
+    assert(got.contains((0L, 2L, 3L, "0,a|0,a|1,a|2")))
+    assert(got.contains((4L, 1L, 3L, "4,a|4,a|0,a|1")))
+  }
+
+  /** Two key DECLARATIONS over ONE table (numeric `id` vs composite
+    * (`grp`, `id`)) plus edges binding each — the round-7 fixture for
+    * cross-space vertex identity (key-space bijection through the
+    * shared table rows). All edges are the same ring step, so a pattern
+    * of h total hops walks positions 0..h of the 5-ring. */
+  private def graftTwoDecls(): Graft = {
+    val s = Fixture.init()
+    import s.implicits._
+    (0L to 4L).map(i => ("a", i, s"v$i")).toDF("grp", "id", "name")
+      .createOrReplaceTempView("cvert")
+    (0L to 4L).map(i => ("a", i, "a", (i + 1) % 5)).toDF(
+      "src_g", "src_i", "dst_g", "dst_i")
+      .createOrReplaceTempView("cring")
+    val g = Graft(s, TableResolver.catalog)
+    g.registry.create(s, PropertyGraph("twodecl",
+      vertexTables = Seq(
+        VertexTable("cvert", "NV2", Seq("id")),
+        VertexTable("cvert", "CV", Seq("grp", "id"))),
+      edgeTables = Seq(
+        EdgeTable("cring", "NR", Seq("src_i"), Seq("id"), "NV2",
+          Seq("dst_i"), Seq("id"), "NV2"),
+        EdgeTable("cring", "NB", Seq("src_i"), Seq("id"), "NV2",
+          Seq("dst_g", "dst_i"), Seq("grp", "id"), "CV"),
+        EdgeTable("cring", "CR", Seq("src_g", "src_i"),
+          Seq("grp", "id"), "CV", Seq("dst_g", "dst_i"), Seq("grp", "id"),
+          "CV"))), TableResolver.catalog, orReplace = true)
+    g
+  }
+
+  test("ACYCLIC across segments bound through different key " +
+      "declarations of one table: identity is the physical row " +
+      "(round-7 closure)") {
+    val g = graftTwoDecls()
+    // {1,3} numeric + bridge + {1,3} composite on the 5-ring: total hops
+    // h1+1+h2; ACYCLIC (all h+1 vertices distinct) iff h <= 4, so the
+    // splits (1,1), (1,2), (2,1) survive per start. The 5..7-hop splits
+    // revisit rows and must be excluded THROUGH the bijection — raw
+    // value comparison would never see the repeat (different id spaces).
+    val got = g.graphTable(
+      """twodecl MATCH p = ACYCLIC (a:NV2)-[e:NR]->{1,3}(m:NV2)-[g:NB]->(c:CV)-[h:CR]->{1,3}(b:CV)
+         COLUMNS (a.id AS src, m.id AS mid, c.id AS cn, b.id AS dst,
+                  path_length(p) AS plen, vertices(p) AS vpath)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getSeq[String](5).mkString(",")))
+      .toSet
+    assert(got.size == 15) // 5 starts x splits {(1,1),(1,2),(2,1)}
+    assert(got.forall(_._5 <= 4L))
+    // per-segment surrogates: numeric slots plain, composite slots
+    // '|'-joined — across the enumeration route (translation deferred
+    // past the cross-element mode filters)
+    assert(got.contains((0L, 1L, 2L, 3L, 3L, "0,1,a|2,a|3")))
+    assert(got.contains((0L, 1L, 2L, 4L, 4L, "0,1,a|2,a|3,a|4")))
+    assert(got.contains((0L, 2L, 3L, 4L, 4L, "0,1,2,a|3,a|4")))
+  }
+
+  test("SIMPLE across key declarations: the closing walk's endpoint " +
+      "pair compares through one declaration's key set") {
+    val g = graftTwoDecls()
+    def rows(mode: String) = g.graphTable(
+      s"""twodecl MATCH $mode (a:NV2)-[e:NR]->{1,3}(m:NV2)-[g:NB]->(c:CV)-[h:CR]->{1,3}(b:CV)
+          COLUMNS (a.id AS src, b.id AS dst)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val ac = rows("ACYCLIC")
+    val si = rows("SIMPLE")
+    // SIMPLE adds the 5-hop closing walks (splits (1,3), (2,2), (3,1)):
+    // b IS a's row even though b binds CV and a binds NV2 — the
+    // cross-declaration endpoint identity must both EXEMPT the closing
+    // pair (SIMPLE) and EXCLUDE it (ACYCLIC)
+    assert(ac.size == 15)
+    assert(si.size == 30)
+    val closing = si.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert((0L to 4L).forall(i => closing.getOrElse((i, i), 0) == 3))
   }
 
   test("ACYCLIC over a mixed pattern with a heterogeneous NUMERIC " +

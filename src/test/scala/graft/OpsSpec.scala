@@ -755,4 +755,39 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("nonzero_regs") == 0L)
     assert(row.isNullAt(row.fieldIndex("regs_md5")))
   }
+
+  test("duplicatedSpans: cross-doc runs, split runs, gram-less docs, " +
+      "and the minDocs threshold") {
+    val s = init()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),          // 6 grams
+      (2L, "x a b c d e f g h y"),          // shares the 8-word span
+      (3L, "p q r s t u"),                  // 2 grams, no cross-doc dup
+      (4L, null.asInstanceOf[String]),      // gram-less
+      (5L, "a b c d e Z d e f g h")         // two SEPARATE dup'd grams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("dup_grams"),
+          r.getAs[Long]("max_dup_run"), r.getAs[Double]("dup_frac"))))
+      .toMap
+    // d1/d2 share "a b c d e f g h": 4 consecutive 5-grams — one run
+    assert(got(1L) == ((6L, 4L, 4L, 0.666667)))
+    assert(got(2L) == ((6L, 4L, 4L, 0.666667)))
+    assert(got(3L) == ((2L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0L, 0.0)))
+    // d5: "a b c d e" (pos 0) and "d e f g h" (pos 6) both duplicated,
+    // separated by non-duplicated grams — two runs of 1, never merged
+    assert(got(5L) == ((7L, 2L, 1L, 0.285714)))
+    // minDocs = 3: every shared gram lives in exactly 2 docs... except
+    // "a b c d e" and "d e f g h", which d5 raises to 3 documents
+    val strict = TextAnalysis.duplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("dup_grams")).toMap
+    assert(strict(1L) == 2L && strict(2L) == 2L && strict(5L) == 2L &&
+      strict(3L) == 0L)
+  }
 }
