@@ -751,6 +751,21 @@ object SparkEntry {
     *     true brute-force top-k must appear in the IVF top-k (emitted as
     *     (query_id, -2, overlap, null) rows when violated — nprobe=4 of
     *     16 lists keeps worst-case observed overlap well above 1). */
+  /** Product-quantization ANN ([[Similarity.pqTopK]]): 2 sub-codebooks
+    * of 8 centroids (hash-mod init, one Lloyd iteration, L2 assignment),
+    * codes instead of vectors on the scan side, asymmetric-distance
+    * cosine from a per-query lookup table. The oracle replays the ENTIRE
+    * pipeline — training, encoding, LUT, ranking — in SQL, so the
+    * approximate results are value-exact, not statistically gated. */
+  private def q96_pq_ann(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    Similarity.pqTopK(queries, e, k = 5, m = 2, ksub = 8, iters = 1)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"),
+        col("rank"), col("adc_cosine"))
+  }
+
   private def q56_ivf_ann(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     val queries = e.filter(col("vec_id") < 20)
@@ -960,6 +975,19 @@ object SparkEntry {
   private def q94_duplicated_spans(s: SparkSession, d: String): DataFrame =
     TextAnalysis.duplicatedSpans(t(s, d, "documents"), "doc_id", "text",
       n = 5, minDocs = 2)
+
+  /** Bloom-filter decontamination ([[TextAnalysis.decontaminateBloom]]):
+    * the q73 split replayed through a 2^16-bit / 4-hash Bloom of the
+    * benchmark grams — membership is maybe-semantics (false positives,
+    * never false negatives), and the oracle replays every BIT, so the
+    * per-doc maybe-counts are value-exact. */
+  private def q95_bloom_decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    TextAnalysis.decontaminateBloom(
+      docs.filter(bucket >= 5), docs.filter(bucket < 5),
+      "doc_id", "text", n = 4)
+  }
 
   /** PII scrubbing ([[TextAnalysis.redactPii]]): emails → `[EMAIL]`,
     * IPv4 → `[IP]`, with per-doc counts — pure per-row regex Columns,
@@ -1312,6 +1340,8 @@ object SparkEntry {
     "q92_mixed_space_path" -> (q92_mixed_space_path _),
     "q93_cross_space_acyclic" -> (q93_cross_space_acyclic _),
     "q94_duplicated_spans" -> (q94_duplicated_spans _),
+    "q95_bloom_decontaminate" -> (q95_bloom_decontaminate _),
+    "q96_pq_ann" -> (q96_pq_ann _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2775,6 +2805,53 @@ object SparkEntry {
          FROM documents d
          LEFT JOIN agg USING (doc_id) LEFT JOIN mx USING (doc_id)""",
 
+    // q73's split replayed through the Bloom bit set: every bit position
+    // is the same md5 scheme as CountMin, so the filter — and therefore
+    // every per-doc maybe-count, false positives included — replays
+    // exactly
+    "q95_bloom_decontaminate" ->
+      """WITH b AS (
+           SELECT doc_id, text,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) % 100 AS bk
+           FROM documents),
+         w AS (
+           SELECT doc_id, bk,
+             CASE WHEN length(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS ws
+           FROM b),
+         g AS (
+           SELECT doc_id, bk,
+             CASE WHEN len(ws) < 4 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+3], ' '))) END AS gs
+           FROM w),
+         bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE bk < 5),
+         bits AS (
+           SELECT DISTINCT CAST('0x' || substr(md5(CAST(d AS VARCHAR) ||
+             ':' || gram), 9, 8) AS BIGINT) % 65536 AS pos
+           FROM bench, range(4) t(d)),
+         corp AS (SELECT doc_id, gs FROM g WHERE bk >= 5),
+         cg AS (SELECT doc_id, unnest(gs) AS gram FROM corp),
+         qp AS (
+           SELECT doc_id, gram, CAST('0x' || substr(md5(CAST(d AS VARCHAR)
+             || ':' || gram), 9, 8) AS BIGINT) % 65536 AS pos
+           FROM cg, range(4) t(d)),
+         hit AS (
+           SELECT qp.doc_id AS doc_id, qp.gram AS gram,
+             min(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS allhit
+           FROM qp LEFT JOIN bits USING (pos) GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, count(*) AS n_grams, sum(allhit) AS n_maybe
+           FROM hit GROUP BY 1)
+         SELECT corp.doc_id AS doc_id,
+           CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(agg.n_maybe, 0) AS BIGINT)
+             AS n_maybe_contaminated,
+           coalesce(agg.n_maybe, 0) > 0 AS contaminated
+         FROM corp LEFT JOIN agg USING (doc_id)""",
+
     // same token remap, same RE2-and-Java-compatible patterns, 'g' flag
     // to match Spark's replace-all regexp_replace
     "q74_pii_redact" ->
@@ -2910,6 +2987,77 @@ object SparkEntry {
     // assign against bit-identical centroid constants), assignment =
     // highest cosine then lowest centroid id — same tie order as
     // ivfAssign's window
+    // full PQ replay: per-subspace kmeans (the q82 pattern with `sub` as
+    // an extra grouping column), L2 argmin encode, per-query LUT dots,
+    // ADC cosine, rank <= 5. dims=64, m=2 => sub = pos // 32
+    "q96_pq_ann" ->
+      """WITH emb AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         dp AS (
+           SELECT vec_id,
+                  CAST(unnest(range(len(v))) // 32 AS BIGINT) AS sub,
+                  CAST(unnest(range(len(v))) % 32 AS BIGINT) AS pos,
+                  unnest(v) AS comp
+           FROM emb),
+         c0 AS (
+           SELECT sub, vec_id % 8 AS cid, pos, round(avg(comp), 6) AS c
+           FROM dp GROUP BY 1, 2, 3),
+         s1 AS (
+           SELECT dp.vec_id, dp.sub, c0.cid,
+                  sum((dp.comp - c0.c) * (dp.comp - c0.c)) AS d2
+           FROM dp JOIN c0 ON dp.sub = c0.sub AND dp.pos = c0.pos
+           GROUP BY 1, 2, 3),
+         a1 AS (
+           SELECT vec_id, sub, cid FROM (
+             SELECT vec_id, sub, cid, row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) AS rn
+             FROM s1) WHERE rn = 1),
+         c1 AS (
+           SELECT a1.sub, a1.cid, dp.pos, round(avg(dp.comp), 6) AS c
+           FROM dp JOIN a1 ON dp.vec_id = a1.vec_id AND dp.sub = a1.sub
+           GROUP BY 1, 2, 3),
+         s2 AS (
+           SELECT dp.vec_id, dp.sub, c1.cid,
+                  sum((dp.comp - c1.c) * (dp.comp - c1.c)) AS d2
+           FROM dp JOIN c1 ON dp.sub = c1.sub AND dp.pos = c1.pos
+           GROUP BY 1, 2, 3),
+         code AS (
+           SELECT vec_id, sub, cid FROM (
+             SELECT vec_id, sub, cid, row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) AS rn
+             FROM s2) WHERE rn = 1),
+         cn2 AS (SELECT sub, cid, sum(c * c) AS cn2 FROM c1 GROUP BY 1, 2),
+         lut AS (
+           SELECT dp.vec_id AS query_id, c1.sub, c1.cid,
+                  sum(dp.comp * c1.c) AS d
+           FROM dp JOIN c1 ON dp.sub = c1.sub AND dp.pos = c1.pos
+           WHERE dp.vec_id < 20 GROUP BY 1, 2, 3),
+         qn AS (
+           SELECT vec_id AS query_id, sqrt(sum(comp * comp)) AS qn
+           FROM dp WHERE vec_id < 20 GROUP BY 1),
+         sc AS (
+           SELECT lut.query_id, code.vec_id AS neighbor_id,
+                  sum(lut.d) AS dot, sum(cn2.cn2) AS rn2
+           FROM code
+           JOIN lut ON code.sub = lut.sub AND code.cid = lut.cid
+           JOIN cn2 ON code.sub = cn2.sub AND code.cid = cn2.cid
+           WHERE lut.query_id <> code.vec_id
+           GROUP BY 1, 2),
+         adc AS (
+           SELECT sc.query_id, sc.neighbor_id,
+                  CASE WHEN qn.qn * sqrt(sc.rn2) = 0 THEN 0
+                       ELSE sc.dot / (qn.qn * sqrt(sc.rn2)) END AS a
+           FROM sc JOIN qn ON sc.query_id = qn.query_id)
+         SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+                round(a, 6) AS adc_cosine
+         FROM (
+           SELECT query_id, neighbor_id, a, row_number() OVER (
+             PARTITION BY query_id ORDER BY a DESC, neighbor_id ASC) AS rn
+           FROM adc)
+         WHERE rn <= 5""",
+
     "q82_kmeans_train" ->
       """WITH emb AS (
            SELECT vec_id,

@@ -353,4 +353,157 @@ object Similarity {
       .filter(col("__rn") === 1)
       .drop("__sim", "__rn", "cv")
   }
+
+  // ===========================================================================
+  // Product quantization (PQ)
+  // ===========================================================================
+
+  /** (id, sub, pos, comp) component rows: the vector split into `m` equal
+    * subspaces with subspace-LOCAL positions — the shared decomposition
+    * for PQ training, encoding and the SQL oracle. */
+  private def pqComponents(df: DataFrame, m: Int, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol), size(col(vecCol)).as("__dims"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__c")))
+      .withColumn("__sd", (col("__dims") / m).cast("long"))
+      .select(col(idCol),
+        (col("__p") / col("__sd")).cast("long").as("sub"),
+        pmod(col("__p"), col("__sd")).cast("long").as("pos"),
+        col("__c").as("comp"))
+
+  /** Train `m` product-quantization sub-codebooks of `ksub` centroids
+    * each — Jégou et al. 2011, the standard 8-32x compression for a
+    * 100 TB embedding store: vectors are split into m subspaces and each
+    * subspace gets its own k-means codebook; a vector is then `m` small
+    * codes instead of `dims` floats ([[pqEncode]]), and dot products
+    * against the RECONSTRUCTION decompose as Σ_j dot(q_j, c_j) — the
+    * additive structure [[pqTopK]]'s ADC scan exploits.
+    *
+    * All m sub-trainings run in ONE pipeline (the subspace is just a
+    * grouping column): deterministic hash-mod init (id % ksub, the
+    * [[kMeans]] convention), Lloyd iterations with L2 assignment
+    * (squared distance decomposes over components; ties break on the
+    * smaller centroid id) and centroids rounded to `roundDecimals` per
+    * iteration so an SQL replay is value-exact. One centroid broadcast +
+    * one (sub, cid, pos) recompute shuffle per iteration — the corpus is
+    * never collected.
+    *
+    * @return (sub, centroid_id, vec) — vec is the subspace-local centroid
+    */
+  def pqTrain(df: DataFrame, m: Int, ksub: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundDecimals: Int = 6): DataFrame = {
+    require(m >= 1, s"m must be positive (got $m)")
+    require(ksub >= 1, s"ksub must be positive (got $ksub)")
+    require(iters >= 0, s"iters must be non-negative (got $iters)")
+    val dp = pqComponents(df, m, idCol, vecCol)
+    def toVecs(cents: DataFrame): DataFrame = cents
+      .groupBy("sub", "centroid_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("vec"))
+    var cents = dp
+      .withColumn("centroid_id", pmod(col(idCol).cast("long"), lit(ksub)))
+      .groupBy("sub", "centroid_id", "pos")
+      .agg(round(avg("comp"), roundDecimals).as("v"))
+    for (_ <- 1 to iters) {
+      val flat = cents.select(col("sub"), col("centroid_id"),
+        col("pos"), col("v"))
+      val assigned = dp.join(broadcast(flat), Seq("sub", "pos"))
+        .groupBy(col(idCol), col("sub"), col("centroid_id"))
+        .agg(sum(pow(col("comp") - col("v"), 2)).as("__d2"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col(idCol), col("sub"))
+            .orderBy(col("__d2").asc, col("centroid_id").asc)))
+        .filter(col("__rn") === 1)
+        .select(col(idCol), col("sub"), col("centroid_id"))
+      cents = dp.join(assigned, Seq(idCol, "sub"))
+        .groupBy("sub", "centroid_id", "pos")
+        .agg(round(avg("comp"), roundDecimals).as("v"))
+    }
+    toVecs(cents)
+  }
+
+  /** Encode each vector as its `m` nearest sub-centroid ids (L2 per
+    * subspace, ties to the smaller id) — the PQ code array, `m` longs
+    * replacing `dims` floats. One broadcast of the flattened codebooks,
+    * one per-(vector, subspace) argmin; exchange pattern identical to
+    * [[pqTrain]]'s assignment step.
+    *
+    * @param codebooks output of [[pqTrain]]
+    * @return (idCol, codes: array<long> ordered by subspace)
+    */
+  def pqEncode(df: DataFrame, codebooks: DataFrame, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val flat = codebooks.select(col("sub"), col("centroid_id"),
+      posexplode(col("vec")).as(Seq("pos", "v")))
+    pqComponents(df, m, idCol, vecCol)
+      .join(broadcast(flat), Seq("sub", "pos"))
+      .groupBy(col(idCol), col("sub"), col("centroid_id"))
+      .agg(sum(pow(col("comp") - col("v"), 2)).as("__d2"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol), col("sub"))
+          .orderBy(col("__d2").asc, col("centroid_id").asc)))
+      .filter(col("__rn") === 1)
+      .groupBy(idCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("centroid_id")))),
+        s => s.getField("centroid_id")).as("codes"))
+  }
+
+  /** PQ approximate top-k by ASYMMETRIC DISTANCE COMPUTATION: the query
+    * stays exact, the corpus is its PQ reconstruction, and
+    * cosine(q, x̂) = (Σ_j dot(q_j, c_{j,code_j})) / (|q| · |x̂|) comes
+    * from a per-query LOOKUP TABLE of m×ksub subspace dots — the scan
+    * costs m table lookups + adds per corpus vector instead of `dims`
+    * multiplies, and the corpus side reads CODES (m longs) instead of
+    * vectors: at 100 TB the win is 8-32x scan bandwidth, the classic PQ
+    * linear scan (compose with [[ivfTopK]]'s coarse lists to also prune
+    * candidates). Codebooks and the per-query LUT broadcast; the only
+    * corpus-sized exchange is the per-query top-k window.
+    *
+    * @return (query_id, neighbor_id, rank, adc_cosine) — approximate;
+    *         gate recall against [[bruteForceTopK]]
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int,
+      ksub: Int, iters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val books = pqTrain(corpus, m, ksub, iters, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqEncode(corpus, books, m, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+    // reconstruction norm per code array: |x̂|² = Σ_j |c_{j,code_j}|² —
+    // the squared norm is summed directly (no sqrt-then-square float
+    // artifact vs the oracle's sum(c*c)); books are m×ksub rows, the
+    // interpreted HOF is off the hot path
+    val cnorm2 = books.select(col("sub"), col("centroid_id").as("cid"),
+      expr("aggregate(vec, cast(0.0 as double), (a, x) -> a + x * x)")
+        .as("cn2"))
+    // per-query LUT: dot(q_j, centroid) for every (sub, cid)
+    val qsub = pqComponents(queries, m, idCol, vecCol)
+    val flat = books.select(col("sub"), col("centroid_id").as("cid"),
+      posexplode(col("vec")).as(Seq("pos", "v")))
+    val lut = qsub.join(broadcast(flat), Seq("sub", "pos"))
+      .groupBy(col(idCol).as("query_id"), col("sub"), col("cid"))
+      .agg(sum(col("comp") * col("v")).as("d"))
+    val qn = queries.select(col(idCol).as("query_id"),
+      norm(col(vecCol).cast("array<double>")).as("qn"))
+    val scored = codes
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .join(broadcast(cnorm2), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("d").as("dot"), sum("cn2").as("rn2"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("adc_cosine",
+        when(col("qn") * sqrt(col("rn2")) === 0, lit(0.0))
+          .otherwise(col("dot") / (col("qn") * sqrt(col("rn2")))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"),
+        round(col("adc_cosine"), 6).as("adc_cosine"))
+  }
 }

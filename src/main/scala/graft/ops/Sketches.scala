@@ -81,6 +81,72 @@ object Sketches {
   }
 
   // ===========================================================================
+  // Bloom filter membership sketch
+  // ===========================================================================
+
+  /** Bloom filter SET BITS over a key column — the set-membership sketch
+    * completing the family (CountMin: frequency, HLL: cardinality,
+    * Bloom: membership). The classic 100 TB use: materialize a compact
+    * "seen" set (benchmark n-grams, known-bad URLs, previously ingested
+    * document hashes) once, then probe petabytes against it with NO join
+    * against the original set — false positives at the standard
+    * (1 - e^(-kn/m))^k rate, never false negatives.
+    *
+    * Bit positions are the same SQL-portable md5 scheme as CountMin
+    * ([[cmBucket]] rows 0..k-1 mod m), so an independent engine replays
+    * every set bit — the oracle gate is exact, not statistical. Build is
+    * one explode + distinct: at most `m` output rows however large the
+    * input (sparse: only SET bits have rows), map-side combinable.
+    *
+    * @return (pos: long) — DISTINCT set bit positions in [0, m)
+    */
+  def bloomBits(df: DataFrame, keyCol: Column, m: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in [1, 16] (got $k)")
+    require(m >= 64 && m <= (1 << 30), s"m must be in [64, 2^30] (got $m)")
+    df.filter(keyCol.isNotNull)
+      .select(explode(array((0 until k).map(d =>
+        cmBucket(keyCol, d, m)): _*)).as("pos"))
+      .distinct()
+  }
+
+  /** Probe membership: for each row of `queries(keyCol)`, true iff ALL
+    * `k` bit positions are set (maybe-present semantics — false
+    * positives possible, false negatives not). The bit set is ≤ m rows
+    * and broadcasts; the query side stays distributed, so probing a
+    * 100 TB corpus against a fixed set is an exchange-free map join.
+    *
+    * @return queries' keyCol + (maybe_present: boolean)
+    */
+  def bloomContains(bits: DataFrame, queries: DataFrame, keyCol: String,
+      m: Int, k: Int): DataFrame =
+    queries
+      .select(col(keyCol), explode(array((0 until k).map(d =>
+        cmBucket(col(keyCol), d, m)): _*)).as("pos"))
+      .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"), "left")
+      .groupBy(keyCol)
+      .agg((min(coalesce(col("__hit"), lit(0))) === 1).as("maybe_present"))
+
+  /** One-row Bloom summary: set-bit count, fill fraction, the implied
+    * false-positive rate at the CURRENT fill ((n_set/m)^k — the
+    * operational number a pipeline monitors), and an exact md5 checksum
+    * of the sorted bit positions so a replaying engine is value-gated on
+    * every bit. NULL checksum on an empty filter (string_agg-over-zero-
+    * rows parity, like [[hllSummary]]). */
+  def bloomSummary(bits: DataFrame, m: Int, k: Int): DataFrame =
+    bits.agg(
+      count(lit(1)).as("n_set"),
+      when(count(lit(1)) > 0,
+        md5(array_join(transform(array_sort(collect_list(col("pos"))),
+          p => p.cast("string")), ",")))
+        .as("bits_md5"))
+      .withColumn("m", lit(m.toLong))
+      .withColumn("fill_frac", round(col("n_set") / lit(m.toDouble), 6))
+      .withColumn("fp_rate",
+        round(pow(col("n_set") / lit(m.toDouble), k), 6))
+      .select(col("m"), col("n_set"), col("fill_frac"), col("fp_rate"),
+        col("bits_md5"))
+
+  // ===========================================================================
   // HyperLogLog distinct-count sketch
   // ===========================================================================
 
@@ -107,6 +173,15 @@ object Sketches {
     * `max` (union two register sets and re-aggregate).
     */
   def hllRegisters(df: DataFrame, keyCol: Column, b: Int): DataFrame = {
+    val (idx, rho) = hllIdxRho(keyCol, b)
+    df.select(idx.as("idx"), rho.as("rho"))
+      .groupBy("idx").agg(max("rho").as("rho"))
+  }
+
+  /** The per-key (register index, rank) column pair of [[hllRegisters]]
+    * — shared with the streaming twin so both compute identical
+    * registers from identical expressions. */
+  def hllIdxRho(keyCol: Column, b: Int): (Column, Column) = {
     require(b >= 8 && b <= 16, s"b must be in [8, 16] (got $b)")
     val hex = md5(keyCol.cast("string"))
     val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
@@ -115,8 +190,7 @@ object Sketches {
     // field width is 64-b bits; rho = leading zeros + 1 = 65 - b - bitlen(w)
     val rho = when(w === 0, lit(65 - b))
       .otherwise(lit(65 - b) - length(bin(w)))
-    df.select(pmod(lo, lit((1L << b))).as("idx"), rho.as("rho"))
-      .groupBy("idx").agg(max("rho").as("rho"))
+    (pmod(lo, lit((1L << b))), rho)
   }
 
   /** One-row HLL summary from [[hllRegisters]] output: the standard

@@ -257,6 +257,50 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** Benchmark decontamination through a BLOOM FILTER — the petabyte
+    * variant of [[decontaminate]]: the benchmark's n-gram set is
+    * collapsed to `m` bits ([[Sketches.bloomBits]], SQL-portable md5
+    * positions) instead of materializing and broadcasting the gram
+    * strings, so the probe side scales to benchmark suites whose gram
+    * set would not fit an executor broadcast. Contamination is
+    * MAYBE-semantics: false positives at (n_set/m)^k per gram (operate
+    * at fill ≤ ~50%), never false negatives — a safe over-flag for a
+    * filtering pipeline. The corpus-side plan is identical to
+    * [[decontaminate]]: distinct grams per document, bit probes against
+    * the broadcast bit set, one per-document count shuffle.
+    *
+    * @return one row per corpus document: id, n_grams,
+    *         n_maybe_contaminated, contaminated (maybe-present)
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      m: Int = 1 << 16, k: Int = 4): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val bits = Sketches.bloomBits(
+      benchmark.select(explode(wordNgrams(col(textCol), n)).as("__g"))
+        .distinct(),
+      col("__g"), m, k)
+    val grams = corpus.select(col(idCol),
+      explode_outer(array_distinct(wordNgrams(col(textCol), n))).as("__g"))
+    val probed = grams.filter(col("__g").isNotNull)
+      .select(col(idCol), col("__g"),
+        explode(array((0 until k).map(d =>
+          Sketches.cmBucket(col("__g"), d, m)): _*)).as("pos"))
+      .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"), "left")
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(coalesce(col("__hit"), lit(0))).as("__all"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("__all")).as("n_maybe_contaminated"))
+    grams.select(idCol).distinct()
+      .join(probed, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_maybe_contaminated"), lit(0L))
+          .as("n_maybe_contaminated"))
+      .withColumn("contaminated", col("n_maybe_contaminated") > 0)
+  }
+
   /** Cross-document duplicated-SPAN detection — the distributed
     * approximation of suffix-array exact-substring deduplication (Lee et
     * al., "Deduplicating Training Data Makes Language Models Better"):

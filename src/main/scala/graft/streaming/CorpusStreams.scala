@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.ops.Sampling
+import graft.ops.{Sampling, Sketches}
 
 /** Streaming corpus-curation operators — the incremental twins of the
   * batch ops in [[graft.ops]]. Like [[EventStreams]], every operator is a
@@ -73,5 +73,68 @@ object CorpusStreams {
           }
       }
       .toDF("stratum", "sample_rank", "key", "sample_score")
+  }
+
+  /** Streaming HyperLogLog registers — the incremental twin of
+    * [[Sketches.hllRegisters]]. The per-key (idx, rho) pair comes from
+    * the SAME column expressions as the batch operator
+    * ([[Sketches.hllIdxRho]]); keyed state per register holds the
+    * current max rank. `max` is associative, commutative and IDEMPOTENT,
+    * so the register table after any sequence of micro-batches equals
+    * the batch operator over the union of keys seen — reordering,
+    * rebatching and duplicate delivery cannot change it, and a row is
+    * emitted only when a register actually rises (Update mode). State is
+    * bounded at 2^b registers by construction.
+    *
+    * The distinct-count-over-an-unbounded-stream answer: kilobytes of
+    * state however many keys arrive, and the emitted registers feed the
+    * same [[Sketches.hllSummary]] as a batch build.
+    */
+  def hllRegisters(rows: DataFrame, keyCol: String, b: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val (idx, rho) = Sketches.hllIdxRho(col(keyCol), b)
+    rows.where(col(keyCol).isNotNull)
+      .select(idx.as("idx"), rho.cast("long").as("rho"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (idx: Long, rs: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val mx = rs.foldLeft(prev)((a, r) => math.max(a, r._2))
+          if (state.exists && mx == prev) Iterator.empty
+          else { state.update(mx); Iterator((idx, mx)) }
+      }
+      .toDF("idx", "rho")
+  }
+
+  /** Streaming Bloom filter bits — the incremental twin of
+    * [[Sketches.bloomBits]]: each arriving key sets its k md5 positions;
+    * state per position is a seen-marker, and a position is emitted
+    * exactly ONCE, when first set (Append-compatible: downstream can
+    * accumulate the bit set without reconciliation). Set-union is
+    * idempotent, so order/batching/redelivery never change the final bit
+    * set, which equals the batch build over the union of keys. State
+    * bounded at m markers.
+    */
+  def bloomBits(rows: DataFrame, keyCol: String, m: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in [1, 16] (got $k)")
+    require(m >= 64 && m <= (1 << 30), s"m must be in [64, 2^30] (got $m)")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.where(col(keyCol).isNotNull)
+      .select(explode(array((0 until k).map(d =>
+        Sketches.cmBucket(col(keyCol), d, m)): _*)).as("pos"))
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Boolean, Long](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (pos: Long, _: Iterator[Long], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator(pos) }
+      }
+      .toDF("pos")
   }
 }

@@ -756,6 +756,85 @@ class OpsSpec extends AnyFunSuite {
     assert(row.isNullAt(row.fieldIndex("regs_md5")))
   }
 
+  test("product quantization: code shape, reconstruction beats random, " +
+      "and ADC top-k recalls most of the exact neighbors") {
+    val s = init()
+    val e = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 2; val ksub = 8
+    val books = Similarity.pqTrain(e, m, ksub, iters = 1)
+    // m sub-codebooks, each centroid a 32-dim subspace vector, ids < ksub
+    val bk = books.collect()
+    assert(bk.nonEmpty && bk.forall(_.getSeq[Double](2).length == 32))
+    assert(bk.forall(r => r.getLong(1) >= 0 && r.getLong(1) < ksub))
+    val codes = Similarity.pqEncode(e, books, m)
+    val cs = codes.collect()
+    assert(cs.length == e.count())
+    assert(cs.forall(_.getSeq[Long](1).length == m))
+    assert(cs.forall(_.getSeq[Long](1).forall(c => c >= 0 && c < ksub)))
+    // ADC top-k vs exact brute force. The synthetic embeddings are
+    // near-orthogonal noise (exact cosines ±0.15), so absolute recall is
+    // intrinsically low at any small code budget — the honest contract
+    // is that recall SCALES with the budget: 16x32 codes (80 bits) must
+    // clearly beat both random guessing (~5/50 expected) and the coarse
+    // 2x8 config (measured 2/50). Structured real-world embeddings
+    // recall far higher; correctness is separately value-gated by q96's
+    // full SQL replay.
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, e, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def recall(mm: Int, ks: Int, it: Int): Long =
+      Similarity.pqTopK(queries, e, k = 5, m = mm, ksub = ks, iters = it)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val coarse = recall(2, 8, 1)
+    val fine = recall(16, 32, 2)
+    assert(fine >= 12, s"fine-code ADC recall too low: $fine of 50")
+    assert(fine > coarse,
+      s"recall must scale with code budget (coarse=$coarse fine=$fine)")
+  }
+
+  test("bloom filter: no false negatives, FP rate at the designed bound, " +
+      "deterministic checksum, and maybe-contamination ⊇ exact") {
+    val s = init()
+    import s.implicits._
+    val sk = graft.ops.Sketches
+    val m = 1 << 12
+    val members = (1 to 200).map(i => s"key$i").toDF("k")
+    val bits = sk.bloomBits(members, col("k"), m, 4)
+    // every member must probe maybe_present (no false negatives — the
+    // Bloom contract)
+    val neg = sk.bloomContains(bits, members, "k", m, 4)
+      .filter(!col("maybe_present")).count()
+    assert(neg == 0L)
+    // non-members: fill ≤ 800/4096, so FP rate ≤ 0.195^4 ≈ 0.15% — 200
+    // probes should see ~0 false positives; allow a generous 5
+    val others = (201 to 400).map(i => s"key$i").toDF("k")
+    val fps = sk.bloomContains(bits, others, "k", m, 4)
+      .filter(col("maybe_present")).count()
+    assert(fps <= 5L, s"false-positive count $fps out of 200")
+    // summary: set-bit count bounded by k*n, checksum deterministic
+    val row1 = sk.bloomSummary(bits, m, 4).head()
+    val row2 = sk.bloomSummary(
+      sk.bloomBits(members, col("k"), m, 4), m, 4).head()
+    assert(row1.getAs[Long]("n_set") > 0 &&
+      row1.getAs[Long]("n_set") <= 800L)
+    assert(row1.getAs[String]("bits_md5") == row2.getAs[String]("bits_md5"))
+    // maybe-contamination is a SUPERSET of exact contamination
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta unrelated")).toDF("doc_id", "text")
+    val bench = Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val exact = graft.ops.TextAnalysis
+      .decontaminate(docs, bench, "doc_id", "text", n = 4)
+      .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    val maybe = graft.ops.TextAnalysis
+      .decontaminateBloom(docs, bench, "doc_id", "text", n = 4)
+      .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 3L))
+    assert(exact.subsetOf(maybe))
+  }
+
   test("duplicatedSpans: cross-doc runs, split runs, gram-less docs, " +
       "and the minDocs threshold") {
     val s = init()

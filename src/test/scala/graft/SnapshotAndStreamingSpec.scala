@@ -175,6 +175,60 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming HLL registers and Bloom bits converge to the batch " +
+      "sketches under reordering and redelivery") {
+    val s = init()
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sk = graft.ops.Sketches
+    val keys = (1L to 500L).toArray
+    val shuffled = keys.sortBy(k => k * 2654435761L % 101)
+    val third = (shuffled.length + 2) / 3
+    val parts = shuffled.grouped(third).toSeq
+    // redeliver a slice of chunk 1 inside chunk 3: idempotent merges
+    // must absorb it
+    val chunks = Seq(parts(0), parts(1), parts(2) ++ parts(0).take(20))
+
+    // HLL: accumulate the latest emitted rank per register
+    val msH = MemoryStream[Long](s)
+    val regs = new scala.collection.concurrent.TrieMap[Long, Long]()
+    val qh = graft.streaming.CorpusStreams
+      .hllRegisters(msH.toDF().toDF("k"), "k", b = 8)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => regs(r.getLong(0)) = r.getLong(1))
+      }.start()
+    try {
+      chunks.foreach { c => msH.addData(c.toSeq); qh.processAllAvailable() }
+    } finally qh.stop()
+    val batchRegs = sk.hllRegisters(keys.toSeq.toDF("k"), col("k"), b = 8)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    assert(regs.nonEmpty && regs.toMap == batchRegs)
+
+    // Bloom: append-once bit emission must union to the batch bit set
+    val msB = MemoryStream[Long](s)
+    val bits = scala.collection.mutable.Set[Long]()
+    var emitted = 0L
+    val qb = graft.streaming.CorpusStreams
+      .bloomBits(msB.toDF().toDF("k"), "k", m = 1 << 12, k = 4)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect()
+        emitted += rows.length
+        bits ++= rows.map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      chunks.foreach { c => msB.addData(c.toSeq); qb.processAllAvailable() }
+    } finally qb.stop()
+    val batchBits = sk.bloomBits(keys.toSeq.toDF("k"), col("k"),
+      m = 1 << 12, k = 4).as[Long].collect().toSet
+    assert(bits.toSet == batchBits)
+    // exactly-once emission: no position is ever emitted twice
+    assert(emitted == bits.size)
+  }
+
   test("flatMapGroupsWithState milestones match the batch counts") {
     val s = init()
     val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
