@@ -130,7 +130,7 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
     val fnPat = java.util.regex.Pattern.compile(
       "(?i)(?<![A-Za-z0-9_.])(pagerank|weakly_connected_component|" +
         "strongly_connected_component|local_clustering_coefficient|" +
-        "triangle_counts|" +
+        "triangle_counts|k_core|harmonic_centrality|" +
         "summarize_property_graph|get_pg_vtablenames|get_pg_etablenames|" +
         "get_pg_vcolnames|get_pg_ecolnames)\\s*\\(([^()]*)\\)")
     val sb = new StringBuilder(query)
@@ -156,6 +156,8 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
         case "weakly_connected_component" => Some("wcc")
         case "strongly_connected_component" => Some("scc")
         case "triangle_counts" => Some("triangles")
+        case "k_core" => Some("kcore")
+        case "harmonic_centrality" => Some("harmonic")
         case _ => None
       }
       val replacement = defaultAlias match {
@@ -180,6 +182,15 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
         graph.Algorithms.scc(spark, pg(0), resolver, args(1), args(2))
       case "triangle_counts" =>
         graph.Algorithms.triangles(spark, pg(0), resolver, args(1), args(2))
+      case "k_core" =>
+        val k = try args(3).toInt catch {
+          case _: NumberFormatException | _: IndexOutOfBoundsException =>
+            throw GraphAnalysisException(
+              "k_core(pg, vertexLabel, edgeLabel, k) requires an integer k")
+        }
+        graph.Algorithms.kCoreTf(spark, pg(0), resolver, args(1), args(2), k)
+      case "harmonic_centrality" =>
+        graph.Algorithms.harmonicTf(spark, pg(0), resolver, args(1), args(2))
       case "local_clustering_coefficient" =>
         // the reference emits FLOAT (local_clustering_coefficient.cpp)
         graph.Algorithms.lcc(spark, pg(0), resolver, args(1), args(2))

@@ -555,6 +555,40 @@ object SparkEntry {
     Algorithms.weaklyConnectedComponents(v, e)
   }
 
+  /** Harmonic + closeness centrality ([[Algorithms.harmonicCentrality]],
+    * beyond the reference's algorithm set) over the branching cyclic
+    * nation_near graph — all seeds exact through the shared MS-BFS
+    * kernel, per-seed reachability/harmonic/closeness aggregates. */
+  private def q97_harmonic_centrality(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("id"))
+    val e = TradeGraph.nationNear(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    Algorithms.harmonicCentrality(v, e)
+  }
+
+  /** Fixed-k core membership ([[Algorithms.kCore]], beyond the
+    * reference): region 0 is a complete K5 (every vertex degree 4 —
+    * survives k=3), the other regions are the |Δ|≤10 band whose 3-core
+    * peel CASCADES to empty in three waves (ends at degree 2 go first,
+    * which drops their neighbors below 3, …) — a mixed true/false
+    * output that a plain degree filter would get wrong. */
+  private def q98_kcore(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation")
+    def regionOf(e: org.apache.spark.sql.DataFrame) = e
+      .join(n.select(col("n_nationkey").as("src"), col("n_regionkey")),
+        Seq("src"))
+    val e = regionOf(TradeGraph.nationAdj(s, d))
+      .filter(col("n_regionkey") === 0).select(col("src"), col("dst"))
+      .unionAll(regionOf(TradeGraph.nationNear(s, d))
+        .filter(col("n_regionkey") =!= 0).select(col("src"), col("dst")))
+    Algorithms.kCore(
+      n.select(col("n_nationkey").cast("long").as("id")),
+      e.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")),
+      k = 3)
+  }
+
   private def q17_lcc(s: SparkSession, d: String): DataFrame = {
     val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("id"))
     val e = TradeGraph.nationNear(s, d)
@@ -1342,6 +1376,8 @@ object SparkEntry {
     "q94_duplicated_spans" -> (q94_duplicated_spans _),
     "q95_bloom_decontaminate" -> (q95_bloom_decontaminate _),
     "q96_pq_ann" -> (q96_pq_ann _),
+    "q97_harmonic_centrality" -> (q97_harmonic_centrality _),
+    "q98_kcore" -> (q98_kcore _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2239,6 +2275,66 @@ object SparkEntry {
            AND p1.p = t1.h1
            AND p2.start = p1.start AND p2.p = t1.h1 + 1
            AND p3.start = p1.start AND p3.p = t1.h1 + 1 + t2.h2""",
+
+    // min-dist closure over the branching near graph, then per-source
+    // reachability / harmonic / closeness aggregates — the engine's BFS
+    // returns exactly the min distances
+    "q97_harmonic_centrality" ->
+      s"""WITH RECURSIVE $sqlNationNear,
+         b(src, dst, dist) AS (
+           SELECT n_nationkey, n_nationkey, 0 FROM nation
+           UNION
+           SELECT b.src, e.dst, b.dist + 1
+           FROM b JOIN nation_near e ON b.dst = e.src WHERE b.dist < 25),
+         md AS (SELECT src, dst, min(dist) AS d FROM b GROUP BY 1, 2),
+         agg AS (
+           SELECT src AS id, count(*) AS n_reached, sum(d) AS sum_dist,
+                  sum(1.0 / d) AS harmonic
+           FROM md WHERE d >= 1 GROUP BY 1)
+         SELECT CAST(n.n_nationkey AS BIGINT) AS id,
+           CAST(coalesce(agg.n_reached, 0) AS BIGINT) AS n_reached,
+           CAST(coalesce(agg.sum_dist, 0) AS BIGINT) AS sum_dist,
+           round(coalesce(agg.harmonic, 0.0), 6) AS harmonic,
+           round(CASE WHEN coalesce(agg.sum_dist, 0) = 0 THEN 0.0
+                 ELSE CAST(agg.n_reached AS DOUBLE) / agg.sum_dist END, 6)
+             AS closeness
+         FROM nation n LEFT JOIN agg ON n.n_nationkey = agg.id""",
+
+    // six generated peel rounds (the cascade converges in three; the
+    // extra rounds prove the fixpoint): each round keeps vertices with
+    // >= 3 distinct surviving neighbors in the undirected view
+    "q98_kcore" ->
+      s"""WITH $sqlNationAdj, $sqlNationNear,
+         eu AS (
+           SELECT src, dst FROM (
+             SELECT a.src, a.dst FROM nation_adj a
+               JOIN nation n ON a.src = n.n_nationkey WHERE n.n_regionkey = 0
+             UNION
+             SELECT a.dst, a.src FROM nation_adj a
+               JOIN nation n ON a.src = n.n_nationkey WHERE n.n_regionkey = 0
+             UNION
+             SELECT b.src, b.dst FROM nation_near b
+               JOIN nation n ON b.src = n.n_nationkey WHERE n.n_regionkey <> 0
+             UNION
+             SELECT b.dst, b.src FROM nation_near b
+               JOIN nation n ON b.src = n.n_nationkey WHERE n.n_regionkey <> 0)
+           WHERE src <> dst),
+         r0 AS (SELECT n_nationkey AS id FROM nation),
+         r1 AS (SELECT e.src AS id FROM eu e JOIN r0 a ON e.src = a.id
+                JOIN r0 b ON e.dst = b.id GROUP BY 1 HAVING count(*) >= 3),
+         r2 AS (SELECT e.src AS id FROM eu e JOIN r1 a ON e.src = a.id
+                JOIN r1 b ON e.dst = b.id GROUP BY 1 HAVING count(*) >= 3),
+         r3 AS (SELECT e.src AS id FROM eu e JOIN r2 a ON e.src = a.id
+                JOIN r2 b ON e.dst = b.id GROUP BY 1 HAVING count(*) >= 3),
+         r4 AS (SELECT e.src AS id FROM eu e JOIN r3 a ON e.src = a.id
+                JOIN r3 b ON e.dst = b.id GROUP BY 1 HAVING count(*) >= 3),
+         r5 AS (SELECT e.src AS id FROM eu e JOIN r4 a ON e.src = a.id
+                JOIN r4 b ON e.dst = b.id GROUP BY 1 HAVING count(*) >= 3),
+         r6 AS (SELECT e.src AS id FROM eu e JOIN r5 a ON e.src = a.id
+                JOIN r5 b ON e.dst = b.id GROUP BY 1 HAVING count(*) >= 3)
+         SELECT CAST(n.n_nationkey AS BIGINT) AS id,
+                r6.id IS NOT NULL AS in_core
+         FROM nation n LEFT JOIN r6 ON n.n_nationkey = r6.id""",
 
     "q13_reachability" ->
       s"""WITH RECURSIVE $sqlNationNext,

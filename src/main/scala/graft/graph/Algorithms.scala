@@ -453,6 +453,119 @@ object Algorithms {
     out
   }
 
+  /** Harmonic and closeness centrality from BFS distances (beyond the
+    * reference's algorithm set): harmonic = Σ_{v reachable} 1/d(u, v)
+    * (Marchiori-Latora — well-defined on disconnected graphs), closeness
+    * = n_reached / Σ d (0 for vertices reaching nothing). Distances come
+    * from the same batched MS-BFS kernel every path query uses
+    * ([[PathFinder.bfsDistances]]), so the local/distributed strategy
+    * gates apply unchanged.
+    *
+    * All-pairs exact centrality is O(V·E) however it is computed — at
+    * corpus scale pass `seeds` with a vertex SAMPLE (the standard
+    * estimator: centrality of the sampled vertices only, each still
+    * exact over the full graph).
+    *
+    * @return (id, n_reached, sum_dist, harmonic, closeness) — one row
+    *         per seed vertex (all vertices when `seeds` is None)
+    */
+  def harmonicCentrality(vertices: DataFrame, edges: DataFrame,
+      seeds: Option[DataFrame] = None): DataFrame = {
+    val spark = vertices.sparkSession
+    val v = vertices.select(col("id")).distinct()
+    val src = seeds.getOrElse(v).select(col("id"))
+    val dists = PathFinder
+      .bfsDistances(spark, edges, src, None)
+      .filter(col("dist") > 0)
+    val agg = dists.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).as("sum_dist"),
+        sum(lit(1.0) / col("dist")).as("harmonic"))
+    src.distinct()
+      .join(agg, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+        round(coalesce(col("harmonic"), lit(0.0)), 6).as("harmonic"),
+        round(when(coalesce(col("sum_dist"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_reached").cast("double") /
+            col("sum_dist").cast("double")), 6).as("closeness"))
+  }
+
+  /** Fixed-k CORE membership (beyond the reference's algorithm set):
+    * the k-core is the maximal subgraph in which every vertex has
+    * UNDIRECTED simple degree ≥ k — the standard dense-region extractor
+    * (spam rings, tightly-coupled entity clusters) that plain degree
+    * filters miss because degrees must hold AFTER the sparse fringe is
+    * removed.
+    *
+    * Small graphs run the O(V+E) queue peel on the driver
+    * ([[LocalKernels.kCore]], the usual size gates); at scale the peel
+    * is the SCC-style restrict loop — each round semi-joins edges to
+    * the survivor set, recomputes degrees, and drops sub-k vertices,
+    * checkpointing per round so lineage stays flat. Rounds needed =
+    * peel DEPTH (how many removal waves cascade), not vertex count;
+    * real graphs converge in a handful.
+    *
+    * @return (id, in_core) over vertices ∪ edge endpoints
+    */
+  def kCore(vertices: DataFrame, edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val sp = vertices.sparkSession
+    import sp.implicits._
+    val probe = PathFinder.localMaxEdges.toInt + 1
+    val pre = PathFinder.lookupEdgePairs(edges)
+    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
+        edges.limit(probe).count() <= PathFinder.localMaxEdges) &&
+        vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
+      val ids = vertices.select(col("id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
+      return LocalKernels.kCore(ids, earr, k).toSeq.toDF("id", "in_core")
+    }
+    // undirected simple view (canonical pair per edge, then both
+    // orientations for degree counting)
+    val pairs = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val und = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val domain = vertices.select(col("id").cast("long").as("id"))
+      .union(und.select(col("src").as("id")))
+      .distinct()
+    var rem = domain.transform(PathFinder.ckpt)
+    var remCount = rem.count()
+    var e = und
+    var changed = remCount > 0
+    while (changed) {
+      val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      val keep = rem.join(deg, Seq("id"), "left_outer")
+        .filter(coalesce(col("d"), lit(0L)) >= k)
+        .select(col("id"))
+        .transform(PathFinder.ckpt)
+      val n = keep.count()
+      if (n == remCount) changed = false
+      else {
+        rem = keep
+        remCount = n
+        e = e.join(rem.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(rem.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .transform(PathFinder.ckpt)
+        changed = remCount > 0
+      }
+    }
+    und.unpersist()
+    domain
+      .join(rem.select(col("id"), lit(true).as("__in")), Seq("id"),
+        "left_outer")
+      .select(col("id"), coalesce(col("__in"), lit(false)).as("in_core"))
+  }
+
   // ---- table-function sugar over a registered property graph (reference
   // `src/core/functions/table/{pagerank,weakly_connected_component,
   // local_clustering_coefficient}.cpp` scaffold) ----
@@ -524,5 +637,23 @@ object Algorithms {
       resolver: TableResolver, vLabel: String, eLabel: String): DataFrame = {
     val (v, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
     triangleCounts(v, e).select(col("id").as(key), col("triangles"))
+  }
+
+  /** `k_core(pg, v, e, k)` table function (beyond the reference). */
+  def kCoreTf(spark: SparkSession, pg: PropertyGraph,
+      resolver: TableResolver, vLabel: String, eLabel: String,
+      k: Int): DataFrame = {
+    val (v, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
+    kCore(v, e, k).select(col("id").as(key), col("in_core"))
+  }
+
+  /** `harmonic_centrality(pg, v, e)` table function (beyond the
+    * reference). */
+  def harmonicTf(spark: SparkSession, pg: PropertyGraph,
+      resolver: TableResolver, vLabel: String, eLabel: String): DataFrame = {
+    val (v, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
+    harmonicCentrality(v, e)
+      .select(col("id").as(key), col("n_reached"), col("sum_dist"),
+        col("harmonic"), col("closeness"))
   }
 }

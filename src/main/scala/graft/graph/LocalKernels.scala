@@ -527,4 +527,39 @@ private[graph] object LocalKernels {
     }
     vertexIds.map(v => (v, minOf(find(v))))
   }
+
+  /** Fixed-k core membership by textbook peeling: repeatedly delete
+    * vertices whose UNDIRECTED simple degree is below k (queue-driven,
+    * O(V + E)). Self-loops never count. Domain = vertexIds ∪ edge
+    * endpoints (the [[scc]] convention). */
+  def kCore(vertexIds: Array[Long], edges: Array[(Long, Long)],
+      k: Int): Array[(Long, Boolean)] = {
+    val und = mutable.HashSet[(Long, Long)]()
+    edges.foreach { case (s, d) =>
+      if (s != d) und += ((math.min(s, d), math.max(s, d)))
+    }
+    val verts = mutable.LinkedHashSet[Long]()
+    vertexIds.foreach(verts += _)
+    und.foreach { case (a, b) => verts += a; verts += b }
+    val adj = mutable.LongMap[mutable.ArrayBuffer[Long]]()
+    und.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+    }
+    val deg = mutable.LongMap[Int]()
+    verts.foreach(v => deg(v) = adj.get(v).map(_.length).getOrElse(0))
+    val removed = mutable.LongMap[Boolean]()
+    val queue = mutable.ArrayDeque[Long]()
+    verts.foreach(v => if (deg(v) < k) { queue += v; removed(v) = true })
+    while (queue.nonEmpty) {
+      val v = queue.removeHead()
+      adj.get(v).foreach(_.foreach { n =>
+        if (!removed.getOrElse(n, false)) {
+          deg(n) -= 1
+          if (deg(n) < k) { removed(n) = true; queue += n }
+        }
+      })
+    }
+    verts.toArray.map(v => (v, !removed.getOrElse(v, false)))
+  }
 }

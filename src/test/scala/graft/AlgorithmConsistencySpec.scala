@@ -149,6 +149,91 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("kCore: local peel and distributed restrict loop match a " +
+      "brute-force fixpoint on random graphs") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    def withDist[T](body: => T): T = {
+      val e = PathFinder.localMaxEdges
+      PathFinder.localMaxEdges = 0
+      try body finally PathFinder.localMaxEdges = e
+    }
+    for (seed <- 81L to 86L; k <- Seq(2, 3)) {
+      val (vs, es) = randomGraph(seed)
+      // brute-force oracle: recompute undirected simple degrees over the
+      // survivor set until nothing changes
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      var surv = vs.toSet
+      var changed = true
+      while (changed) {
+        val deg = surv.map(v => v -> und.count { case (a, b) =>
+          (a == v && surv(b)) || (b == v && surv(a))
+        }).toMap
+        val next = surv.filter(deg(_) >= k)
+        changed = next != surv
+        surv = next
+      }
+      val expect = vs.map(v => v -> surv(v)).toMap
+      val local = Algorithms.kCore(vs.toDF("id"), es.toDF("src", "dst"), k)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val dist = withDist(
+        Algorithms.kCore(vs.toDF("id"), es.toDF("src", "dst"), k)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap)
+      assert(local == expect, s"(seed $seed k $k local)")
+      assert(dist == expect, s"(seed $seed k $k dist)")
+    }
+  }
+
+  test("harmonic centrality: both BFS branches match a brute-force " +
+      "distance oracle on random digraphs") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    def withDist[T](body: => T): T = {
+      val (e0, s0) = (PathFinder.localMaxEdges, PathFinder.localMaxSeeds)
+      PathFinder.localMaxEdges = 0
+      PathFinder.localMaxSeeds = 0
+      try body finally {
+        PathFinder.localMaxEdges = e0; PathFinder.localMaxSeeds = s0
+      }
+    }
+    for (seed <- 91L to 94L) {
+      val (vs, es) = randomGraph(seed)
+      // Floyd-Warshall distances as the oracle
+      val n = vs.length
+      val idx = vs.zipWithIndex.toMap
+      val INF = Int.MaxValue / 4
+      val d = Array.fill(n, n)(INF)
+      vs.foreach(v => d(idx(v))(idx(v)) = 0)
+      es.foreach { case (a, b) =>
+        d(idx(a))(idx(b)) = math.min(d(idx(a))(idx(b)), 1)
+      }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (d(i)(k) + d(k)(j) < d(i)(j)) d(i)(j) = d(i)(k) + d(k)(j)
+      val expect = vs.map { v =>
+        val ds = vs.filter(u => u != v && d(idx(v))(idx(u)) < INF)
+          .map(u => d(idx(v))(idx(u)))
+        v -> ((ds.length.toLong, ds.map(_.toLong).sum, ds.map(1.0 / _).sum))
+      }.toMap
+      def run() = Algorithms.harmonicCentrality(
+        vs.toDF("id"), es.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      def check(got: Map[Long, (Long, Long, Double)], tag: String): Unit = {
+        assert(got.keySet == expect.keySet, s"(seed $seed $tag keys)")
+        expect.foreach { case (v, (nr, sd, h)) =>
+          val (gn, gs, gh) = got(v)
+          assert(gn == nr && gs == sd && math.abs(gh - h) < 1e-6,
+            s"(seed $seed $tag, v $v: got ($gn,$gs,$gh) want ($nr,$sd,$h))")
+        }
+      }
+      check(run(), "local")
+      check(withDist(run()), "dist")
+    }
+  }
+
   test("SCC matches brute-force mutual reachability on random digraphs") {
     val s = Fixture.init()
     import s.implicits._

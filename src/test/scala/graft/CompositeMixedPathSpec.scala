@@ -184,6 +184,37 @@ class CompositeMixedPathSpec extends AnyFunSuite {
     assert(got.contains((0L, 2L, 3L, 4L, 4L, "0,1,2,a|3,a|4")))
   }
 
+  test("search prefix UNDER a mode over mixed key spaces: whole-path " +
+      "ranking on the long arrays, then per-segment translation") {
+    val g = graftTwoDecls()
+    // SHORTEST 2 TRAIL over the cross-space pattern: enumeration + the
+    // whole-path prefix ranking must run BEFORE the per-segment string
+    // translation; on the out-degree-1 ring each (a, b) pair has exactly
+    // one trail per split, so SHORTEST 2 keeps the 2 shortest distinct
+    // paths per endpoint pair
+    val got = g.graphTable(
+      """twodecl MATCH p = SHORTEST 2 TRAIL (a:NV2)-[e:NR]->{1,3}(m:NV2)-[g:NB]->(c:CV)-[h:CR]->{1,3}(b:CV)
+         COLUMNS (a.id AS src, b.id AS dst, path_length(p) AS plen,
+                  vertices(p) AS vpath)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).mkString(","))).toSet
+    // per (a, b): total hops h ≡ dst - src (mod 5); splits (h1, 1, h2)
+    // with h1, h2 in [1,3] give h in [3,7]; TRAIL on the 5-ring allows
+    // h <= 5 (h = 5 closes with 5 distinct edges; h > 5 repeats one).
+    // Ranking keeps the 2 smallest (length, lex) per pair.
+    // a=0, b=3: h = 3 (splits (1,1)) — one path; h = 8 impossible
+    //   → 1 row
+    // a=0, b=0: h = 5 (splits (1,3),(2,2),(3,1)) — same vertex walk,
+    //   same length, IDENTICAL vpath → dense ranks collapse to 1 → 3
+    //   rows survive SHORTEST 2 (duplicates share a dense rank)
+    val pair03 = got.filter(t => t._1 == 0L && t._2 == 3L)
+    assert(pair03 == Set((0L, 3L, 3L, "0,1,a|2,a|3")))
+    val pair00 = got.filter(t => t._1 == 0L && t._2 == 0L)
+    assert(pair00 == Set((0L, 0L, 5L, "0,1,a|2,a|3,a|4,a|0"),
+      (0L, 0L, 5L, "0,1,2,a|3,a|4,a|0"),
+      (0L, 0L, 5L, "0,1,2,3,a|4,a|0")))
+  }
+
   test("SIMPLE across key declarations: the closing walk's endpoint " +
       "pair compares through one declaration's key set") {
     val g = graftTwoDecls()

