@@ -188,6 +188,8 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
             throw GraphAnalysisException(
               "k_core(pg, vertexLabel, edgeLabel, k) requires an integer k")
         }
+        if (k < 1) throw GraphAnalysisException(
+          s"k_core(pg, vertexLabel, edgeLabel, k) requires k >= 1 (got $k)")
         graph.Algorithms.kCoreTf(spark, pg(0), resolver, args(1), args(2), k)
       case "harmonic_centrality" =>
         graph.Algorithms.harmonicTf(spark, pg(0), resolver, args(1), args(2))

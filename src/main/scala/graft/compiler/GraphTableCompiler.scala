@@ -44,20 +44,27 @@ object GraphTableCompiler {
       vtTable: String, refKeys: Seq[String], keyNumeric: Boolean,
       homo: Boolean, headAlias: String, tailAlias: String)
 
-  /** How one path segment's long-typed array becomes its string-surrogate
-    * form on the PER-SEGMENT translation route (a named path whose
-    * segments span more than one vertex-key space — each segment
-    * translates through its OWN space, then the string arrays
-    * concatenate). [[InlineStr]] carries a ready column expression (fixed
-    * hops build surrogates straight from their alias columns; numeric
-    * quantified segments cast element-wise); [[JoinStr]] names an in-plan
-    * segment column that must run through the dense-rowid mapping join
-    * (composite / non-numeric quantified segments). */
-  private sealed trait SegXlate
-  private final case class InlineStr(strArr: org.apache.spark.sql.Column)
-      extends SegXlate
-  private final case class JoinStr(colName: String,
-      ids: org.apache.spark.sql.DataFrame, nKeys: Int) extends SegXlate
+  /** Per-segment record for the PER-SEGMENT translation route (a named
+    * path whose segments span more than one vertex-key space). Carries
+    * what the assembly needs to build (a) the segment's string-surrogate
+    * form — each segment through its OWN space — and (b) a CANONICAL
+    * long-typed form for whole-path prefix ranking, where every vertex
+    * slot of one TABLE is expressed in one chosen space so equal rows
+    * compare equal and distinct rows never collide across spaces.
+    * [[FixedRec]] builds both forms straight from its alias columns;
+    * [[QuantRec]] names an in-plan segment column (string form via its
+    * own mapping join for composite spaces, canonical form via a
+    * vertex-slot bijection translation when its space is not the
+    * table's canonical one). */
+  private sealed trait SegRec
+  private final case class FixedRec(strArr: org.apache.spark.sql.Column,
+      aAlias: String, aTable: String, aKeys: Seq[String], aNum: Boolean,
+      eid: org.apache.spark.sql.Column,
+      bAlias: String, bTable: String, bKeys: Seq[String], bNum: Boolean)
+      extends SegRec
+  private final case class QuantRec(colName: String, table: String,
+      keys: Seq[String], numeric: Boolean,
+      ids: Option[(org.apache.spark.sql.DataFrame, Int)]) extends SegRec
 
   def compile(
       spark: SparkSession,
@@ -416,6 +423,30 @@ object GraphTableCompiler {
         .drop("__tarr")
     }
 
+    /** [[translateIdArray]] restricted to VERTEX (even) slots of an
+      * interleaved `[v, e, v, …]` path array — edge ids pass through
+      * untouched (an edge id must never accidentally match a vertex
+      * `__from` value). */
+    def translateVertexSlots(df: DataFrame, c: String,
+        m: DataFrame): DataFrame = {
+      val pos = df.select(col(c).as("__parr")).distinct()
+        .select(col("__parr"),
+          posexplode_outer(col("__parr")).as(Seq("__pos", "__el")))
+      val tr = pos.join(m.select(col("__from").as("__el"), col("__to")),
+          Seq("__el"), "left")
+        .withColumn("__t", when(col("__pos") % 2 === 0,
+          coalesce(col("__to"), col("__el"))).otherwise(col("__el")))
+        .groupBy("__parr")
+        .agg(expr("transform(array_sort(" +
+          "filter(collect_list(struct(__pos, __t))," +
+          " x -> x.__pos IS NOT NULL)), x -> x.__t)").as("__tarr"))
+      df.join(tr, df(c) === tr("__parr"), "left")
+        .drop(c).drop("__parr")
+        .withColumn(c, coalesce(col("__tarr"),
+          expr("CAST(array() AS array<bigint>)")))
+        .drop("__tarr")
+    }
+
     /** One pattern = one dense-id space for its combined path column:
       * first registration wins, later ones must match or refuse. */
     def registerPendingSurrogate(ids: DataFrame, nKeys: Int,
@@ -461,7 +492,7 @@ object GraphTableCompiler {
     // per-segment translation recipes, parallel to processPattern's
     // segCols (filled by bindPathEdge / fixedSegment; consulted only when
     // perSegSurrogates)
-    val segXlates = scala.collection.mutable.ArrayBuffer[SegXlate]()
+    val segXlates = scala.collection.mutable.ArrayBuffer[SegRec]()
 
     /** '|'-joined declared-key surrogate of an already-joined vertex
       * alias — the same text [[surrogatizeArrayCol]] produces from the
@@ -587,9 +618,14 @@ object GraphTableCompiler {
             if (bi.table == bj.table) {
               // both aliases carry FULL rows of the shared table, so row
               // identity can be compared on either declaration's key set
-              // even when the two labels declare DIFFERENT keys (each
-              // declared key set is unique — kernel-verified for segment
-              // endpoints); pick bi's
+              // even when the two labels declare DIFFERENT keys — but
+              // only if the chosen key set is UNIQUE over the table
+              // (otherwise equality on it over-merges distinct rows);
+              // same-declaration comparisons keep the historical
+              // no-probe behavior
+              if (bi.keyCols != bj.keyCols)
+                pg.vertexTables.find(_.tableName == bi.table)
+                  .foreach(vt => requireUniqueKeys(vt, bi.keyCols))
               val neq = !keysEq(vPos(i), bi.keyCols, vPos(j), bi.keyCols)
               val guard = segs.zip(endpointPairs).collectFirst {
                 case (s, (h, t))
@@ -672,7 +708,12 @@ object GraphTableCompiler {
           if (bi.table == bj.table) {
             // different key DECLARATIONS over one table still identify
             // the same rows: compare on one declaration's key set (both
-            // aliases carry the full row)
+            // aliases carry the full row) — requiring that key set to be
+            // unique when the declarations differ (equality on a
+            // non-unique key would over-merge distinct rows)
+            if (bi.keyCols != bj.keyCols)
+              pg.vertexTables.find(_.tableName == bi.table)
+                .foreach(vt => requireUniqueKeys(vt, bi.keyCols))
             plan = plan.filter(
               !keysEq(vPos(i), bi.keyCols, vPos(j), bi.keyCols))
           }
@@ -1022,11 +1063,64 @@ object GraphTableCompiler {
         // array with any other space — refuse BEFORE the concat so the
         // user sees semantics, not a type error
         checkOneTranslatedSpace(p)
-        val combined = segCols.toSeq.reduceLeft { (acc, seg) =>
+        def popFrontConcat(acc: Column, seg: Column): Column =
           // drop the segment's head vertex (shared with the previous
           // segment's tail) — array_pop_front analogue
           concat(acc, slice(seg, lit(2), greatest(size(seg) - 1, lit(0))))
-        }
+        val needRank = enumPrefix ||
+          (needPath && p.prefix.isDefined && quantifiedEdges == 0)
+        val combined =
+          if (perSegSurrogates && needRank) {
+            // ranking needs CANONICAL vertex identities: with segments in
+            // different key spaces of one table, raw mixed-space longs
+            // could collide (a dense rowid equals an unrelated raw key)
+            // or diverge (the same row under two declarations), merging
+            // distinct paths or splitting one path's rank. Express every
+            // vertex slot of a table in ONE chosen space — numeric
+            // declaration if any segment uses one, else the first seen —
+            // fixed hops straight from their alias columns, quantified
+            // segments through the table-row bijection (vertex slots
+            // only). The chosen key set must be unique whenever a
+            // translation actually crosses spaces.
+            require(segXlates.length == segCols.length,
+              s"segment records out of sync: ${segXlates.length} != " +
+                s"${segCols.length}")
+            val spacesInOrder = segXlates.toSeq.flatMap {
+              case FixedRec(_, _, at, ak, an, _, _, bt, bk, bn) =>
+                Seq((at, ak, an), (bt, bk, bn))
+              case QuantRec(_, t, k, n, _) => Seq((t, k, n))
+            }
+            val canon: Map[String, (Seq[String], Boolean)] =
+              spacesInOrder.groupBy(_._1).map { case (t, ss) =>
+                val pick = ss.find(_._3).map(s => (s._2, true))
+                  .getOrElse((ss.head._2, false))
+                if (ss.map(s => (s._2, s._3)).distinct.length > 1)
+                  pg.vertexTables.find(_.tableName == t)
+                    .foreach(vt => requireUniqueKeys(vt, pick._1))
+                t -> pick
+              }
+            def aliasCanonId(alias: String, table: String): Column = {
+              val (ck, cn) = canon(table)
+              if (cn) col(s"$alias.${ck.head}").cast("long")
+              else col(attachAliasRowid(alias, ck,
+                rowidMapping(table, ck)))
+            }
+            val rankSegs: Seq[Column] = segXlates.toSeq.map {
+              case FixedRec(_, aa, at, _, _, eid, ba, bt, _, _) =>
+                array(aliasCanonId(aa, at), eid, aliasCanonId(ba, bt))
+              case QuantRec(name, t, k, n, _) =>
+                val (ck, cn) = canon(t)
+                if (ck == k && cn == n) col(name)
+                else {
+                  val tmp = freshName("rankseg")
+                  plan = plan.withColumn(tmp, col(name))
+                  plan = translateVertexSlots(plan, tmp,
+                    spaceBijection(t, k, n, ck, cn))
+                  col(tmp)
+                }
+            }
+            rankSegs.reduceLeft(popFrontConcat)
+          } else segCols.toSeq.reduceLeft(popFrontConcat)
         val pcol = p.pathVar.map(pv => s"__path_$pv")
           .getOrElse(freshName("rankpath"))
         plan = plan.withColumn(pcol, combined)
@@ -1038,29 +1132,32 @@ object GraphTableCompiler {
         // and no kernel ranked anything, so ANY SHORTEST / SHORTEST k
         // must pick per endpoint pair here (reference pair semantics;
         // previously these rows kept raw join multiplicity)
-        if (enumPrefix ||
-            (needPath && p.prefix.isDefined && quantifiedEdges == 0))
+        if (needRank)
           applyWholePathPrefix(p, pcol, modeVertexPos.toSeq)
         if (perSegSurrogates) {
           // per-segment-translation route (segments span several key
           // spaces): mode filters and ranking consumed the long-typed
           // arrays above; now each segment becomes its string-surrogate
-          // form through its OWN space — fixed hops and numeric segments
-          // inline (InlineStr), composite quantified segments through
-          // their mapping join (JoinStr) — and the STRING arrays
-          // re-concatenate into the exposed path column
+          // form through its OWN space — fixed hops inline from their
+          // alias columns, numeric quantified segments by element-wise
+          // cast, composite quantified segments through their own
+          // mapping join — and the STRING arrays re-concatenate into
+          // the exposed path column
           require(segXlates.length == segCols.length,
             s"segment translation recipes out of sync: ${segXlates.length}" +
               s" != ${segCols.length}")
           val strSegs = segXlates.toSeq.map {
-            case InlineStr(c) => c
-            case JoinStr(name, ids, n) =>
+            case FixedRec(strArr, _, _, _, _, _, _, _, _, _) => strArr
+            case QuantRec(name, _, _, true, _) =>
+              transform(col(name), _.cast("string"))
+            case QuantRec(name, _, _, false, Some((ids, n))) =>
               plan = surrogatizeArrayCol(plan, name, ids, n)
               col(name)
+            case QuantRec(name, _, _, false, None) =>
+              throw new IllegalStateException(
+                s"composite segment '$name' lost its mapping")
           }
-          val comb2 = strSegs.reduceLeft { (acc, seg) =>
-            concat(acc, slice(seg, lit(2), greatest(size(seg) - 1, lit(0))))
-          }
+          val comb2 = strSegs.reduceLeft(popFrontConcat)
           plan = plan.withColumn(pcol, comb2)
         } else
         // deferred composite-key surrogate translation (enumeration
@@ -1099,11 +1196,14 @@ object GraphTableCompiler {
       }
       val aNum = aKeys.length == 1 && numericKey(aVt, aKeys.head)
       val bNum = bKeys.length == 1 && numericKey(bVt, bKeys.head)
-      // a fixed hop's string-surrogate form needs no mapping join: the
-      // aliases already carry the declared key columns (only consulted on
-      // the per-segment-translation route)
-      segXlates += InlineStr(array(aliasSurr(aAlias, aKeys),
-        eid.cast("string"), aliasSurr(bAlias, bKeys)))
+      // a fixed hop's string and canonical ranking forms need no mapping
+      // join: the aliases already carry every column of their table
+      // (only consulted on the per-segment-translation route)
+      segXlates += FixedRec(
+        array(aliasSurr(aAlias, aKeys), eid.cast("string"),
+          aliasSurr(bAlias, bKeys)),
+        aAlias, aVt.tableName, aKeys, aNum, eid,
+        bAlias, bVt.tableName, bKeys, bNum)
       if (aNum && bNum) {
         segSpaces += ((aVt.tableName, aKeys, true))
         segSpaces += ((bVt.tableName, bKeys, true))
@@ -1433,15 +1533,17 @@ object GraphTableCompiler {
           // per-segment-translation route: numeric segments become
           // strings by an element-wise cast (raw keys and edge ids both
           // surface as their decimal text, matching aliasSurr)
-          segXlates += InlineStr(
-            transform(col(segColOpt.get), _.cast("string")))
+          segXlates += QuantRec(segColOpt.get, aVt.tableName, aRefKeys,
+            numeric = true, ids = None)
         } else {
           segSpaces += ((aVt.tableName, aRefKeys, false))
           // composite/non-numeric segments translate through their OWN
           // dense-rowid mapping at assembly time (memoized — same object
           // the kernel join below uses)
-          segXlates += JoinStr(segColOpt.get,
-            rowidMapping(aVt.tableName, aRefKeys), aRefKeys.length)
+          segXlates += QuantRec(segColOpt.get, aVt.tableName, aRefKeys,
+            numeric = false,
+            ids = Some((rowidMapping(aVt.tableName, aRefKeys),
+              aRefKeys.length)))
         }
       }
       val joined =

@@ -534,10 +534,14 @@ object Algorithms {
     val und = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // checkpoint the domain itself: the final membership join reads it
+    // AFTER und.unpersist(), and an un-truncated lineage would re-derive
+    // the whole canonical-pair distinct from the raw edge scan
     val domain = vertices.select(col("id").cast("long").as("id"))
       .union(und.select(col("src").as("id")))
       .distinct()
-    var rem = domain.transform(PathFinder.ckpt)
+      .transform(PathFinder.ckpt)
+    var rem = domain
     var remCount = rem.count()
     var e = und
     var changed = remCount > 0

@@ -365,7 +365,15 @@ object Similarity {
       vecCol: String): DataFrame =
     df.select(col(idCol), size(col(vecCol)).as("__dims"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__c")))
-      .withColumn("__sd", (col("__dims") / m).cast("long"))
+      // dims must split into m EQUAL subspaces — a silent truncation
+      // would mint extra subspaces and break the "m codes" contract;
+      // assert_true raises at execution (it cannot be known at plan
+      // time: vector lengths live in the data)
+      .withColumn("__sd", (col("__dims") / m).cast("long") +
+        coalesce(assert_true(
+          pmod(col("__dims"), lit(m)) === 0 && col("__dims") >= m,
+          concat(lit(s"PQ requires vector dims divisible by m=$m, got "),
+            col("__dims"))).cast("long"), lit(0L)))
       .select(col(idCol),
         (col("__p") / col("__sd")).cast("long").as("sub"),
         pmod(col("__p"), col("__sd")).cast("long").as("pos"),

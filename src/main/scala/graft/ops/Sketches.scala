@@ -109,17 +109,22 @@ object Sketches {
       .distinct()
   }
 
-  /** Probe membership: for each row of `queries(keyCol)`, true iff ALL
-    * `k` bit positions are set (maybe-present semantics — false
-    * positives possible, false negatives not). The bit set is ≤ m rows
-    * and broadcasts; the query side stays distributed, so probing a
-    * 100 TB corpus against a fixed set is an exchange-free map join.
+  /** Probe membership: for each DISTINCT non-null key of
+    * `queries(keyCol)`, true iff ALL `k` bit positions are set
+    * (maybe-present semantics — false positives possible, false
+    * negatives not). NULL keys are dropped, mirroring [[bloomBits]]'s
+    * build side (a null was never insertable, and concat_ws would
+    * otherwise hash it as the bare depth string). The bit set is ≤ m
+    * rows and broadcasts; the query side stays distributed, so probing
+    * a 100 TB corpus against a fixed set is an exchange-free map join.
     *
-    * @return queries' keyCol + (maybe_present: boolean)
+    * @return one row per distinct non-null key:
+    *         keyCol + (maybe_present: boolean)
     */
   def bloomContains(bits: DataFrame, queries: DataFrame, keyCol: String,
       m: Int, k: Int): DataFrame =
     queries
+      .where(col(keyCol).isNotNull)
       .select(col(keyCol), explode(array((0 until k).map(d =>
         cmBucket(col(keyCol), d, m)): _*)).as("pos"))
       .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"), "left")
@@ -190,7 +195,9 @@ object Sketches {
     // field width is 64-b bits; rho = leading zeros + 1 = 65 - b - bitlen(w)
     val rho = when(w === 0, lit(65 - b))
       .otherwise(lit(65 - b) - length(bin(w)))
-    (pmod(lo, lit((1L << b))), rho)
+    // long on both twins: the streaming register table must be
+    // schema-identical to the batch one (they union/merge downstream)
+    (pmod(lo, lit((1L << b))), rho.cast("long"))
   }
 
   /** One-row HLL summary from [[hllRegisters]] output: the standard

@@ -95,7 +95,7 @@ object CorpusStreams {
     import spark.implicits._
     val (idx, rho) = Sketches.hllIdxRho(col(keyCol), b)
     rows.where(col(keyCol).isNotNull)
-      .select(idx.as("idx"), rho.cast("long").as("rho"))
+      .select(idx.as("idx"), rho.as("rho"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long)](

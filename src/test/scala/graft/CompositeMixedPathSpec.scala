@@ -234,6 +234,33 @@ class CompositeMixedPathSpec extends AnyFunSuite {
     assert((0L to 4L).forall(i => closing.getOrElse((i, i), 0) == 3))
   }
 
+  test("cross-declaration identity refuses when the chosen key set is " +
+      "non-unique (equality on it would over-merge distinct rows)") {
+    val s = Fixture.init()
+    import s.implicits._
+    // two rows share name 'dup' — a (name)-keyed declaration is NOT a
+    // row identity
+    Seq(("a", 0L, "dup"), ("a", 1L, "dup"), ("a", 2L, "solo"))
+      .toDF("grp", "id", "name").createOrReplaceTempView("dvert")
+    Seq((0L, "a", 1L), (1L, "a", 2L)).toDF("src_i", "dst_g", "dst_i")
+      .createOrReplaceTempView("dbridge")
+    val g = Graft(s, TableResolver.catalog)
+    g.registry.create(s, PropertyGraph("dupdecl",
+      vertexTables = Seq(
+        VertexTable("dvert", "DN", Seq("name")),
+        VertexTable("dvert", "DC", Seq("grp", "id"))),
+      edgeTables = Seq(
+        EdgeTable("dbridge", "DB", Seq("src_i"), Seq("id"), "DN",
+          Seq("dst_g", "dst_i"), Seq("grp", "id"), "DC"))),
+      TableResolver.catalog, orReplace = true)
+    val ex = intercept[GraphAnalysisException] {
+      g.graphTable(
+        """dupdecl MATCH ACYCLIC (a:DN)-[e:DB]->(b:DC)
+           COLUMNS (a.id AS src, b.id AS dst)""")
+    }
+    assert(ex.getMessage.contains("non-unique"))
+  }
+
   test("ACYCLIC over a mixed pattern with a heterogeneous NUMERIC " +
       "segment refuses loudly (review fix: && had silently relaxed ||)") {
     val s = Fixture.init()
