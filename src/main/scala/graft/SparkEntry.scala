@@ -2924,16 +2924,18 @@ object SparkEntry {
                     i -> array_to_string(ws[i:i+3], ' '))) END AS gs
            FROM w),
          bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE bk < 5),
+         -- bloom positions: the four 32-bit fields of ONE md5 digest
+         -- (hex offsets 1/9/17/25), mod m — the engine's bloomPos scheme
          bits AS (
-           SELECT DISTINCT CAST('0x' || substr(md5(CAST(d AS VARCHAR) ||
-             ':' || gram), 9, 8) AS BIGINT) % 65536 AS pos
-           FROM bench, range(4) t(d)),
+           SELECT DISTINCT CAST('0x' || substr(md5(gram), 1 + 8 * t.i, 8)
+             AS BIGINT) % 65536 AS pos
+           FROM bench, range(4) t(i)),
          corp AS (SELECT doc_id, gs FROM g WHERE bk >= 5),
          cg AS (SELECT doc_id, unnest(gs) AS gram FROM corp),
          qp AS (
-           SELECT doc_id, gram, CAST('0x' || substr(md5(CAST(d AS VARCHAR)
-             || ':' || gram), 9, 8) AS BIGINT) % 65536 AS pos
-           FROM cg, range(4) t(d)),
+           SELECT doc_id, gram, CAST('0x' || substr(md5(gram), 1 + 8 * t.i,
+             8) AS BIGINT) % 65536 AS pos
+           FROM cg, range(4) t(i)),
          hit AS (
            SELECT qp.doc_id AS doc_id, qp.gram AS gram,
              min(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS allhit

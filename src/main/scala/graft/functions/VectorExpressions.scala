@@ -252,6 +252,26 @@ object PortableHash {
       ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
   }
 
+  /** The four big-endian 32-bit FIELDS of the `j`-th md5 digest of a key
+    * (j = 0: the bare digest; j > 0: digest of "j:key") — bit-identical
+    * to `conv(substring(md5(…), 1 + 8*f, 8), 16, 10)` for f in 0..3, so
+    * an SQL engine replays every field from the hex text. One digest
+    * yields four independent hash fields — the Bloom-filter probe's
+    * "k hashes for the price of one md5". */
+  def md5Fields32(s: org.apache.spark.unsafe.types.UTF8String,
+      j: Int): Array[Long] = {
+    val d = md.get()
+    d.reset()
+    if (j != 0)
+      d.update((j.toString + ":")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dig = d.digest(s.getBytes)
+    def f(o: Int): Long =
+      ((dig(o) & 0xffL) << 24) | ((dig(o + 1) & 0xffL) << 16) |
+        ((dig(o + 2) & 0xffL) << 8) | (dig(o + 3) & 0xffL)
+    Array(f(0), f(4), f(8), f(12))
+  }
+
   /** 31-bit variant: the md5 digest's first 48 bits (big-endian) mod
     * 2^31−1 — bit-identical to the declarative
     * `pmod(conv(substring(md5(s),1,12),16,10), 2^31−1)`
@@ -313,6 +333,74 @@ case class Md5Hash31Array(child: Expression) extends UnaryExpression {
           new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       """
     })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Per-document Bloom-filter probe counts over a gram array in ONE fused
+  * per-row pass: each gram pays one native md5 per digest group (k ≤ 4 =
+  * exactly one — [[PortableHash.md5Fields32]]), its k bit positions are
+  * tested against a driver-built long[] mask, and the row yields
+  * (n_grams, n_maybe) directly — no position explode, no join, no
+  * per-gram shuffle. The declarative hex/conv form paid a 32-char hex
+  * round-trip per field and k separate md5s (Spark's subexpression
+  * elimination missed the duplicates): 7.3 s vs 1.9 s on the bare gram
+  * pass at the 10x bench point. */
+object BloomStats {
+  def statsRow(grams: ArrayData, mask: Array[Long], m: Int,
+      k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    var n = 0L
+    var maybe = 0L
+    val cnt = grams.numElements()
+    var i = 0
+    while (i < cnt) {
+      if (!grams.isNullAt(i)) {
+        n += 1
+        val g = grams.getUTF8String(i)
+        var all = true
+        var bit = 0
+        var haveGrp = -1
+        var fields: Array[Long] = null
+        while (all && bit < k) {
+          val grp = bit / 4
+          if (grp != haveGrp) {
+            fields = PortableHash.md5Fields32(g, grp)
+            haveGrp = grp
+          }
+          val pos = fields(bit % 4) % m
+          if ((mask((pos >> 6).toInt) & (1L << (pos & 63).toInt)) == 0)
+            all = false
+          bit += 1
+        }
+        if (all) maybe += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, maybe)
+  }
+}
+
+case class BloomStatsExpr(child: Expression, mask: Array[Long], m: Int,
+    k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_grams",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_maybe",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "bloom_stats"
+
+  override def nullSafeEval(a: Any): Any =
+    BloomStats.statsRow(a.asInstanceOf[ArrayData], mask, m, k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val maskRef = ctx.addReferenceObj("bloomMask", mask, "long[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.BloomStats.statsRow(" +
+        s"$x, $maskRef, $m, $k);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -463,4 +551,7 @@ object VectorFunctions {
     Bridge.column(SimHashBits(Bridge.expression(hashed)))
   def md5_hash31_array(arr: Column): Column =
     Bridge.column(Md5Hash31Array(Bridge.expression(arr)))
+  def bloom_stats(grams: Column, mask: Array[Long], m: Int,
+      k: Int): Column =
+    Bridge.column(BloomStatsExpr(Bridge.expression(grams), mask, m, k))
 }

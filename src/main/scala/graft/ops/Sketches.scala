@@ -84,6 +84,31 @@ object Sketches {
   // Bloom filter membership sketch
   // ===========================================================================
 
+  /** Bloom bit position `i` for a key: the md5 digest is 128 bits = four
+    * independent 32-bit fields, so positions 0-3 slice ONE digest and
+    * only every 4th hash function pays another md5 (a corpus-side probe
+    * computes k positions per gram — at k=4 this is 1 hash, not 4; the
+    * 4-cmBucket form benched 10.3 s vs 1.7 s for the bare gram pass at
+    * the 10x point). SQL-portable: substring offsets into the hex text. */
+  def bloomPos(key: Column, i: Int, m: Int): Column =
+    bloomPosFromHex(bloomHex(key, i / 4), i % 4, m)
+
+  /** The `j`-th md5 digest of a key (j = 0 is the bare digest; further
+    * digests prefix the key). Hot paths should materialize this as its
+    * own column and slice fields with [[bloomPosFromHex]] — Spark's
+    * subexpression elimination does NOT collapse the duplicate md5
+    * inside k inlined [[bloomPos]] expressions (measured 2x on the
+    * corpus probe). */
+  def bloomHex(key: Column, j: Int): Column =
+    if (j == 0) md5(key.cast("string"))
+    else md5(concat_ws(":", lit(j), key.cast("string")))
+
+  /** Bit position from digest field `f` in 0..3: 32 hex-sliced bits
+    * mod m. */
+  def bloomPosFromHex(hex: Column, f: Int, m: Int): Column =
+    pmod(conv(substring(hex, 1 + 8 * f, 8), 16, 10).cast("long"),
+      lit(m.toLong))
+
   /** Bloom filter SET BITS over a key column — the set-membership sketch
     * completing the family (CountMin: frequency, HLL: cardinality,
     * Bloom: membership). The classic 100 TB use: materialize a compact
@@ -93,7 +118,7 @@ object Sketches {
     * (1 - e^(-kn/m))^k rate, never false negatives.
     *
     * Bit positions are the same SQL-portable md5 scheme as CountMin
-    * ([[cmBucket]] rows 0..k-1 mod m), so an independent engine replays
+    * ([[bloomPos]] fields 0..k-1 mod m), so an independent engine replays
     * every set bit — the oracle gate is exact, not statistical. Build is
     * one explode + distinct: at most `m` output rows however large the
     * input (sparse: only SET bits have rows), map-side combinable.
@@ -104,8 +129,8 @@ object Sketches {
     require(k >= 1 && k <= 16, s"k must be in [1, 16] (got $k)")
     require(m >= 64 && m <= (1 << 30), s"m must be in [64, 2^30] (got $m)")
     df.filter(keyCol.isNotNull)
-      .select(explode(array((0 until k).map(d =>
-        cmBucket(keyCol, d, m)): _*)).as("pos"))
+      .select(explode(array((0 until k).map(i =>
+        bloomPos(keyCol, i, m)): _*)).as("pos"))
       .distinct()
   }
 
@@ -125,8 +150,8 @@ object Sketches {
       m: Int, k: Int): DataFrame =
     queries
       .where(col(keyCol).isNotNull)
-      .select(col(keyCol), explode(array((0 until k).map(d =>
-        cmBucket(col(keyCol), d, m)): _*)).as("pos"))
+      .select(col(keyCol), explode(array((0 until k).map(i =>
+        bloomPos(col(keyCol), i, m)): _*)).as("pos"))
       .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"), "left")
       .groupBy(keyCol)
       .agg((min(coalesce(col("__hit"), lit(0))) === 1).as("maybe_present"))

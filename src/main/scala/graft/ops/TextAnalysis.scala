@@ -276,28 +276,37 @@ object TextAnalysis {
       idCol: String, textCol: String, n: Int = 8,
       m: Int = 1 << 16, k: Int = 4): DataFrame = {
     require(n >= 1, "n must be >= 1")
+    require(m <= (1 << 27), "m above 2^27 would collect a >16 MB mask " +
+      "to the driver — use a coarser filter or shard the benchmark")
     val bits = Sketches.bloomBits(
       benchmark.select(explode(wordNgrams(col(textCol), n)).as("__g"))
         .distinct(),
       col("__g"), m, k)
-    val grams = corpus.select(col(idCol),
-      explode_outer(array_distinct(wordNgrams(col(textCol), n))).as("__g"))
-    val probed = grams.filter(col("__g").isNotNull)
-      .select(col(idCol), col("__g"),
-        explode(array((0 until k).map(d =>
-          Sketches.cmBucket(col("__g"), d, m)): _*)).as("pos"))
-      .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"), "left")
-      .groupBy(col(idCol), col("__g"))
-      .agg(min(coalesce(col("__hit"), lit(0))).as("__all"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"),
-        sum(col("__all")).as("n_maybe_contaminated"))
-    grams.select(idCol).distinct()
-      .join(probed, Seq(idCol), "left")
+    // THE point of a Bloom filter is an in-memory bitmask: collect the
+    // set positions once (≤ m/8 bytes — 8 KB at the default m) into a
+    // long[] literal, so the corpus side probes with pure codegen'd bit
+    // arithmetic — no position explode, no join, and the only exchange
+    // is the map-side-combinable per-document count. (The join-shaped
+    // probe benched 17.9 s at the 10x point; this shape ~matches exact
+    // decontaminate while never materializing the gram strings.)
+    val words = new Array[Long](m / 64 + 1)
+    bits.collect().foreach { r =>
+      val p = r.getLong(0)
+      words((p >> 6).toInt) |= (1L << (p & 63).toInt)
+    }
+    // the probe is ONE fused per-row pass ([[graft.functions.
+    // BloomStatsExpr]]): one native md5 per gram, bit tests against the
+    // mask, per-document counts emitted directly — EXCHANGE-FREE on the
+    // corpus side (the declarative hex/conv + explode + groupBy form
+    // benched 7.6 s warm at the 10x point; q73's exact join is 3.0 s —
+    // this form matches it while never materializing the gram strings)
+    corpus.select(col(idCol),
+        graft.functions.VectorFunctions.bloom_stats(
+          array_distinct(wordNgrams(col(textCol), n)), words, m, k)
+          .as("__bs"))
       .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_maybe_contaminated"), lit(0L))
-          .as("n_maybe_contaminated"))
+        col("__bs").getField("n_grams").as("n_grams"),
+        col("__bs").getField("n_maybe").as("n_maybe_contaminated"))
       .withColumn("contaminated", col("n_maybe_contaminated") > 0)
   }
 

@@ -126,7 +126,7 @@ object CorpusStreams {
     import spark.implicits._
     rows.where(col(keyCol).isNotNull)
       .select(explode(array((0 until k).map(d =>
-        Sketches.cmBucket(col(keyCol), d, m)): _*)).as("pos"))
+        Sketches.bloomPos(col(keyCol), d, m)): _*)).as("pos"))
       .as[Long]
       .groupByKey(identity)
       .flatMapGroupsWithState[Boolean, Long](
