@@ -598,6 +598,23 @@ object SparkEntry {
       .select(col("id"), round(col("lcc"), 6).as("lcc"))
   }
 
+  /** Personalized PageRank ([[Algorithms.personalizedPageRank]], beyond
+    * the reference): restart at the region-0 nations over the dense
+    * same-region digraph — relevance concentrates in region 0 while
+    * other regions keep exactly zero mass (no inter-region edges), a
+    * sharp structural check the oracle replays iteration-exactly. */
+  private def q99_personalized_pagerank(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation")
+    val v = n.select(col("n_nationkey").cast("long").as("id"))
+    val e = TradeGraph.nationAdj(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    val seeds = n.filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").cast("long").as("id"))
+    Algorithms.personalizedPageRank(v, e, seeds)
+      .select(col("id"), round(col("ppr"), 6).as("ppr"))
+  }
+
   // =========================================================================
   // Deduplication (beyond-reference pipeline ops)
   // =========================================================================
@@ -1378,6 +1395,7 @@ object SparkEntry {
     "q96_pq_ann" -> (q96_pq_ann _),
     "q97_harmonic_centrality" -> (q97_harmonic_centrality _),
     "q98_kcore" -> (q98_kcore _),
+    "q99_personalized_pagerank" -> (q99_personalized_pagerank _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2370,6 +2388,30 @@ object SparkEntry {
            FROM b JOIN nation_next e ON b.dst = e.src WHERE b.cost < 200)
          SELECT src, dst, round(min(cost), 2) AS cost
          FROM b GROUP BY src, dst""",
+
+    // the q15 replay with a seed-membership personalization vector:
+    // teleport mass 0.15·s(v) where s = 1/5 on region-0 nations, 0
+    // elsewhere (nation_adj has no dangling vertices, so the restart
+    // of dangling mass never fires)
+    "q99_personalized_pagerank" ->
+      s"""WITH RECURSIVE $sqlNationAdj,
+         deg AS (SELECT src, count(*) AS d FROM nation_adj GROUP BY src),
+         sv AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+                  CASE WHEN n_regionkey = 0
+                       THEN CAST(1.0 AS DOUBLE) / 5 ELSE 0.0 END AS s
+                FROM nation),
+         pr(iter, id, rank) AS (
+           SELECT 0, id, s FROM sv
+           UNION ALL
+           SELECT p.iter + 1, CAST(e.dst AS BIGINT),
+                  0.15 * sv.s + 0.85 * sum(p.rank / deg.d)
+           FROM pr p
+           JOIN nation_adj e ON p.id = e.src
+           JOIN deg ON deg.src = e.src
+           JOIN sv ON sv.id = e.dst
+           WHERE p.iter < 30
+           GROUP BY p.iter, e.dst, sv.s)
+         SELECT id, round(rank, 6) AS ppr FROM pr WHERE iter = 30""",
 
     "q15_pagerank" ->
       s"""WITH RECURSIVE $sqlNationAdj,

@@ -492,6 +492,79 @@ object Algorithms {
             col("sum_dist").cast("double")), 6).as("closeness"))
   }
 
+  /** PERSONALIZED PageRank (beyond the reference's algorithm set):
+    * teleport AND dangling mass restart at a seed set instead of
+    * uniformly — the standard "relevance to these nodes" measure for
+    * recommendation and graph feature pipelines. Fixed iteration count
+    * so an SQL replay is value-exact; textbook normalization (no
+    * phantom-slot quirk — that is [[pageRank]]'s reference-parity
+    * concern). Small graphs run on driver arrays under the usual gates;
+    * at scale each iteration is one broadcast-joined degree lookup, one
+    * (dst) contribution shuffle and one fused stats action — the
+    * [[pageRank]] plan shape with a seed-membership vector.
+    *
+    * @return (id, ppr) over vertices ∪ edge endpoints
+    */
+  def personalizedPageRank(vertices: DataFrame, edges: DataFrame,
+      seeds: DataFrame, damping: Double = 0.85,
+      iters: Int = 30): DataFrame = {
+    val sp = vertices.sparkSession
+    import sp.implicits._
+    val probe = PathFinder.localMaxEdges.toInt + 1
+    val pre = PathFinder.lookupEdgePairs(edges)
+    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
+        edges.limit(probe).count() <= PathFinder.localMaxEdges) &&
+        vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
+      val ids = vertices.select(col("id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
+      val seedArr = seeds.select(col("id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      return LocalKernels.personalizedPageRank(ids, earr, seedArr,
+        damping, iters).toSeq.toDF("id", "ppr")
+    }
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val domain = vertices.select(col("id").cast("long").as("id"))
+      .union(e.select(col("src").as("id")))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+    val sd = seeds.select(col("id").cast("long").as("id")).distinct()
+      .join(domain, Seq("id"), "left_semi")
+    val nS = sd.count()
+    require(nS > 0, "personalized PageRank requires at least one seed " +
+      "vertex present in the graph")
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val vd = domain.join(outDeg, Seq("id"), "left_outer")
+      .join(sd.select(col("id"), lit(1.0 / nS).as("__s")), Seq("id"),
+        "left_outer")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("__s"), lit(0.0)).as("__s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vd.count()
+    var ranks = vd.withColumn("rank", col("__s"))
+      .transform(PathFinder.ckpt)
+    for (_ <- 1 to iters) {
+      val contrib = ranks.filter(col("outdeg") > 0)
+        .join(e, col("id") === e("src"))
+        .select(e("dst").as("id"), (col("rank") / col("outdeg")).as("__c"))
+        .groupBy("id").agg(sum("__c").as("__contrib"))
+      val dangling = ranks.filter(col("outdeg") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      ranks = vd.join(contrib, Seq("id"), "left_outer")
+        .select(col("id"), col("outdeg"), col("__s"),
+          (lit(1.0 - damping) * col("__s") + lit(damping) *
+            (coalesce(col("__contrib"), lit(0.0)) +
+              lit(dangling) * col("__s"))).as("rank"))
+        .transform(PathFinder.ckpt)
+    }
+    vd.unpersist()
+    e.unpersist()
+    ranks.select(col("id"), col("rank").as("ppr"))
+  }
+
   /** Fixed-k CORE membership (beyond the reference's algorithm set):
     * the k-core is the maximal subgraph in which every vertex has
     * UNDIRECTED simple degree ≥ k — the standard dense-region extractor

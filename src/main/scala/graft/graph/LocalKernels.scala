@@ -528,6 +528,52 @@ private[graph] object LocalKernels {
     vertexIds.map(v => (v, minOf(find(v))))
   }
 
+  /** Personalized PageRank with restart to a SEED set (textbook PPR:
+    * teleport and dangling mass return to the seeds, uniformly), fixed
+    * iteration count for SQL-replayability. Domain = vertexIds ∪ edge
+    * endpoints. */
+  def personalizedPageRank(vertexIds: Array[Long],
+      edges: Array[(Long, Long)], seedSet: Set[Long], damping: Double,
+      iters: Int): Array[(Long, Double)] = {
+    val verts = mutable.LinkedHashSet[Long]()
+    vertexIds.foreach(verts += _)
+    edges.foreach { case (s, d) => verts += s; verts += d }
+    val ids = verts.toArray
+    val idx = mutable.LongMap[Int]()
+    ids.zipWithIndex.foreach { case (v, i) => idx(v) = i }
+    val n = ids.length
+    val outDeg = new Array[Int](n)
+    edges.foreach { case (s, _) => outDeg(idx(s)) += 1 }
+    val sVec = new Array[Double](n)
+    val nS = ids.count(seedSet.contains)
+    require(nS > 0, "personalized PageRank requires at least one seed " +
+      "vertex present in the graph")
+    ids.zipWithIndex.foreach { case (v, i) =>
+      if (seedSet.contains(v)) sVec(i) = 1.0 / nS
+    }
+    var r = sVec.clone()
+    var it = 0
+    while (it < iters) {
+      val contrib = new Array[Double](n)
+      edges.foreach { case (s, d) =>
+        contrib(idx(d)) += r(idx(s)) / outDeg(idx(s))
+      }
+      var dangling = 0.0
+      var i = 0
+      while (i < n) { if (outDeg(i) == 0) dangling += r(i); i += 1 }
+      val nr = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        nr(i) = (1.0 - damping) * sVec(i) +
+          damping * (contrib(i) + dangling * sVec(i))
+        i += 1
+      }
+      r = nr
+      it += 1
+    }
+    ids.zip(r)
+  }
+
   /** Fixed-k core membership by textbook peeling: repeatedly delete
     * vertices whose UNDIRECTED simple degree is below k (queue-driven,
     * O(V + E)). Self-loops never count. Domain = vertexIds ∪ edge

@@ -234,6 +234,54 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("personalized PageRank: both branches match a naive iteration, " +
+      "conserve mass, and keep non-reachable vertices at zero") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    def withDist[T](body: => T): T = {
+      val e = PathFinder.localMaxEdges
+      PathFinder.localMaxEdges = 0
+      try body finally PathFinder.localMaxEdges = e
+    }
+    for (seed <- 101L to 104L) {
+      val (vs, es) = randomGraph(seed)
+      val seedSet = vs.filter(_ % 3 == 0).toSet
+      // naive oracle: the same fixed-point iteration written flat
+      val n = vs.length
+      val idx = vs.zipWithIndex.toMap
+      val outDeg = new Array[Int](n)
+      es.foreach { case (a, _) => outDeg(idx(a)) += 1 }
+      val sv = vs.map(v =>
+        if (seedSet(v)) 1.0 / seedSet.size else 0.0).toArray
+      var r = sv.clone()
+      for (_ <- 1 to 30) {
+        val c = new Array[Double](n)
+        es.foreach { case (a, b) =>
+          c(idx(b)) += r(idx(a)) / outDeg(idx(a))
+        }
+        val dang = vs.indices.filter(outDeg(_) == 0).map(r).sum
+        r = vs.indices.map(i =>
+          0.15 * sv(i) + 0.85 * (c(i) + dang * sv(i))).toArray
+      }
+      def run() = Algorithms.personalizedPageRank(
+        vs.toDF("id"), es.toDF("src", "dst"),
+        seedSet.toSeq.toDF("id"))
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      def check(got: Map[Long, Double], tag: String): Unit = {
+        assert(got.keySet == vs.toSet, s"(seed $seed $tag keys)")
+        vs.foreach { v =>
+          assert(math.abs(got(v) - r(idx(v))) < 1e-9,
+            s"(seed $seed $tag v $v: ${got(v)} vs ${r(idx(v))})")
+        }
+        // restart-to-seeds conserves total mass
+        assert(math.abs(got.values.sum - 1.0) < 1e-6, s"(seed $seed $tag)")
+      }
+      check(run(), "local")
+      check(withDist(run()), "dist")
+    }
+  }
+
   test("SCC matches brute-force mutual reachability on random digraphs") {
     val s = Fixture.init()
     import s.implicits._
