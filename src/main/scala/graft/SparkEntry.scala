@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.graph.{Algorithms, PathFinder}
-import graft.ops.{Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, OrderedJoins, Packing, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the beyond-reference pipeline operators), each with an
@@ -1279,6 +1279,45 @@ object SparkEntry {
         (col("b_ms") - col("a_ms")).as("gap_ms"))
   }
 
+  /** As-of (point-in-time) join ([[graft.ops.OrderedJoins.asofJoinBackward]]):
+    * each purchase picks the single most recent prior click of the same
+    * user within 1 h — the union-window plan, ONE shuffle on user_id,
+    * never a per-key cross product. Right side pre-deduplicated per
+    * (user, ms) so the winner is deterministic on both engines; the
+    * oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an independent
+    * implementation of the semantics, not a replay of our plan. */
+  private def q100_asof_join(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("ms", expr("ts DIV 1000000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event"),
+        col("ms").as("p_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ms").as("c_ms"))
+      .agg(max("event_id").as("click_event"))
+    OrderedJoins.asofJoinBackward(purchases, clicks, Seq("user_id"),
+        "p_ms", "c_ms", tolerance = Some(3600000L))
+      .select(col("user_id"), col("purchase_event"), col("click_event"),
+        (col("p_ms") - col("c_ms")).as("gap_ms"))
+  }
+
+  /** Keyless range join ([[graft.ops.OrderedJoins.rangeJoinPoints]]):
+    * events falling inside ±10 min incident windows around high-value
+    * events — intervals explode to covered 10-min buckets, points
+    * equi-join on their single bucket (a shuffle hash join, NOT the
+    * broadcast-nested-loop Spark plans for a bare BETWEEN join). */
+  private def q101_range_join(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("ms", expr("ts DIV 1000000"))
+    val incidents = ev.filter(col("value") > 150.0)
+      .select(col("event_id").as("incident_event"),
+        (col("ms") - 600000L).as("lo_ms"), (col("ms") + 600000L).as("hi_ms"))
+    val pts = ev.select(col("event_id").as("obs_event"),
+      col("ms").as("obs_ms"), col("value").as("obs_value"))
+    OrderedJoins.rangeJoinPoints(pts, "obs_ms", incidents,
+        "lo_ms", "hi_ms", bucketWidth = 600000L)
+      .groupBy("incident_event")
+      .agg(count(lit(1)).as("n_obs"), round(sum("obs_value"), 2).as("sum_value"))
+  }
+
   // =========================================================================
   // Large derived graph (events → user-interaction graph)
   // =========================================================================
@@ -1396,6 +1435,8 @@ object SparkEntry {
     "q97_harmonic_centrality" -> (q97_harmonic_centrality _),
     "q98_kcore" -> (q98_kcore _),
     "q99_personalized_pagerank" -> (q99_personalized_pagerank _),
+    "q100_asof_join" -> (q100_asof_join _),
+    "q101_range_join" -> (q101_range_join _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -3389,6 +3430,38 @@ object SparkEntry {
            AND a.event_type = 'view' AND b.event_type = 'click'
            AND epoch_ms(b.ts) >= epoch_ms(a.ts)
            AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 1800000""",
+
+    // native ASOF LEFT JOIN — an independent implementation of the
+    // as-of semantics (greatest right ts <= left ts per key), with the
+    // 1 h tolerance applied as a post-CASE so an out-of-tolerance match
+    // nulls out instead of falling back to an older row
+    "q100_asof_join" ->
+      """WITH p AS (
+           SELECT user_id, event_id AS purchase_event, epoch_ms(ts) AS p_ms
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, epoch_ms(ts) AS c_ms, max(event_id) AS click_event
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         j AS (
+           SELECT p.user_id, p.purchase_event, p.p_ms, c.click_event, c.c_ms
+           FROM p ASOF LEFT JOIN c
+             ON p.user_id = c.user_id AND p.p_ms >= c.c_ms)
+         SELECT user_id, purchase_event,
+           CASE WHEN p_ms - c_ms <= 3600000 THEN click_event END AS click_event,
+           CASE WHEN p_ms - c_ms <= 3600000 THEN p_ms - c_ms END AS gap_ms
+         FROM j""",
+
+    "q101_range_join" ->
+      """WITH ev AS (
+           SELECT event_id, epoch_ms(ts) AS ms, value FROM events),
+         inc AS (
+           SELECT event_id AS incident_event, ms - 600000 AS lo_ms,
+                  ms + 600000 AS hi_ms
+           FROM ev WHERE value > 150.0)
+         SELECT incident_event, count(*) AS n_obs,
+                round(sum(p.value), 2) AS sum_value
+         FROM inc JOIN ev p ON p.ms BETWEEN lo_ms AND hi_ms
+         GROUP BY 1""",
 
     // full HLL replay: same md5 halves, same register index / rank-field
     // split, same max-rho registers (checksummed), same bias-corrected

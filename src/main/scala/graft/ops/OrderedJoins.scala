@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Ordered joins Spark has no built-in operator for — as-of (point-in-
+  * time) and point-in-interval range joins — expressed as single-shuffle
+  * declarative plans instead of the inequality-join nested loop Spark
+  * would otherwise plan.
+  *
+  * Both exist because a naive formulation dies at scale:
+  *  - `l JOIN r ON l.k = r.k AND r.ts <= l.ts` + per-pair max is a per-key
+  *    cross product (a key with n left × m right rows materializes n·m
+  *    candidates before the argmax prunes them);
+  *  - `p JOIN i ON p.x BETWEEN i.lo AND i.hi` with no equi key is a
+  *    broadcast-nested-loop over the full corpus.
+  */
+object OrderedJoins {
+
+  /** As-of backward join: each left row is matched with the single most
+    * recent right row whose `rightTs` ≤ `leftTs`, per `keys` (DuckDB
+    * `ASOF LEFT JOIN … ON l.k = r.k AND l.ts >= r.ts` semantics —
+    * equal-timestamp right rows DO match). Unmatched left rows are kept
+    * with null right columns (left-join semantics), as are rows whose
+    * only match is older than `tolerance` time units.
+    *
+    * Plan: tag both sides, union, ONE hash shuffle on `keys`, and an
+    * in-partition sort by (ts, side) with right-before-left on ties; a
+    * running `last(right_struct, ignoreNulls)` window carries the latest
+    * right row forward to every later left row. Each input row moves
+    * exactly once and no candidate pair is ever materialized — the same
+    * cost shape as a groupBy at 100 TB. Rows that tie on (keys, rightTs)
+    * resolve to the max right struct (deterministic); pre-deduplicate the
+    * right side per (keys, ts) if a different winner is wanted.
+    *
+    * Both ts columns must be numeric (cast to long internally; the
+    * events queries use exact ms longs). Right-side non-key column names
+    * must not collide with left columns.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    val rPayload = right.columns.filterNot(keys.contains)
+    val clash = rPayload.intersect(left.columns)
+    require(clash.isEmpty,
+      s"asofJoinBackward: right columns ${clash.mkString(", ")} collide with left")
+    require(rPayload.contains(rightTs) && left.columns.contains(leftTs),
+      "asofJoinBackward: ts columns must exist (rightTs outside keys)")
+
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).cast(LongType).as("__ats"), lit(0).as("__aside"),
+        struct(rPayload.map(col): _*).as("__amatch")): _*)
+    val rType = rTagged.schema("__amatch").dataType
+    val lTagged = left.select(
+      left.columns.map(col) ++ Seq(
+        col(leftTs).cast(LongType).as("__ats"), lit(1).as("__aside"),
+        lit(null).cast(rType).as("__amatch")): _*)
+
+    // right rows contribute only (keys, ts, struct); missing left columns
+    // fill with null and are filtered out with the side tag
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ats").asc, col("__aside").asc, col("__amatch").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__m", last(col("__amatch"), ignoreNulls = true).over(w))
+      .filter(col("__aside") === 1)
+
+    val inTol = tolerance match {
+      case Some(tol) => col("__m").isNotNull &&
+        col("__ats") - col("__m").getField(rightTs).cast(LongType) <= lit(tol)
+      case None => col("__m").isNotNull
+    }
+    matched.select(
+      left.columns.map(col) ++ rPayload.map(c =>
+        when(inTol, col("__m").getField(c)).as(c)): _*)
+  }
+
+  /** Point-in-interval join with NO equi key, bucketized: intervals
+    * explode to the fixed-width buckets they cover, points hash to their
+    * single bucket, and the join becomes an equi-join on the bucket with
+    * the exact range predicate as a residual. Each (interval, point) pair
+    * appears exactly once — a point lives in one bucket — so no dedup
+    * pass is needed.
+    *
+    * `bucketWidth` trades explosion (intervals spanning many buckets)
+    * against bucket density; pick it near the typical interval length.
+    * Coordinates must be non-negative (integer `DIV` truncates toward
+    * zero, so negative coordinates would misalign buckets). Intervals
+    * with lo > hi match nothing and are dropped. A bucket shared by many
+    * intervals AND many points concentrates work like any hot join key;
+    * at corpus scale route such skew through
+    * [[Dedup.blockedBucketJoin]]-style splitting or shrink the width.
+    */
+  def rangeJoinPoints(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "rangeJoinPoints: bucketWidth must be positive")
+    val clash = points.columns.intersect(intervals.columns)
+    require(clash.isEmpty,
+      s"rangeJoinPoints: shared column names ${clash.mkString(", ")}")
+    val ivals = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__bk", explode(expr(
+        s"sequence(`$loCol` DIV ${bucketWidth}L, `$hiCol` DIV ${bucketWidth}L)")))
+    val pts = points.withColumn("__bk",
+      expr(s"`$pointCol` DIV ${bucketWidth}L"))
+    pts.join(ivals, Seq("__bk"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bk")
+  }
+}
