@@ -670,6 +670,19 @@ object SparkEntry {
         col("id_b").cast("long").as("id_b"),
         col("dist").cast("long").as("dist"))
 
+  /** Exact edit-distance pair join ([[graft.ops.Dedup.editDistancePairs]]):
+    * near-identical 40-char document heads within levenshtein ≤ 2 —
+    * PassJoin segment blocking (zero false negatives), thresholded-DP
+    * verify. The oracle brute-forces all n²/2 levenshteins; our plan
+    * never materializes non-colliding pairs. */
+  private def q102_fuzzy_join(s: SparkSession, d: String): DataFrame = {
+    val heads = t(s, d, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        substring(regexp_replace(col("text"), "^\\s+", ""), 1, 40).as("head"))
+    Dedup.editDistancePairs(heads, "doc_id", "head", maxDist = 2)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   // =========================================================================
   // Text analysis
   // =========================================================================
@@ -1437,6 +1450,7 @@ object SparkEntry {
     "q99_personalized_pagerank" -> (q99_personalized_pagerank _),
     "q100_asof_join" -> (q100_asof_join _),
     "q101_range_join" -> (q101_range_join _),
+    "q102_fuzzy_join" -> (q102_fuzzy_join _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -3462,6 +3476,18 @@ object SparkEntry {
                 round(sum(p.value), 2) AS sum_value
          FROM inc JOIN ev p ON p.ms BETWEEN lo_ms AND hi_ms
          GROUP BY 1""",
+
+    // brute-force all-pairs levenshtein — the quadratic formulation our
+    // PassJoin blocking must reproduce exactly (zero false negatives)
+    "q102_fuzzy_join" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  substr(regexp_replace(text, '^\s+', ''), 1, 40) AS head
+           FROM documents WHERE text IS NOT NULL)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                levenshtein(a.head, b.head) AS dist
+         FROM h a JOIN h b
+           ON a.doc_id < b.doc_id AND levenshtein(a.head, b.head) <= 2""",
 
     // full HLL replay: same md5 halves, same register index / rank-field
     // split, same max-rho registers (checksummed), same bias-corrected

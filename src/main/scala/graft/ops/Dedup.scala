@@ -314,4 +314,41 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Exact edit-distance pair join (record linkage / fuzzy dedup): every
+    * unordered pair with `levenshtein ≤ maxDist`, found via PassJoin
+    * segment blocking ([[graft.functions.PassJoinKeys]]) — zero false
+    * negatives by the pigeonhole argument, so the result is EXACT while
+    * candidates stay ≪ n² on selective strings. Designed for short keys
+    * (names, titles, line heads): verification is an O(len·maxDist)
+    * banded DP via Spark's thresholded `levenshtein`.
+    *
+    * Plan: segments ⋈ probes on the (length, segIdx, content) struct —
+    * one shuffle each side — then DISTINCT pairs (a pair can collide on
+    * several keys) and the levenshtein verify. Skew: a segment shared by
+    * a constant prefix ("Customer#…") degenerates toward all-pairs for
+    * SAME-LENGTH strings — on such data pick a more selective column or
+    * shrink maxDist (the key carries length and position, so mixed-length
+    * corpora never collapse into one bucket). Ids must be unique;
+    * null strings drop out.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    import graft.functions.PassJoinFunctions.{passjoin_probes, passjoin_segments}
+    val base = df.select(col(idCol).as("__eid"), col(strCol).as("__es"))
+      .filter(col("__es").isNotNull)
+    val idx = base.select(col("__eid"), col("__es"),
+      explode(passjoin_segments(col("__es"), maxDist)).as("__k"))
+    val prb = base.select(col("__eid").as("__pid"), col("__es").as("__ps"),
+      explode(passjoin_probes(col("__es"), maxDist)).as("__k2"))
+    // the lemma finds every true pair from EITHER side's segments, so
+    // orienting the join (a < b) loses nothing and halves the work
+    idx.join(prb, col("__k") === col("__k2") && col("__eid") < col("__pid"))
+      .select(col("__eid").as("id_a"), col("__pid").as("id_b"),
+        col("__es"), col("__ps"))
+      .distinct()
+      .withColumn("dist", expr(s"levenshtein(__es, __ps, $maxDist)"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }
