@@ -615,6 +615,21 @@ object SparkEntry {
       .select(col("id"), round(col("ppr"), 6).as("ppr"))
   }
 
+  /** Deterministic random walks ([[Algorithms.deterministicWalks]]): the
+    * DeepWalk/node2vec sampling pass with hash-derived "randomness" so
+    * the DuckDB oracle (recursive CTE + arg_min over the identical md5
+    * strings) replays every step of every walk exactly. */
+  private def q103_random_walks(s: SparkSession, d: String): DataFrame = {
+    val starts = t(s, d, "nation")
+      .select(col("n_nationkey").cast("long").as("id"))
+    val e = TradeGraph.nationNear(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    Algorithms.deterministicWalks(starts, e, walksPerStart = 2, steps = 8)
+      .select(col("start"), col("r"), col("cur").as("final_v"),
+        concat_ws(",", transform(col("path"), _.cast("string"))).as("vpath"))
+  }
+
   // =========================================================================
   // Deduplication (beyond-reference pipeline ops)
   // =========================================================================
@@ -1451,6 +1466,7 @@ object SparkEntry {
     "q100_asof_join" -> (q100_asof_join _),
     "q101_range_join" -> (q101_range_join _),
     "q102_fuzzy_join" -> (q102_fuzzy_join _),
+    "q103_random_walks" -> (q103_random_walks _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2443,6 +2459,26 @@ object SparkEntry {
            FROM b JOIN nation_next e ON b.dst = e.src WHERE b.cost < 200)
          SELECT src, dst, round(min(cost), 2) AS cost
          FROM b GROUP BY src, dst""",
+
+    // every step of every walk replayed: arg_min over the identical
+    // md5('start:r:t:dst') strings the Spark min-struct minimizes
+    "q103_random_walks" ->
+      s"""WITH RECURSIVE $sqlNationNear,
+         w(t, start, r, cur, path) AS (
+           SELECT 0, CAST(n_nationkey AS BIGINT), r.r,
+                  CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS VARCHAR)
+           FROM nation, (SELECT unnest([0, 1]) AS r) r
+           UNION ALL
+           SELECT w.t + 1, w.start, w.r,
+             coalesce(CAST(arg_min(e.dst, md5(concat_ws(':',
+               w.start, w.r, w.t + 1, e.dst))) AS BIGINT), w.cur),
+             CASE WHEN count(e.dst) = 0 THEN w.path
+                  ELSE w.path || ',' || CAST(arg_min(e.dst, md5(concat_ws(':',
+                    w.start, w.r, w.t + 1, e.dst))) AS VARCHAR) END
+           FROM w LEFT JOIN nation_near e ON w.cur = e.src
+           WHERE w.t < 8
+           GROUP BY w.t, w.start, w.r, w.cur, w.path)
+         SELECT start, r, cur AS final_v, path AS vpath FROM w WHERE t = 8""",
 
     // the q15 replay with a seed-membership personalization vector:
     // teleport mass 0.15·s(v) where s = 1/5 on region-0 nations, 0

@@ -565,6 +565,63 @@ object Algorithms {
     ranks.select(col("id"), col("rank").as("ppr"))
   }
 
+  /** Deterministic "random" walks (beyond the reference's algorithm
+    * set): the DeepWalk/node2vec sampling pass of a graph-embedding
+    * pipeline, with the randomness replaced by a portable hash so every
+    * engine replays the identical walks — step t of walk (start, r)
+    * moves to the out-neighbor d minimizing `md5('start:r:t:d')`
+    * (uniform over neighbors, independent across walks/steps for
+    * md5's purposes). A vertex with no out-neighbors halts its walk in
+    * place.
+    *
+    * Small graphs run on driver arrays under the usual gates; at scale
+    * each step is ONE equi-join of the walk frontier against the edge
+    * table plus a min-struct aggregation per walk — walk state is
+    * O(#walks · current length), never per-candidate, and a hub vertex
+    * fans out only into the aggregation's map-side combine.
+    *
+    * @return (start, r, cur, path) — final vertex and full vertex path
+    */
+  def deterministicWalks(starts: DataFrame, edges: DataFrame,
+      walksPerStart: Int = 1, steps: Int = 8): DataFrame = {
+    require(walksPerStart >= 1, s"walksPerStart must be >= 1")
+    require(steps >= 0, s"steps must be >= 0")
+    val sp = starts.sparkSession
+    import sp.implicits._
+    val probe = PathFinder.localMaxEdges.toInt + 1
+    val pre = PathFinder.lookupEdgePairs(edges)
+    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
+        edges.limit(probe).count() <= PathFinder.localMaxEdges)) {
+      val sArr = starts.select(col("id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
+      return LocalKernels.deterministicWalks(earr, sArr, walksPerStart, steps)
+        .toSeq.toDF("start", "r", "cur", "path")
+    }
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var w = starts.select(col("id").cast("long").as("start")).distinct()
+      .crossJoin(sp.range(walksPerStart).select(col("id").cast("int").as("r")))
+      .select(col("start"), col("r"), col("start").as("cur"),
+        array(col("start")).as("path"))
+      .transform(PathFinder.ckpt)
+    for (t <- 1 to steps) {
+      w = w.join(e, col("cur") === e("src"), "left_outer")
+        .withColumn("__h", md5(concat_ws(":",
+          col("start"), col("r"), lit(t), e("dst"))))
+        .groupBy("start", "r", "cur", "path")
+        .agg(min(struct(col("__h"), col("dst"))).as("__m"))
+        .select(col("start"), col("r"),
+          coalesce(col("__m.dst"), col("cur")).as("cur"),
+          when(col("__m.dst").isNull, col("path"))
+            .otherwise(concat(col("path"), array(col("__m.dst")))).as("path"))
+        .transform(PathFinder.ckpt)
+    }
+    e.unpersist()
+    w
+  }
+
   /** Fixed-k CORE membership (beyond the reference's algorithm set):
     * the k-core is the maximal subgraph in which every vertex has
     * UNDIRECTED simple degree ≥ k — the standard dense-region extractor

@@ -608,4 +608,42 @@ private[graph] object LocalKernels {
     }
     verts.toArray.map(v => (v, !removed.getOrElse(v, false)))
   }
+
+  /** Deterministic hash-driven walks — the
+    * [[graft.graph.Algorithms.deterministicWalks]] twin. Step t of walk
+    * (start, r) moves to the out-neighbor d minimizing the md5 hex of
+    * "start:r:t:d" (ties break on d, matching the distributed
+    * min-struct); a vertex with no out-neighbors halts the walk in
+    * place. */
+  def deterministicWalks(edges: Array[(Long, Long)], starts: Array[Long],
+      walksPerStart: Int, steps: Int): Array[(Long, Int, Long, Array[Long])] = {
+    val adjM = mutable.LongMap[mutable.ArrayBuffer[Long]]()
+    edges.foreach { case (s, d) =>
+      adjM.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    val out = mutable.ArrayBuffer[(Long, Int, Long, Array[Long])]()
+    for (s0 <- starts.distinct.sorted; r <- 0 until walksPerStart) {
+      var cur = s0
+      val path = mutable.ArrayBuffer[Long](s0)
+      var halted = false
+      var t = 1
+      while (t <= steps && !halted) {
+        adjM.get(cur) match {
+          case Some(nbrs) if nbrs.nonEmpty =>
+            cur = nbrs.iterator.map(d => (hex(s"$s0:$r:$t:$d"), d)).min._2
+            path += cur
+          case _ => halted = true
+        }
+        t += 1
+      }
+      out += ((s0, r, cur, path.toArray))
+    }
+    out.toArray
+  }
 }

@@ -331,4 +331,62 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("deterministic walks: both branches agree and every step is a real " +
+      "edge picked by the hash argmin; dead ends halt in place") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    def withDist[T](body: => T): T = {
+      val e = PathFinder.localMaxEdges
+      PathFinder.localMaxEdges = 0
+      try body finally PathFinder.localMaxEdges = e
+    }
+    // test-side hash oracle: an INDEPENDENT md5 route (hex via BigInteger
+    // formatting, not the kernel's byte loop)
+    def h(start: Long, r: Int, t: Int, d: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dig = md.digest(s"$start:$r:$t:$d".getBytes("UTF-8"))
+      String.format("%032x", new java.math.BigInteger(1, dig))
+    }
+    for (seed <- 201L to 204L) {
+      val (vs, es) = randomGraph(seed)
+      // add a guaranteed dead end: a fresh vertex with one in-edge only
+      val sink = vs.max + 1
+      val es2 = es :+ (vs.head -> sink)
+      val vs2 = vs :+ sink
+      val adj = es2.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      def run() = Algorithms.deterministicWalks(
+          vs2.toDF("id"), es2.toDF("src", "dst"),
+          walksPerStart = 2, steps = 5)
+        .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2),
+          x.getSeq[Long](3))).toSeq
+      def check(got: Seq[(Long, Int, Long, Seq[Long])], tag: String): Unit = {
+        assert(got.size == vs2.size * 2, s"(seed $seed $tag)")
+        got.foreach { case (start, r, cur, path) =>
+          assert(path.head == start && path.last == cur,
+            s"(seed $seed $tag $start/$r endpoints)")
+          // replay the walk with the test-side hash
+          var exp = List(start)
+          var t = 1
+          var halted = false
+          while (t <= 5 && !halted) {
+            adj.get(exp.head) match {
+              case Some(nbrs) =>
+                exp = nbrs.map(d => (h(start, r, t, d), d)).min._2 :: exp
+              case None => halted = true
+            }
+            t += 1
+          }
+          assert(path == exp.reverse, s"(seed $seed $tag $start/$r path)")
+        }
+      }
+      val local = run()
+      check(local, "local")
+      val dist = withDist(run())
+      check(dist, "dist")
+      assert(local.sortBy(x => (x._1, x._2)) ==
+        dist.sortBy(x => (x._1, x._2)), s"(seed $seed branches)")
+    }
+  }
 }
