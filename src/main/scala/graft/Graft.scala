@@ -131,6 +131,7 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
       "(?i)(?<![A-Za-z0-9_.])(pagerank|weakly_connected_component|" +
         "strongly_connected_component|local_clustering_coefficient|" +
         "triangle_counts|k_core|harmonic_centrality|" +
+        "label_propagation|random_walks|" +
         "summarize_property_graph|get_pg_vtablenames|get_pg_etablenames|" +
         "get_pg_vcolnames|get_pg_ecolnames)\\s*\\(([^()]*)\\)")
     val sb = new StringBuilder(query)
@@ -158,6 +159,8 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
         case "triangle_counts" => Some("triangles")
         case "k_core" => Some("kcore")
         case "harmonic_centrality" => Some("harmonic")
+        case "label_propagation" => Some("communities")
+        case "random_walks" => Some("walks")
         case _ => None
       }
       val replacement = defaultAlias match {
@@ -169,6 +172,15 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
     }
     sb.toString
   }
+
+  private def intArg(args: Seq[String], i: Int, default: Option[Int],
+      usage: String): Int =
+    if (args.length <= i) default.getOrElse(throw GraphAnalysisException(
+      s"$usage requires an integer argument ${i + 1}"))
+    else try args(i).toInt catch {
+      case _: NumberFormatException => throw GraphAnalysisException(
+        s"$usage: argument ${i + 1} must be an integer (got '${args(i)}')")
+    }
 
   private def tableFunction(fn: String, args: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -193,6 +205,18 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
         graph.Algorithms.kCoreTf(spark, pg(0), resolver, args(1), args(2), k)
       case "harmonic_centrality" =>
         graph.Algorithms.harmonicTf(spark, pg(0), resolver, args(1), args(2))
+      case "label_propagation" =>
+        val rounds = intArg(args, 3, default = Some(6),
+          "label_propagation(pg, vertexLabel, edgeLabel[, rounds])")
+        graph.Algorithms.labelPropagationTf(spark, pg(0), resolver,
+          args(1), args(2), rounds)
+      case "random_walks" =>
+        val per = intArg(args, 3, default = Some(1),
+          "random_walks(pg, vertexLabel, edgeLabel[, walksPerStart[, steps]])")
+        val steps = intArg(args, 4, default = Some(8),
+          "random_walks(pg, vertexLabel, edgeLabel[, walksPerStart[, steps]])")
+        graph.Algorithms.walksTf(spark, pg(0), resolver, args(1), args(2),
+          per, steps)
       case "local_clustering_coefficient" =>
         // the reference emits FLOAT (local_clustering_coefficient.cpp)
         graph.Algorithms.lcc(spark, pg(0), resolver, args(1), args(2))

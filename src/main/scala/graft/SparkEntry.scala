@@ -630,6 +630,24 @@ object SparkEntry {
         concat_ws(",", transform(col("path"), _.cast("string"))).as("vpath"))
   }
 
+  /** Label-propagation communities ([[Algorithms.labelPropagation]]):
+    * the nation bands PLUS four cross-region bridge edges — communities
+    * must hold the per-region majority label against single bridges,
+    * exactly where WCC (q16/q36) would merge everything into one
+    * component. Six synchronous rounds, min-label ties; the oracle
+    * replays every round. */
+  private def q104_label_propagation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("id"))
+    val bridges = Seq((1L, 2L), (7L, 8L), (13L, 14L), (19L, 20L))
+      .toDF("src", "dst")
+    val e = TradeGraph.nationNear(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .union(bridges)
+    Algorithms.labelPropagation(v, e, rounds = 6)
+  }
+
   // =========================================================================
   // Deduplication (beyond-reference pipeline ops)
   // =========================================================================
@@ -1467,6 +1485,7 @@ object SparkEntry {
     "q101_range_join" -> (q101_range_join _),
     "q102_fuzzy_join" -> (q102_fuzzy_join _),
     "q103_random_walks" -> (q103_random_walks _),
+    "q104_label_propagation" -> (q104_label_propagation _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2459,6 +2478,40 @@ object SparkEntry {
            FROM b JOIN nation_next e ON b.dst = e.src WHERE b.cost < 200)
          SELECT src, dst, round(min(cost), 2) AS cost
          FROM b GROUP BY src, dst""",
+
+    // six generated propagation rounds: per-(vertex, label) neighbor
+    // counts, QUALIFY picks (count DESC, label ASC) — the exact
+    // min-struct((-c, lab)) the engine minimizes
+    "q104_label_propagation" -> {
+      val rounds = (1 to 6).map { t =>
+        s"""c$t AS (
+           SELECT e.dst AS id, l${t - 1}.lab AS lab, count(*) AS c
+           FROM und e JOIN l${t - 1} ON e.src = l${t - 1}.id GROUP BY 1, 2),
+         p$t AS (
+           SELECT id, lab FROM c$t
+           QUALIFY row_number() OVER (
+             PARTITION BY id ORDER BY c DESC, lab) = 1),
+         l$t AS (
+           SELECT l${t - 1}.id, coalesce(p$t.lab, l${t - 1}.lab) AS lab
+           FROM l${t - 1} LEFT JOIN p$t ON l${t - 1}.id = p$t.id)"""
+      }.mkString(",\n         ")
+      s"""WITH $sqlNationNear,
+         bridge(src, dst) AS (VALUES (1, 2), (7, 8), (13, 14), (19, 20)),
+         alle AS (
+           SELECT src, dst FROM nation_near
+           UNION ALL SELECT src, dst FROM bridge),
+         su AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM alle WHERE src <> dst),
+         und AS (
+           SELECT a AS src, b AS dst FROM su
+           UNION ALL SELECT b, a FROM su),
+         l0 AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS id,
+                  CAST(n_nationkey AS BIGINT) AS lab FROM nation),
+         $rounds
+         SELECT id, lab AS community FROM l6"""
+    },
 
     // every step of every walk replayed: arg_min over the identical
     // md5('start:r:t:dst') strings the Spark min-struct minimizes

@@ -565,6 +565,67 @@ object Algorithms {
     ranks.select(col("id"), col("rank").as("ppr"))
   }
 
+  /** Synchronous label-propagation communities (beyond the reference's
+    * algorithm set): every vertex starts as its own label and each round
+    * adopts the most frequent label among its UNDIRECTED simple
+    * neighbors, ties to the smallest label; isolated vertices keep
+    * their own. Fixed round count and deterministic tie-break, so an
+    * SQL replay is value-exact (communities are NOT components: a dense
+    * cluster holds its majority label against a single bridge edge,
+    * where WCC would merge straight across).
+    *
+    * At scale each round is one label-to-neighbor join plus two
+    * aggregations — per-(vertex, label) counts combine map-side, so a
+    * hub's fan-in never concentrates in one task. Small graphs run the
+    * driver kernel under the usual gates.
+    *
+    * @return (id, community) over vertices ∪ edge endpoints
+    */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0 (got $rounds)")
+    val sp = vertices.sparkSession
+    import sp.implicits._
+    val probe = PathFinder.localMaxEdges.toInt + 1
+    val pre = PathFinder.lookupEdgePairs(edges)
+    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
+        edges.limit(probe).count() <= PathFinder.localMaxEdges) &&
+        vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
+      val ids = vertices.select(col("id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
+      return LocalKernels.labelPropagation(ids, earr, rounds)
+        .toSeq.toDF("id", "community")
+    }
+    val und = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val nbr = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val domain = vertices.select(col("id").cast("long").as("id"))
+      .union(nbr.select(col("src").as("id")))
+      .distinct()
+    var lab = domain.withColumn("lab", col("id"))
+      .transform(PathFinder.ckpt)
+    for (_ <- 1 to rounds) {
+      val msgs = nbr.join(lab, nbr("src") === lab("id"))
+        .select(nbr("dst").as("id"), col("lab"))
+      val pick = msgs.groupBy("id", "lab").agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("lab"))).as("__m"))
+        .select(col("id"), col("__m.lab").as("__new"))
+      lab = lab.join(pick, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("__new"), col("lab")).as("lab"))
+        .transform(PathFinder.ckpt)
+    }
+    nbr.unpersist()
+    lab.select(col("id"), col("lab").as("community"))
+  }
+
   /** Deterministic "random" walks (beyond the reference's algorithm
     * set): the DeepWalk/node2vec sampling pass of a graph-embedding
     * pipeline, with the randomness replaced by a portable hash so every
@@ -789,5 +850,27 @@ object Algorithms {
     harmonicCentrality(v, e)
       .select(col("id").as(key), col("n_reached"), col("sum_dist"),
         col("harmonic"), col("closeness"))
+  }
+
+  /** `label_propagation(pg, v, e[, rounds])` table function (beyond the
+    * reference). */
+  def labelPropagationTf(spark: SparkSession, pg: PropertyGraph,
+      resolver: TableResolver, vLabel: String, eLabel: String,
+      rounds: Int): DataFrame = {
+    val (v, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
+    labelPropagation(v, e, rounds).select(col("id").as(key), col("community"))
+  }
+
+  /** `random_walks(pg, v, e[, walksPerStart[, steps]])` table function
+    * (beyond the reference); paths surface as comma-joined vertex-key
+    * strings. */
+  def walksTf(spark: SparkSession, pg: PropertyGraph,
+      resolver: TableResolver, vLabel: String, eLabel: String,
+      walksPerStart: Int, steps: Int): DataFrame = {
+    val (v, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
+    deterministicWalks(v.select(col("id")), e, walksPerStart, steps)
+      .select(col("start").as(key), col("r").as("walk"),
+        col("cur").as("final_vertex"),
+        concat_ws(",", transform(col("path"), _.cast("string"))).as("path"))
   }
 }

@@ -609,6 +609,47 @@ private[graph] object LocalKernels {
     verts.toArray.map(v => (v, !removed.getOrElse(v, false)))
   }
 
+  /** Synchronous label propagation — the
+    * [[graft.graph.Algorithms.labelPropagation]] twin. Undirected simple
+    * neighborhoods (self-loops dropped, parallel edges collapsed); each
+    * round every vertex adopts the most frequent neighbor label, ties to
+    * the smallest label; isolated vertices keep their own. Fixed round
+    * count, no convergence test — deterministic by construction. */
+  def labelPropagation(vertexIds: Array[Long], edges: Array[(Long, Long)],
+      rounds: Int): Array[(Long, Long)] = {
+    val und = mutable.HashSet[(Long, Long)]()
+    edges.foreach { case (s, d) =>
+      if (s != d) und += ((math.min(s, d), math.max(s, d)))
+    }
+    val verts = mutable.LinkedHashSet[Long]()
+    vertexIds.foreach(verts += _)
+    und.foreach { case (a, b) => verts += a; verts += b }
+    val adj = mutable.LongMap[mutable.ArrayBuffer[Long]]()
+    und.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+    }
+    var lab = mutable.LongMap[Long]()
+    verts.foreach(v => lab(v) = v)
+    var round = 0
+    while (round < rounds) {
+      val next = mutable.LongMap[Long]()
+      verts.foreach { v =>
+        adj.get(v) match {
+          case Some(nbrs) if nbrs.nonEmpty =>
+            val counts = mutable.LongMap[Int]()
+            nbrs.foreach(n => counts(lab(n)) = counts.getOrElse(lab(n), 0) + 1)
+            // max count, then min label
+            next(v) = counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+          case _ => next(v) = lab(v)
+        }
+      }
+      lab = next
+      round += 1
+    }
+    verts.toArray.map(v => (v, lab(v)))
+  }
+
   /** Deterministic hash-driven walks — the
     * [[graft.graph.Algorithms.deterministicWalks]] twin. Step t of walk
     * (start, r) moves to the out-neighbor d minimizing the md5 hex of

@@ -389,4 +389,55 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
         dist.sortBy(x => (x._1, x._2)), s"(seed $seed branches)")
     }
   }
+
+  test("label propagation: both branches match a naive synchronous " +
+      "update; a dense clique holds its label against one bridge") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    def withDist[T](body: => T): T = {
+      val e = PathFinder.localMaxEdges
+      PathFinder.localMaxEdges = 0
+      try body finally PathFinder.localMaxEdges = e
+    }
+    def naive(vs: Seq[Long], es: Seq[(Long, Long)],
+        rounds: Int): Map[Long, Long] = {
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val verts = (vs ++ und.flatMap(e => Seq(e._1, e._2))).distinct
+      val adj = verts.map(v => v -> (und.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      })).toMap
+      var lab = verts.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) lab = verts.map { v =>
+        val nbrs = adj(v)
+        if (nbrs.isEmpty) v -> lab(v)
+        else v -> nbrs.groupBy(lab).toSeq
+          .map { case (l, g) => (-g.size, l) }.min._2
+      }.toMap
+      lab
+    }
+    for (seed <- 301L to 304L) {
+      val (vs, es) = randomGraph(seed)
+      val want = naive(vs, es, 5)
+      def run() = Algorithms.labelPropagation(
+          vs.toDF("id"), es.toDF("src", "dst"), rounds = 5)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(run() === want, s"(seed $seed local)")
+      assert(withDist(run()) === want, s"(seed $seed dist)")
+    }
+    // two 5-cliques joined by one bridge: communities stay separate
+    // (WCC would merge them — the discriminating semantics)
+    val cliqueA = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val cliqueB = for (a <- 10L to 14L; b <- 10L to 14L if a < b) yield (a, b)
+    val es2 = cliqueA ++ cliqueB :+ (4L -> 10L)
+    val got = Algorithms.labelPropagation(
+        (0L to 14L).filter(v => v <= 4 || v >= 10).toDF("id"),
+        es2.toDF("src", "dst"), rounds = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((0L to 4L).map(got).toSet.size === 1)
+    assert((10L to 14L).map(got).toSet.size === 1)
+    assert(got(0L) !== got(14L), "bridge must not merge the cliques")
+  }
 }

@@ -250,6 +250,40 @@ class SqlIntegrationSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("requires an integer k"))
   }
 
+  test("label_propagation and random_walks table functions: SQL surface, " +
+      "default aliases, kernel parity") {
+    val g = mkGraft
+    // bare call → the 'communities' default alias; parity vs the API
+    val com = g.sqlGraph(
+      """SELECT communities.id, communities.community
+         FROM label_propagation('pg', 'Person', 'Knows', 4)
+         ORDER BY communities.id""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val v = Fixture.spark.table("student")
+      .select(org.apache.spark.sql.functions.col("id"))
+    val e = Fixture.spark.table("know")
+    val want = graft.graph.Algorithms.labelPropagation(v, e, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    assert(com == want)
+    // walks: every path starts at its start vertex and respects steps
+    val w = g.sqlGraph(
+      """SELECT walks.id, walks.walk, walks.final_vertex, walks.path
+         FROM random_walks('pg', 'Person', 'Knows', 2, 3)""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getString(3)))
+    assert(w.map(x => (x._1, x._2)).toSet.size == w.length)
+    w.foreach { case (start, _, fin, path) =>
+      val hops = path.split(",").map(_.toLong)
+      assert(hops.head == start && hops.last == fin && hops.length <= 4)
+    }
+    // a non-integer rounds argument raises the documented error
+    val ex = intercept[GraphAnalysisException] {
+      g.sqlGraph(
+        "SELECT * FROM label_propagation('pg', 'Person', 'Knows', 'x')")
+    }
+    assert(ex.getMessage.contains("must be an integer"))
+  }
+
   test("COPY TO csv — copy_to_duckpgq.test") {
     val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString
     mkGraft.copyTo(
