@@ -118,6 +118,57 @@ object CorpusStreams {
     * set, which equals the batch build over the union of keys. State
     * bounded at m markers.
     */
+  /** Streaming CountMin counters — the incremental twin of
+    * [[Sketches.countMinSketch]]: per-document token frequencies come
+    * from the SAME fused expression as the batch operator, fan out to
+    * the same `depth` md5 buckets, and keyed state per (d, bucket) holds
+    * the running count. Emits a counter's refreshed value whenever a
+    * batch raises it (Update mode); state is bounded at depth × width
+    * longs by construction.
+    *
+    * UNLIKE max (HLL) and set-union (Bloom), addition is NOT idempotent:
+    * the counters equal the batch sketch over the union of documents
+    * seen exactly once — which is precisely what Structured Streaming's
+    * transactional state guarantees per source row. If the SOURCE itself
+    * can re-deliver a document (an at-least-once upstream), compose a
+    * keyed dedup in front (`dropDuplicates(docId)` or
+    * [[EventStreams]]' watermarked dedup) — the parity spec exercises
+    * exactly that composition.
+    */
+  def cmCounters(rows: DataFrame, textCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"depth must be in [1, 16] (got $depth)")
+    require(width >= 2 && width <= (1 << 30),
+      s"width must be in [2, 2^30] (got $width)")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .where(col(textCol).isNotNull &&
+        length(graft.ops.TextAnalysis.wsTrim(col(textCol))) > 0)
+      .select(explode(graft.functions.TextFunctions.tf_from_text(
+        col(textCol))).as("__e"))
+      .select(col("__e.tf").cast("long").as("tf"),
+        posexplode(array((0 until depth).map(d =>
+          Sketches.cmBucket(col("__e.t"), d, width)): _*)))
+      .select(col("pos").cast("int").as("d"), col("col").as("bucket"),
+        col("tf"))
+      .as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Int, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((d, bucket), rs, state) =>
+          val add = rs.map(_._3).sum
+          if (add == 0L && state.exists) Iterator.empty
+          else {
+            val next = state.getOption.getOrElse(0L) + add
+            state.update(next)
+            Iterator((d, bucket, next))
+          }
+      }
+      .toDF("d", "bucket", "cnt")
+  }
+
   def bloomBits(rows: DataFrame, keyCol: String, m: Int,
       k: Int): DataFrame = {
     require(k >= 1 && k <= 16, s"k must be in [1, 16] (got $k)")

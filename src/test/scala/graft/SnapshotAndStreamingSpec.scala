@@ -229,6 +229,46 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
     assert(emitted == bits.size)
   }
 
+  test("streaming CountMin counters converge to the batch sketch; an " +
+      "at-least-once source is absorbed by the keyed-dedup composition") {
+    val s = init()
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sk = graft.ops.Sketches
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .filter(col("text").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val shuffled = docs.sortBy(d => d._1 * 2654435761L % 97)
+    val third = (shuffled.length + 2) / 3
+    val parts = shuffled.grouped(third).toSeq
+    // chunk 3 re-delivers part of chunk 1: addition is NOT idempotent, so
+    // the operator composes a doc-id dedup in front (the documented
+    // at-least-once recipe) and must still equal the batch sketch
+    val chunks = Seq(parts(0), parts(1), parts(2) ++ parts(0).take(7))
+    val (depth, width) = (4, 64)
+    val ms = MemoryStream[(Long, String)](s)
+    val counters = new scala.collection.concurrent.TrieMap[(Int, Long), Long]()
+    val q = graft.streaming.CorpusStreams.cmCounters(
+        ms.toDF().toDF("doc_id", "text").dropDuplicates("doc_id"),
+        "text", depth, width)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          counters((r.getInt(0), r.getLong(1))) = r.getLong(2))
+      }.start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val batch = sk.countMinSketch(docs.toSeq.toDF("doc_id", "text"),
+        "text", depth, width)
+      .collect()
+      .map(r => (r.getAs[Number](0).intValue(), r.getLong(1)) ->
+        r.getLong(2)).toMap
+    assert(counters.nonEmpty)
+    assert(counters.toMap == batch)
+  }
+
   test("flatMapGroupsWithState milestones match the batch counts") {
     val s = init()
     val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
