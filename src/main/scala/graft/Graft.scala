@@ -131,7 +131,7 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
       "(?i)(?<![A-Za-z0-9_.])(pagerank|weakly_connected_component|" +
         "strongly_connected_component|local_clustering_coefficient|" +
         "triangle_counts|k_core|harmonic_centrality|" +
-        "label_propagation|random_walks|" +
+        "label_propagation|random_walks|betweenness_centrality|" +
         "summarize_property_graph|get_pg_vtablenames|get_pg_etablenames|" +
         "get_pg_vcolnames|get_pg_ecolnames)\\s*\\(([^()]*)\\)")
     val sb = new StringBuilder(query)
@@ -161,6 +161,7 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
         case "harmonic_centrality" => Some("harmonic")
         case "label_propagation" => Some("communities")
         case "random_walks" => Some("walks")
+        case "betweenness_centrality" => Some("betweenness")
         case _ => None
       }
       val replacement = defaultAlias match {
@@ -205,6 +206,9 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
         graph.Algorithms.kCoreTf(spark, pg(0), resolver, args(1), args(2), k)
       case "harmonic_centrality" =>
         graph.Algorithms.harmonicTf(spark, pg(0), resolver, args(1), args(2))
+      case "betweenness_centrality" =>
+        graph.Algorithms.betweennessTf(spark, pg(0), resolver,
+          args(1), args(2))
       case "label_propagation" =>
         val rounds = intArg(args, 3, default = Some(6),
           "label_propagation(pg, vertexLabel, edgeLabel[, rounds])")

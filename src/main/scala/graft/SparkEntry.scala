@@ -615,6 +615,20 @@ object SparkEntry {
       .select(col("id"), round(col("ppr"), 6).as("ppr"))
   }
 
+  /** Betweenness centrality ([[Algorithms.betweennessCentrality]], exact
+    * Brandes): brokerage on the nation bands — band interiors carry the
+    * shortest-path mass, band edges carry none. The oracle takes a fully
+    * independent route: enumerate ALL shortest paths (recursive CTE),
+    * unnest interiors, sum 1/σ_st per occurrence. */
+  private def q105_betweenness(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("id"))
+    val e = TradeGraph.nationNear(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+    Algorithms.betweennessCentrality(v, e)
+      .select(col("id"), round(col("betweenness"), 6).as("betweenness"))
+  }
+
   /** Deterministic random walks ([[Algorithms.deterministicWalks]]): the
     * DeepWalk/node2vec sampling pass with hash-derived "randomness" so
     * the DuckDB oracle (recursive CTE + arg_min over the identical md5
@@ -1486,6 +1500,7 @@ object SparkEntry {
     "q102_fuzzy_join" -> (q102_fuzzy_join _),
     "q103_random_walks" -> (q103_random_walks _),
     "q104_label_propagation" -> (q104_label_propagation _),
+    "q105_betweenness" -> (q105_betweenness _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2478,6 +2493,36 @@ object SparkEntry {
            FROM b JOIN nation_next e ON b.dst = e.src WHERE b.cost < 200)
          SELECT src, dst, round(min(cost), 2) AS cost
          FROM b GROUP BY src, dst""",
+
+    // independent-path oracle: enumerate ALL shortest simple paths,
+    // unnest interiors, B(v) = sum of 1/sigma_st per occurrence — no
+    // Brandes recurrence anywhere in the replay
+    "q105_betweenness" ->
+      s"""WITH RECURSIVE $sqlNationNear,
+         e AS (SELECT DISTINCT src, dst FROM nation_near),
+         p(src, cur, path, dist) AS (
+           SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+                  [CAST(n_nationkey AS BIGINT)], 0 FROM nation
+           UNION ALL
+           SELECT p.src, CAST(e.dst AS BIGINT),
+                  list_append(p.path, CAST(e.dst AS BIGINT)), p.dist + 1
+           FROM p JOIN e ON p.cur = e.src
+           WHERE NOT list_contains(p.path, e.dst) AND p.dist < 5),
+         mind AS (SELECT src, cur AS dst, min(dist) AS d FROM p
+                  WHERE dist > 0 GROUP BY 1, 2),
+         sp AS (SELECT p.src, p.cur AS dst, p.path FROM p
+                JOIN mind ON p.src = mind.src AND p.cur = mind.dst
+                 AND p.dist = mind.d),
+         tot AS (SELECT src, dst, count(*) AS total FROM sp GROUP BY 1, 2),
+         thru AS (SELECT sp.src, sp.dst, u.v
+                  FROM sp, unnest(sp.path[2:-2]) AS u(v)),
+         bc AS (SELECT thru.v AS id, sum(1.0 / tot.total) AS b
+                FROM thru JOIN tot ON thru.src = tot.src
+                 AND thru.dst = tot.dst
+                GROUP BY 1)
+         SELECT CAST(n.n_nationkey AS BIGINT) AS id,
+                round(coalesce(bc.b, 0.0), 6) AS betweenness
+         FROM nation n LEFT JOIN bc ON n.n_nationkey = bc.id""",
 
     // six generated propagation rounds: per-(vertex, label) neighbor
     // counts, QUALIFY picks (count DESC, label ASC) — the exact

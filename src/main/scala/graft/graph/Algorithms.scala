@@ -565,6 +565,100 @@ object Algorithms {
     ranks.select(col("id"), col("rank").as("ppr"))
   }
 
+  /** Betweenness centrality (beyond the reference's algorithm set): the
+    * fraction of all-pairs shortest paths passing THROUGH each vertex —
+    * the brokerage measure harmonic/closeness (q97) cannot see. Exact
+    * directed Brandes over the simple digraph; `sources` restricts the
+    * outer sum to a seed sample (the standard estimator at corpus scale
+    * — partial sums, unscaled).
+    *
+    * Small graphs run driver Brandes under the usual gates. At scale:
+    * a batched forward BFS carrying per-(source, vertex) shortest-path
+    * COUNTS (one frontier-edge join + sigma sum per level), then the
+    * dependency sweep runs the same levels in reverse (one join of each
+    * level against its successor level per step). Rounds = 2 × diameter,
+    * each a hash join the planner can shuffle freely — never a per-pair
+    * path enumeration.
+    *
+    * @return (id, betweenness) over vertices ∪ edge endpoints
+    */
+  def betweennessCentrality(vertices: DataFrame, edges: DataFrame,
+      sources: Option[DataFrame] = None): DataFrame = {
+    val sp = vertices.sparkSession
+    import sp.implicits._
+    val probe = PathFinder.localMaxEdges.toInt + 1
+    val pre = PathFinder.lookupEdgePairs(edges)
+    val srcDf = sources.getOrElse(vertices)
+      .select(col("id").cast("long").as("id")).distinct()
+    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
+        edges.limit(probe).count() <= PathFinder.localMaxEdges) &&
+        srcDf.limit(probe).count() <= PathFinder.localMaxEdges) {
+      val ids = vertices.select(col("id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
+      val sArr = srcDf.collect().map(_.getLong(0))
+      return LocalKernels.betweenness(ids, earr, sArr)
+        .toSeq.toDF("id", "betweenness")
+    }
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val domain = vertices.select(col("id").cast("long").as("id"))
+      .union(e.select(col("src").as("id")))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+    val srcs = srcDf.join(domain, Seq("id"), "left_semi")
+    // forward: batched BFS carrying sigma (shortest-path counts)
+    var frontier = srcs
+      .select(col("id").as("s"), col("id").as("v"), lit(1.0).as("sigma"))
+      .transform(PathFinder.ckpt)
+    var acc = frontier.withColumn("dist", lit(0)).transform(PathFinder.ckpt)
+    var maxLev = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      val nxt = frontier.join(e, col("v") === e("src"))
+        .select(col("s"), e("dst").as("v"), col("sigma"))
+        .groupBy("s", "v").agg(sum("sigma").as("sigma"))
+        .join(acc.select("s", "v"), Seq("s", "v"), "left_anti")
+        .transform(PathFinder.ckpt)
+      if (nxt.isEmpty) done = true
+      else {
+        maxLev += 1
+        acc = PathFinder.ckpt(acc.union(nxt.withColumn("dist", lit(maxLev))))
+        frontier = nxt
+      }
+    }
+    // backward: dependency sweep level by level (δ of level l needs only
+    // level l+1 — the Brandes DAG edges are exactly dist(w) = dist(v)+1)
+    var withDelta = acc.filter(col("dist") === maxLev)
+      .withColumn("delta", lit(0.0))
+      .transform(PathFinder.ckpt)
+    for (l <- (maxLev - 1) to 0 by -1) {
+      val cur = acc.filter(col("dist") === l)
+      val nextLev = withDelta.filter(col("dist") === l + 1)
+        .select(col("s").as("ws"), col("v").as("w"),
+          col("sigma").as("wsigma"), col("delta").as("wdelta"))
+      val contrib = cur.join(e, col("v") === e("src"))
+        .join(nextLev, col("s") === col("ws") && e("dst") === col("w"))
+        .select(col("s"), col("v"),
+          (col("sigma") / col("wsigma") * (lit(1.0) + col("wdelta"))).as("c"))
+        .groupBy("s", "v").agg(sum("c").as("delta"))
+      val curD = cur.join(contrib, Seq("s", "v"), "left_outer")
+        .select(col("s"), col("v"), col("sigma"), col("dist"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+      withDelta = PathFinder.ckpt(withDelta.union(curD))
+    }
+    val out = withDelta.filter(col("v") =!= col("s"))
+      .groupBy(col("v").as("id")).agg(sum("delta").as("b"))
+    val res = domain.join(out, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("b"), lit(0.0)).as("betweenness"))
+    e.unpersist()
+    res
+  }
+
   /** Synchronous label-propagation communities (beyond the reference's
     * algorithm set): every vertex starts as its own label and each round
     * adopts the most frequent label among its UNDIRECTED simple
@@ -850,6 +944,14 @@ object Algorithms {
     harmonicCentrality(v, e)
       .select(col("id").as(key), col("n_reached"), col("sum_dist"),
         col("harmonic"), col("closeness"))
+  }
+
+  /** `betweenness_centrality(pg, v, e)` table function (beyond the
+    * reference). */
+  def betweennessTf(spark: SparkSession, pg: PropertyGraph,
+      resolver: TableResolver, vLabel: String, eLabel: String): DataFrame = {
+    val (v, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
+    betweennessCentrality(v, e).select(col("id").as(key), col("betweenness"))
   }
 
   /** `label_propagation(pg, v, e[, rounds])` table function (beyond the

@@ -609,6 +609,56 @@ private[graph] object LocalKernels {
     verts.toArray.map(v => (v, !removed.getOrElse(v, false)))
   }
 
+  /** Exact directed Brandes betweenness — the
+    * [[graft.graph.Algorithms.betweennessCentrality]] twin. Unweighted
+    * shortest paths over the simple digraph (parallel edges collapsed);
+    * per source: BFS with path counts, then the dependency sweep in
+    * reverse BFS order. B(v) sums δ_s(v) over the given sources
+    * (all-sources = exact betweenness; a sample = the standard
+    * estimator's partial sums, unscaled). */
+  def betweenness(vertexIds: Array[Long], edges: Array[(Long, Long)],
+      sources: Array[Long]): Array[(Long, Double)] = {
+    val simple = mutable.LinkedHashSet[(Long, Long)]()
+    edges.foreach { case (s, d) => if (s != d) simple += ((s, d)) }
+    val verts = mutable.LinkedHashSet[Long]()
+    vertexIds.foreach(verts += _)
+    simple.foreach { case (a, b) => verts += a; verts += b }
+    val adj = mutable.LongMap[mutable.ArrayBuffer[Long]]()
+    simple.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+    }
+    val b = mutable.LongMap[Double]().withDefaultValue(0.0)
+    sources.distinct.foreach { s =>
+      if (verts.contains(s)) {
+        val dist = mutable.LongMap[Int]()
+        val sigma = mutable.LongMap[Double]().withDefaultValue(0.0)
+        val preds = mutable.LongMap[mutable.ArrayBuffer[Long]]()
+        val order = mutable.ArrayBuffer[Long]()
+        dist(s) = 0; sigma(s) = 1.0
+        val queue = mutable.ArrayDeque[Long](s)
+        while (queue.nonEmpty) {
+          val v = queue.removeHead()
+          order += v
+          adj.get(v).foreach(_.foreach { w =>
+            if (!dist.contains(w)) { dist(w) = dist(v) + 1; queue += w }
+            if (dist(w) == dist(v) + 1) {
+              sigma(w) += sigma(v)
+              preds.getOrElseUpdate(w, mutable.ArrayBuffer.empty) += v
+            }
+          })
+        }
+        val delta = mutable.LongMap[Double]().withDefaultValue(0.0)
+        order.reverseIterator.foreach { w =>
+          preds.get(w).foreach(_.foreach { v =>
+            delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+          })
+          if (w != s) b(w) += delta(w)
+        }
+      }
+    }
+    verts.toArray.map(v => (v, b(v)))
+  }
+
   /** Synchronous label propagation — the
     * [[graft.graph.Algorithms.labelPropagation]] twin. Undirected simple
     * neighborhoods (self-loops dropped, parallel edges collapsed); each

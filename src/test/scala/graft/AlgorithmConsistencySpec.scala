@@ -440,4 +440,77 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     assert((10L to 14L).map(got).toSet.size === 1)
     assert(got(0L) !== got(14L), "bridge must not merge the cliques")
   }
+
+  test("betweenness: both branches match an enumerate-all-shortest-paths " +
+      "oracle on random digraphs; source sampling sums only those sources") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    def withDist[T](body: => T): T = {
+      val e = PathFinder.localMaxEdges
+      PathFinder.localMaxEdges = 0
+      try body finally PathFinder.localMaxEdges = e
+    }
+    // independent oracle: enumerate every shortest path by BFS-layered
+    // DP-free expansion, then count interior occurrences / sigma_st —
+    // no Brandes recurrence anywhere
+    def oracle(vs: Seq[Long], es: Seq[(Long, Long)],
+        sources: Seq[Long]): Map[Long, Double] = {
+      val simple = es.filter(e => e._1 != e._2).distinct
+      val adj = simple.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val verts = (vs ++ simple.flatMap(e => Seq(e._1, e._2))).distinct
+      val b = scala.collection.mutable.Map(verts.map(_ -> 0.0): _*)
+      for (src <- sources.distinct if verts.contains(src)) {
+        // all shortest paths src→anything via breadth-layered expansion
+        var layer = List(List(src))
+        val seenDist = scala.collection.mutable.Map(src -> 0)
+        val paths = scala.collection.mutable.ArrayBuffer[List[Long]]()
+        var d = 0
+        while (layer.nonEmpty) {
+          d += 1
+          val next = layer.flatMap { p =>
+            adj.getOrElse(p.head, Nil)
+              .filter(w => seenDist.getOrElse(w, d) >= d)
+              .map(w => w :: p)
+          }
+          next.foreach(p => seenDist(p.head) = d)
+          // keep only extensions that are still shortest to their head
+          layer = next.filter(p => seenDist(p.head) == d)
+          paths ++= layer
+        }
+        paths.groupBy(_.head).foreach { case (t, ps) if t != src =>
+          val sigma = ps.size.toDouble
+          ps.foreach(_.drop(1).dropRight(1).foreach(v => b(v) += 1.0 / sigma))
+        case _ => ()
+        }
+      }
+      b.toMap
+    }
+    for (seed <- 401L to 404L) {
+      val (vs, es) = randomGraph(seed)
+      val want = oracle(vs, es, vs)
+      def run() = Algorithms.betweennessCentrality(
+          vs.toDF("id"), es.toDF("src", "dst"))
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      def chk(got: Map[Long, Double], tag: String): Unit = {
+        assert(got.keySet == want.keySet, s"(seed $seed $tag)")
+        got.foreach { case (v, x) =>
+          assert(math.abs(x - want(v)) < 1e-9,
+            s"(seed $seed $tag v $v: $x vs ${want(v)})")
+        }
+      }
+      chk(run(), "local")
+      chk(withDist(run()), "dist")
+      // sampled sources: partial sums over exactly those sources
+      val sample = vs.filter(_ % 3 == 0)
+      val wantS = oracle(vs, es, sample)
+      val gotS = Algorithms.betweennessCentrality(
+          vs.toDF("id"), es.toDF("src", "dst"),
+          sources = Some(sample.toDF("id")))
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      gotS.foreach { case (v, x) =>
+        assert(math.abs(x - wantS(v)) < 1e-9, s"(seed $seed sampled v $v)")
+      }
+    }
+  }
 }

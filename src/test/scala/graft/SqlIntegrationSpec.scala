@@ -282,6 +282,15 @@ class SqlIntegrationSpec extends AnyFunSuite {
         "SELECT * FROM label_propagation('pg', 'Person', 'Knows', 'x')")
     }
     assert(ex.getMessage.contains("must be an integer"))
+    // betweenness with the 'betweenness' default alias; parity vs the API
+    val bc = g.sqlGraph(
+      """SELECT betweenness.id, betweenness.betweenness
+         FROM betweenness_centrality('pg', 'Person', 'Knows')
+         ORDER BY betweenness.id""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val wantBc = graft.graph.Algorithms.betweennessCentrality(v, e)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    assert(bc == wantBc && bc.exists(_._2 > 0))
   }
 
   test("COPY TO csv — copy_to_duckpgq.test") {
