@@ -1378,6 +1378,42 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_obs"), round(sum("obs_value"), 2).as("sum_value"))
   }
 
+  /** Forward as-of join ([[graft.ops.OrderedJoins.asofJoinForward]]): each
+    * click picks the EARLIEST following purchase within 2 h per user —
+    * the mirrored scan of q100, against DuckDB's native forward ASOF. */
+  private def q106_asof_forward(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("ms", expr("ts DIV 1000000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event"),
+        col("ms").as("c_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ms").as("p_ms"))
+      .agg(max("event_id").as("purchase_event"))
+    OrderedJoins.asofJoinForward(clicks, purchases, Seq("user_id"),
+        "c_ms", "p_ms", tolerance = Some(7200000L))
+      .select(col("user_id"), col("click_event"), col("purchase_event"),
+        (col("p_ms") - col("c_ms")).as("lead_ms"))
+  }
+
+  /** Keyless interval-overlap join ([[graft.ops.OrderedJoins.overlapJoin]]):
+    * ±10 min incident windows × ±5 min error windows — both sides explode
+    * to covered buckets, pairs meet exactly once in the first shared
+    * bucket (no distinct pass), residual overlap predicate. */
+  private def q107_overlap_join(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("ms", expr("ts DIV 1000000"))
+    val inc = ev.filter(col("value") > 150.0)
+      .select(col("event_id").as("incident_event"),
+        (col("ms") - 600000L).as("ilo"), (col("ms") + 600000L).as("ihi"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_event"),
+        (col("ms") - 300000L).as("elo"), (col("ms") + 300000L).as("ehi"))
+    OrderedJoins.overlapJoin(inc, "ilo", "ihi", err, "elo", "ehi",
+        bucketWidth = 600000L)
+      .select(col("incident_event"), col("error_event"),
+        (greatest(col("ilo"), col("elo"))).as("olap_from"),
+        (least(col("ihi"), col("ehi"))).as("olap_to"))
+  }
+
   // =========================================================================
   // Large derived graph (events → user-interaction graph)
   // =========================================================================
@@ -1501,6 +1537,8 @@ object SparkEntry {
     "q103_random_walks" -> (q103_random_walks _),
     "q104_label_propagation" -> (q104_label_propagation _),
     "q105_betweenness" -> (q105_betweenness _),
+    "q106_asof_forward" -> (q106_asof_forward _),
+    "q107_overlap_join" -> (q107_overlap_join _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -3610,6 +3648,39 @@ object SparkEntry {
                 round(sum(p.value), 2) AS sum_value
          FROM inc JOIN ev p ON p.ms BETWEEN lo_ms AND hi_ms
          GROUP BY 1""",
+
+    // the mirrored native ASOF: earliest right >= left per key
+    "q106_asof_forward" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_event, epoch_ms(ts) AS c_ms
+           FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, epoch_ms(ts) AS p_ms, max(event_id) AS purchase_event
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         j AS (
+           SELECT c.user_id, c.click_event, c.c_ms, p.purchase_event, p.p_ms
+           FROM c ASOF LEFT JOIN p
+             ON c.user_id = p.user_id AND c.c_ms <= p.p_ms)
+         SELECT user_id, click_event,
+           CASE WHEN p_ms - c_ms <= 7200000 THEN purchase_event END
+             AS purchase_event,
+           CASE WHEN p_ms - c_ms <= 7200000 THEN p_ms - c_ms END AS lead_ms
+         FROM j""",
+
+    "q107_overlap_join" ->
+      """WITH ev AS (
+           SELECT event_id, epoch_ms(ts) AS ms, value, event_type FROM events),
+         inc AS (
+           SELECT event_id AS incident_event, ms - 600000 AS ilo,
+                  ms + 600000 AS ihi
+           FROM ev WHERE value > 150.0),
+         err AS (
+           SELECT event_id AS error_event, ms - 300000 AS elo,
+                  ms + 300000 AS ehi
+           FROM ev WHERE event_type = 'error')
+         SELECT incident_event, error_event,
+                greatest(ilo, elo) AS olap_from, least(ihi, ehi) AS olap_to
+         FROM inc JOIN err ON ilo <= ehi AND elo <= ihi""",
 
     // brute-force all-pairs levenshtein — the quadratic formulation our
     // PassJoin blocking must reproduce exactly (zero false negatives)

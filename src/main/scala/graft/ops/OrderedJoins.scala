@@ -41,7 +41,22 @@ object OrderedJoins {
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame =
+    asofJoin(left, right, keys, leftTs, rightTs, tolerance, forward = false)
+
+  /** Forward as-of join: the single EARLIEST right row with `rightTs` ≥
+    * `leftTs` per key (DuckDB `ASOF LEFT JOIN … ON l.ts <= r.ts`) — the
+    * "next event after" lookup. Same union-window plan as
+    * [[asofJoinBackward]] with the scan direction reversed; `tolerance`
+    * bounds `rightTs - leftTs`. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      tolerance: Option[Long] = None): DataFrame =
+    asofJoin(left, right, keys, leftTs, rightTs, tolerance, forward = true)
+
+  private def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      tolerance: Option[Long], forward: Boolean): DataFrame = {
     val rPayload = right.columns.filterNot(keys.contains)
     val clash = rPayload.intersect(left.columns)
     require(clash.isEmpty,
@@ -49,14 +64,17 @@ object OrderedJoins {
     require(rPayload.contains(rightTs) && left.columns.contains(leftTs),
       "asofJoinBackward: ts columns must exist (rightTs outside keys)")
 
+    // forward scans are the mirrored backward scan: negate the ordering
+    // timestamp so "latest ≤ ts" becomes "earliest ≥ ts"
+    val sign = if (forward) -1L else 1L
     val rTagged = right.select(
       keys.map(col) ++ Seq(
-        col(rightTs).cast(LongType).as("__ats"), lit(0).as("__aside"),
+        (col(rightTs).cast(LongType) * sign).as("__ats"), lit(0).as("__aside"),
         struct(rPayload.map(col): _*).as("__amatch")): _*)
     val rType = rTagged.schema("__amatch").dataType
     val lTagged = left.select(
       left.columns.map(col) ++ Seq(
-        col(leftTs).cast(LongType).as("__ats"), lit(1).as("__aside"),
+        (col(leftTs).cast(LongType) * sign).as("__ats"), lit(1).as("__aside"),
         lit(null).cast(rType).as("__amatch")): _*)
 
     // right rows contribute only (keys, ts, struct); missing left columns
@@ -71,7 +89,8 @@ object OrderedJoins {
 
     val inTol = tolerance match {
       case Some(tol) => col("__m").isNotNull &&
-        col("__ats") - col("__m").getField(rightTs).cast(LongType) <= lit(tol)
+        col("__ats") - col("__m").getField(rightTs).cast(LongType) * sign <=
+          lit(tol)
       case None => col("__m").isNotNull
     }
     matched.select(
@@ -111,5 +130,33 @@ object OrderedJoins {
     pts.join(ivals, Seq("__bk"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bk")
+  }
+
+  /** Interval × interval OVERLAP join with no equi key, bucketized: both
+    * sides explode to the fixed-width buckets they cover and pairs meet
+    * on the shared bucket. An overlapping pair shares every bucket of the
+    * overlap region, so it is emitted ONLY in the first bucket both
+    * cover (`bucket == max(loA, loB) DIV width`) — exactly-once without a
+    * distinct pass. Same caveats as [[rangeJoinPoints]]: non-negative
+    * closed intervals, empty (lo > hi) rows dropped, width chosen near
+    * the typical interval length. */
+  def overlapJoin(a: DataFrame, loA: String, hiA: String,
+      b: DataFrame, loB: String, hiB: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "overlapJoin: bucketWidth must be positive")
+    val clash = a.columns.intersect(b.columns)
+    require(clash.isEmpty,
+      s"overlapJoin: shared column names ${clash.mkString(", ")}")
+    def buckets(df: DataFrame, lo: String, hi: String, bk: String) = df
+      .filter(col(lo) <= col(hi))
+      .withColumn(bk, explode(expr(
+        s"sequence(`$lo` DIV ${bucketWidth}L, `$hi` DIV ${bucketWidth}L)")))
+    val ea = buckets(a, loA, hiA, "__bka")
+    val eb = buckets(b, loB, hiB, "__bkb")
+    ea.join(eb, col("__bka") === col("__bkb") &&
+        col(loA) <= col(hiB) && col(loB) <= col(hiA) &&
+        col("__bka") === expr(
+          s"greatest(`$loA` DIV ${bucketWidth}L, `$loB` DIV ${bucketWidth}L)"))
+      .drop("__bka", "__bkb")
   }
 }

@@ -117,6 +117,70 @@ class OrderedJoinsSpec extends AnyFunSuite {
       (20L, 1L)))
   }
 
+  test("asof forward: earliest following right row; equal-ts inclusive; " +
+      "parity vs the naive per-pair argmin") {
+    val s = init()
+    import s.implicits._
+    val out = OrderedJoins.asofJoinForward(
+        leftDf(s), rightDf(s), Seq("k"), "lts", "rts")
+      .select("ltag", "rtag").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out === Map(
+      "a" -> Some("r10"), // equal ts matches forward too
+      "b" -> None, // nothing at or after 20
+      "c" -> Some("r10"), // earliest of 10/15 after 5... r10
+      "d" -> None, // 100 > 99
+      "e" -> None))
+    // naive parity with tolerance on pseudo-random data
+    val l = (0 until 300).map { i =>
+      (math.abs((i * 2654435761L) % 13), (i * 48271L) % 40, i.toLong)
+    }.toDF("k", "lts", "lid")
+    val r = (0 until 250).map { i =>
+      (math.abs((i * 97178899L) % 13), (i * 16807L) % 40, i.toLong)
+    }.toDF("k", "rts", "rid")
+    val fast = OrderedJoins.asofJoinForward(l, r, Seq("k"), "lts", "rts",
+        tolerance = Some(5L))
+      .select("lid", "rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    // naive: min (rts, -rid) struct per left row → earliest ts, then the
+    // engine's max-struct tie winner (max rid at the chosen ts)
+    val naive = l.join(r, Seq("k"), "left")
+      .withColumn("ok", col("rts").isNotNull &&
+        col("rts") >= col("lts") && col("rts") - col("lts") <= 5)
+      .groupBy("lid")
+      .agg(min(when(col("ok"), struct(col("rts"), (-col("rid")).as("nr"))))
+        .as("m"))
+      .select(col("lid"), coalesce(-col("m.nr"), lit(-1L)).as("rid"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(fast === naive)
+  }
+
+  test("overlap join: exactly-once pairs across widths, parity vs the " +
+      "naive overlap product") {
+    val s = init()
+    import s.implicits._
+    val a = (0 until 120).map { i =>
+      val lo = (i * 16807L) % 900
+      (i.toLong, lo, lo + (i * 13L) % 150)
+    }.toDF("aid", "alo", "ahi")
+    val b = (0 until 90).map { i =>
+      val lo = (i * 48271L) % 900
+      (i.toLong, lo, lo + (i * 7L) % 100)
+    }.toDF("bid", "blo", "bhi")
+    val naive = a.join(b, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (width <- Seq(1L, 16L, 128L, 4000L)) {
+      val fast = OrderedJoins.overlapJoin(a, "alo", "ahi", b, "blo", "bhi",
+          bucketWidth = width)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fast.sorted === naive.sorted, s"width=$width")
+      assert(fast.size === fast.toSet.size, s"duplicates at width=$width")
+    }
+  }
+
   test("range join parity vs plain inequality join; pairs appear exactly once") {
     val s = init()
     import s.implicits._

@@ -16,12 +16,19 @@ object PerfProbeNew {
     s.sparkContext.setLogLevel("ERROR")
     s.read.parquet(s"$d/lineitem.parquet").count()
     TradeGraph.graft(s, d)
-    for (q <- Seq("q92_mixed_space_path", "q93_cross_space_acyclic",
-        "q94_duplicated_spans", "q95_bloom_decontaminate", "q96_pq_ann")) {
+    for (q <- Seq("q100_asof_join", "q101_range_join", "q102_fuzzy_join",
+        "q103_random_walks", "q104_label_propagation", "q105_betweenness")) {
       time(s"$q cold")(
         SparkEntry.queries(q)(s, d).queryExecution.toRdd.count())
       time(s"$q warm")(
         SparkEntry.queries(q)(s, d).queryExecution.toRdd.count())
     }
+    for (q <- Seq("q100_asof_join", "q101_range_join"))
+      println(s"=== $q plan ===\n" +
+        SparkEntry.queries(q)(s, d).queryExecution.executedPlan.toString
+          .linesIterator.filter(l => l.contains("Exchange") ||
+            l.contains("Join") || l.contains("Window") ||
+            l.contains("Cartesian") || l.contains("Loop"))
+          .mkString("\n"))
   }
 }
