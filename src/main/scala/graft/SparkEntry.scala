@@ -752,6 +752,27 @@ object SparkEntry {
       TextAnalysis.tokenCount(col("text")).as("n_tokens"),
       TextAnalysis.subwordCount(col("text")).as("n_subwords"))
 
+  /** Vocabulary build + token-id encoding ([[TextAnalysis.buildVocab]] /
+    * [[TextAnalysis.encodeTokens]]): the text → ids step ahead of
+    * packing. Vocab of 20 against a 31-token corpus so the OOV path and
+    * the (count DESC, token) rank ties are both exercised; the full id
+    * sequence is value-checked via an order-sensitive md5. */
+  private def q108_token_ids(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val vocab = TextAnalysis.buildVocab(docs, "text", size = 20)
+    TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        md5(concat_ws(",", transform(col("ids"), _.cast("string"))))
+          .as("ids_md5"))
+  }
+
+  /** Hash-sample quantiles ([[Sampling.sampleQuantiles]]): the bounded-
+    * cost distribution profile — deterministic md5 draw, exact
+    * quantile_disc ranks over the sample, fully replayed by the oracle. */
+  private def q109_sample_quantiles(s: SparkSession, d: String): DataFrame =
+    Sampling.sampleQuantiles(t(s, d, "documents"), "doc_id", "n_chars",
+      rate = 0.2, probs = Seq(0.25, 0.5, 0.75, 0.9))
+
   private def q23_fingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"),
       TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
@@ -1539,6 +1560,8 @@ object SparkEntry {
     "q105_betweenness" -> (q105_betweenness _),
     "q106_asof_forward" -> (q106_asof_forward _),
     "q107_overlap_join" -> (q107_overlap_join _),
+    "q108_token_ids" -> (q108_token_ids _),
+    "q109_sample_quantiles" -> (q109_sample_quantiles _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -3648,6 +3671,53 @@ object SparkEntry {
                 round(sum(p.value), 2) AS sum_value
          FROM inc JOIN ev p ON p.ms BETWEEN lo_ms AND hi_ms
          GROUP BY 1""",
+
+    // full id-sequence replay: same tokenization, same (count DESC,
+    // token) vocab ranks, order-sensitive md5 over the id list
+    "q108_token_ids" ->
+      """WITH base AS (
+           SELECT doc_id, regexp_replace(lower(text), '^\s+|\s+$', '', 'g')
+             AS lt
+           FROM documents WHERE text IS NOT NULL),
+         toks AS (
+           SELECT doc_id, unnest(string_split_regex(lt, '\s+')) AS token,
+                  generate_subscripts(string_split_regex(lt, '\s+'), 1) AS pos
+           FROM base WHERE len(lt) > 0),
+         cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+         voc AS (
+           SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1
+             AS token_id
+           FROM cnt QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 20),
+         enc AS (
+           SELECT toks.doc_id, toks.pos, coalesce(voc.token_id, -1) AS tid
+           FROM toks LEFT JOIN voc ON toks.token = voc.token),
+         agg AS (
+           SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos))
+               AS ids_md5
+           FROM enc GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                coalesce(a.n_oov, 0) AS n_oov,
+                coalesce(a.ids_md5, md5('')) AS ids_md5
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+
+    // the deterministic md5 draw + quantile_disc ranks, replayed
+    "q109_sample_quantiles" ->
+      """WITH s AS (
+           SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+             AND CAST(CAST(('0x' ||
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) AS DOUBLE) / CAST(4294967296.0 AS DOUBLE) < 0.2),
+         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                      count(*) OVER () AS n FROM s)
+         SELECT p.prob, r.v AS value, r.n AS n_sample
+         FROM (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                      (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
+           p(prob)
+         JOIN r ON CAST(ceil(p.prob * r.n) AS BIGINT) = r.rn""",
 
     // the mirrored native ASOF: earliest right >= left per key
     "q106_asof_forward" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling for training-data pipelines.
@@ -172,6 +173,41 @@ object Sampling {
     * prevents train/test leakage in long-lived corpus pipelines. Two
     * filtered frames over one source; when both halves feed ONE downstream
     * plan, prefer a [[splitLabel]] projection (single scan). */
+  /** Exact discrete quantiles over a deterministic hash sample — the
+    * bounded-cost distribution profile for a corpus too large to sort:
+    * keep rows with `hashUnit(key) < rate` (the same engine-portable
+    * draw every sampler here uses), then take `sorted[ceil(p·n)−1]` per
+    * requested probability (the SUMMARIZE `quantile_disc` convention).
+    * The single-partition rank window runs on the SAMPLE only — its size
+    * is `rate`-bounded by construction, which is the caller's knob
+    * (rate ≈ 10⁵/corpus keeps the sort trivial at any scale). Exactly
+    * reproducible by any engine with md5 — the oracle replays the draw
+    * and the ranks.
+    *
+    * @return (prob, value, n_sample) — one row per probability; empty
+    *         when the sample is empty
+    */
+  def sampleQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      rate: Double, probs: Seq[Double]): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0, s"rate must be in (0, 1] (got $rate)")
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      "probs must be in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        hashUnit(col(keyCol)) < lit(rate))
+      .select(col(valueCol).cast("double").as("__v"))
+    val w = Window.orderBy(col("__v"))
+    val ranked = sample.select(col("__v"),
+      row_number().over(w).as("__r"),
+      count(lit(1)).over(Window.partitionBy()).as("__n"))
+    val probsDf = probs.toDF("prob")
+    ranked.join(broadcast(probsDf),
+        ceil(col("prob") * col("__n")).cast("long") === col("__r"))
+      .select(col("prob"), col("__v").as("value"), col("__n").as("n_sample"))
+  }
+
   def trainTestSplit(df: DataFrame, keyCol: String, testPct: Int)
       : (DataFrame, DataFrame) = {
     require(testPct >= 0 && testPct <= 100,

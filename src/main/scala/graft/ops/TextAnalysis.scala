@@ -539,6 +539,65 @@ object TextAnalysis {
     * re-split the text ~8 times (five per-language intersects alone).
     * Null text keeps the old per-metric semantics: null stats, 'und'
     * language. */
+  /** Frequency-ranked token vocabulary: the top `size` corpus tokens by
+    * total occurrence count (ties break lexicographically), with dense
+    * `token_id` 0..size-1 in rank order — the id table a tokenizer
+    * pipeline broadcasts. Corpus-side work is the per-document fused tf
+    * pass + one vocab-sized aggregation; the rank window runs on at most
+    * `size` rows AFTER the distributed top-N, never on the full
+    * vocabulary.
+    *
+    * @return (token, n, token_id)
+    */
+  def buildVocab(df: DataFrame, textCol: String, size: Int): DataFrame = {
+    require(size >= 1, s"vocab size must be >= 1 (got $size)")
+    val counts = df
+      .filter(col(textCol).isNotNull && length(wsTrim(col(textCol))) > 0)
+      .select(explode(graft.functions.TextFunctions.tf_from_text(
+        col(textCol))).as("__e"))
+      .select(col("__e.t").as("token"), col("__e.tf").as("__tf"))
+      .groupBy("token").agg(sum("__tf").as("n"))
+    // TakeOrdered does the distributed top-N; the row_number window then
+    // sees only `size` rows (a single tiny partition by construction)
+    counts.orderBy(col("n").desc, col("token").asc).limit(size)
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token").asc)) - 1)
+  }
+
+  /** Token-id encoding against a vocabulary (the text → ids step ahead
+    * of packing/chunking): whitespace tokens map to `token_id`, misses
+    * to `oovId`. The vocabulary is broadcast (it is top-N by
+    * construction); the only corpus shuffle is the positional
+    * reassembly groupBy. Null/blank documents encode to an empty id
+    * list.
+    *
+    * @return (id, n_tokens, n_oov, ids) — ids in document order
+    */
+  def encodeTokens(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, oovId: Long = -1L): DataFrame = {
+    val toks = df
+      .filter(col(textCol).isNotNull && length(wsTrim(col(textCol))) > 0)
+      .select(col(idCol),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("__pos", "__tok")))
+    val mapped = toks
+      .join(broadcast(vocab.select(col("token").as("__tok"),
+        col("token_id"))), Seq("__tok"), "left_outer")
+      .select(col(idCol), col("__pos"),
+        coalesce(col("token_id").cast("long"), lit(oovId)).as("__tid"))
+    val packed = mapped.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__tid") === oovId, 1L).otherwise(0L)).as("n_oov"),
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tid")))),
+          x => x.getField("__tid")).as("ids"))
+    df.select(col(idCol)).join(packed, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("ids"), array().cast("array<long>")).as("ids"))
+  }
+
   def documentStats(df: DataFrame, textCol: String): DataFrame = {
     val st = df.withColumn("__ts",
       graft.functions.TextStatsFunctions.text_stats(col(textCol)))

@@ -869,4 +869,60 @@ class OpsSpec extends AnyFunSuite {
     assert(strict(1L) == 2L && strict(2L) == 2L && strict(5L) == 2L &&
       strict(3L) == 0L)
   }
+
+  test("buildVocab ranks by (count desc, token); encodeTokens maps ids " +
+      "in document order with OOV and empty-doc handling") {
+    val s = init()
+    import s.implicits._
+    val docs = Seq(
+      (1L, "b b b a a c"),   // counts: b=3, a=2+2=..., see below
+      (2L, "a a d c B"),     // 'B' lowercases into b
+      (3L, "   "),           // blank → empty ids
+      (4L, null.asInstanceOf[String]),
+      (5L, "e a")            // e is OOV at size 3
+    ).toDF("doc_id", "text")
+    // totals: a=5, b=4, c=2, d=1, e=1 → vocab(3) = a:0, b:1, c:2
+    val vocab = graft.ops.TextAnalysis.buildVocab(docs, "text", size = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Number](2).intValue())).toList.sortBy(_._3)
+    assert(vocab == List(("a", 5L, 0), ("b", 4L, 1), ("c", 2L, 2)))
+    val enc = graft.ops.TextAnalysis.encodeTokens(
+        docs, "doc_id", "text",
+        graft.ops.TextAnalysis.buildVocab(docs, "text", size = 3))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(enc(1L) == ((6L, 0L, Seq(1L, 1L, 1L, 0L, 0L, 2L))))
+    assert(enc(2L) == ((5L, 1L, Seq(0L, 0L, -1L, 2L, 1L))))
+    assert(enc(3L) == ((0L, 0L, Seq())))
+    assert(enc(4L) == ((0L, 0L, Seq())))
+    assert(enc(5L) == ((2L, 1L, Seq(-1L, 0L))))
+    // tie-break: equal counts rank lexicographically
+    val tied = graft.ops.TextAnalysis.buildVocab(
+        Seq((1L, "z y x")).toDF("doc_id", "text"), "text", size = 2)
+      .collect().map(r => (r.getString(0), r.getAs[Number](2).intValue()))
+      .toList.sortBy(_._2)
+    assert(tied == List(("x", 0), ("y", 1)))
+  }
+
+  test("sampleQuantiles: exact quantile_disc ranks over the " +
+      "deterministic hash sample; empty sample yields no rows") {
+    val s = init()
+    import s.implicits._
+    val rows = (1L to 400L).map(i => (i, (i * 37L) % 1000)).toDF("k", "v")
+    val got = graft.ops.Sampling.sampleQuantiles(rows, "k", "v",
+        rate = 0.3, probs = Seq(0.1, 0.5, 1.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      .toList.sortBy(_._1)
+    // test-side replay: same md5 draw via the engine's own hashUnit
+    val kept = rows.filter(graft.ops.Sampling.hashUnit(col("k")) < 0.3)
+      .select(col("v").cast("double")).collect().map(_.getDouble(0)).sorted
+    assert(kept.nonEmpty && got.forall(_._3 == kept.length))
+    def qd(p: Double) = kept(math.ceil(p * kept.length).toInt - 1)
+    assert(got.map(_._1) == List(0.1, 0.5, 1.0))
+    assert(got.map(_._2) == List(qd(0.1), qd(0.5), qd(1.0)))
+    assert(qd(1.0) == kept.last)
+    val empty = graft.ops.Sampling.sampleQuantiles(
+      Seq.empty[(Long, Long)].toDF("k", "v"), "k", "v", 0.5, Seq(0.5))
+    assert(empty.count() == 0)
+  }
 }

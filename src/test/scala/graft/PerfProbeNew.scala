@@ -16,8 +16,7 @@ object PerfProbeNew {
     s.sparkContext.setLogLevel("ERROR")
     s.read.parquet(s"$d/lineitem.parquet").count()
     TradeGraph.graft(s, d)
-    for (q <- Seq("q100_asof_join", "q101_range_join", "q102_fuzzy_join",
-        "q103_random_walks", "q104_label_propagation", "q105_betweenness")) {
+    for (q <- Seq("q101_range_join", "q102_fuzzy_join")) {
       time(s"$q cold")(
         SparkEntry.queries(q)(s, d).queryExecution.toRdd.count())
       time(s"$q warm")(

@@ -108,12 +108,18 @@ import pyarrow.compute as pc
 
 t = pq.read_table(f"{src}/events.parquet")
 DAY_NS = 86_400_000_000_000
+# normalize to ns BEFORE the int64 shift: a raw .cast(int64) on a
+# timestamp[us] column yields MICROsecond integers, and re-casting that
+# number as timestamp[ns] compressed every replica's 30-day span into
+# 43 minutes (1000x event density — q101's incident windows caught 40k
+# events each and the "10x slope" was really a density cliff)
+ts_ns = (t["ts"] if pa.types.is_int64(t["ts"].type)
+         else t["ts"].cast(pa.timestamp("ns"))).cast(pa.int64())
 parts = []
 for i in range(R):
     parts.append(pa.table({
         "event_id": pc.add(t["event_id"], i * OFF),
-        "ts": pc.add(t["ts"].cast(pa.int64()), i * 400 * DAY_NS)
-            .cast(pa.timestamp("ns")),
+        "ts": pc.add(ts_ns, i * 400 * DAY_NS).cast(pa.timestamp("ns")),
         "user_id": pc.add(t["user_id"], i * OFF),
         "event_type": t["event_type"],
         "value": t["value"],
