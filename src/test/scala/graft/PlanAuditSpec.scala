@@ -83,6 +83,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("EqualTo(event_type,click)"))
   }
 
+  test("as-of joins (q100/q106): one keyed window over the union — no " +
+      "per-key cross product, no single-partition sort") {
+    val s = Fixture.init()
+    for (q <- Seq("q100_asof_join", "q106_asof_forward")) {
+      val plan = SparkEntry.queries(q)(s, sf)
+        .queryExecution.executedPlan.toString
+      // the naive formulation joins left x right per key and argmaxes —
+      // a SortMergeJoin/cross shape; the union-window plan has NO join
+      assert(!plan.contains("Join"), s"$q: ${plan.take(600)}")
+      assert(!plan.contains("Exchange SinglePartition"), q)
+      assert(plan.contains("Window"), q)
+    }
+  }
+
+  test("range/overlap joins (q101/q107): bucket equi-join, never a " +
+      "nested-loop BETWEEN plan") {
+    val s = Fixture.init()
+    for (q <- Seq("q101_range_join", "q107_overlap_join")) {
+      val plan = SparkEntry.queries(q)(s, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(600)}")
+      // the range predicate rides the bucket join as a residual
+      assert(plan.contains("HashJoin"), q)
+    }
+  }
+
   test("csr offsets (q34): distributed prefix sum, no single-partition pass") {
     val s = Fixture.init()
     val df = SparkEntry.queries("q34_csr_offsets")(s, sf)
