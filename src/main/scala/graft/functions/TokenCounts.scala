@@ -114,6 +114,59 @@ object TokensOf {
   }
 }
 
+/** Token → vocabulary-id encoding in ONE fused byte-scan pass: the
+  * [[TokensOf]] tokenizer with an inline hash lookup per token — no
+  * token explode, no broadcast join, no positional reassembly shuffle.
+  * The vocabulary rides the expression as a driver-built reference
+  * object (it is top-N by construction — the [[BloomStatsExpr]] mask
+  * pattern). Misses encode as `oovId`; blank text yields an empty
+  * array. */
+object TokenIds {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def idsRow(text: UTF8String,
+      vocab: java.util.HashMap[UTF8String, java.lang.Long],
+      oovId: Long): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[AnyRef](16)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        val id = vocab.get(UTF8String.fromBytes(bytes, start, i - start))
+        out.add(if (id == null) java.lang.Long.valueOf(oovId) else id)
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+case class TokenIdsExpr(child: Expression,
+    vocab: java.util.HashMap[UTF8String, java.lang.Long], oovId: Long)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_ids"
+
+  override def nullSafeEval(a: Any): Any =
+    TokenIds.idsRow(a.asInstanceOf[UTF8String], vocab, oovId)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val vref = ctx.addReferenceObj("tokenVocab", vocab,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TokenIds.idsRow($x, $vref, ${oovId}L);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class TokensOfExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
@@ -212,4 +265,8 @@ object TextFunctions {
     Bridge.column(TokenCountExpr(Bridge.expression(text)))
   def tokens_of(text: Column): Column =
     Bridge.column(TokensOfExpr(Bridge.expression(text)))
+  def token_ids(text: Column,
+      vocab: java.util.HashMap[UTF8String, java.lang.Long],
+      oovId: Long): Column =
+    Bridge.column(TokenIdsExpr(Bridge.expression(text), vocab, oovId))
 }

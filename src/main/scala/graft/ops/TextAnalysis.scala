@@ -567,35 +567,36 @@ object TextAnalysis {
 
   /** Token-id encoding against a vocabulary (the text → ids step ahead
     * of packing/chunking): whitespace tokens map to `token_id`, misses
-    * to `oovId`. The vocabulary is broadcast (it is top-N by
-    * construction); the only corpus shuffle is the positional
-    * reassembly groupBy. Null/blank documents encode to an empty id
-    * list.
+    * to `oovId`. The vocabulary — top-N by construction — is collected
+    * once and rides a fused byte-scan expression
+    * ([[graft.functions.TokenIds]]) as a reference object, so the whole
+    * encode is EXCHANGE-FREE scan-side work: no token explode, no
+    * broadcast join, no positional reassembly shuffle (the join form
+    * moved one row per token occurrence corpus-wide). Null/blank
+    * documents encode to an empty id list. `oovId` must not collide
+    * with a vocabulary id (vocab ids are ≥ 0; the default −1 never
+    * does).
     *
     * @return (id, n_tokens, n_oov, ids) — ids in document order
     */
   def encodeTokens(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, oovId: Long = -1L): DataFrame = {
-    val toks = df
-      .filter(col(textCol).isNotNull && length(wsTrim(col(textCol))) > 0)
+    val vmap = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    vocab.select(col("token"), col("token_id").cast("long")).collect()
+      .foreach { r =>
+        vmap.put(org.apache.spark.unsafe.types.UTF8String
+          .fromString(r.getString(0)), r.getLong(1))
+      }
+    // two stacked projections: `ids` is a non-cheap expression referenced
+    // three times, so CollapseProject keeps it computed ONCE
+    df.select(col(idCol),
+        graft.functions.TextFunctions.token_ids(
+          coalesce(col(textCol), lit("")), vmap, oovId).as("ids"))
       .select(col(idCol),
-        posexplode(tokens(lower(col(textCol)))).as(Seq("__pos", "__tok")))
-    val mapped = toks
-      .join(broadcast(vocab.select(col("token").as("__tok"),
-        col("token_id"))), Seq("__tok"), "left_outer")
-      .select(col(idCol), col("__pos"),
-        coalesce(col("token_id").cast("long"), lit(oovId)).as("__tid"))
-    val packed = mapped.groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__tid") === oovId, 1L).otherwise(0L)).as("n_oov"),
-        transform(
-          array_sort(collect_list(struct(col("__pos"), col("__tid")))),
-          x => x.getField("__tid")).as("ids"))
-    df.select(col(idCol)).join(packed, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-        coalesce(col("ids"), array().cast("array<long>")).as("ids"))
+        size(col("ids")).cast("long").as("n_tokens"),
+        size(filter(col("ids"), _ === lit(oovId))).cast("long").as("n_oov"),
+        col("ids"))
   }
 
   def documentStats(df: DataFrame, textCol: String): DataFrame = {
