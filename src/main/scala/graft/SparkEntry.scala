@@ -766,6 +766,22 @@ object SparkEntry {
           .as("ids_md5"))
   }
 
+  /** Per-group HLL ([[graft.ops.Sketches.hllRegistersByGroup]]): distinct
+    * users per event type — groups × 2^8 registers max, one shuffle; the
+    * oracle replays every register and the bias-corrected estimate, and
+    * carries the exact distinct count alongside. */
+  private def q110_hll_by_group(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).filter(col("user_id").isNotNull)
+    val regs = Sketches.hllRegistersByGroup(ev, "event_type",
+      col("user_id"), b = 8)
+    val est = Sketches.hllEstimateByGroup(regs, b = 8)
+    val exact = ev.groupBy(col("event_type").as("grp"))
+      .agg(countDistinct("user_id").as("exact_distinct"))
+    est.join(exact, Seq("grp"))
+      .select(col("grp").as("event_type"), col("nonzero_regs"),
+        col("sum_inv"), col("est"), col("exact_distinct"))
+  }
+
   /** Hash-sample quantiles ([[Sampling.sampleQuantiles]]): the bounded-
     * cost distribution profile — deterministic md5 draw, exact
     * quantile_disc ranks over the sample, fully replayed by the oracle. */
@@ -1439,6 +1455,21 @@ object SparkEntry {
   // Large derived graph (events → user-interaction graph)
   // =========================================================================
 
+  /** Temporal earliest-arrival reachability ([[Algorithms
+    * .earliestArrival]]) on the timestamped user-interaction graph:
+    * which users could information from the seed users actually have
+    * reached within 4 interaction hops, and when — edges fired before
+    * the information arrived cannot carry it (static q13-style
+    * reachability over-reports). The oracle is a state-deduped
+    * recursive closure over the same temporal edges. */
+  private def q111_temporal_reachability(s: SparkSession, d: String): DataFrame = {
+    val e = TradeGraph.userTemporalEdges(s, d)
+    val seeds = TradeGraph.events(s, d)
+      .select(col("user_id").as("id")).filter(col("id") < 20).distinct()
+    val start = e.agg(min("ts")).head().getLong(0)
+    Algorithms.earliestArrival(e, seeds, start, maxHops = 4)
+  }
+
   /** Batched BFS over the skewed user graph: distances ≤ 2 from 50 seeds —
     * the kernels' bench anchor on a non-toy graph. */
   private def q35_user_bfs(s: SparkSession, d: String): DataFrame = {
@@ -1562,6 +1593,8 @@ object SparkEntry {
     "q107_overlap_join" -> (q107_overlap_join _),
     "q108_token_ids" -> (q108_token_ids _),
     "q109_sample_quantiles" -> (q109_sample_quantiles _),
+    "q110_hll_by_group" -> (q110_hll_by_group _),
+    "q111_temporal_reachability" -> (q111_temporal_reachability _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -1764,6 +1797,20 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // state-deduped temporal closure: UNION bounds states by
+    // seeds x edges x hops, min arrival taken at the end
+    "q111_temporal_reachability" ->
+      s"""WITH RECURSIVE ${TradeGraph.sqlUserTemporalEdges},
+         st AS (SELECT min(ts) AS t0 FROM user_tedges),
+         b(s, v, arr, hop) AS (
+           SELECT user_id, user_id, (SELECT t0 FROM st), 0
+           FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20)
+           UNION
+           SELECT b.s, e.dst, e.ts, b.hop + 1
+           FROM b JOIN user_tedges e ON b.v = e.src AND e.ts >= b.arr
+           WHERE b.hop < 4)
+         SELECT s AS src, v AS dst, min(arr) AS arrival
+         FROM b WHERE v <> s GROUP BY 1, 2""",
     "q35_user_bfs" ->
       s"""WITH RECURSIVE ${TradeGraph.sqlUserEdges},
          b(src, dst, dist) AS (
@@ -3702,6 +3749,46 @@ object SparkEntry {
                 coalesce(a.n_oov, 0) AS n_oov,
                 coalesce(a.ids_md5, md5('')) AS ids_md5
          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+
+    // the q86 register replay grouped by event_type: every register,
+    // the grouped-by-rho float discipline, and the linear-counting branch
+    "q110_hll_by_group" ->
+      """WITH h AS (
+           SELECT event_type AS grp,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS hi,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8)
+               AS BIGINT) AS lo,
+             user_id
+           FROM events WHERE user_id IS NOT NULL),
+         regs AS (
+           SELECT grp, lo % 256 AS idx,
+             max(CASE WHEN (hi << 24) + (lo >> 8) = 0 THEN 57
+                      ELSE 57 - len(bin((hi << 24) + (lo >> 8))) END) AS rho
+           FROM h GROUP BY 1, 2),
+         byrho AS (
+           SELECT grp, rho, CAST(count(*) AS DOUBLE) AS cnt
+           FROM regs GROUP BY 1, 2),
+         sums AS (
+           SELECT grp, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS nonzero_regs,
+             (256.0 - coalesce(sum(cnt), 0))
+               + coalesce(sum(cnt * pow(2.0, -rho)), 0) AS sum_inv
+           FROM byrho GROUP BY 1),
+         est0 AS (
+           SELECT grp, nonzero_regs, sum_inv,
+             256 - nonzero_regs AS zero_regs,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / sum_inv AS est_raw
+           FROM sums),
+         ex AS (
+           SELECT grp, count(DISTINCT user_id) AS exact_distinct
+           FROM h GROUP BY 1)
+         SELECT est0.grp AS event_type, nonzero_regs,
+           round(sum_inv, 6) AS sum_inv,
+           round(CASE WHEN est_raw <= 640.0 AND zero_regs > 0
+                 THEN 256.0 * ln(256.0 / zero_regs) ELSE est_raw END, 4)
+             AS est,
+           ex.exact_distinct
+         FROM est0 JOIN ex ON est0.grp = ex.grp""",
 
     // the deterministic md5 draw + quantile_disc ranks, replayed
     "q109_sample_quantiles" ->

@@ -232,6 +232,32 @@ object TradeGraph {
            FROM events)
          WHERE prev IS NOT NULL AND prev <> user_id)"""
 
+  /** [[userEdges]] with the interaction TIME kept: each edge carries the
+    * LATER event's ms timestamp — the temporal graph for
+    * earliest-arrival reachability. */
+  def userTemporalEdges(spark: SparkSession, sfDir: String): DataFrame =
+    cachedView(spark, s"user_tedges:$sfDir") {
+      val w = Window.partitionBy("hr").orderBy("ts", "event_id")
+      events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("ts DIV 3600000000000").as("hr"))
+        .withColumn("prev", lag("user_id", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") =!= col("user_id"))
+        .select(col("prev").as("src"), col("user_id").as("dst"),
+          expr("ts DIV 1000000").as("ts"))
+        .distinct()
+    }
+
+  val sqlUserTemporalEdges: String =
+    """user_tedges AS (
+         SELECT DISTINCT prev AS src, user_id AS dst, epoch_ms(ts) AS ts
+         FROM (
+           SELECT user_id, ts, event_id,
+                  lag(user_id) OVER (PARTITION BY date_trunc('hour', ts)
+                    ORDER BY ts, event_id) AS prev
+           FROM events)
+         WHERE prev IS NOT NULL AND prev <> user_id)"""
+
   /** Registers `trade` for the session once (schema validation reads
     * every table's parquet footer, so doing it once per session instead
     * of once per query saves ~2 s/query) and returns a Graft facade

@@ -565,6 +565,78 @@ object Algorithms {
     ranks.select(col("id"), col("rank").as("ppr"))
   }
 
+  /** Earliest-arrival TEMPORAL reachability (beyond the reference's
+    * algorithm set): over a temporal edge set (src, dst, ts), a path is
+    * valid only if edge times never decrease — who could information
+    * from a seed actually have REACHED, and when. Static reachability
+    * (q13) over-reports: an edge that fired before the information
+    * arrived cannot carry it. Arrival after traversing (a, b, t) is t;
+    * earliest arrival minimizes over temporal paths of ≤ `maxHops`
+    * edges.
+    *
+    * At scale each round is one frontier-edge join (ts ≥ arrival as a
+    * residual on the equi-key) + a min aggregation + an improvement
+    * anti-check against the running best — label-correcting
+    * Bellman-Ford, rounds = maxHops or until no label improves.
+    * Frontier-only relaxation is sound: an earlier arrival admits a
+    * superset of a later arrival's continuations. Small graphs run the
+    * driver kernel under the usual gates.
+    *
+    * @return (src, dst, arrival) for every seed-reached vertex (self
+    *         rows excluded)
+    */
+  def earliestArrival(edges: DataFrame, seeds: DataFrame, startTs: Long,
+      maxHops: Int = 16): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 128,
+      s"maxHops must be in [1, 128] (got $maxHops)")
+    val sp = edges.sparkSession
+    import sp.implicits._
+    val probe = PathFinder.localMaxEdges.toInt + 1
+    val clean = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("ts").cast("long").as("ts"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("ts").isNotNull)
+    if (clean.limit(probe).count() <= PathFinder.localMaxEdges &&
+        seeds.limit(probe).count() <= PathFinder.localMaxEdges) {
+      val earr = clean.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val sArr = seeds.select(col("id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      return LocalKernels.earliestArrival(earr, sArr, startTs, maxHops)
+        .toSeq.toDF("src", "dst", "arrival")
+    }
+    val e = clean.persist(StorageLevel.MEMORY_AND_DISK)
+    var arr = seeds.select(col("id").cast("long").as("s")).distinct()
+      .select(col("s"), col("s").as("v"), lit(startTs).as("arr"))
+      .transform(PathFinder.ckpt)
+    var frontier = arr
+    var hop = 0
+    var done = frontier.isEmpty
+    while (hop < maxHops && !done) {
+      val relax = frontier.join(e,
+          col("v") === e("src") && e("ts") >= col("arr"))
+        .select(col("s"), e("dst").as("v"), e("ts").as("arr2"))
+        .groupBy("s", "v").agg(min("arr2").as("arr2"))
+      val improved = relax
+        .join(arr.withColumnRenamed("arr", "__old"), Seq("s", "v"),
+          "left_outer")
+        .filter(col("__old").isNull || col("arr2") < col("__old"))
+        .select(col("s"), col("v"), col("arr2").as("arr"))
+        .transform(PathFinder.ckpt)
+      if (improved.isEmpty) done = true
+      else {
+        arr = PathFinder.ckpt(arr.union(improved)
+          .groupBy("s", "v").agg(min("arr").as("arr")))
+        frontier = improved
+      }
+      hop += 1
+    }
+    e.unpersist()
+    arr.filter(col("v") =!= col("s"))
+      .select(col("s").as("src"), col("v").as("dst"),
+        col("arr").as("arrival"))
+  }
+
   /** Betweenness centrality (beyond the reference's algorithm set): the
     * fraction of all-pairs shortest paths passing THROUGH each vertex —
     * the brokerage measure harmonic/closeness (q97) cannot see. Exact

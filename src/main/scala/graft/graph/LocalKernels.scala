@@ -609,6 +609,39 @@ private[graph] object LocalKernels {
     verts.toArray.map(v => (v, !removed.getOrElse(v, false)))
   }
 
+  /** Earliest-arrival temporal reachability — the
+    * [[graft.graph.Algorithms.earliestArrival]] twin. An edge (a, b, t)
+    * is traversable from a state that arrived at `a` no later than `t`,
+    * and traversing it sets the arrival at `b` to `t`; earliest arrival
+    * minimizes over temporal paths of ≤ maxHops edges. Frontier-only
+    * relaxation is sound because an earlier arrival admits a superset
+    * of the later one's continuations. */
+  def earliestArrival(edges: Array[(Long, Long, Long)], seeds: Array[Long],
+      startTs: Long, maxHops: Int): Array[(Long, Long, Long)] = {
+    val bySrc = edges.groupBy(_._1)
+    val best = mutable.HashMap[(Long, Long), Long]()
+    val ss = seeds.distinct.sorted
+    ss.foreach(s => best((s, s)) = startTs)
+    var frontier: Iterable[(Long, Long, Long)] = ss.map(s => (s, s, startTs))
+    var hop = 0
+    while (hop < maxHops && frontier.nonEmpty) {
+      val next = mutable.HashMap[(Long, Long), Long]()
+      frontier.foreach { case (s, v, arr) =>
+        bySrc.getOrElse(v, Array.empty).foreach { case (_, d, t) =>
+          if (t >= arr) {
+            val k = (s, d)
+            if (next.get(k).forall(t < _)) next(k) = t
+          }
+        }
+      }
+      val improved = next.filter { case (k, t) => best.get(k).forall(t < _) }
+      improved.foreach { case (k, t) => best(k) = t }
+      frontier = improved.map { case ((s, v), t) => (s, v, t) }
+      hop += 1
+    }
+    best.iterator.collect { case ((s, v), t) if s != v => (s, v, t) }.toArray
+  }
+
   /** Exact directed Brandes betweenness — the
     * [[graft.graph.Algorithms.betweennessCentrality]] twin. Unweighted
     * shortest paths over the simple digraph (parallel edges collapsed);

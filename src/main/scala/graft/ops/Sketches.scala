@@ -208,6 +208,46 @@ object Sketches {
       .groupBy("idx").agg(max("rho").as("rho"))
   }
 
+  /** Per-GROUP HLL registers ([[hllRegisters]] keyed by a group column):
+    * distinct cardinality per domain/stratum/shard — the "distinct users
+    * per segment over 100 TB" shape. Still ONE map-side-combinable
+    * shuffle; at most groups × 2^b output rows; mergeable across
+    * partitions/days by the same per-(group, idx) max. */
+  def hllRegistersByGroup(df: DataFrame, groupCol: String, keyCol: Column,
+      b: Int): DataFrame = {
+    val (idx, rho) = hllIdxRho(keyCol, b)
+    df.select(col(groupCol).as("grp"), idx.as("idx"), rho.as("rho"))
+      .groupBy("grp", "idx").agg(max("rho").as("rho"))
+  }
+
+  /** Per-group bias-corrected estimates from [[hllRegistersByGroup]]
+    * output — the [[hllSummary]] arithmetic applied per group (same
+    * grouped-by-rho float discipline, same linear-counting correction).
+    *
+    * @return (grp, nonzero_regs, sum_inv, est) per group
+    */
+  def hllEstimateByGroup(registers: DataFrame, b: Int): DataFrame = {
+    require(b >= 8 && b <= 16, s"b must be in [8, 16] (got $b)")
+    val m = 1L << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers.groupBy("grp", "rho")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .groupBy("grp")
+      .agg(coalesce(sum(col("cnt")), lit(0.0)).as("nz"),
+        coalesce(sum(col("cnt") * pow(lit(2.0), -col("rho"))), lit(0.0))
+          .as("inv_nz"))
+      .select(col("grp"),
+        col("nz").cast("long").as("nonzero_regs"),
+        ((lit(m.toDouble) - col("nz")) + col("inv_nz")).as("sum_inv"),
+        (lit(m) - col("nz").cast("long")).as("__zero"))
+      .withColumn("__est_raw", lit(alpha * m * m) / col("sum_inv"))
+      .select(col("grp"), col("nonzero_regs"),
+        round(col("sum_inv"), 6).as("sum_inv"),
+        round(when(col("__est_raw") <= lit(2.5 * m) && col("__zero") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__zero")))
+          .otherwise(col("__est_raw")), 4).as("est"))
+  }
+
   /** The per-key (register index, rank) column pair of [[hllRegisters]]
     * — shared with the streaming twin so both compute identical
     * registers from identical expressions. */

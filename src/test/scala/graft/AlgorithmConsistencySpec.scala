@@ -513,4 +513,50 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("earliest arrival: both branches match a brute-force temporal-path " +
+      "enumeration on random timestamped digraphs") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    def withDist[T](body: => T): T = {
+      val e = PathFinder.localMaxEdges
+      PathFinder.localMaxEdges = 0
+      try body finally PathFinder.localMaxEdges = e
+    }
+    // independent oracle: enumerate EVERY temporal path of <= maxHops
+    // edges (no label pruning at all), take the min arrival per pair
+    def oracle(es: Seq[(Long, Long, Long)], seeds: Seq[Long], t0: Long,
+        maxHops: Int): Map[(Long, Long), Long] = {
+      val best = scala.collection.mutable.Map[(Long, Long), Long]()
+      def walk(s: Long, v: Long, arr: Long, hops: Int): Unit = {
+        if (hops < maxHops)
+          es.foreach { case (a, b, t) =>
+            if (a == v && t >= arr) {
+              if (s != b && best.get((s, b)).forall(t < _)) best((s, b)) = t
+              walk(s, b, t, hops + 1)
+            }
+          }
+      }
+      seeds.foreach(se => walk(se, se, t0, 0))
+      best.toMap
+    }
+    for (seed <- 501L to 504L) {
+      val rnd = new scala.util.Random(seed)
+      val n = 8 + rnd.nextInt(6)
+      val es = for {
+        a <- 0L until n.toLong; b <- 0L until n.toLong
+        if a != b && rnd.nextDouble() < 0.2
+      } yield (a, b, rnd.nextInt(50).toLong)
+      val seeds = (0L until n.toLong).filter(_ % 2 == 0)
+      val want = oracle(es, seeds, t0 = 5L, maxHops = 3)
+      def run() = Algorithms.earliestArrival(
+          es.toDF("src", "dst", "ts"), seeds.toDF("id"),
+          startTs = 5L, maxHops = 3)
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+      assert(run() === want, s"(seed $seed local)")
+      assert(withDist(run()) === want, s"(seed $seed dist)")
+    }
+  }
 }
