@@ -175,13 +175,20 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
   }
 
   private def intArg(args: Seq[String], i: Int, default: Option[Int],
-      usage: String): Int =
-    if (args.length <= i) default.getOrElse(throw GraphAnalysisException(
-      s"$usage requires an integer argument ${i + 1}"))
-    else try args(i).toInt catch {
-      case _: NumberFormatException => throw GraphAnalysisException(
-        s"$usage: argument ${i + 1} must be an integer (got '${args(i)}')")
-    }
+      usage: String, min: Int = 1): Int = {
+    val v =
+      if (args.length <= i) default.getOrElse(throw GraphAnalysisException(
+        s"$usage requires an integer argument ${i + 1}"))
+      else try args(i).toInt catch {
+        case _: NumberFormatException => throw GraphAnalysisException(
+          s"$usage: argument ${i + 1} must be an integer (got '${args(i)}')")
+      }
+    // range-check here so SQL callers get the SQL surface's error type,
+    // not a raw IllegalArgumentException from the Scala API's require
+    if (v < min) throw GraphAnalysisException(
+      s"$usage: argument ${i + 1} must be >= $min (got $v)")
+    v
+  }
 
   private def tableFunction(fn: String, args: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col

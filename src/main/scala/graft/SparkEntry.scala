@@ -721,11 +721,15 @@ object SparkEntry {
     * near-identical 40-char document heads within levenshtein ≤ 2 —
     * PassJoin segment blocking (zero false negatives), thresholded-DP
     * verify. The oracle brute-forces all n²/2 levenshteins; our plan
-    * never materializes non-colliding pairs. */
+    * never materializes non-colliding pairs. Heads are projected to
+    * printable ASCII on BOTH sides: Spark's levenshtein counts code
+    * points, DuckDB's counts bytes — they only agree on ASCII. */
   private def q102_fuzzy_join(s: SparkSession, d: String): DataFrame = {
     val heads = t(s, d, "documents").filter(col("text").isNotNull)
       .select(col("doc_id"),
-        substring(regexp_replace(col("text"), "^\\s+", ""), 1, 40).as("head"))
+        substring(regexp_replace(
+          regexp_replace(col("text"), "[^\\x20-\\x7E]", ""),
+          "^ +", ""), 1, 40).as("head"))
     Dedup.editDistancePairs(heads, "doc_id", "head", maxDist = 2)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
@@ -1466,7 +1470,9 @@ object SparkEntry {
     val e = TradeGraph.userTemporalEdges(s, d)
     val seeds = TradeGraph.events(s, d)
       .select(col("user_id").as("id")).filter(col("id") < 20).distinct()
-    val start = e.agg(min("ts")).head().getLong(0)
+    val minRow = e.agg(min("ts")).head()
+    // empty temporal graph → empty result, not an NPE on the null min
+    val start = if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
     Algorithms.earliestArrival(e, seeds, start, maxHops = 4)
   }
 
@@ -3840,11 +3846,15 @@ object SparkEntry {
          FROM inc JOIN err ON ilo <= ehi AND elo <= ihi""",
 
     // brute-force all-pairs levenshtein — the quadratic formulation our
-    // PassJoin blocking must reproduce exactly (zero false negatives)
+    // PassJoin blocking must reproduce exactly (zero false negatives).
+    // ASCII projection on both sides: DuckDB levenshtein is byte-based,
+    // Spark's is code-point-based — they agree only on ASCII
     "q102_fuzzy_join" ->
       """WITH h AS (
            SELECT doc_id,
-                  substr(regexp_replace(text, '^\s+', ''), 1, 40) AS head
+                  substr(regexp_replace(
+                    regexp_replace(text, '[^\x20-\x7E]', '', 'g'),
+                    '^ +', ''), 1, 40) AS head
            FROM documents WHERE text IS NOT NULL)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 levenshtein(a.head, b.head) AS dist

@@ -24,7 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * pattern): a declarative nested `transform(sequence(...))` chain would
   * re-evaluate its outer bindings per element (the round-6 q73 lesson).
   * All offsets are CODE-POINT indices (`UTF8String.substring` walks code
-  * points), matching character-level `levenshtein` on both engines.
+  * points), matching Spark's code-point `levenshtein`. NOTE: DuckDB's
+  * `levenshtein` is BYTE-based — `levenshtein('héllo','hello')` is 2
+  * there, 1 here — so a cross-engine oracle over this operator must
+  * restrict to ASCII (or byte-identical) strings, as q102 does
+  * explicitly.
   */
 object PassJoinKeys {
   /** Segment geometry: the first (L mod k) of k segments get the extra

@@ -122,26 +122,21 @@ object TokensOf {
   * pattern). Misses encode as `oovId`; blank text yields an empty
   * array. */
 object TokenIds {
-  private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
-
   def idsRow(text: UTF8String,
       vocab: java.util.HashMap[UTF8String, java.lang.Long],
       oovId: Long): ArrayData = {
-    val bytes = text.toLowerCase.getBytes
-    val n = bytes.length
-    val out = new java.util.ArrayList[AnyRef](16)
+    // delegate tokenization to [[TokensOf]] — ONE tokenizer definition,
+    // so the vocab-build tokens and the encode tokens can never drift
+    val toks = TokensOf.tokensRow(text)
+    val n = toks.numElements()
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      while (i < n && isWs(bytes(i))) i += 1
-      val start = i
-      while (i < n && !isWs(bytes(i))) i += 1
-      if (i > start) {
-        val id = vocab.get(UTF8String.fromBytes(bytes, start, i - start))
-        out.add(if (id == null) java.lang.Long.valueOf(oovId) else id)
-      }
+      val id = vocab.get(toks.getUTF8String(i))
+      out(i) = if (id == null) java.lang.Long.valueOf(oovId) else id
+      i += 1
     }
-    new GenericArrayData(out.toArray)
+    new GenericArrayData(out)
   }
 }
 

@@ -678,10 +678,13 @@ object Algorithms {
         col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val domain = vertices.select(col("id").cast("long").as("id"))
-      .union(e.select(col("src").as("id")))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
+    // ckpt'd: the final result joins domain AFTER e.unpersist() — an
+    // un-materialized domain would re-run the edge cleaning pipeline
+    val domain = PathFinder.ckpt(
+      vertices.select(col("id").cast("long").as("id"))
+        .union(e.select(col("src").as("id")))
+        .union(e.select(col("dst").as("id")))
+        .distinct())
     val srcs = srcDf.join(domain, Seq("id"), "left_semi")
     // forward: batched BFS carrying sigma (shortest-path counts)
     var frontier = srcs

@@ -67,7 +67,12 @@ object OrderedJoins {
     // forward scans are the mirrored backward scan: negate the ordering
     // timestamp so "latest ≤ ts" becomes "earliest ≥ ts"
     val sign = if (forward) -1L else 1L
-    val rTagged = right.select(
+    // a null-ts right row can never satisfy the ASOF inequality (DuckDB:
+    // `l.ts >= r.ts` is never true on null) — without this filter it
+    // sorts nulls-first and becomes everyone's "earliest" match whenever
+    // no real one exists and tolerance is None
+    val rNonNull = right.filter(col(rightTs).isNotNull)
+    val rTagged = rNonNull.select(
       keys.map(col) ++ Seq(
         (col(rightTs).cast(LongType) * sign).as("__ats"), lit(0).as("__aside"),
         struct(rPayload.map(col): _*).as("__amatch")): _*)

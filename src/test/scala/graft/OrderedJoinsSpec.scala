@@ -91,6 +91,24 @@ class OrderedJoinsSpec extends AnyFunSuite {
     assert(fast === naive)
   }
 
+  test("asof: a null-ts right row never matches (DuckDB `l.ts >= r.ts` " +
+      "semantics), in both directions and without tolerance") {
+    val s = init()
+    import s.implicits._
+    val l = Seq((1L, 10L, "a"), (2L, 5L, "b")).toDF("k", "lts", "ltag")
+    // key 1 has ONLY a null-ts right row; key 2 has a real one too
+    val r = Seq((1L, Option.empty[Long], "nul1"), (2L, Option(3L), "r3"),
+      (2L, Option.empty[Long], "nul2")).toDF("k", "rts", "rtag")
+    val back = OrderedJoins.asofJoinBackward(l, r, Seq("k"), "lts", "rts")
+      .select("ltag", "rtag").collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(back === Map("a" -> None, "b" -> Some("r3")))
+    val fwd = OrderedJoins.asofJoinForward(l, r, Seq("k"), "lts", "rts")
+      .select("ltag", "rtag").collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(fwd === Map("a" -> None, "b" -> None))
+  }
+
   test("asof rejects right/left column collisions") {
     val s = init()
     import s.implicits._
