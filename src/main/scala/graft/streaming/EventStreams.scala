@@ -235,6 +235,63 @@ object EventStreams {
           .as("gap_ms"))
   }
 
+  /** Streaming AS-OF enrichment — the incremental twin of
+    * [[graft.ops.OrderedJoins.asofJoinBackward]] over one tagged stream:
+    * rows carry (key, ts, isRight, payload); right rows update per-key
+    * state (the latest payload by ts — a max merge, so right REDELIVERY
+    * and in-batch disorder are absorbed), left rows emit (key, ts,
+    * matched payload or null).
+    *
+    * Within a micro-batch, rows process in (ts, rights-first) order, so
+    * a right row arriving in the same batch as a later left row IS
+    * visible to it, and equal timestamps match (the backward-asof
+    * inclusive rule). Across batches the state is whatever has ARRIVED:
+    * the result equals the batch as-of join whenever batching respects
+    * cross-batch time order (a right row never lands in a later batch
+    * than a left row with a later ts) — the standard low-latency
+    * enrichment contract; buffering lefts behind a watermark would
+    * trade latency for out-of-order tolerance. State per key is ONE
+    * (ts, payload) pair; left duplicates re-emit (at-least-once
+    * output).
+    *
+    * @param rows (key: long, ts: long, isRight: boolean, payload:
+    *             string) — pre-unioned tagged stream
+    */
+  def asofEnrich(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.selectExpr("CAST(key AS LONG) AS key", "CAST(ts AS LONG) AS ts",
+        "CAST(isRight AS BOOLEAN) AS isRight",
+        "CAST(payload AS STRING) AS payload")
+      .where(col("key").isNotNull && col("ts").isNotNull)
+      .as[(Long, Long, Boolean, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String), (Long, Long, Option[String])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Boolean, String)],
+            state: GroupState[(Long, String)]) =>
+          // rights sort before lefts at equal ts → inclusive matching
+          val batch = it.toArray.sortBy(r => (r._2, !r._3))
+          var latest = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Option[String])]()
+          batch.foreach { case (_, ts, isRight, payload) =>
+            if (isRight) {
+              // max-by-(ts, payload) merge: idempotent, order-independent
+              if (latest.forall(l =>
+                  ts > l._1 || (ts == l._1 && payload > l._2)))
+                latest = Some((ts, payload))
+            } else {
+              out += ((key, ts, latest.filter(_._1 <= ts).map(_._2)))
+            }
+          }
+          latest.foreach(state.update)
+          out.iterator
+      }
+      .toDF("key", "ts", "matched")
+  }
+
   /** Session windows (native session_window, 30-minute gap): the streaming
     * analogue of SparkEntry.q30_sessionize. */
   def sessionWindows(events: DataFrame,

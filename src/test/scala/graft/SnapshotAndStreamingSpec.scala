@@ -269,6 +269,59 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
     assert(counters.toMap == batch)
   }
 
+  test("streaming as-of enrichment converges to the batch as-of join " +
+      "under time-ordered batching; right redelivery is absorbed") {
+    val s = init()
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // deterministic fixture: 60 lefts + 45 rights over 9 keys
+    val lefts = (0 until 60).map(i =>
+      (math.abs((i * 2654435761L) % 9), (i * 48271L) % 100, false,
+        s"L$i"))
+    val rights = (0 until 45).map(i =>
+      (math.abs((i * 97178899L) % 9), (i * 16807L) % 100, true, s"R$i"))
+    val all = (lefts ++ rights).sortBy(r => (r._2, !r._3, r._4))
+    // three batches split by TIME (the documented contract), shuffled
+    // WITHIN each batch; a slice of batch-1 rights re-delivered in
+    // batch 3 (must be absorbed by the max merge)
+    val third = (all.length + 2) / 3
+    val parts = all.grouped(third).toSeq
+    val chunks = Seq(
+      parts(0).sortBy(_._4.hashCode),
+      parts(1).sortBy(_._4.hashCode),
+      (parts(2) ++ parts(0).filter(_._3).take(5)).sortBy(_._4.hashCode))
+    val ms = MemoryStream[(Long, Long, Boolean, String)](s)
+    val got = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Option[String])]()
+    val q = graft.streaming.EventStreams.asofEnrich(
+        ms.toDF().toDF("key", "ts", "isRight", "payload"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          got += ((r.getLong(0), r.getLong(1),
+            Option(if (r.isNullAt(2)) null else r.getString(2)))))
+      }.start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // batch oracle: the as-of operator itself over the same rows (left
+    // payload carried as the row id so duplicates stay distinct)
+    val l = lefts.map(r => (r._1, r._2, r._4)).toDF("key", "lts", "lid")
+    val r = rights.map(x => (x._1, x._2, x._4)).toDF("key", "rts", "rpay")
+    // multiset comparison on (key, ts, match): two lefts sharing
+    // (key, ts) get the SAME match by determinism, so identity of the
+    // individual left row doesn't matter
+    val want = graft.ops.OrderedJoins.asofJoinBackward(
+        l, r, Seq("key"), "lts", "rts")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        Option(if (x.isNullAt(4)) null else x.getString(4))))
+      .sortBy(t => (t._1, t._2, t._3.getOrElse("")))
+    assert(got.size == lefts.size)
+    assert(got.toList.sortBy(t => (t._1, t._2, t._3.getOrElse(""))) ==
+      want.toList)
+  }
+
   test("flatMapGroupsWithState milestones match the batch counts") {
     val s = init()
     val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
