@@ -131,7 +131,7 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
       "(?i)(?<![A-Za-z0-9_.])(pagerank|weakly_connected_component|" +
         "strongly_connected_component|local_clustering_coefficient|" +
         "triangle_counts|k_core|harmonic_centrality|" +
-        "label_propagation|random_walks|betweenness_centrality|" +
+        "label_propagation|random_walks|betweenness_centrality|k_truss|" +
         "summarize_property_graph|get_pg_vtablenames|get_pg_etablenames|" +
         "get_pg_vcolnames|get_pg_ecolnames)\\s*\\(([^()]*)\\)")
     val sb = new StringBuilder(query)
@@ -162,6 +162,7 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
         case "label_propagation" => Some("communities")
         case "random_walks" => Some("walks")
         case "betweenness_centrality" => Some("betweenness")
+        case "k_truss" => Some("ktruss")
         case _ => None
       }
       val replacement = defaultAlias match {
@@ -216,6 +217,11 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
       case "betweenness_centrality" =>
         graph.Algorithms.betweennessTf(spark, pg(0), resolver,
           args(1), args(2))
+      case "k_truss" =>
+        val k = intArg(args, 3, default = None,
+          "k_truss(pg, vertexLabel, edgeLabel, k)", min = 3)
+        graph.Algorithms.kTrussTf(spark, pg(0), resolver,
+          args(1), args(2), k)
       case "label_propagation" =>
         val rounds = intArg(args, 3, default = Some(6),
           "label_propagation(pg, vertexLabel, edgeLabel[, rounds])")

@@ -615,6 +615,27 @@ object SparkEntry {
       .select(col("id"), round(col("ppr"), 6).as("ppr"))
   }
 
+  /** k-truss ([[Algorithms.kTruss]]): the q98 mixed graph at k=4 — the
+    * K5 region's edges each close 3 triangles and survive; the band
+    * regions' 2-supported edges lose their triangles once the
+    * 1-supported fringe peels, and cascade to empty (a one-shot
+    * support filter gets this wrong). Oracle = six generated peel
+    * rounds. */
+  private def q112_ktruss(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation")
+    val adj = TradeGraph.nationAdj(s, d).as("a")
+      .join(n.as("na"), col("a.src") === col("na.n_nationkey"))
+      .filter(col("n_regionkey") === 0)
+      .select(col("a.src").as("src"), col("a.dst").as("dst"))
+    val near = TradeGraph.nationNear(s, d).as("b")
+      .join(n.as("nb"), col("b.src") === col("nb.n_nationkey"))
+      .filter(col("n_regionkey") =!= 0)
+      .select(col("b.src").as("src"), col("b.dst").as("dst"))
+    Algorithms.kTruss(adj.union(near)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")), k = 4)
+  }
+
   /** Betweenness centrality ([[Algorithms.betweennessCentrality]], exact
     * Brandes): brokerage on the nation bands — band interiors carry the
     * shortest-path mass, band edges carry none. The oracle takes a fully
@@ -1601,6 +1622,7 @@ object SparkEntry {
     "q109_sample_quantiles" -> (q109_sample_quantiles _),
     "q110_hll_by_group" -> (q110_hll_by_group _),
     "q111_temporal_reachability" -> (q111_temporal_reachability _),
+    "q112_ktruss" -> (q112_ktruss _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2573,6 +2595,37 @@ object SparkEntry {
                 r6.id IS NOT NULL AS in_core
          FROM nation n LEFT JOIN r6 ON n.n_nationkey = r6.id""",
 
+    // six generated truss-peel rounds over the q98 mixed graph:
+    // per-edge support via the wedge join, keep support >= k-2 = 2
+    "q112_ktruss" -> {
+      // MATERIALIZED rounds: DuckDB inlines plain CTEs per reference, and
+      // each round references its predecessor 5x — 5^6 inlined copies of
+      // the base scan blow the open-file limit without materialization
+      val rounds = (1 to 6).map { t =>
+        s"""d$t AS MATERIALIZED (SELECT a AS u, b AS v FROM r${t - 1}
+             UNION ALL SELECT b, a FROM r${t - 1}),
+         s$t AS (SELECT e.a, e.b, count(*) AS sup FROM r${t - 1} e
+             JOIN d$t x ON x.u = e.a
+             JOIN d$t y ON y.u = e.b AND y.v = x.v
+             GROUP BY 1, 2),
+         r$t AS MATERIALIZED (SELECT a, b FROM s$t WHERE sup >= 2)"""
+      }.mkString(",\n         ")
+      s"""WITH $sqlNationAdj, $sqlNationNear,
+         eu AS (
+           SELECT src, dst FROM (
+             SELECT a.src, a.dst FROM nation_adj a
+               JOIN nation n ON a.src = n.n_nationkey WHERE n.n_regionkey = 0
+             UNION
+             SELECT b.src, b.dst FROM nation_near b
+               JOIN nation n ON b.src = n.n_nationkey WHERE n.n_regionkey <> 0)
+           WHERE src <> dst),
+         r0 AS MATERIALIZED (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM eu),
+         $rounds
+         SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst
+         FROM r6"""
+    },
     "q13_reachability" ->
       s"""WITH RECURSIVE $sqlNationNext,
          b(src, dst, dist) AS (

@@ -565,6 +565,63 @@ object Algorithms {
     ranks.select(col("id"), col("rank").as("ppr"))
   }
 
+  /** k-TRUSS (beyond the reference's algorithm set): the maximal
+    * subgraph where every EDGE closes at least k−2 triangles — the
+    * edge-level dense-region extractor one notch above [[kCore]]
+    * (degree survives a star; triangle support does not). Peel rounds:
+    * recompute per-edge support from the surviving edge set, drop
+    * under-supported edges, repeat to fixpoint.
+    *
+    * At scale each round is one wedge join over the surviving
+    * undirected edges (common-neighbor counts grouped per edge) plus a
+    * semi-join filter, checkpointed per round; rounds = peel depth. A
+    * hub vertex fans its wedge enumeration across the cluster like the
+    * triangle family; the same degree-orientation trick applies if a
+    * single hub ever dominates. Small graphs run the driver peel under
+    * the usual gates.
+    *
+    * @return surviving edges, normalized (src < dst)
+    */
+  def kTruss(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (got $k)")
+    val sp = edges.sparkSession
+    import sp.implicits._
+    val probe = PathFinder.localMaxEdges.toInt + 1
+    val pre = PathFinder.lookupEdgePairs(edges)
+    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
+        edges.limit(probe).count() <= PathFinder.localMaxEdges)) {
+      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
+      return LocalKernels.kTruss(earr, k).toSeq.toDF("src", "dst")
+    }
+    val need = k - 2
+    var cur = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .transform(PathFinder.ckpt)
+    var changed = true
+    while (changed) {
+      val und = cur.select(col("a").as("u"), col("b").as("v"))
+        .union(cur.select(col("b").as("u"), col("a").as("v")))
+      val sup = cur.as("e")
+        .join(und.as("x"), col("x.u") === col("e.a"))
+        .join(und.as("y"), col("y.u") === col("e.b") &&
+          col("y.v") === col("x.v"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("sup"))
+      val next = PathFinder.ckpt(
+        sup.filter(col("sup") >= need).select("a", "b"))
+      // limit-probe the drop instead of counting both sides fully
+      changed = !cur.join(next, Seq("a", "b"), "left_anti")
+        .limit(1).isEmpty
+      cur = next
+    }
+    cur.select(col("a").as("src"), col("b").as("dst"))
+  }
+
   /** Earliest-arrival TEMPORAL reachability (beyond the reference's
     * algorithm set): over a temporal edge set (src, dst, ts), a path is
     * valid only if edge times never decrease — who could information
@@ -1019,6 +1076,15 @@ object Algorithms {
     harmonicCentrality(v, e)
       .select(col("id").as(key), col("n_reached"), col("sum_dist"),
         col("harmonic"), col("closeness"))
+  }
+
+  /** `k_truss(pg, v, e, k)` table function (beyond the reference). */
+  def kTrussTf(spark: SparkSession, pg: PropertyGraph,
+      resolver: TableResolver, vLabel: String, eLabel: String,
+      k: Int): DataFrame = {
+    val (_, e, key) = graphOf(spark, pg, resolver, vLabel, eLabel)
+    kTruss(e, k).select(col("src").as(s"${key}_a"),
+      col("dst").as(s"${key}_b"))
   }
 
   /** `betweenness_centrality(pg, v, e)` table function (beyond the

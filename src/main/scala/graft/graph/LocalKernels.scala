@@ -609,6 +609,33 @@ private[graph] object LocalKernels {
     verts.toArray.map(v => (v, !removed.getOrElse(v, false)))
   }
 
+  /** k-truss — the [[graft.graph.Algorithms.kTruss]] twin: the maximal
+    * subgraph of the undirected simple graph in which every EDGE closes
+    * ≥ k−2 triangles (with both other sides also in the subgraph).
+    * Textbook peel: recompute per-edge support, drop under-supported
+    * edges, repeat to fixpoint. */
+  def kTruss(edges: Array[(Long, Long)], k: Int): Array[(Long, Long)] = {
+    var cur = mutable.LinkedHashSet[(Long, Long)]()
+    edges.foreach { case (s, d) =>
+      if (s != d) cur += ((math.min(s, d), math.max(s, d)))
+    }
+    val need = k - 2
+    var changed = true
+    while (changed && cur.nonEmpty) {
+      val adj = mutable.LongMap[mutable.HashSet[Long]]()
+      cur.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, mutable.HashSet.empty) += b
+        adj.getOrElseUpdate(b, mutable.HashSet.empty) += a
+      }
+      val keep = cur.filter { case (a, b) =>
+        adj(a).count(adj(b).contains) >= need
+      }
+      changed = keep.size != cur.size
+      cur = mutable.LinkedHashSet(keep.toSeq: _*)
+    }
+    cur.toArray
+  }
+
   /** Earliest-arrival temporal reachability — the
     * [[graft.graph.Algorithms.earliestArrival]] twin. An edge (a, b, t)
     * is traversable from a state that arrived at `a` no later than `t`,

@@ -514,6 +514,51 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     }
   }
 
+  test("k-truss: both branches match a naive fixpoint; a star survives " +
+      "k-core but not the truss") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    def withDist[T](body: => T): T = {
+      val e = PathFinder.localMaxEdges
+      PathFinder.localMaxEdges = 0
+      try body finally PathFinder.localMaxEdges = e
+    }
+    def naive(es: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
+      var cur = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      var changed = true
+      while (changed) {
+        val adj = (cur.toSeq ++ cur.toSeq.map(e => (e._2, e._1)))
+          .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+        val keep = cur.filter { case (a, b) =>
+          (adj(a) intersect adj(b)).size >= k - 2
+        }
+        changed = keep != cur
+        cur = keep
+      }
+      cur
+    }
+    for (seed <- 601L to 604L; k <- Seq(3, 4)) {
+      val (_, es) = randomGraph(seed)
+      val want = naive(es, k)
+      def run() = Algorithms.kTruss(es.toDF("src", "dst"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(run() === want, s"(seed $seed k=$k local)")
+      assert(withDist(run()) === want, s"(seed $seed k=$k dist)")
+    }
+    // a star center has high degree (passes k-core at k=2) but zero
+    // triangles — every truss at k >= 3 is empty; adding the (1,2,3)
+    // triangle completes K4 on {0,1,2,3}, whose 6 edges all survive
+    // while the pendant star arms (0,4..6) peel
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(Algorithms.kTruss(star.toDF("src", "dst"), 3).count() == 0)
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)) ++ star
+    assert(Algorithms.kTruss(tri.toDF("src", "dst"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 3L), (1L, 3L)))
+  }
+
   test("earliest arrival: both branches match a brute-force temporal-path " +
       "enumeration on random timestamped digraphs") {
     val s = Fixture.init()

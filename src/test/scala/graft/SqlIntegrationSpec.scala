@@ -291,6 +291,18 @@ class SqlIntegrationSpec extends AnyFunSuite {
     val wantBc = graft.graph.Algorithms.betweennessCentrality(v, e)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
     assert(bc == wantBc && bc.exists(_._2 > 0))
+    // k_truss with the 'ktruss' default alias; parity vs the API
+    val kt = g.sqlGraph(
+      """SELECT ktruss.id_a, ktruss.id_b
+         FROM k_truss('pg', 'Person', 'Knows', 3)""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantKt = graft.graph.Algorithms.kTruss(e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kt == wantKt)
+    val exKt = intercept[GraphAnalysisException] {
+      g.sqlGraph("SELECT * FROM k_truss('pg', 'Person', 'Knows', 2)")
+    }
+    assert(exKt.getMessage.contains(">= 3"))
   }
 
   test("COPY TO csv — copy_to_duckpgq.test") {
