@@ -636,6 +636,16 @@ object SparkEntry {
         col("dst").cast("long").as("dst")), k = 4)
   }
 
+  /** Link-prediction scores ([[Algorithms.linkPredictionScores]]): every
+    * pair sharing a neighbor on the nation bands, with common-neighbor
+    * count, neighborhood Jaccard, and Adamic–Adar — one wedge join +
+    * degree joins, fully replayed by the oracle. */
+  private def q113_link_prediction(s: SparkSession, d: String): DataFrame =
+    Algorithms.linkPredictionScores(
+      TradeGraph.nationNear(s, d)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst")))
+
   /** Betweenness centrality ([[Algorithms.betweennessCentrality]], exact
     * Brandes): brokerage on the nation bands — band interiors carry the
     * shortest-path mass, band edges carry none. The oracle takes a fully
@@ -1623,6 +1633,7 @@ object SparkEntry {
     "q110_hll_by_group" -> (q110_hll_by_group _),
     "q111_temporal_reachability" -> (q111_temporal_reachability _),
     "q112_ktruss" -> (q112_ktruss _),
+    "q113_link_prediction" -> (q113_link_prediction _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2594,6 +2605,32 @@ object SparkEntry {
          SELECT CAST(n.n_nationkey AS BIGINT) AS id,
                 r6.id IS NOT NULL AS in_core
          FROM nation n LEFT JOIN r6 ON n.n_nationkey = r6.id""",
+
+    // wedge join + degree joins replayed; ln is natural on both engines
+    "q113_link_prediction" ->
+      s"""WITH $sqlNationNear,
+         su AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM nation_near WHERE src <> dst),
+         nbr AS (SELECT a AS v, b AS n FROM su
+                 UNION ALL SELECT b, a FROM su),
+         deg AS (SELECT v, count(*) AS deg FROM nbr GROUP BY 1),
+         p AS (
+           SELECT x.v AS id_a, y.v AS id_b, count(*) AS cn,
+             sum(1.0 / ln(CAST(d.deg AS DOUBLE))) AS aa
+           FROM nbr x JOIN nbr y ON x.n = y.n AND x.v < y.v
+           JOIN deg d ON d.v = x.n
+           GROUP BY 1, 2)
+         SELECT CAST(p.id_a AS BIGINT) AS id_a,
+           CAST(p.id_b AS BIGINT) AS id_b,
+           cn AS common_neighbors,
+           round(CAST(cn AS DOUBLE) / (da.deg + db.deg - cn), 6) AS jaccard,
+           round(aa, 6) AS adamic_adar,
+           e.a IS NOT NULL AS is_edge
+         FROM p
+         JOIN deg da ON da.v = p.id_a
+         JOIN deg db ON db.v = p.id_b
+         LEFT JOIN su e ON e.a = p.id_a AND e.b = p.id_b""",
 
     // six generated truss-peel rounds over the q98 mixed graph:
     // per-edge support via the wedge join, keep support >= k-2 = 2

@@ -565,6 +565,60 @@ object Algorithms {
     ranks.select(col("id"), col("rank").as("ppr"))
   }
 
+  /** Link-prediction scores (beyond the reference's algorithm set): for
+    * every vertex pair sharing at least one undirected neighbor, the
+    * three standard topology features — common-neighbor count, Jaccard
+    * of the neighborhoods, and Adamic–Adar (Σ 1/ln deg(c) over common
+    * neighbors c; a common neighbor always has degree ≥ 2, so ln never
+    * vanishes) — plus an `is_edge` flag so candidate generation and
+    * evaluation both read off one frame.
+    *
+    * Plan: ONE wedge join over the undirected simple neighbor relation
+    * (a pair is generated once per shared neighbor and aggregated
+    * map-side), degrees broadcast back onto the pair set. A hub vertex
+    * fans its wedge enumeration like the triangle family — the same
+    * degree-orientation split applies if one hub dominates; pairs with
+    * no shared neighbor never materialize (score 0 by absence).
+    *
+    * @return (id_a, id_b, common_neighbors, jaccard, adamic_adar,
+    *         is_edge) with id_a < id_b
+    */
+  def linkPredictionScores(edges: DataFrame): DataFrame = {
+    val und0 = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nbr = und0.select(col("a").as("v"), col("b").as("n"))
+      .union(und0.select(col("b").as("v"), col("a").as("n")))
+    val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val pairs = nbr.select(col("n").as("c"), col("v").as("x"))
+      .join(nbr.select(col("n").as("c2"), col("v").as("y")),
+        col("c") === col("c2") && col("x") < col("y"))
+      .join(deg.select(col("v").as("c3"), col("deg").as("cdeg")),
+        col("c") === col("c3"))
+      .groupBy(col("x").as("id_a"), col("y").as("id_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(lit(1.0) / log(col("cdeg").cast("double"))).as("__aa"))
+    val out = pairs
+      .join(deg.select(col("v").as("id_a"), col("deg").as("__da")),
+        Seq("id_a"))
+      .join(deg.select(col("v").as("id_b"), col("deg").as("__db")),
+        Seq("id_b"))
+      .join(und0.select(col("a").as("id_a"), col("b").as("id_b"),
+        lit(true).as("__e")), Seq("id_a", "id_b"), "left_outer")
+      .select(col("id_a"), col("id_b"), col("common_neighbors"),
+        round(col("common_neighbors").cast("double") /
+          (col("__da") + col("__db") - col("common_neighbors"))
+            .cast("double"), 6).as("jaccard"),
+        round(col("__aa"), 6).as("adamic_adar"),
+        coalesce(col("__e"), lit(false)).as("is_edge"))
+    out
+  }
+
   /** k-TRUSS (beyond the reference's algorithm set): the maximal
     * subgraph where every EDGE closes at least k−2 triangles — the
     * edge-level dense-region extractor one notch above [[kCore]]

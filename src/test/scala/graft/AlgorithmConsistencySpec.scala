@@ -559,6 +559,41 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
       Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 3L), (1L, 3L)))
   }
 
+  test("link-prediction scores match brute-force neighborhood math on " +
+      "random graphs") {
+    val s = Fixture.init()
+    import s.implicits._
+    for (seed <- 701L to 704L) {
+      val (vs, es) = randomGraph(seed)
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val adj = vs.map(v => v -> (und.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }.toSet)).toMap
+      val got = Algorithms.linkPredictionScores(es.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getBoolean(5)))).toMap
+      val want = (for {
+        i <- vs.indices; j <- (i + 1) until vs.length
+        a = vs(i); b = vs(j)
+        cns = adj(a) intersect adj(b)
+        if cns.nonEmpty
+      } yield (a, b) -> ((cns.size.toLong,
+        cns.size.toDouble / (adj(a).size + adj(b).size - cns.size),
+        cns.toSeq.map(c => 1.0 / math.log(adj(c).size)).sum,
+        und.contains((a, b))))).toMap
+      assert(got.keySet == want.keySet, s"(seed $seed pairs)")
+      want.foreach { case (k, (cn, j, aa, e)) =>
+        val (gcn, gj, gaa, ge) = got(k)
+        assert(gcn == cn && ge == e, s"(seed $seed $k)")
+        assert(math.abs(gj - j) < 1e-6 && math.abs(gaa - aa) < 1e-6,
+          s"(seed $seed $k floats)")
+      }
+    }
+  }
+
   test("earliest arrival: both branches match a brute-force temporal-path " +
       "enumeration on random timestamped digraphs") {
     val s = Fixture.init()
