@@ -636,6 +636,18 @@ object SparkEntry {
         col("dst").cast("long").as("dst")), k = 4)
   }
 
+  /** Bipartite co-purchase projection ([[Algorithms.bipartiteProjection]]):
+    * customers connected by the number of distinct parts both bought
+    * (orders ⋈ lineitem memberships), kept at weight ≥ 5 — the
+    * recommendation-graph construction step, exercised on the real
+    * fact tables rather than a toy fixture. */
+  private def q114_copurchase(s: SparkSession, d: String): DataFrame = {
+    val m = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("v"))
+    Algorithms.bipartiteProjection(m, minWeight = 5L)
+  }
+
   /** Link-prediction scores ([[Algorithms.linkPredictionScores]]): every
     * pair sharing a neighbor on the nation bands, with common-neighbor
     * count, neighborhood Jaccard, and Adamic–Adar — one wedge join +
@@ -1634,6 +1646,7 @@ object SparkEntry {
     "q111_temporal_reachability" -> (q111_temporal_reachability _),
     "q112_ktruss" -> (q112_ktruss _),
     "q113_link_prediction" -> (q113_link_prediction _),
+    "q114_copurchase" -> (q114_copurchase _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2605,6 +2618,15 @@ object SparkEntry {
          SELECT CAST(n.n_nationkey AS BIGINT) AS id,
                 r6.id IS NOT NULL AS in_core
          FROM nation n LEFT JOIN r6 ON n.n_nationkey = r6.id""",
+
+    "q114_copurchase" ->
+      """WITH cp AS (
+           SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS v
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+         SELECT CAST(a.u AS BIGINT) AS id_a, CAST(b.u AS BIGINT) AS id_b,
+                count(*) AS weight
+         FROM cp a JOIN cp b ON a.v = b.v AND a.u < b.u
+         GROUP BY 1, 2 HAVING count(*) >= 5""",
 
     // wedge join + degree joins replayed; ln is natural on both engines
     "q113_link_prediction" ->

@@ -565,6 +565,40 @@ object Algorithms {
     ranks.select(col("id"), col("rank").as("ppr"))
   }
 
+  /** Bipartite co-occurrence projection (beyond the reference's
+    * algorithm set): from (u, v) memberships, the weighted graph on the
+    * u-side where weight(a, b) = |{v : (a,v) ∧ (b,v)}| — the
+    * co-purchase / co-click / co-author graph-construction step feeding
+    * every similarity and community pass downstream.
+    *
+    * Plan: dedup memberships, self-join on the shared v, count per
+    * oriented pair (map-side combinable). A hot v contributes
+    * quadratically — `maxKeyDegree` drops v's with more members than
+    * the cap BEFORE the join (the [[graft.ops.Dedup.ngramJaccardPairs]]
+    * maxDocFreq precedent: reported weights become lower bounds, and
+    * the skew cannot concentrate in one task). `minWeight` prunes the
+    * long tail after counting.
+    *
+    * @return (id_a, id_b, weight) with id_a < id_b
+    */
+  def bipartiteProjection(memberships: DataFrame, minWeight: Long = 1L,
+      maxKeyDegree: Long = 1000000L): DataFrame = {
+    require(minWeight >= 1, s"minWeight must be >= 1 (got $minWeight)")
+    require(maxKeyDegree >= 2, s"maxKeyDegree must be >= 2")
+    val m = memberships.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val hot = m.groupBy("v").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") > maxKeyDegree).select("v")
+    val kept = m.join(broadcast(hot), Seq("v"), "left_anti")
+    kept.as("x").join(kept.as("y"),
+        col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("id_a"), col("y.u").as("id_b"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+  }
+
   /** Link-prediction scores (beyond the reference's algorithm set): for
     * every vertex pair sharing at least one undirected neighbor, the
     * three standard topology features — common-neighbor count, Jaccard

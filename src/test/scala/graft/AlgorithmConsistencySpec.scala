@@ -559,6 +559,41 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
       Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 3L), (1L, 3L)))
   }
 
+  test("bipartite projection matches brute-force co-occurrence counts; " +
+      "the hot-key cap drops capped keys' contributions only") {
+    val s = Fixture.init()
+    import s.implicits._
+    val rnd = new scala.util.Random(801L)
+    val ms = (for (u <- 0L until 20L; v <- 0L until 12L
+      if rnd.nextDouble() < 0.3) yield (u, v)) ++ Seq((3L, 5L), (3L, 5L))
+    val got = Algorithms.bipartiteProjection(ms.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val dm = ms.distinct
+    val byV = dm.groupBy(_._2).map { case (v, xs) => v -> xs.map(_._1) }
+    def brute(vs: Iterable[Seq[Long]]): Map[(Long, Long), Long] =
+      vs.flatMap(us => for {
+        i <- us.indices; j <- us.indices
+        if us(i) < us(j)
+      } yield (us(i), us(j))).groupBy(identity)
+        .map { case (k, g) => k -> g.size.toLong }
+    assert(got == brute(byV.values.map(_.sorted)))
+    // cap = 3: v's with > 3 members contribute nothing; the rest must
+    // reproduce the brute force over only the kept keys
+    val capped = Algorithms.bipartiteProjection(ms.toDF("u", "v"),
+        maxKeyDegree = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val keptV = byV.filter(_._2.size <= 3)
+    assert(capped == brute(keptV.values.map(_.sorted)))
+    // minWeight prunes the tail exactly
+    val pruned = Algorithms.bipartiteProjection(ms.toDF("u", "v"),
+        minWeight = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pruned == got.filter(_._2 >= 2L))
+  }
+
   test("link-prediction scores match brute-force neighborhood math on " +
       "random graphs") {
     val s = Fixture.init()

@@ -16,7 +16,7 @@ object PerfProbeNew {
     s.sparkContext.setLogLevel("ERROR")
     s.read.parquet(s"$d/lineitem.parquet").count()
     TradeGraph.graft(s, d)
-    for (q <- Seq("q93_cross_space_acyclic", "q96_pq_ann", "q87_semdedup")) {
+    for (q <- Seq("q114_copurchase")) {
       time(s"$q cold")(
         SparkEntry.queries(q)(s, d).queryExecution.toRdd.count())
       time(s"$q warm")(
