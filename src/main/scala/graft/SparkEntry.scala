@@ -636,6 +636,21 @@ object SparkEntry {
         col("dst").cast("long").as("dst")), k = 4)
   }
 
+  /** Weighted PageRank ([[Algorithms.weightedPageRank]]): the nation
+    * bands with weight = dst key + 1 — rank flows proportionally to
+    * edge weight, so high-key nations accumulate more than under the
+    * uniform split (q15). nation_near has no dangling vertices, so the
+    * oracle's recursive replay never needs the dangling branch. */
+  private def q115_weighted_pagerank(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("id"))
+    val e = TradeGraph.nationNear(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        (col("dst").cast("double") + 1.0).as("w"))
+    Algorithms.weightedPageRank(v, e)
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+  }
+
   /** Bipartite co-purchase projection ([[Algorithms.bipartiteProjection]]):
     * customers connected by the number of distinct parts both bought
     * (orders ⋈ lineitem memberships), kept at weight ≥ 5 — the
@@ -1647,6 +1662,7 @@ object SparkEntry {
     "q112_ktruss" -> (q112_ktruss _),
     "q113_link_prediction" -> (q113_link_prediction _),
     "q114_copurchase" -> (q114_copurchase _),
+    "q115_weighted_pagerank" -> (q115_weighted_pagerank _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2803,6 +2819,28 @@ object SparkEntry {
            WHERE w.t < 8
            GROUP BY w.t, w.start, w.r, w.cur, w.path)
          SELECT start, r, cur AS final_v, path AS vpath FROM w WHERE t = 8""",
+
+    // the q15 replay with weight-proportional contribution splitting
+    // (w = dst + 1); nation_near has no dangling vertices
+    "q115_weighted_pagerank" ->
+      s"""WITH RECURSIVE $sqlNationNear,
+         we AS (SELECT src, dst, CAST(dst AS DOUBLE) + 1.0 AS w
+                FROM nation_near),
+         wd AS (SELECT src, sum(w) AS wout FROM we GROUP BY src),
+         pr(iter, id, rank) AS (
+           SELECT 0, CAST(n_nationkey AS BIGINT),
+                  CAST(1.0 AS DOUBLE) / 25 FROM nation
+           UNION ALL
+           SELECT p.iter + 1, CAST(e.dst AS BIGINT),
+                  CAST(0.15 AS DOUBLE) / 25 +
+                  0.85 * sum(p.rank * e.w / wd.wout)
+           FROM pr p
+           JOIN we e ON p.id = e.src
+           JOIN wd ON wd.src = e.src
+           WHERE p.iter < 30
+           GROUP BY p.iter, e.dst
+           )
+         SELECT id, round(rank, 6) AS rank FROM pr WHERE iter = 30""",
 
     // the q15 replay with a seed-membership personalization vector:
     // teleport mass 0.15·s(v) where s = 1/5 on region-0 nations, 0

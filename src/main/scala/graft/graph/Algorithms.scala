@@ -565,6 +565,69 @@ object Algorithms {
     ranks.select(col("id"), col("rank").as("ppr"))
   }
 
+  /** WEIGHTED PageRank (beyond the reference's algorithm set):
+    * contributions split proportionally to edge weight
+    * (rank·w / Σ_out w) instead of uniformly over out-edges — the
+    * interaction-strength variant recommendation graphs want.
+    * Textbook normalization, fixed iterations (SQL-replayable like
+    * [[personalizedPageRank]]); edges with null or non-positive weight
+    * are dropped at ingestion on BOTH strategies (the cheapest-path
+    * convention); dangling mass (no out-edges or zero out-weight)
+    * redistributes uniformly. Same plan shape as [[pageRank]]: one
+    * weighted-degree lookup, one (dst) contribution shuffle and one
+    * scalar dangling action per iteration.
+    *
+    * @return (id, rank) over vertices ∪ edge endpoints
+    */
+  def weightedPageRank(vertices: DataFrame, edges: DataFrame,
+      damping: Double = 0.85, iters: Int = 30): DataFrame = {
+    val sp = vertices.sparkSession
+    import sp.implicits._
+    val probe = PathFinder.localMaxEdges.toInt + 1
+    val clean = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull && col("w") > 0)
+    if (clean.limit(probe).count() <= PathFinder.localMaxEdges &&
+        vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
+      val ids = vertices.select(col("id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      val earr = clean.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      return LocalKernels.weightedPageRank(ids, earr, damping, iters)
+        .toSeq.toDF("id", "rank")
+    }
+    val e = clean.persist(StorageLevel.MEMORY_AND_DISK)
+    val domain = vertices.select(col("id").cast("long").as("id"))
+      .union(e.select(col("src").as("id")))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+    val wOut = e.groupBy(col("src").as("id")).agg(sum("w").as("wout"))
+    val vd = PathFinder.ckpt(domain
+      .join(wOut, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("wout"), lit(0.0)).as("wout")))
+    val n = vd.count().toDouble
+    var ranks = vd.withColumn("rank", lit(1.0 / n))
+      .transform(PathFinder.ckpt)
+    for (_ <- 1 to iters) {
+      val contrib = ranks.filter(col("wout") > 0)
+        .join(e, col("id") === e("src"))
+        .select(e("dst").as("id"),
+          (col("rank") * col("w") / col("wout")).as("__c"))
+        .groupBy("id").agg(sum("__c").as("__contrib"))
+      val dangling = ranks.filter(col("wout") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      ranks = vd.join(contrib, Seq("id"), "left_outer")
+        .select(col("id"), col("wout"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("__contrib"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+        .transform(PathFinder.ckpt)
+    }
+    e.unpersist()
+    ranks.select(col("id"), col("rank"))
+  }
+
   /** Bipartite co-occurrence projection (beyond the reference's
     * algorithm set): from (u, v) memberships, the weighted graph on the
     * u-side where weight(a, b) = |{v : (a,v) ∧ (b,v)}| — the

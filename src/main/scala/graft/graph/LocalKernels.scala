@@ -609,6 +609,46 @@ private[graph] object LocalKernels {
     verts.toArray.map(v => (v, !removed.getOrElse(v, false)))
   }
 
+  /** Weighted PageRank — the
+    * [[graft.graph.Algorithms.weightedPageRank]] twin: contributions
+    * split proportionally to edge weight (rank·w/W_out), dangling mass
+    * (no out-edges / zero out-weight) redistributed uniformly; textbook
+    * normalization, fixed iterations. Edges with null/≤0 weight are
+    * dropped by the caller. */
+  def weightedPageRank(vertexIds: Array[Long],
+      edges: Array[(Long, Long, Double)], damping: Double,
+      iters: Int): Array[(Long, Double)] = {
+    val verts = mutable.LinkedHashSet[Long]()
+    vertexIds.foreach(verts += _)
+    edges.foreach { case (s, d, _) => verts += s; verts += d }
+    val ids = verts.toArray
+    val idx = mutable.LongMap[Int]()
+    ids.zipWithIndex.foreach { case (v, i) => idx(v) = i }
+    val n = ids.length
+    val wOut = new Array[Double](n)
+    edges.foreach { case (s, _, w) => wOut(idx(s)) += w }
+    var r = Array.fill(n)(1.0 / n)
+    var it = 0
+    while (it < iters) {
+      val contrib = new Array[Double](n)
+      edges.foreach { case (s, d, w) =>
+        contrib(idx(d)) += r(idx(s)) * w / wOut(idx(s))
+      }
+      var dangling = 0.0
+      var i = 0
+      while (i < n) { if (wOut(i) == 0.0) dangling += r(i); i += 1 }
+      val nr = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        nr(i) = (1.0 - damping) / n + damping * (contrib(i) + dangling / n)
+        i += 1
+      }
+      r = nr
+      it += 1
+    }
+    ids.zip(r)
+  }
+
   /** k-truss — the [[graft.graph.Algorithms.kTruss]] twin: the maximal
     * subgraph of the undirected simple graph in which every EDGE closes
     * ≥ k−2 triangles (with both other sides also in the subgraph).

@@ -559,6 +559,49 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
       Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 3L), (1L, 3L)))
   }
 
+  test("weighted PageRank: both branches match a naive weighted " +
+      "iteration, conserve mass, and redistribute dangling uniformly") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    def withDist[T](body: => T): T = {
+      val e = PathFinder.localMaxEdges
+      PathFinder.localMaxEdges = 0
+      try body finally PathFinder.localMaxEdges = e
+    }
+    for (seed <- 901L to 904L) {
+      val (vs, es0) = randomGraph(seed)
+      val es = es0.zipWithIndex.map { case ((a, b), i) =>
+        (a, b, ((i * 7) % 5 + 1).toDouble)
+      }
+      val n = vs.length
+      val idx = vs.zipWithIndex.toMap
+      val wOut = new Array[Double](n)
+      es.foreach { case (a, _, w) => wOut(idx(a)) += w }
+      var r = Array.fill(n)(1.0 / n)
+      for (_ <- 1 to 30) {
+        val c = new Array[Double](n)
+        es.foreach { case (a, b, w) =>
+          c(idx(b)) += r(idx(a)) * w / wOut(idx(a))
+        }
+        val dang = vs.indices.filter(wOut(_) == 0.0).map(r).sum
+        r = vs.indices.map(i =>
+          0.15 / n + 0.85 * (c(i) + dang / n)).toArray
+      }
+      def run() = Algorithms.weightedPageRank(
+          vs.toDF("id"), es.toDF("src", "dst", "w"))
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      def chk(got: Map[Long, Double], tag: String): Unit = {
+        assert(got.keySet == vs.toSet, s"(seed $seed $tag)")
+        vs.foreach(v => assert(math.abs(got(v) - r(idx(v))) < 1e-9,
+          s"(seed $seed $tag v $v)"))
+        assert(math.abs(got.values.sum - 1.0) < 1e-6, s"(seed $seed $tag)")
+      }
+      chk(run(), "local")
+      chk(withDist(run()), "dist")
+    }
+  }
+
   test("bipartite projection matches brute-force co-occurrence counts; " +
       "the hot-key cap drops capped keys' contributions only") {
     val s = Fixture.init()
