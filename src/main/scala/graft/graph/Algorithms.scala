@@ -654,7 +654,12 @@ object Algorithms {
       .distinct()
     val hot = m.groupBy("v").agg(count(lit(1)).as("__d"))
       .filter(col("__d") > maxKeyDegree).select("v")
+    // persisted: the dedup + hot-key pipeline feeds BOTH self-join legs
+    // (and its own hot-key derivation already re-read m) — without this
+    // the upstream joins recompute per leg. Lazy result ⇒ the cache is
+    // caller-managed, as in [[linkPredictionScores]].
     val kept = m.join(broadcast(hot), Seq("v"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     kept.as("x").join(kept.as("y"),
         col("x.v") === col("y.v") && col("x.u") < col("y.u"))
       .groupBy(col("x.u").as("id_a"), col("y.u").as("id_b"))
@@ -681,16 +686,16 @@ object Algorithms {
     *         is_edge) with id_a < id_b
     */
   def linkPredictionScores(edges: DataFrame): DataFrame = {
-    val und0 = edges.select(col("src").cast("long").as("a"),
-        col("dst").cast("long").as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull &&
-        col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
+    // ONE definition of "undirected simple neighbors" shared with the
+    // triangle/LCC family; persisted because four consumers read it
+    // (degrees, both wedge sides, the is_edge flag). The result is lazy,
+    // so the cache is caller-managed: it lives until the session drops
+    // it or the caller unpersists the plan's cached lineage.
+    val nbr0 = undirectedNbr(edges
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nbr = und0.select(col("a").as("v"), col("b").as("n"))
-      .union(und0.select(col("b").as("v"), col("a").as("n")))
+    val nbr = nbr0.select(col("src").as("v"), col("dst").as("n"))
     val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val pairs = nbr.select(col("n").as("c"), col("v").as("x"))
       .join(nbr.select(col("n").as("c2"), col("v").as("y")),
@@ -705,8 +710,9 @@ object Algorithms {
         Seq("id_a"))
       .join(deg.select(col("v").as("id_b"), col("deg").as("__db")),
         Seq("id_b"))
-      .join(und0.select(col("a").as("id_a"), col("b").as("id_b"),
-        lit(true).as("__e")), Seq("id_a", "id_b"), "left_outer")
+      .join(nbr0.filter(col("src") < col("dst"))
+        .select(col("src").as("id_a"), col("dst").as("id_b"),
+          lit(true).as("__e")), Seq("id_a", "id_b"), "left_outer")
       .select(col("id_a"), col("id_b"), col("common_neighbors"),
         round(col("common_neighbors").cast("double") /
           (col("__da") + col("__db") - col("common_neighbors"))

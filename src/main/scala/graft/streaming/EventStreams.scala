@@ -245,14 +245,21 @@ object EventStreams {
     * Within a micro-batch, rows process in (ts, rights-first) order, so
     * a right row arriving in the same batch as a later left row IS
     * visible to it, and equal timestamps match (the backward-asof
-    * inclusive rule). Across batches the state is whatever has ARRIVED:
-    * the result equals the batch as-of join whenever batching respects
-    * cross-batch time order (a right row never lands in a later batch
-    * than a left row with a later ts) — the standard low-latency
-    * enrichment contract; buffering lefts behind a watermark would
-    * trade latency for out-of-order tolerance. State per key is ONE
-    * (ts, payload) pair; left duplicates re-emit (at-least-once
-    * output).
+    * inclusive rule). Across batches the state is whatever has ARRIVED,
+    * and it keeps only the single LATEST right pair per key — so the
+    * result equals the batch as-of join exactly when delivery is
+    * cross-batch time-ordered for ALL rows (every row lands in an
+    * earlier-or-same batch than every later-ts row; equal-ts rights no
+    * later than their lefts). A right that arrives ahead of an
+    * earlier-ts left overwrites the state that left needed — the
+    * standard low-latency enrichment trade; buffering lefts behind a
+    * watermark would trade latency for out-of-order tolerance. State
+    * per key is ONE (ts, payload) pair; left duplicates re-emit
+    * (at-least-once output). Rows with a null key, ts or side tag are
+    * dropped; a null right payload loses max-merge ties to any
+    * non-null one (the batch max-struct rule), and a left matching it
+    * emits null — indistinguishable from no-match, as in the batch
+    * operator's output.
     *
     * @param rows (key: long, ts: long, isRight: boolean, payload:
     *             string) — pre-unioned tagged stream
@@ -264,7 +271,8 @@ object EventStreams {
     rows.selectExpr("CAST(key AS LONG) AS key", "CAST(ts AS LONG) AS ts",
         "CAST(isRight AS BOOLEAN) AS isRight",
         "CAST(payload AS STRING) AS payload")
-      .where(col("key").isNotNull && col("ts").isNotNull)
+      .where(col("key").isNotNull && col("ts").isNotNull &&
+        col("isRight").isNotNull)
       .as[(Long, Long, Boolean, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, String), (Long, Long, Option[String])](
@@ -276,14 +284,22 @@ object EventStreams {
           var latest = state.getOption
           val out = scala.collection.mutable.ArrayBuffer[
             (Long, Long, Option[String])]()
+          // null payload loses ties to any non-null (the batch
+          // max-struct rule, null-safe — String '>' would NPE)
+          def gtNullSafe(a: String, b: String): Boolean =
+            if (a == null) false
+            else b == null || a > b
           batch.foreach { case (_, ts, isRight, payload) =>
             if (isRight) {
               // max-by-(ts, payload) merge: idempotent, order-independent
               if (latest.forall(l =>
-                  ts > l._1 || (ts == l._1 && payload > l._2)))
+                  ts > l._1 || (ts == l._1 && gtNullSafe(payload, l._2))))
                 latest = Some((ts, payload))
             } else {
-              out += ((key, ts, latest.filter(_._1 <= ts).map(_._2)))
+              // flatMap, not map: a matched-but-null payload emits None
+              // (never Some(null)) — same observable output either way
+              out += ((key, ts,
+                latest.filter(_._1 <= ts).flatMap(l => Option(l._2))))
             }
           }
           latest.foreach(state.update)

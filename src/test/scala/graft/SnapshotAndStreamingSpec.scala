@@ -322,6 +322,34 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
       want.toList)
   }
 
+  test("asof enrichment survives null payloads and drops null side tags") {
+    val s = init()
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, Long, String, String)](s)
+    val got = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Option[String])]()
+    val q = graft.streaming.EventStreams.asofEnrich(
+        ms.toDF().toDF("key", "ts", "isRight", "payload"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got += ((r.getLong(0), r.getLong(1),
+          Option(if (r.isNullAt(2)) null else r.getString(2)))))
+      }.start()
+    try {
+      // null-payload right, then another; a null side tag is dropped;
+      // two lefts read the state without crashing the query
+      ms.addData(Seq((1L, 5L, "true", null), (1L, 6L, "true", "R6"),
+        (1L, 7L, null, "ghost"), (1L, 8L, "false", "L8"),
+        (2L, 3L, "true", null), (2L, 4L, "false", "L4")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byKey = got.map(g => (g._1, g._2) -> g._3).toMap
+    assert(byKey((1L, 8L)) === Some("R6")) // non-null beats null on merge
+    assert(byKey((2L, 4L)) === None) // matched-null emits as no-match
+    assert(got.size == 2) // the null-side row produced nothing
+  }
+
   test("flatMapGroupsWithState milestones match the batch counts") {
     val s = init()
     val stream = EventStreams.readEventStream(s, "/root/testdata/sf0.001/events*")
