@@ -36,6 +36,7 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case _: Throwable => false }
+        finally OpCaches.releaseAll() // operator caches die with the query
       // a failed query must be visibly failed in the artifact, not a
       // plausible-looking wall time
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -191,8 +191,42 @@ final case class Graft(spark: SparkSession, resolver: TableResolver) {
     v
   }
 
+  /** Minimum positional-argument count and usage string per table
+    * function — validated up front so SQL callers get a
+    * [[GraphAnalysisException]] with the usage, never a raw
+    * IndexOutOfBoundsException from a missing label argument (the
+    * integer arguments already got this treatment via [[intArg]]). */
+  private val tableFnUsage: Map[String, (Int, String)] = Map(
+    "pagerank" -> (3, "pagerank(pg, vertexLabel, edgeLabel)"),
+    "weakly_connected_component" ->
+      (3, "weakly_connected_component(pg, vertexLabel, edgeLabel)"),
+    "strongly_connected_component" ->
+      (3, "strongly_connected_component(pg, vertexLabel, edgeLabel)"),
+    "triangle_counts" -> (3, "triangle_counts(pg, vertexLabel, edgeLabel)"),
+    "k_core" -> (4, "k_core(pg, vertexLabel, edgeLabel, k)"),
+    "harmonic_centrality" ->
+      (3, "harmonic_centrality(pg, vertexLabel, edgeLabel)"),
+    "betweenness_centrality" ->
+      (3, "betweenness_centrality(pg, vertexLabel, edgeLabel)"),
+    "k_truss" -> (4, "k_truss(pg, vertexLabel, edgeLabel, k)"),
+    "label_propagation" ->
+      (3, "label_propagation(pg, vertexLabel, edgeLabel[, rounds])"),
+    "random_walks" ->
+      (3, "random_walks(pg, vertexLabel, edgeLabel[, walksPerStart[, steps]])"),
+    "local_clustering_coefficient" ->
+      (3, "local_clustering_coefficient(pg, vertexLabel, edgeLabel)"),
+    "summarize_property_graph" -> (1, "summarize_property_graph(pg)"),
+    "get_pg_vtablenames" -> (1, "get_pg_vtablenames(pg)"),
+    "get_pg_etablenames" -> (1, "get_pg_etablenames(pg)"),
+    "get_pg_vcolnames" -> (2, "get_pg_vcolnames(pg, tableName)"),
+    "get_pg_ecolnames" -> (2, "get_pg_ecolnames(pg, tableName)"))
+
   private def tableFunction(fn: String, args: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
+    tableFnUsage.get(fn).foreach { case (minArgs, usage) =>
+      if (args.length < minArgs) throw GraphAnalysisException(
+        s"$usage requires $minArgs arguments (got ${args.length})")
+    }
     def pg(i: Int) = registry.get(spark, args(i))
     fn match {
       case "pagerank" =>

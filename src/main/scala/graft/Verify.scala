@@ -29,6 +29,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         if (sys.env.contains("SPARK_GRAFT_VERBOSE")) e.printStackTrace()
       }
+      // release operator-internal caches (lshNearPairs signatures,
+      // link-prediction neighbor sets, …) now that the result is written
+      OpCaches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -43,9 +43,27 @@ object PassJoinKeys {
     StructField("i", IntegerType, nullable = false),
     StructField("seg", StringType, nullable = false))), containsNull = false)
 
-  /** Index side: the d+1 segments of s, keyed (|s|, i, content). */
+  /** Index side: the d+1 segments of s, keyed (|s|, i, content).
+    *
+    * Short-string rule: when |s| ≤ d the split would produce
+    * zero-length segments, and an empty segment key (L, i, "") collides
+    * with every compatible-length string — candidate generation
+    * degenerates toward all-pairs on short-key corpora. The pigeonhole
+    * guarantee also genuinely needs them (d edits can touch all |s|
+    * non-empty length-1 segments), so dropping empties alone would lose
+    * matches. Instead such strings emit ONE length-only key
+    * (|s|, -1, "") and the probe side emits the matching key for every
+    * candidate length ≤ d — exact (any t within distance d has
+    * compatible length; the levenshtein verify prunes), and the
+    * candidate set is all (short s, length-compatible t) pairs, which
+    * is what the problem inherently costs for strings this short. */
   def segments(s: UTF8String, d: Int): GenericArrayData = {
     val l = s.numChars(); val k = d + 1
+    if (l <= d) {
+      return new GenericArrayData(Array[Any](
+        new GenericInternalRow(Array[Any](
+          l, -1, UTF8String.EMPTY_UTF8))))
+    }
     val out = new Array[Any](k)
     var i = 0
     while (i < k) {
@@ -68,21 +86,28 @@ object PassJoinKeys {
     val seen = new java.util.HashSet[UTF8String]()
     var l = math.max(0, m - d)
     while (l <= m + d) {
-      var i = 0
-      while (i < k) {
-        val len = segLen(l, k, i); val st = segStart(l, k, i)
-        if (len <= m) {
-          seen.clear()
-          var p = math.max(0, st - d)
-          val pMax = math.min(m - len, st + d)
-          while (p <= pMax) {
-            val sub = t.substring(p, p + len)
-            if (seen.add(sub))
-              buf += new GenericInternalRow(Array[Any](l, i, sub))
-            p += 1
+      if (l <= d) {
+        // short-index rule (see [[segments]]): one length-only key per
+        // candidate short length — never a zero-length content key
+        buf += new GenericInternalRow(Array[Any](
+          l, -1, UTF8String.EMPTY_UTF8))
+      } else {
+        var i = 0
+        while (i < k) {
+          val len = segLen(l, k, i); val st = segStart(l, k, i)
+          if (len <= m) {
+            seen.clear()
+            var p = math.max(0, st - d)
+            val pMax = math.min(m - len, st + d)
+            while (p <= pMax) {
+              val sub = t.substring(p, p + len)
+              if (seen.add(sub))
+                buf += new GenericInternalRow(Array[Any](l, i, sub))
+              p += 1
+            }
           }
+          i += 1
         }
-        i += 1
       }
       l += 1
     }

@@ -634,35 +634,42 @@ object Algorithms {
     * co-purchase / co-click / co-author graph-construction step feeding
     * every similarity and community pass downstream.
     *
-    * Plan: dedup memberships, self-join on the shared v, count per
-    * oriented pair (map-side combinable). A hot v contributes
-    * quadratically — `maxKeyDegree` drops v's with more members than
-    * the cap BEFORE the join (the [[graft.ops.Dedup.ngramJaccardPairs]]
-    * maxDocFreq precedent: reported weights become lower bounds, and
-    * the skew cannot concentrate in one task). `minWeight` prunes the
-    * long tail after counting.
+    * Plan: dedup memberships, triangular blocked self-join on the
+    * shared v ([[graft.ops.Dedup.blockedBucketJoin]] — a key's members
+    * are row-numbered into blocks of `blockSize`, so per-task candidate
+    * work is bounded by blockSize² no matter how hot the key), count
+    * per oriented pair (map-side combinable). `maxKeyDegree` is now
+    * purely an OUTPUT bound, not a straggler guard: a degree-d key
+    * still emits ~d²/2 pairs, so keys above the cap are dropped before
+    * the join (the [[graft.ops.Dedup.ngramJaccardPairs]] maxDocFreq
+    * precedent: reported weights become lower bounds). The default cap
+    * (10⁴, the semanticDedup targetBucket scale) bounds any single
+    * key's contribution to ~5·10⁷ pairs spread over ~50 blocked join
+    * cells — raise it freely when hub weights matter; task boundedness
+    * no longer depends on it. `minWeight` prunes the long tail after
+    * counting.
     *
     * @return (id_a, id_b, weight) with id_a < id_b
     */
   def bipartiteProjection(memberships: DataFrame, minWeight: Long = 1L,
-      maxKeyDegree: Long = 1000000L): DataFrame = {
+      maxKeyDegree: Long = 10000L, blockSize: Int = 1024): DataFrame = {
     require(minWeight >= 1, s"minWeight must be >= 1 (got $minWeight)")
     require(maxKeyDegree >= 2, s"maxKeyDegree must be >= 2")
+    require(blockSize >= 2, s"blockSize must be >= 2 (got $blockSize)")
     val m = memberships.select(col("u").cast("long").as("u"),
         col("v").cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
       .distinct()
     val hot = m.groupBy("v").agg(count(lit(1)).as("__d"))
       .filter(col("__d") > maxKeyDegree).select("v")
-    // persisted: the dedup + hot-key pipeline feeds BOTH self-join legs
-    // (and its own hot-key derivation already re-read m) — without this
-    // the upstream joins recompute per leg. Lazy result ⇒ the cache is
-    // caller-managed, as in [[linkPredictionScores]].
-    val kept = m.join(broadcast(hot), Seq("v"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    kept.as("x").join(kept.as("y"),
-        col("x.v") === col("y.v") && col("x.u") < col("y.u"))
-      .groupBy(col("x.u").as("id_a"), col("y.u").as("id_b"))
+    // tracked cache: the dedup + hot-key pipeline feeds both blocked
+    // self-join legs; the lazy result can't release it, so the harness
+    // does via [[graft.OpCaches.releaseAll]] (Verify/Bench per query).
+    val kept = graft.OpCaches.track(
+      m.join(broadcast(hot), Seq("v"), "left_anti")
+        .select(col("u").as("id"), col("v")))
+    graft.ops.Dedup.blockedBucketJoin(kept, Seq("v"), blockSize)
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("weight"))
       .filter(col("weight") >= minWeight)
   }
@@ -677,34 +684,45 @@ object Algorithms {
     *
     * Plan: ONE wedge join over the undirected simple neighbor relation
     * (a pair is generated once per shared neighbor and aggregated
-    * map-side), degrees broadcast back onto the pair set. A hub vertex
-    * fans its wedge enumeration like the triangle family — the same
-    * degree-orientation split applies if one hub dominates; pairs with
-    * no shared neighbor never materialize (score 0 by absence).
+    * map-side), degrees broadcast back onto the pair set; pairs with
+    * no shared neighbor never materialize (score 0 by absence). Hub
+    * contract: the wedge join runs as a triangular BLOCKED bucket join
+    * on the shared-neighbor key ([[graft.ops.Dedup.blockedBucketJoin]],
+    * per-task candidates ≤ blockSize² regardless of hub degree), and
+    * `maxDegree` bounds the OUTPUT — a degree-d wedge center fans ~d²/2
+    * pairs, so centers above the cap are excluded from enumeration.
+    * For pairs whose only shared neighbors are over-cap hubs the scores
+    * are lower bounds (the pair is absent); Adamic–Adar already weights
+    * a hub center by 1/ln d, so the omitted mass is the least
+    * informative. Jaccard denominators keep FULL degrees (hub
+    * neighbors still count toward |N(a) ∪ N(b)|).
     *
     * @return (id_a, id_b, common_neighbors, jaccard, adamic_adar,
     *         is_edge) with id_a < id_b
     */
-  def linkPredictionScores(edges: DataFrame): DataFrame = {
+  def linkPredictionScores(edges: DataFrame, maxDegree: Long = 10000L,
+      blockSize: Int = 1024): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2 (got $maxDegree)")
+    require(blockSize >= 2, s"blockSize must be >= 2 (got $blockSize)")
     // ONE definition of "undirected simple neighbors" shared with the
-    // triangle/LCC family; persisted because four consumers read it
-    // (degrees, both wedge sides, the is_edge flag). The result is lazy,
-    // so the cache is caller-managed: it lives until the session drops
-    // it or the caller unpersists the plan's cached lineage.
-    val nbr0 = undirectedNbr(edges
+    // triangle/LCC family; a tracked cache because four consumers read
+    // it (degrees, both wedge sides, the is_edge flag) and the lazy
+    // result cannot release it — the harness does, via
+    // [[graft.OpCaches.releaseAll]] (Verify/Bench call it per query).
+    val nbr0 = graft.OpCaches.track(undirectedNbr(edges
         .select(col("src").cast("long").as("src"),
-          col("dst").cast("long").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+          col("dst").cast("long").as("dst"))))
     val nbr = nbr0.select(col("src").as("v"), col("dst").as("n"))
     val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val pairs = nbr.select(col("n").as("c"), col("v").as("x"))
-      .join(nbr.select(col("n").as("c2"), col("v").as("y")),
-        col("c") === col("c2") && col("x") < col("y"))
-      .join(deg.select(col("v").as("c3"), col("deg").as("cdeg")),
-        col("c") === col("c3"))
-      .groupBy(col("x").as("id_a"), col("y").as("id_b"))
+    val wedgeIn = nbr
+      .join(deg.filter(col("deg") <= maxDegree)
+        .select(col("v").as("n"), col("deg").as("cdeg")), Seq("n"))
+      .select(col("v").as("id"), col("n"), col("cdeg"))
+    val pairs = graft.ops.Dedup.blockedBucketJoin(wedgeIn, Seq("n"),
+        blockSize)
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("common_neighbors"),
-        sum(lit(1.0) / log(col("cdeg").cast("double"))).as("__aa"))
+        sum(lit(1.0) / log(col("x.cdeg").cast("double"))).as("__aa"))
     val out = pairs
       .join(deg.select(col("v").as("id_a"), col("deg").as("__da")),
         Seq("id_a"))

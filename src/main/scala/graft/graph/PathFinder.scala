@@ -62,29 +62,42 @@ object PathFinder {
     * produces a different plan (new scan/checkpoint), so entries can't go
     * stale; bounded to 2 arrays ≤ localMaxEdges each so the worst case
     * stays a couple hundred MB on a driver sized for local kernels. */
+  // Value carries the CANONICALIZED PLAN STRING alongside the array: the
+  // 32-bit semanticHash key alone could collide across two different edge
+  // views, and a collision here would silently serve one graph's edges to
+  // another query. Lookup verifies plan equality and treats a mismatch as
+  // a miss (fall through to collect) — the hash is an index, never proof.
   private val edgeMemo =
-    new java.util.LinkedHashMap[(Int, String), Array[(Long, Long, Long)]](
+    new java.util.LinkedHashMap[(Int, String),
+        (String, Array[(Long, Long, Long)])](
       8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String), Array[(Long, Long, Long)]])
+          e: java.util.Map.Entry[(Int, String),
+            (String, Array[(Long, Long, Long)])])
           : Boolean = size() > 3
     }
 
-  private def memoized(key: (Int, String))(
+  /** Canonical plan identity for memo verification — semanticHash's own
+    * preimage, so equal strings ⇔ Spark considers the plans
+    * semantically equal. */
+  private def planIdentity(edges: org.apache.spark.sql.DataFrame): String =
+    edges.queryExecution.analyzed.canonicalized.toString
+
+  private def memoized(key: (Int, String), plan: String)(
       build: => Array[(Long, Long, Long)]): Array[(Long, Long, Long)] = {
     edgeMemo.synchronized {
       val hit = edgeMemo.get(key)
-      if (hit != null) return hit
+      if (hit != null && hit._1 == plan) return hit._2
     }
     val arr = build
-    edgeMemo.synchronized { edgeMemo.put(key, arr) }
+    edgeMemo.synchronized { edgeMemo.put(key, (plan, arr)) }
     arr
   }
 
   private def collectEdges(edges: org.apache.spark.sql.DataFrame,
       withEid: Boolean): Array[(Long, Long, Long)] =
     memoized((edges.queryExecution.analyzed.semanticHash(),
-        if (withEid) "eid" else "raw")) {
+        if (withEid) "eid" else "raw"), planIdentity(edges)) {
       if (withEid)
         edges.select(col("src").cast("long"), col("dst").cast("long"),
           col("eid").cast("long")).collect()
@@ -101,8 +114,9 @@ object PathFinder {
   private[graph] def lookupEdgePairs(edges: org.apache.spark.sql.DataFrame)
       : Option[Array[(Long, Long)]] = {
     val key = (edges.queryExecution.analyzed.semanticHash(), "raw")
+    val plan = planIdentity(edges)
     val hit = edgeMemo.synchronized(edgeMemo.get(key))
-    Option(hit).map(_.map(t => (t._1, t._2)))
+    Option(hit).filter(_._1 == plan).map(_._2.map(t => (t._1, t._2)))
   }
 
   /** Memoized (src, dst) collect sharing the kernel memo's "raw" slot —
@@ -174,7 +188,7 @@ object PathFinder {
     if (seedProbe.isDefined) {
       val arr = if (hasEid) collectEdges(clean, withEid = true)
         else memoized((clean.queryExecution.analyzed.semanticHash(),
-          "denseLocal")) {
+          "denseLocal"), planIdentity(clean)) {
           denseEidsLocal(collectEdges(clean, withEid = false))
         }
       local(arr, seedProbe.get)

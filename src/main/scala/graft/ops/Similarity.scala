@@ -151,7 +151,11 @@ object Similarity {
           signatureLsh(col("v"), planes, dims, planeOffset = t * planes) +
             lit(t.toLong << 60)): _*)))
       .select(col("id"), col("v"), col("n"), col("col").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // tracked, not bare-persisted: the result is lazy, so release is
+      // the harness's job via graft.OpCaches.releaseAll() (Verify/Bench
+      // call it per query) — otherwise repeated invocations accumulate
+      // cached signature blocks for the session lifetime
+      .transform(graft.OpCaches.track(_))
     // skew guard: drop singleton and over-full buckets (see Dedup)
     val keep = sigs0.groupBy("bucket").agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)

@@ -285,10 +285,19 @@ object EventStreams {
           val out = scala.collection.mutable.ArrayBuffer[
             (Long, Long, Option[String])]()
           // null payload loses ties to any non-null (the batch
-          // max-struct rule, null-safe — String '>' would NPE)
+          // max-struct rule, null-safe — String '>' would NPE).
+          // Compare in UTF8String (UTF-8 byte / code-point) order, not
+          // Java String UTF-16 code-unit order: for payloads mixing
+          // supplementary-plane chars with U+E000..U+FFFF the two orders
+          // disagree, and the batch asofJoinBackward's max(struct) uses
+          // Spark's UTF8String ordering — the tie-break must be
+          // bit-identical to it.
           def gtNullSafe(a: String, b: String): Boolean =
             if (a == null) false
-            else b == null || a > b
+            else b == null ||
+              org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                .compareTo(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(b)) > 0
           batch.foreach { case (_, ts, isRight, payload) =>
             if (isRight) {
               // max-by-(ts, payload) merge: idempotent, order-independent

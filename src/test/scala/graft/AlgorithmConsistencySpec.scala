@@ -637,6 +637,71 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     assert(pruned == got.filter(_._2 >= 2L))
   }
 
+  test("bipartite projection: a hot key spanning many blocks emits every " +
+      "pair exactly once (blockSize invariance)") {
+    val s = Fixture.init()
+    import s.implicits._
+    // one hot v with 60 members + background keys; blockSize 8 forces the
+    // hot key across ceil(60/8) = 8 blocks -> 36 triangular join cells
+    val ms = (0L until 60L).map(u => (u, 999L)) ++
+      (for (u <- 0L until 20L; v <- 0L until 5L if (u + v) % 3 == 0)
+        yield (u, v))
+    def run(bs: Int) = Algorithms.bipartiteProjection(ms.toDF("u", "v"),
+        blockSize = bs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val fine = run(8)
+    assert(fine == run(1024), "blocked split must be exactly-once")
+    // the hot key alone contributes C(60,2) = 1770 pairs of weight >= 1
+    assert(fine.size >= 1770)
+    assert(fine((0L, 1L)) >= 1L)
+  }
+
+  test("link prediction: maxDegree excludes over-cap wedge centers " +
+      "(lower-bound contract) and blocking is exactly-once") {
+    val s = Fixture.init()
+    import s.implicits._
+    // star hub 100 with spokes 10..39, plus a disjoint 4-clique on 0..3
+    val es = (10L to 39L).map(sp => (100L, sp)) ++
+      (for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j))
+    val df = es.toDF("src", "dst")
+    val full = Algorithms.linkPredictionScores(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: every spoke pair shares hub 100 -> C(30,2) pairs
+    assert(full.count { case (a, b) => a >= 10L && b <= 39L } == 435)
+    // cap below the hub degree: spoke pairs (only shared neighbor = hub)
+    // disappear; clique pairs (centers of degree 3) survive untouched
+    val capped = Algorithms.linkPredictionScores(df, maxDegree = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(!capped.keySet.exists { case (a, _) => a >= 10L },
+      "spoke pairs must vanish under the hub cap")
+    assert(capped.keySet == (for (i <- 0L to 3L; j <- 0L to 3L if i < j)
+      yield (i, j)).toSet)
+    // jaccard keeps FULL degrees: clique vertices have degree 3 (no hub
+    // edge), so jaccard for (0,1) = 2 common / (3 + 3 - 2) = 0.5
+    assert(math.abs(capped((0L, 1L))._2 - 0.5) < 1e-9)
+    // blockSize invariance on the uncapped graph
+    val fine = Algorithms.linkPredictionScores(df, blockSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val coarse = Algorithms.linkPredictionScores(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(fine == coarse)
+  }
+
+  test("OpCaches: tracked operator caches release on demand") {
+    val s = Fixture.init()
+    import s.implicits._
+    graft.OpCaches.releaseAll()
+    val es = (for (i <- 0L to 5L; j <- 0L to 5L if i < j) yield (i, j))
+    Algorithms.linkPredictionScores(es.toDF("src", "dst")).count()
+    assert(graft.OpCaches.trackedCount >= 1)
+    graft.OpCaches.releaseAll()
+    assert(graft.OpCaches.trackedCount == 0)
+  }
+
   test("link-prediction scores match brute-force neighborhood math on " +
       "random graphs") {
     val s = Fixture.init()

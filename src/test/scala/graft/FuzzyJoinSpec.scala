@@ -105,6 +105,30 @@ class FuzzyJoinSpec extends AnyFunSuite {
       assert(fast(s, rows, d) === brute(s, rows, d), s"d=$d")
   }
 
+  test("short strings (|s| <= d) take the length-only key: no empty " +
+      "segment-content keys, parity preserved") {
+    val s = init()
+    // a corpus dominated by strings at or below d: the old zero-length
+    // segment keys would have bucketed ALL of these together
+    val rows = Seq[(Long, String)](
+      1L -> "", 2L -> "a", 3L -> "b", 4L -> "ab", 5L -> "ba",
+      6L -> "abc", 7L -> "xy", 8L -> "x", 9L -> "abcd", 10L -> "zz",
+      11L -> "az", 12L -> "qrs")
+    for (d <- 1 to 3)
+      assert(fast(s, rows, d) === brute(s, rows, d), s"d=$d")
+    // generator contract: zero-length CONTENT keys never carry a real
+    // segment index — short strings emit only the (L, -1, "") marker
+    for (str <- rows.map(_._2); d <- 1 to 3) {
+      val u = UTF8String.fromString(str)
+      for (k <- keyset(PassJoinKeys.segments(u, d))
+          ++ keyset(PassJoinKeys.probes(u, d)))
+        assert(k._3.nonEmpty || k._2 == -1, s"'$str' d=$d emitted $k")
+      if (str.length <= d)
+        assert(keyset(PassJoinKeys.segments(u, d)) ===
+          Set((str.length, -1, "")), s"'$str' d=$d")
+    }
+  }
+
   test("null strings drop out; duplicate strings pair at distance 0") {
     val s = init()
     import s.implicits._

@@ -322,6 +322,41 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
       want.toList)
   }
 
+  test("asof enrichment equal-ts tie-break is bit-identical to the batch " +
+      "max-struct rule for supplementary-plane payloads") {
+    val s = init()
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // U+1F600 sorts BELOW U+FFFD in Java String (UTF-16 code-unit) order
+    // but ABOVE it in Spark's UTF8String (code-point) order — the batch
+    // max(struct) uses the latter, so the streaming tie-break must too
+    val emoji = "😀"
+    val bmp = "�"
+    assert(emoji < bmp, "fixture must exercise the order divergence")
+    val ms = MemoryStream[(Long, Long, Boolean, String)](s)
+    val got = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Option[String])]()
+    val q = graft.streaming.EventStreams.asofEnrich(
+        ms.toDF().toDF("key", "ts", "isRight", "payload"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got += ((r.getLong(0), r.getLong(1),
+          Option(if (r.isNullAt(2)) null else r.getString(2)))))
+      }.start()
+    try {
+      ms.addData(Seq((1L, 5L, true, bmp), (1L, 5L, true, emoji),
+        (1L, 6L, false, "L")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.ops.OrderedJoins.asofJoinBackward(
+        Seq((1L, 6L, "L")).toDF("key", "lts", "lid"),
+        Seq((1L, 5L, bmp), (1L, 5L, emoji)).toDF("key", "rts", "rpay"),
+        Seq("key"), "lts", "rts")
+      .collect().map(r => Option(r.getString(4))).toSeq
+    assert(batch == Seq(Some(emoji)))
+    assert(got.toList == List((1L, 6L, Some(emoji))))
+  }
+
   test("asof enrichment survives null payloads and drops null side tags") {
     val s = init()
     import s.implicits._
