@@ -3033,12 +3033,25 @@ object SparkEntry {
     "q27_sim_lsh" -> q27OracleSql,
 
     // Cardinality identity: the operator must return EXACTLY queries×k
-    // rows (plus zero violation rows and zero recall-floor rows) — the
-    // oracle derives the nonzero expectation from the data itself.
+    // rows (plus zero violation rows and zero recall-floor rows). The
+    // oracle derives that count by RUNNING the brute-force top-k scan
+    // (each query has >= k non-self candidates, so the count is
+    // queries×k) — a timed baseline, so bench_vs_baseline compares the
+    // IVF pipeline against the exact scan it approximates instead of a
+    // 2 ms constant row.
     "q56_ivf_ann" ->
-      """SELECT CAST(-1 AS BIGINT) AS query_id,
-                CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 20)
-                     AS BIGINT) AS neighbor_id,
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos
+               FROM q JOIN c ON qid <> nid),
+         r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, nid ASC) AS rank
+               FROM s),
+         topk AS (SELECT qid, nid FROM r WHERE rank <= 5)
+         SELECT CAST(-1 AS BIGINT) AS query_id,
+                CAST((SELECT count(*) FROM topk) AS BIGINT) AS neighbor_id,
                 CAST(-1 AS BIGINT) AS rank,
                 CAST(NULL AS DOUBLE) AS cosine""",
 

@@ -66,11 +66,13 @@ object Introspect {
     // ---- vertex side: one unioned scan, counts per table ordinal ----
     val vMeta = pg.vertexTables.zipWithIndex
       .map { case (v, i) => (i, v.tableName) }.toDF("i", "table_name")
-    val vCounts = pg.vertexTables.zipWithIndex
+    // tracked cache (rows = #vertex tables): consumed by the vertex-row
+    // output AND the isolated-vertex arithmetic below
+    val vCounts = graft.OpCaches.track(pg.vertexTables.zipWithIndex
       .map { case (v, i) =>
         resolver(spark, v.tableName).select(lit(i).as("i")) }
       .reduce(_ unionByName _)
-      .groupBy("i").agg(count(lit(1)).as("cnt"))
+      .groupBy("i").agg(count(lit(1)).as("cnt")))
     val nullL = lit(null).cast("long")
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
@@ -113,52 +115,108 @@ object Introspect {
     // derived edge view up to 4× (measured 2× wall on q32). Degree stats
     // are over the degree GROUPS (vertices with ≥1 edge on that side),
     // exactly the reference's degree_groups CTE.
+    // posexplode, not a self-union: a union of two selects over allEdges
+    // scans every edge table twice; exploding [src, dst] tags both sides
+    // in a single pass over each table.
     val sided = allEdges
-      .select(col("i"), lit("src").as("side"), col("src").as("vk"))
-      .unionByName(allEdges
-        .select(col("i"), lit("dst").as("side"), col("dst").as("vk")))
-    val deg = sided.groupBy("i", "side", "vk").agg(count(lit(1)).as("d"))
+      .select(col("i"), posexplode(array(col("src"), col("dst"))))
+      .select(col("i"),
+        when(col("pos") === 0, lit("src")).otherwise(lit("dst")).as("side"),
+        col("col").as("vk"))
+    // tracked cache: deg feeds BOTH the histogram/quantile stats and the
+    // isolated anti-join — uncached, each consumer re-runs the whole
+    // edge-scan + aggregate. One row per (table, side, endpoint key),
+    // bounded by the distinct endpoint keys. Released by the harness via
+    // [[graft.OpCaches.releaseAll]].
+    val deg = graft.OpCaches.track(
+      sided.groupBy("i", "side", "vk").agg(count(lit(1)).as("d")))
     val hist = deg.groupBy("i", "side", "d").agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("i", "side").orderBy("d")
-    val cum = hist
-      .withColumn("__n", sum("c").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("i", "side")))
-      .withColumn("__cum", sum("c").over(w))
-    def q(p: Double): Column =
-      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("d")))
-    val stats = cum.groupBy("i", "side").agg(
-      sum(col("d") * col("c")).as("edges"),
-      sum("c").as("groups"),
-      (sum(col("d") * col("c")).cast("double") / sum("c")).as("avg"),
-      min("d").as("mn"), max("d").as("mx"),
-      q(0.25).as("q25"), q(0.5).as("q50"), q(0.75).as("q75"))
-    // both directions fold to one row per table: conditional-first pivot
-    def sideCol(side: String, c: String): Column =
-      max(when(col("side") === side, col(c))).as(s"${side}_$c")
-    val statsWide = stats.groupBy("i").agg(
-      sideCol("src", "edges"), sideCol("src", "groups"),
-      sideCol("src", "avg"), sideCol("src", "mn"), sideCol("src", "mx"),
-      sideCol("src", "q25"), sideCol("src", "q50"), sideCol("src", "q75"),
-      sideCol("dst", "edges"), sideCol("dst", "groups"),
-      sideCol("dst", "avg"), sideCol("dst", "mn"), sideCol("dst", "mx"),
-      sideCol("dst", "q25"), sideCol("dst", "q50"), sideCol("dst", "q75"))
-    // isolated vertices per (edge table, side): endpoint-reference vertex
-    // table keys with no matching edge foreign key — the deg relation IS
-    // the distinct fk-key set, no second edge pass
-    val refKeys = pg.edgeTables.zipWithIndex.flatMap { case (e, i) =>
-      Seq(("src", pg.vertexLabel(e.srcLabel)),
-        ("dst", pg.vertexLabel(e.dstLabel))).map { case (side, vt) =>
-        resolver(spark, vt.tableName).select(lit(i).as("i"),
-          lit(side).as("side"), col(vt.keyCols.head).cast("string").as("vk"))
-      }
-    }.reduce(_ unionByName _)
-    val isolated = refKeys
-      .join(deg.select("i", "side", "vk"), Seq("i", "side", "vk"),
-        "left_anti")
+    // FUSED stats: one groupBy(i) computes both sides' moments AND the
+    // exact discrete quantiles — the previous window (cumulative sums) +
+    // per-(i, side) aggregate + pivot chain was three serial exchanges
+    // of the same tiny histogram. The per-table degree histogram is ≤
+    // max-degree distinct rows, so collecting it into a sorted array and
+    // scanning it with a fold expression is driver-free, sort-free and
+    // one stage. quantile_disc semantics preserved: smallest d whose
+    // cumulative count reaches ceil(p·n).
+    def qArr(arr: Column, n: Column, p: Double): Column =
+      aggregate(arr,
+        struct(lit(0L).as("cum"), lit(null).cast("long").as("q")),
+        (acc, x) => struct(
+          (acc.getField("cum") + x.getField("c")).as("cum"),
+          coalesce(acc.getField("q"),
+            when(acc.getField("cum") + x.getField("c") >=
+              ceil(lit(p) * n), x.getField("d"))).as("q")),
+        acc => acc.getField("q"))
+    def sideAggs(side: String): Seq[Column] = Seq(
+      sum(when(col("side") === side, col("d") * col("c")))
+        .as(s"${side}_edges"),
+      sum(when(col("side") === side, col("c"))).as(s"${side}_groups"),
+      min(when(col("side") === side, col("d"))).as(s"${side}_mn"),
+      max(when(col("side") === side, col("d"))).as(s"${side}_mx"),
+      sort_array(collect_list(when(col("side") === side,
+        struct(col("d"), col("c"))))).as(s"${side}_arr"))
+    val aggsAll = sideAggs("src") ++ sideAggs("dst")
+    val statsWide = hist.groupBy("i")
+      .agg(aggsAll.head, aggsAll.tail: _*)
+      .withColumn("src_avg",
+        col("src_edges").cast("double") / col("src_groups"))
+      .withColumn("dst_avg",
+        col("dst_edges").cast("double") / col("dst_groups"))
+      .withColumn("src_q25", qArr(col("src_arr"), col("src_groups"), 0.25))
+      .withColumn("src_q50", qArr(col("src_arr"), col("src_groups"), 0.5))
+      .withColumn("src_q75", qArr(col("src_arr"), col("src_groups"), 0.75))
+      .withColumn("dst_q25", qArr(col("dst_arr"), col("dst_groups"), 0.25))
+      .withColumn("dst_q50", qArr(col("dst_arr"), col("dst_groups"), 0.5))
+      .withColumn("dst_q75", qArr(col("dst_arr"), col("dst_groups"), 0.75))
+      .drop("src_arr", "dst_arr")
+    // isolated vertices per (edge table, side) WITHOUT fanning vertex
+    // scans per reference: matched = |vertex rows whose key appears in
+    // that side's foreign-key set (= the deg relation)|, so
+    // isolated = vertex_count − matched. Each DISTINCT (vertex table,
+    // key column) is scanned once and joined once on (tbl, vk) — a
+    // table referenced by three edge sides moves through the shuffle
+    // once, not three times (its deg rows carry the (i, side) tags).
+    val sideTbl = pg.edgeTables.zipWithIndex.flatMap { case (e, i) =>
+      Seq((i, "src", pg.vertexLabel(e.srcLabel)),
+        (i, "dst", pg.vertexLabel(e.dstLabel)))
+    }
+    val sideTblDf = sideTbl
+      .map { case (i, side, vt) => (i, side, vt.tableName, vt.keyCols.head) }
+      .toDF("i", "side", "tbl", "key")
+    // the join identity is (table, KEY COLUMN, value): one table can be
+    // referenced through different key columns (e.g. a composite-label
+    // head key) whose value domains overlap — tbl+vk alone would
+    // cross-match them
+    val vkeysAll = sideTbl
+      .map { case (_, _, vt) => (vt.tableName, vt.keyCols.head) }
+      .distinct.map { case (tbl, key) =>
+        resolver(spark, tbl).select(lit(tbl).as("tbl"), lit(key).as("key"),
+          col(key).cast("string").as("vk"))
+      }.reduce(_ unionByName _)
+    val degT = deg.join(
+      broadcast(sideTblDf.select("i", "side", "tbl", "key")),
+      Seq("i", "side"))
+    val matched = vkeysAll.join(degT.select("tbl", "key", "vk", "i", "side"),
+        Seq("tbl", "key", "vk"))
+      .groupBy("i", "side").agg(count(lit(1)).as("matched"))
+    // vertex-row counts per distinct table, derived from the vCounts
+    // pass already computed for the vertex rows
+    val tblCnt = vMeta
+      .join(vCounts, Seq("i"), "left")
+      .select(col("table_name").as("tbl"),
+        coalesce(col("cnt"), lit(0L)).as("vcnt"))
+      .groupBy("tbl").agg(max("vcnt").as("vcnt"))
+    val isolated = sideTblDf.select("i", "side", "tbl")
+      .join(tblCnt, Seq("tbl"))
+      .join(matched, Seq("i", "side"), "left")
+      .withColumn("iso",
+        col("vcnt") - coalesce(col("matched"), lit(0L)))
       .groupBy("i").agg(
-        sum(when(col("side") === "src", 1L).otherwise(0L)).as("iso_src"),
-        sum(when(col("side") === "dst", 1L).otherwise(0L)).as("iso_dst"))
+        sum(when(col("side") === "src", col("iso")).otherwise(0L))
+          .as("iso_src"),
+        sum(when(col("side") === "dst", col("iso")).otherwise(0L))
+          .as("iso_dst"))
     val eparts = eMeta
       .join(statsWide, Seq("i"), "left")
       .join(isolated, Seq("i"), "left")
