@@ -642,17 +642,17 @@ object Algorithms {
     * purely an OUTPUT bound, not a straggler guard: a degree-d key
     * still emits ~d²/2 pairs, so keys above the cap are dropped before
     * the join (the [[graft.ops.Dedup.ngramJaccardPairs]] maxDocFreq
-    * precedent: reported weights become lower bounds). The default cap
-    * (10⁴, the semanticDedup targetBucket scale) bounds any single
-    * key's contribution to ~5·10⁷ pairs spread over ~50 blocked join
-    * cells — raise it freely when hub weights matter; task boundedness
-    * no longer depends on it. `minWeight` prunes the long tail after
-    * counting.
+    * precedent: reported weights become lower bounds). The DEFAULT is
+    * exact (no cap): task boundedness comes from the blocked join, so
+    * the cap is a pure opt-in output bound for callers who would
+    * rather drop a degree-d key's ~d²/2 pairs than materialize them
+    * (10⁴ bounds a key to ~5·10⁷ pairs). `minWeight` prunes the long
+    * tail after counting.
     *
     * @return (id_a, id_b, weight) with id_a < id_b
     */
   def bipartiteProjection(memberships: DataFrame, minWeight: Long = 1L,
-      maxKeyDegree: Long = 10000L, blockSize: Int = 1024): DataFrame = {
+      maxKeyDegree: Long = Long.MaxValue, blockSize: Int = 1024): DataFrame = {
     require(minWeight >= 1, s"minWeight must be >= 1 (got $minWeight)")
     require(maxKeyDegree >= 2, s"maxKeyDegree must be >= 2")
     require(blockSize >= 2, s"blockSize must be >= 2 (got $blockSize)")
@@ -689,18 +689,19 @@ object Algorithms {
     * contract: the wedge join runs as a triangular BLOCKED bucket join
     * on the shared-neighbor key ([[graft.ops.Dedup.blockedBucketJoin]],
     * per-task candidates ≤ blockSize² regardless of hub degree), and
-    * `maxDegree` bounds the OUTPUT — a degree-d wedge center fans ~d²/2
-    * pairs, so centers above the cap are excluded from enumeration.
-    * For pairs whose only shared neighbors are over-cap hubs the scores
-    * are lower bounds (the pair is absent); Adamic–Adar already weights
-    * a hub center by 1/ln d, so the omitted mass is the least
-    * informative. Jaccard denominators keep FULL degrees (hub
-    * neighbors still count toward |N(a) ∪ N(b)|).
+    * `maxDegree` is an opt-in OUTPUT bound — the DEFAULT is exact. A
+    * degree-d wedge center fans ~d²/2 pairs; callers who would rather
+    * drop that mass than materialize it set a cap, and pairs whose
+    * only shared neighbors are over-cap hubs then read as lower bounds
+    * (the pair is absent); Adamic–Adar already weights a hub center by
+    * 1/ln d, so the omitted mass is the least informative. Jaccard
+    * denominators keep FULL degrees (hub neighbors still count toward
+    * |N(a) ∪ N(b)|).
     *
     * @return (id_a, id_b, common_neighbors, jaccard, adamic_adar,
     *         is_edge) with id_a < id_b
     */
-  def linkPredictionScores(edges: DataFrame, maxDegree: Long = 10000L,
+  def linkPredictionScores(edges: DataFrame, maxDegree: Long = Long.MaxValue,
       blockSize: Int = 1024): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2 (got $maxDegree)")
     require(blockSize >= 2, s"blockSize must be >= 2 (got $blockSize)")

@@ -79,18 +79,22 @@ object PathFinder {
 
   /** Canonical plan identity for memo verification — semanticHash's own
     * preimage, so equal strings ⇔ Spark considers the plans
-    * semantically equal. */
+    * semantically equal. O(plan-size) string render: callers pass it
+    * BY NAME so a memo miss (the common case on first contact) never
+    * pays for the render — it is evaluated only to validate a hash hit
+    * or to store alongside a freshly built entry. */
   private def planIdentity(edges: org.apache.spark.sql.DataFrame): String =
     edges.queryExecution.analyzed.canonicalized.toString
 
-  private def memoized(key: (Int, String), plan: String)(
+  private def memoized(key: (Int, String), plan: => String)(
       build: => Array[(Long, Long, Long)]): Array[(Long, Long, Long)] = {
+    lazy val p = plan
     edgeMemo.synchronized {
       val hit = edgeMemo.get(key)
-      if (hit != null && hit._1 == plan) return hit._2
+      if (hit != null && hit._1 == p) return hit._2
     }
     val arr = build
-    edgeMemo.synchronized { edgeMemo.put(key, (plan, arr)) }
+    edgeMemo.synchronized { edgeMemo.put(key, (p, arr)) }
     arr
   }
 
@@ -114,9 +118,11 @@ object PathFinder {
   private[graph] def lookupEdgePairs(edges: org.apache.spark.sql.DataFrame)
       : Option[Array[(Long, Long)]] = {
     val key = (edges.queryExecution.analyzed.semanticHash(), "raw")
-    val plan = planIdentity(edges)
     val hit = edgeMemo.synchronized(edgeMemo.get(key))
-    Option(hit).filter(_._1 == plan).map(_._2.map(t => (t._1, t._2)))
+    // render the plan identity only to VALIDATE a hash hit — misses
+    // (the common case) skip the O(plan-size) string entirely
+    Option(hit).filter(_._1 == planIdentity(edges))
+      .map(_._2.map(t => (t._1, t._2)))
   }
 
   /** Memoized (src, dst) collect sharing the kernel memo's "raw" slot —

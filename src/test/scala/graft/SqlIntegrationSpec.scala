@@ -243,11 +243,18 @@ class SqlIntegrationSpec extends AnyFunSuite {
          ORDER BY harmonic.id""")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(h.nonEmpty && h.exists(_._2 > 0))
-    // k_core without an integer k raises the documented error
+    // k_core with a missing k now fails the up-front arity check with a
+    // usage string (the arity gate fires before the type check)
     val ex = intercept[GraphAnalysisException] {
       g.sqlGraph("SELECT * FROM k_core('pg', 'Person', 'Knows')")
     }
-    assert(ex.getMessage.contains("requires an integer k"))
+    assert(ex.getMessage.contains("k_core(pg, vertexLabel, edgeLabel, k)") &&
+      ex.getMessage.contains("requires 4 arguments (got 3)"))
+    // a non-integer k still reaches the documented type error
+    val ex2 = intercept[GraphAnalysisException] {
+      g.sqlGraph("SELECT * FROM k_core('pg', 'Person', 'Knows', 'two')")
+    }
+    assert(ex2.getMessage.contains("requires an integer k"))
   }
 
   test("label_propagation and random_walks table functions: SQL surface, " +
