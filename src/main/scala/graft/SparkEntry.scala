@@ -1445,18 +1445,26 @@ object SparkEntry {
     * (user, ms) so the winner is deterministic on both engines; the
     * oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an independent
     * implementation of the semantics, not a replay of our plan. */
+  /** Backward as-of over ONE event log
+    * ([[graft.ops.OrderedJoins.asofSelfJoinBackward]]): purchases pick
+    * the same user's latest preceding click-instant. One scan, one
+    * shuffle, one sort — the two-sided operator on two filters of the
+    * same table scans it twice and pre-shuffles the click side; the
+    * self variant's max-payload tie-break also subsumes that
+    * max(event_id)-per-click-instant pre-aggregation. (q106 keeps the
+    * two-sided operator on the mirrored scan, so both API shapes stay
+    * under the gates.) */
   private def q100_asof_join(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).withColumn("ms", expr("ts DIV 1000000"))
-    val purchases = ev.filter(col("event_type") === "purchase")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("ms"), col("event_type"), col("event_id"))
+    OrderedJoins.asofSelfJoinBackward(ev, Seq("user_id"), "ms",
+        isRight = col("event_type") === "click",
+        rightPayload = Seq("ms" -> "c_ms", "event_id" -> "click_event"),
+        tolerance = Some(3600000L))
+      .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_event"),
-        col("ms").as("p_ms"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("ms").as("c_ms"))
-      .agg(max("event_id").as("click_event"))
-    OrderedJoins.asofJoinBackward(purchases, clicks, Seq("user_id"),
-        "p_ms", "c_ms", tolerance = Some(3600000L))
-      .select(col("user_id"), col("purchase_event"), col("click_event"),
-        (col("p_ms") - col("c_ms")).as("gap_ms"))
+        col("click_event"), (col("ms") - col("c_ms")).as("gap_ms"))
   }
 
   /** Keyless range join ([[graft.ops.OrderedJoins.rangeJoinPoints]]):

@@ -1167,6 +1167,29 @@ object GraphTableCompiler {
         pendingPathSurrogate.foreach { case (ids, nKeys, _, _) =>
           plan = surrogatizeArrayCol(plan, pcol, ids, nKeys)
         }
+        // OPT-IN DuckDB byte parity (`spark.graft.pathArrayRowids`):
+        // the reference emits PHYSICAL 0-based rowids at vertex
+        // positions of path arrays (match.cpp:503-506) where graft
+        // emits the (stable, joinable) declared keys. With the flag set,
+        // a single numeric key space, and a resolver that provides the
+        // `__rowid` pseudo-column, even slots translate key → rowid.
+        // Best-effort by design: composite/mixed/stringified spaces and
+        // rowid-less resolvers keep declared keys.
+        if (spark.conf.getOption("spark.graft.pathArrayRowids")
+              .exists(_.equalsIgnoreCase("true")) &&
+            !perSegSurrogates && pendingPathSurrogate.isEmpty) {
+          val spaces = segSpaces.toSeq.distinct
+          if (spaces.length == 1 && spaces.head._3) {
+            val (tbl, keys, _) = spaces.head
+            val src = resolver(spark, tbl)
+            if (src.columns.contains("__rowid")) {
+              val bij = src.select(
+                col(keys.head).cast("long").as("__from"),
+                col("__rowid").cast("long").as("__to"))
+              plan = translateVertexSlots(plan, pcol, bij)
+            }
+          }
+        }
         p.pathVar.foreach(pv => pathCols(pv) = pcol)
       }
     }

@@ -56,23 +56,68 @@ object Introspect {
     * quantiles (`sorted[ceil(p·n)−1]`, DuckDB `quantile_disc` semantics)
     * computed from the per-table degree HISTOGRAM — ≤ max-degree distinct
     * values per table, tiny at any corpus scale, no full sort (the
-    * reference settles for `approx_quantile` to dodge that sort). Keys are
-    * cast to string for the union — injective, so grouping/distinct/
-    * anti-join semantics are unchanged. */
+    * reference settles for `approx_quantile` to dodge that sort). Union
+    * keys are LONG when every key column in play is integral, STRING
+    * otherwise — injective either way, so grouping/distinct/anti-join
+    * semantics are unchanged. Each physical vertex table is scanned
+    * exactly ONCE (a sentinel-tagged explode serves row counts and key
+    * sets from the same cached pass); each edge table exactly once. */
   def summarize(spark: SparkSession, pg: PropertyGraph,
       resolver: TableResolver): DataFrame = {
     import spark.implicits._
 
-    // ---- vertex side: one unioned scan, counts per table ordinal ----
+    // Key representation for the union/join identities: LONG when every
+    // key column involved (vertex keys + edge endpoint keys) is integral
+    // — long group-by/join keys hash and compare several times faster
+    // than their string casts — STRING otherwise (injective either way).
+    val keyColsInPlay: Seq[(String, String)] =
+      pg.vertexTables.map(v => (v.tableName, v.keyCols.head)) ++
+        pg.edgeTables.flatMap(e => Seq(
+          (e.tableName, e.srcKeys.head), (e.tableName, e.dstKeys.head),
+          (pg.vertexLabel(e.srcLabel).tableName,
+            pg.vertexLabel(e.srcLabel).keyCols.head),
+          (pg.vertexLabel(e.dstLabel).tableName,
+            pg.vertexLabel(e.dstLabel).keyCols.head)))
+    val integralTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    val allIntegral = keyColsInPlay.distinct.forall { case (tbl, k) =>
+      resolver(spark, tbl).schema.find(_.name == k)
+        .exists(f => integralTypes.contains(f.dataType))
+    }
+    val keyType = if (allIntegral) "long" else "string"
+    def keyCast(c: Column): Column = c.cast(keyType)
+
+    // ---- vertex side: ONE scan per distinct physical table serves BOTH
+    // the per-table row counts and the key sets the isolated-vertex
+    // anti-semantics need (previously two scans per table). Each row
+    // explodes to a `__cnt` sentinel plus one entry per needed key
+    // column; the sentinel leg counts rows, the rest are the key sets.
     val vMeta = pg.vertexTables.zipWithIndex
       .map { case (v, i) => (i, v.tableName) }.toDF("i", "table_name")
-    // tracked cache (rows = #vertex tables): consumed by the vertex-row
-    // output AND the isolated-vertex arithmetic below
-    val vCounts = graft.OpCaches.track(pg.vertexTables.zipWithIndex
-      .map { case (v, i) =>
-        resolver(spark, v.tableName).select(lit(i).as("i")) }
-      .reduce(_ unionByName _)
-      .groupBy("i").agg(count(lit(1)).as("cnt")))
+    val keysByTable: Map[String, Seq[String]] = pg.edgeTables
+      .flatMap(e => Seq(pg.vertexLabel(e.srcLabel), pg.vertexLabel(e.dstLabel)))
+      .map(vt => (vt.tableName, vt.keyCols.head)).distinct
+      .groupBy(_._1).map { case (t, ks) => t -> ks.map(_._2) }
+    val vScan = graft.OpCaches.track(
+      pg.vertexTables.map(_.tableName).distinct.map { tbl =>
+        val ks = keysByTable.getOrElse(tbl, Nil)
+        resolver(spark, tbl).select(lit(tbl).as("tbl"),
+          explode(array(
+            struct(lit("__cnt").as("key"),
+              lit(null).cast(keyType).as("vk")) +:
+            ks.map(k => struct(lit(k).as("key"),
+              keyCast(col(k)).as("vk"))): _*)).as("e"))
+          .select(col("tbl"), col("e.key").as("key"), col("e.vk").as("vk"))
+      }.reduce(_ unionByName _))
+    val tblCnt0 = vScan.filter(col("key") === "__cnt")
+      .groupBy("tbl").agg(count(lit(1)).as("vcnt"))
+    val vCounts = vMeta
+      .join(tblCnt0.withColumnRenamed("tbl", "table_name"),
+        Seq("table_name"), "left")
+      .select(col("i"), coalesce(col("vcnt"), lit(0L)).as("cnt"))
     val nullL = lit(null).cast("long")
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
@@ -94,7 +139,7 @@ object Introspect {
     // a graph may register no edge tables at all
     // (summarize_property_graph.test:50-63 `snb2`)
     if (pg.edgeTables.isEmpty)
-      return vparts.orderBy(asc("i")).drop("i")
+      return vparts.coalesce(1).sortWithinPartitions(asc("i")).drop("i")
 
     // ---- edge side: one unioned edge scan keyed by table ordinal ----
     val eMeta = pg.edgeTables.zipWithIndex
@@ -106,8 +151,8 @@ object Introspect {
     val allEdges = pg.edgeTables.zipWithIndex
       .map { case (e, i) => resolver(spark, e.tableName).select(
         lit(i).as("i"),
-        col(e.srcKeys.head).cast("string").as("src"),
-        col(e.dstKeys.head).cast("string").as("dst")) }
+        keyCast(col(e.srcKeys.head)).as("src"),
+        keyCast(col(e.dstKeys.head)).as("dst")) }
       .reduce(_ unionByName _)
     // ONE side-tagged degree pipeline serves both directions, and its
     // degree relation doubles as the distinct-foreign-key set for the
@@ -123,11 +168,24 @@ object Introspect {
       .select(col("i"),
         when(col("pos") === 0, lit("src")).otherwise(lit("dst")).as("side"),
         col("col").as("vk"))
+    // the (edge table, side) → (vertex table, key column) reference map,
+    // broadcast wherever a frame needs its side tags
+    val sideTbl = pg.edgeTables.zipWithIndex.flatMap { case (e, i) =>
+      Seq((i, "src", pg.vertexLabel(e.srcLabel)),
+        (i, "dst", pg.vertexLabel(e.dstLabel)))
+    }
+    val sideTblDf = sideTbl
+      .map { case (i, side, vt) => (i, side, vt.tableName, vt.keyCols.head) }
+      .toDF("i", "side", "tbl", "key")
     // tracked cache: deg feeds BOTH the histogram/quantile stats and the
-    // isolated anti-join — uncached, each consumer re-runs the whole
-    // edge-scan + aggregate. One row per (table, side, endpoint key),
-    // bounded by the distinct endpoint keys. Released by the harness via
-    // [[graft.OpCaches.releaseAll]].
+    // isolated match-count join — uncached, each consumer re-runs the
+    // whole edge-scan + aggregate. One row per (table, side, endpoint
+    // key), bounded by the distinct endpoint keys. Released by the
+    // harness via [[graft.OpCaches.releaseAll]]. (A fused variant that
+    // unions the replicated vertex keys INTO this shuffle and counts
+    // matches alongside degrees measured ~35% SLOWER end-to-end — the
+    // widened rows cost more in the hot aggregation than the second
+    // skinny join stage they replace.)
     val deg = graft.OpCaches.track(
       sided.groupBy("i", "side", "vk").agg(count(lit(1)).as("d")))
     val hist = deg.groupBy("i", "side", "d").agg(count(lit(1)).as("c"))
@@ -173,40 +231,20 @@ object Introspect {
     // isolated vertices per (edge table, side) WITHOUT fanning vertex
     // scans per reference: matched = |vertex rows whose key appears in
     // that side's foreign-key set (= the deg relation)|, so
-    // isolated = vertex_count − matched. Each DISTINCT (vertex table,
-    // key column) is scanned once and joined once on (tbl, vk) — a
-    // table referenced by three edge sides moves through the shuffle
-    // once, not three times (its deg rows carry the (i, side) tags).
-    val sideTbl = pg.edgeTables.zipWithIndex.flatMap { case (e, i) =>
-      Seq((i, "src", pg.vertexLabel(e.srcLabel)),
-        (i, "dst", pg.vertexLabel(e.dstLabel)))
-    }
-    val sideTblDf = sideTbl
-      .map { case (i, side, vt) => (i, side, vt.tableName, vt.keyCols.head) }
-      .toDF("i", "side", "tbl", "key")
-    // the join identity is (table, KEY COLUMN, value): one table can be
-    // referenced through different key columns (e.g. a composite-label
-    // head key) whose value domains overlap — tbl+vk alone would
-    // cross-match them
-    val vkeysAll = sideTbl
-      .map { case (_, _, vt) => (vt.tableName, vt.keyCols.head) }
-      .distinct.map { case (tbl, key) =>
-        resolver(spark, tbl).select(lit(tbl).as("tbl"), lit(key).as("key"),
-          col(key).cast("string").as("vk"))
-      }.reduce(_ unionByName _)
+    // isolated = vertex_count − matched. The vertex keys ride the SAME
+    // cached scan as the row counts (vScan); the join identity is
+    // (table, KEY COLUMN, value) — one table can be referenced through
+    // different key columns (e.g. a composite-label head key) whose
+    // value domains overlap, so tbl+vk alone would cross-match them.
+    val vkeysAll = vScan.filter(col("key") =!= "__cnt")
     val degT = deg.join(
       broadcast(sideTblDf.select("i", "side", "tbl", "key")),
       Seq("i", "side"))
     val matched = vkeysAll.join(degT.select("tbl", "key", "vk", "i", "side"),
         Seq("tbl", "key", "vk"))
       .groupBy("i", "side").agg(count(lit(1)).as("matched"))
-    // vertex-row counts per distinct table, derived from the vCounts
-    // pass already computed for the vertex rows
-    val tblCnt = vMeta
-      .join(vCounts, Seq("i"), "left")
-      .select(col("table_name").as("tbl"),
-        coalesce(col("cnt"), lit(0L)).as("vcnt"))
-      .groupBy("tbl").agg(max("vcnt").as("vcnt"))
+    // vertex-row counts per distinct table — the sentinel leg of vScan
+    val tblCnt = tblCnt0
     val isolated = sideTblDf.select("i", "side", "tbl")
       .join(tblCnt, Seq("tbl"))
       .join(matched, Seq("i", "side"), "left")
@@ -239,8 +277,11 @@ object Introspect {
         col("src_q75").as("q75_out_degree"))
     // declaration order: vertex tables first, then edge tables (the
     // reference's UNION ALL of per-table CTEs)
-    vparts.unionByName(eparts)
-      .orderBy(desc("is_vertex_table"), asc("i")).drop("i")
+    // output is one row per registered table — a single partition in
+    // stable declaration order beats a range-exchange (sampling job) for
+    // a global sort of ~dozens of rows
+    vparts.unionByName(eparts).coalesce(1)
+      .sortWithinPartitions(desc("is_vertex_table"), asc("i")).drop("i")
   }
 
   /** `PRAGMA show_property_graphs` analogue. */

@@ -275,28 +275,48 @@ object PathFinder {
         // accumulated set every level: O(levels × |seen|) cache I/O on
         // deep graphs). Re-checkpoint only every `checkpointEvery` levels
         // to keep the union plan bounded.
-        val seedRows = seeds.select(col("id").as("src"), col("id").as("dst"),
-          lit(0L).as("dist")).distinct().transform(graft.graph.PathFinder.ckpt)
+        //
+        // SMALL FINITE DEPTHS (quantifier bounds like *1..2) fuse into
+        // ONE declarative plan instead: no per-level localCheckpoint
+        // job, no isEmpty probe job — each level is a lazy persisted
+        // frame (computed once, consumed by both the union and the next
+        // level's join) and the single final action runs the whole
+        // unrolled DAG. Cuts 2 driver jobs per level to zero.
+        val limit = maxDepth.getOrElse(Long.MaxValue)
+        val fused = limit <= fuseDepth
+        def settle(df: DataFrame): DataFrame =
+          if (fused) graft.OpCaches.track(df)
+          else df.transform(graft.graph.PathFinder.ckpt)
+        val seedRows = settle(seeds.select(col("id").as("src"),
+          col("id").as("dst"), lit(0L).as("dist")).distinct())
         var seen = seedRows
         var frontier = seedRows
         var d = 0L
         var done = false
-        val limit = maxDepth.getOrElse(Long.MaxValue)
         while (!done && d < limit) {
           d += 1
-          val next = frontier.join(e, frontier("dst") === e("src"))
-            .select(frontier("src"), e("dst").as("dst"))
+          // dataset aliases, not bare frontier("dst")/e("src"): in the
+          // fused path the frontier's LINEAGE contains e, and unaliased
+          // attribute references trip DetectAmbiguousSelfJoin
+          val next = frontier.as("__f").join(e.as("__e"),
+              col("__f.dst") === col("__e.src"))
+            .select(col("__f.src").as("src"), col("__e.dst").as("dst"))
             .groupBy("src", "dst").agg(lit(d).as("dist"))
-          val fresh = next.join(seen, Seq("src", "dst"), "left_anti")
-            .transform(graft.graph.PathFinder.ckpt)
-          if (fresh.isEmpty) done = true
+          val fresh = settle(next.join(seen, Seq("src", "dst"), "left_anti"))
+          if (!fused && fresh.isEmpty) done = true
           else {
             seen = seen.union(fresh)
-            if (d % checkpointEvery == 0) seen = seen.transform(graft.graph.PathFinder.ckpt)
+            if (!fused && d % checkpointEvery == 0)
+              seen = seen.transform(graft.graph.PathFinder.ckpt)
             frontier = fresh
           }
         }
-        e.unpersist()
+        // non-fused: every level is already materialized, the edge cache
+        // has served its purpose. Fused: the result is still LAZY — e
+        // must stay cached until the caller materializes, so hand it to
+        // the tracked registry (same storage level ⇒ re-persist no-op)
+        // for the harness to release after the query.
+        if (fused) graft.OpCaches.track(e) else e.unpersist()
         seen
     }
     }
@@ -306,6 +326,13 @@ object PathFinder {
     * the union itself is re-checkpointed only this often, bounding plan
     * growth without rewriting O(|seen|) cache blocks every level. */
   private val checkpointEvery = 16
+
+  /** Iterative kernels with a finite level bound at or below this fuse
+    * ALL levels into one declarative plan (lazy persisted levels, no
+    * per-level checkpoint or isEmpty jobs) — the common MATCH quantifier
+    * bounds (*1..2, *1..3) pay one job instead of 2×levels. Above it,
+    * plan depth and the lost early-exit stop paying for themselves. */
+  private val fuseDepth = 4L
 
   /** Bidirectional multi-source × multi-target BFS. Forward frontiers are
     * labeled by seed origin, backward frontiers (over reversed edges) by
@@ -553,42 +580,56 @@ object PathFinder {
         .toDF("src", "dst", "dist", "path")
     } { e =>
     val limit = upper.getOrElse(Long.MaxValue)
+    // SMALL FINITE BOUNDS fuse all levels into one declarative plan:
+    // lazy persisted levels instead of per-level localCheckpoint, no
+    // isEmpty probes — same shape as the bfsDistances fuse (see
+    // fuseDepth). The caller's single action runs the unrolled DAG.
+    val fused = limit <= fuseDepth
+    def settle(df: DataFrame): DataFrame =
+      if (fused) graft.OpCaches.track(df)
+      else df.transform(graft.graph.PathFinder.ckpt)
     // the visited column tracks only what the mode consults (TRAIL: edge
     // ids; ACYCLIC/SIMPLE: vertices; WALK: nothing) — the path column
     // cannot serve double duty, vertex and edge ids interleave in it
     val needVisV = mode == PathMode.Acyclic || mode == PathMode.Simple
     val needVisE = mode == PathMode.Trail
-    var frontier = seeds.select(col("id").cast("long").as("src")).distinct()
+    var frontier = settle(
+      seeds.select(col("id").cast("long").as("src")).distinct()
       .select(Seq(col("src"), col("src").as("v"),
         array(col("src")).as("path")) ++
         (if (needVisV) Seq(array(col("src")).as("vis")) else Nil) ++
         (if (needVisE) Seq(array().cast("array<long>").as("vis")) else Nil)
-        : _*)
-      .transform(graft.graph.PathFinder.ckpt)
+        : _*))
     val emitted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def emit(df: DataFrame, d: Long): Unit =
       if (d >= lower) emitted += df.select(col("src"), col("v").as("dst"),
         lit(d).as("dist"), col("path"))
     emit(frontier, 0L)
     var d = 0L
-    while (!frontier.isEmpty && d < limit) {
+    while ((fused || !frontier.isEmpty) && d < limit) {
       d += 1
-      val cand = frontier.join(e, frontier("v") === e("src"))
+      // dataset aliases (not frontier("v")/e("src")): the fused path's
+      // frontier lineage contains e — see the bfsDistances note
+      val cand = frontier.as("__f").join(e.as("__e"),
+        col("__f.v") === col("__e.src"))
       val ok: Column = mode match {
         case PathMode.Walk    => lit(true)
-        case PathMode.Trail   => !array_contains(frontier("vis"), e("eid"))
-        case PathMode.Acyclic => !array_contains(frontier("vis"), e("dst"))
+        case PathMode.Trail   =>
+          !array_contains(col("__f.vis"), col("__e.eid"))
+        case PathMode.Acyclic =>
+          !array_contains(col("__f.vis"), col("__e.dst"))
         case PathMode.Simple  =>
-          !array_contains(frontier("vis"), e("dst")) ||
-            e("dst") === frontier("src")
+          !array_contains(col("__f.vis"), col("__e.dst")) ||
+            col("__e.dst") === col("__f.src")
       }
       val nextRaw = cand.filter(ok)
-        .select(Seq(frontier("src").as("src"), e("dst").as("v"),
-          concat(frontier("path"), array(e("eid"), e("dst"))).as("path")) ++
+        .select(Seq(col("__f.src").as("src"), col("__e.dst").as("v"),
+          concat(col("__f.path"),
+            array(col("__e.eid"), col("__e.dst"))).as("path")) ++
           (if (needVisV)
-            Seq(concat(frontier("vis"), array(e("dst"))).as("vis"))
+            Seq(concat(col("__f.vis"), array(col("__e.dst"))).as("vis"))
           else if (needVisE)
-            Seq(concat(frontier("vis"), array(e("eid"))).as("vis"))
+            Seq(concat(col("__f.vis"), array(col("__e.eid"))).as("vis"))
           else Nil): _*)
       // WALK k-shortest: keep only the k lexicographically-best paths per
       // (src, v) each level — sound by extension monotonicity (see
@@ -601,19 +642,23 @@ object PathFinder {
           nextRaw.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") <= kk).drop("__rn")
         case _ => nextRaw
-      }).transform(graft.graph.PathFinder.ckpt)
-      emit(next, d)
+      })
+      val settled = settle(next)
+      emit(settled, d)
       // SIMPLE: paths that closed the cycle were emitted but are terminal
       // (rows in `next` always have an extension, so v === src means the
       // path just closed back to its start)
       frontier =
-        if (mode == PathMode.Simple) next.filter(col("v") =!= col("src"))
-        else next
+        if (mode == PathMode.Simple) settled.filter(col("v") =!= col("src"))
+        else settled
     }
     val out = emitted.reduceOption(_ union _).getOrElse(
       frontier.select(col("src"), col("v").as("dst"), lit(0L).as("dist"),
         col("path")).limit(0))
-    e.unpersist()
+    // fused results are lazy — the edge cache must outlive this call
+    // (released by the harness via OpCaches); non-fused levels are all
+    // materialized already
+    if (fused) graft.OpCaches.track(e) else e.unpersist()
     out
     }
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -101,6 +101,81 @@ object OrderedJoins {
     matched.select(
       left.columns.map(col) ++ rPayload.map(c =>
         when(inTol, col("__m").getField(c)).as(c)): _*)
+  }
+
+  /** As-of join where BOTH sides are rows of ONE frame — the
+    * clickstream shape (`purchases` matched to the same log's `clicks`).
+    * [[asofJoinBackward]] on two filters of one table scans it twice and
+    * pre-shuffles the right side; this variant is ONE scan, ONE shuffle
+    * on `keys`, one in-partition sort — rows where `isRight` holds are
+    * the match candidates, every other row is a left row carried to the
+    * output with the matched payload appended.
+    *
+    * `rightPayload` maps right-side source columns to output names
+    * (left and right read the same physical columns, so output names
+    * must differ from `rows`' own). Ties on (keys, ts): the match is the
+    * payload-struct maximum, same contract as the two-sided operator —
+    * which also means a right side needing "max payload per (key, ts)"
+    * dedup (q100's max(event_id) per click instant) gets it for free.
+    * Null-ts right rows never match; null-ts left rows match nothing.
+    *
+    * @return left rows (all original columns) + one output column per
+    *         rightPayload entry (null when no admissible match)
+    */
+  def asofSelfJoinBackward(rows: DataFrame, keys: Seq[String],
+      tsCol: String, isRight: Column,
+      rightPayload: Seq[(String, String)],
+      tolerance: Option[Long] = None): DataFrame =
+    asofSelfJoin(rows, keys, tsCol, isRight, rightPayload, tolerance,
+      forward = false)
+
+  /** Forward twin of [[asofSelfJoinBackward]]: earliest right row with
+    * ts ≥ the left row's, per key. */
+  def asofSelfJoinForward(rows: DataFrame, keys: Seq[String],
+      tsCol: String, isRight: Column,
+      rightPayload: Seq[(String, String)],
+      tolerance: Option[Long] = None): DataFrame =
+    asofSelfJoin(rows, keys, tsCol, isRight, rightPayload, tolerance,
+      forward = true)
+
+  private def asofSelfJoin(rows: DataFrame, keys: Seq[String],
+      tsCol: String, isRight: Column,
+      rightPayload: Seq[(String, String)],
+      tolerance: Option[Long], forward: Boolean): DataFrame = {
+    require(rightPayload.nonEmpty, "asofSelfJoin: rightPayload is empty")
+    val clash = rightPayload.map(_._2).intersect(rows.columns.toSeq)
+    require(clash.isEmpty,
+      s"asofSelfJoin: output names ${clash.mkString(", ")} collide with input")
+    val reserved = Seq("__ats", "__aside", "__amatch", "__m", "__mts")
+      .filter(rows.columns.contains)
+    require(reserved.isEmpty,
+      s"asofSelfJoin: input columns ${reserved.mkString(", ")} are reserved")
+    val sign = if (forward) -1L else 1L
+    val ats = (col(tsCol).cast(LongType) * sign).as("__ats")
+    // right rows: null ts can never satisfy the inequality (same rule as
+    // the two-sided operator); left rows with null ts sort first and see
+    // no preceding right row, i.e. match nothing
+    val side = when(isRight, lit(0)).otherwise(lit(1)).as("__aside")
+    val matchStruct = when(isRight && col(tsCol).isNotNull,
+      struct((col(tsCol).cast(LongType) * sign).as("__mts") +:
+        rightPayload.map { case (src, out) => col(src).as(out) }: _*))
+      .as("__amatch")
+    val tagged = rows.select(
+      rows.columns.map(col) ++ Seq(ats, side, matchStruct): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ats").asc, col("__aside").asc, col("__amatch").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = tagged
+      .withColumn("__m", last(col("__amatch"), ignoreNulls = true).over(w))
+      .filter(col("__aside") === 1)
+    val inTol = tolerance match {
+      case Some(tol) => col("__m").isNotNull &&
+        col("__ats") - col("__m").getField("__mts") <= lit(tol)
+      case None => col("__m").isNotNull
+    }
+    matched.select(
+      rows.columns.map(col) ++ rightPayload.map { case (_, out) =>
+        when(inTol, col("__m").getField(out)).as(out) }: _*)
   }
 
   /** Point-in-interval join with NO equi key, bucketized: intervals

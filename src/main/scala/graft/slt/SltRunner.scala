@@ -198,9 +198,23 @@ object SltRunner {
           val want = normalizeExpectedRows(expected)
           if (got.sorted == want.sorted || gotI.sorted == want.sorted)
             RecordResult(r, "pass")
-          else RecordResult(r, "fail",
-            s"rows differ: got=${got.sorted.take(6).mkString("|")} " +
-              s"want=${want.sorted.take(6).mkString("|")}")
+          else {
+            // show the MULTISET DIFFERENCE, not the first rows — a long
+            // result differing at row 80 is undiagnosable from a prefix
+            def minus(a: Seq[String], b: Seq[String]): Seq[String] = {
+              val counts = mutable.Map.empty[String, Int]
+              b.foreach(x => counts(x) = counts.getOrElse(x, 0) + 1)
+              a.filter { x =>
+                val c = counts.getOrElse(x, 0)
+                if (c > 0) { counts(x) = c - 1; false } else true
+              }
+            }
+            val gs = got.sorted; val ws = want.sorted
+            RecordResult(r, "fail",
+              s"rows differ (${gs.length} got vs ${ws.length} want): " +
+                s"got-only=${minus(gs, ws).take(6).mkString("|")} " +
+                s"want-only=${minus(ws, gs).take(6).mkString("|")}")
+          }
         } catch {
           case SkipStatement(reason) => RecordResult(r, "skip", reason)
           case e: Throwable => RecordResult(r, "fail", s"threw: ${trimMsg(e)}")
@@ -343,6 +357,11 @@ final class SltSession(spark0: SparkSession) {
   import SltRunner.SkipStatement
 
   val spark: SparkSession = spark0.newSession()
+  // DuckDB byte parity for path arrays: the replay compares against the
+  // reference's expected output, which carries PHYSICAL vertex rowids
+  // (match.cpp:503-506) — the mini table store provides `__rowid`, so
+  // the opt-in translation has its source. Library default stays keys.
+  spark.conf.set("spark.graft.pathArrayRowids", "true")
   /** Mini table store first (it carries the hidden `__rowid` column and
     * resolves quoted/reserved names directly), catalog fallback. */
   private val resolver: TableResolver = new TableResolver {

@@ -221,4 +221,51 @@ class OrderedJoinsSpec extends AnyFunSuite {
       assert(fast.size === fast.toSet.size, s"duplicate pairs at width=$width")
     }
   }
+
+  test("self as-of join matches the two-sided operator on split sides, " +
+      "both directions, with ties, null ts and tolerance") {
+    val s = init()
+    import s.implicits._
+    // one event log: (key, ts, kind, payload) with equal-ts collisions
+    // inside and across sides, a null-ts right row (never matches) and a
+    // null-ts left row (matches nothing)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(7).toLong,
+        if (rnd.nextInt(50) == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rnd.nextInt(40).toLong),
+        if (rnd.nextBoolean()) "R" else "L", i.toLong)
+    }.toDF("k", "ts", "kind", "pid")
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(5L))) {
+      val self =
+        (if (fwd) OrderedJoins.asofSelfJoinForward _
+         else OrderedJoins.asofSelfJoinBackward _)
+          .apply(rows, Seq("k"), "ts", col("kind") === "R",
+            Seq("ts" -> "mts", "pid" -> "mpid"), tol)
+          .filter(col("kind") === "L")
+          .select("pid", "mts", "mpid").collect()
+          .map(r => r.getLong(0) ->
+            ((Option(r.get(1)), Option(r.get(2))))).toMap
+      // two-sided reference: the right side pre-deduped to the max
+      // payload struct per (k, ts) — the self variant's tie contract
+      val l = rows.filter(col("kind") === "L")
+        .select(col("k"), col("ts").as("lts"), col("pid"))
+      val r = rows.filter(col("kind") === "R")
+        .groupBy(col("k"), col("ts").as("rts"))
+        .agg(max(struct(col("ts").as("mts"), col("pid").as("mpid")))
+          .as("m"))
+        .select(col("k"), col("rts"), col("m.mts").as("mts"),
+          col("m.mpid").as("mpid"))
+      val twoSided =
+        (if (fwd) OrderedJoins.asofJoinForward _
+         else OrderedJoins.asofJoinBackward _)
+          .apply(l, r, Seq("k"), "lts", "rts", tol)
+          .select("pid", "mts", "mpid").collect()
+          .map(x => x.getLong(0) ->
+            ((Option(x.get(1)), Option(x.get(2))))).toMap
+      assert(self === twoSided, s"fwd=$fwd tol=$tol")
+      assert(self.values.exists(_._1.isDefined) &&
+        self.values.exists(_._1.isEmpty), s"fixture degenerate fwd=$fwd")
+    }
+  }
 }

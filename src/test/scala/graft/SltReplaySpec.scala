@@ -95,36 +95,25 @@ class SltReplaySpec extends AnyFunSuite {
   /** Per-line documented divergences (the runner turns a failure at such
     * a line into an explicit skip carrying the reason). */
   private val divergences: Map[String, Map[Int, String]] = Map(
-    "path_finding/kleene_star.test" -> Map(
-      // element_id()/edges() carry the VERTEX KEYS / declared edge ids —
-      // stable, joinable identifiers — where DuckDB emits physical
-      // 0-based insertion rowids; the semantics (lengths, endpoints,
-      // reachability) are identical
-      26 -> "path arrays carry vertex keys, not physical rowids",
-      50 -> "path arrays carry vertex keys, not physical rowids",
-      57 -> "path arrays carry vertex keys, not physical rowids",
-      64 -> "path arrays carry vertex keys, not physical rowids",
-      71 -> "path arrays carry vertex keys, not physical rowids",
-      78 -> "path arrays carry vertex keys, not physical rowids",
-      85 -> "path arrays carry vertex keys, not physical rowids",
-      92 -> "path arrays carry vertex keys, not physical rowids",
-      99 -> "path arrays carry vertex keys, not physical rowids",
-      106 -> "path arrays carry vertex keys, not physical rowids",
-      113 -> "path arrays carry vertex keys, not physical rowids",
-      60 -> "path arrays carry vertex keys, not physical rowids",
-      95 -> "path arrays carry vertex keys, not physical rowids"),
+    // path-array vertex rowids: the library default emits declared
+    // vertex KEYS (stable, joinable); the replay sessions set
+    // `spark.graft.pathArrayRowids` so element_id()/vertices() emit the
+    // reference's physical 0-based rowids — the former kleene_star /
+    // complex_matching / edgeless_graph divergence lines replay green.
     "pattern_matching/inheritance_support.test" -> Map(
       // `COLUMNS (p.*, u.*, w.*)`: graft expands a star in the table's
       // physical column order; DuckDB emits its internal catalog-map
       // order — same value set per row, different column order
       68 -> "star expansion order: physical schema vs catalog-map order"),
     "path_finding/complex_matching.test" -> Map(
-      55 -> ("path arrays carry vertex KEYS at even positions (edge ids " +
-        "are physical rowids and match); DuckDB emits vertex rowids"),
-      329 -> ("path arrays carry vertex keys, not physical rowids"),
-      74 -> "graft returns the path array for an aliased bare path var"),
-    "path_finding/edgeless_graph.test" -> Map(
-      26 -> "path arrays carry vertex keys, not physical rowids"),
+      // rowid parity exposed the REAL residual on these two lines: among
+      // equal-length shortest paths graft returns the deterministic
+      // lexicographic-min path array, the reference returns its BFS
+      // arrival-order winner (a different equal-cost path through
+      // another intermediate vertex) — the documented ANY SHORTEST
+      // tie-break divergence, one row of 11 (:55) / one of 26 (:329)
+      55 -> "ANY SHORTEST tie-break: lexicographic-min vs arrival order",
+      329 -> "ANY SHORTEST tie-break: lexicographic-min vs arrival order"),
     "path_finding/parser_arrow_kleene.test" -> Map(
       49 -> ("graft parses anonymous-edge quantifiers (reference parser " +
         "rejects: 'Not yet supported')"),
