@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Text-analysis operators for large-scale training-data pipelines.
   * All pure `Column` expressions over `functions._` — codegen'd, no UDFs,
@@ -503,7 +504,11 @@ object TextAnalysis {
 
   /** Stable content fingerprint (md5 of normalized text) — exact-dup key. */
   def fingerprintMd5(text: Column): Column =
-    md5(lower(wsTrim(text)))
+    // fused single-pass trim+lower+md5 ([[graft.functions.NormalizedMd5Expr]])
+    // — byte-scan edge trim instead of the regex engine; exact parity
+    // with md5(lower(wsTrim(text))), which the DuckDB oracles keep
+    Bridge.column(graft.functions.NormalizedMd5Expr(
+      Bridge.expression(text)))
 
   /** Polynomial rolling-hash fingerprint over tokens: base-31 Horner over
     * the token stream mod 2^31−1, each token pre-hashed by its md5's

@@ -568,6 +568,27 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.length == 2)
   }
 
+  test("fused content key matches md5(lower(regexp-trimmed text)) exactly") {
+    val s = Fixture.init()
+    import s.implicits._
+    // every \s edge char, interior whitespace kept, unicode casing,
+    // blanks, multi-byte neighbors of the whitespace byte values
+    val texts = Seq("hello", "  hello  ", "\t\nHeLLo\r\f", "",
+      "   ", "a  b", "ÉLAN Straße", "\nmid\tline\n\nkeep\n", "ß",
+      "漢字 テスト ", null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("k"),
+        md5(lower(regexp_replace(col("text"), "^\\s+|\\s+$", "")))
+          .as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch: $r")
+      if (!r.isNullAt(1)) assert(r.getString(1) == r.getString(2), r.toString)
+    }
+  }
+
   test("exact dedup: null-text docs are their own canonical, never dups") {
     val s = Fixture.init()
     import s.implicits._
