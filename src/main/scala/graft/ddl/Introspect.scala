@@ -92,62 +92,86 @@ object Introspect {
 
     // ---- vertex side: ONE scan per distinct physical table serves BOTH
     // the per-table row counts and the key sets the isolated-vertex
-    // anti-semantics need (previously two scans per table). Each row
-    // explodes to a `__cnt` sentinel plus one entry per needed key
-    // column; the sentinel leg counts rows, the rest are the key sets.
-    val vMeta = pg.vertexTables.zipWithIndex
-      .map { case (v, i) => (i, v.tableName) }.toDF("i", "table_name")
+    // anti-semantics need (previously two scans per table). NO sentinel
+    // explode: a table referenced through one key column (the common
+    // case) is a plain narrow select — one output row per input row —
+    // and a k-key table explodes to exactly k rows per input row, so
+    // the ROW COUNT is recoverable as the count of any one key leg;
+    // only an edge-unreferenced table needs a count-only `__cnt` leg.
     val keysByTable: Map[String, Seq[String]] = pg.edgeTables
       .flatMap(e => Seq(pg.vertexLabel(e.srcLabel), pg.vertexLabel(e.dstLabel)))
       .map(vt => (vt.tableName, vt.keyCols.head)).distinct
       .groupBy(_._1).map { case (t, ks) => t -> ks.map(_._2) }
+    val countKeyByTable: Map[String, String] = // the leg whose count = rows
+      pg.vertexTables.map(_.tableName).distinct
+        .map(t => t -> keysByTable.getOrElse(t, Nil).headOption
+          .getOrElse("__cnt")).toMap
     val vScan = graft.OpCaches.track(
       pg.vertexTables.map(_.tableName).distinct.map { tbl =>
-        val ks = keysByTable.getOrElse(tbl, Nil)
-        resolver(spark, tbl).select(lit(tbl).as("tbl"),
-          explode(array(
-            struct(lit("__cnt").as("key"),
-              lit(null).cast(keyType).as("vk")) +:
-            ks.map(k => struct(lit(k).as("key"),
+        keysByTable.getOrElse(tbl, Nil) match {
+          case Seq() => resolver(spark, tbl).select(lit(tbl).as("tbl"),
+            lit("__cnt").as("key"), lit(null).cast(keyType).as("vk"))
+          case Seq(k) => resolver(spark, tbl).select(lit(tbl).as("tbl"),
+            lit(k).as("key"), keyCast(col(k)).as("vk"))
+          case ks => resolver(spark, tbl).select(lit(tbl).as("tbl"),
+            explode(array(ks.map(k => struct(lit(k).as("key"),
               keyCast(col(k)).as("vk"))): _*)).as("e"))
-          .select(col("tbl"), col("e.key").as("key"), col("e.vk").as("vk"))
+            .select(col("tbl"), col("e.key").as("key"), col("e.vk").as("vk"))
+        }
       }.reduce(_ unionByName _))
-    val tblCnt0 = vScan.filter(col("key") === "__cnt")
-      .groupBy("tbl").agg(count(lit(1)).as("vcnt"))
-    val vCounts = vMeta
-      .join(tblCnt0.withColumnRenamed("tbl", "table_name"),
-        Seq("table_name"), "left")
-      .select(col("i"), coalesce(col("vcnt"), lit(0L)).as("cnt"))
-    val nullL = lit(null).cast("long")
-    val nullD = lit(null).cast("double")
-    val nullS = lit(null).cast("string")
-    // left join from the table list so empty tables still get a 0-count row
-    val vparts = vMeta.join(vCounts, Seq("i"), "left")
-      .select(col("i"), col("table_name"), lit(true).as("is_vertex_table"),
-        nullS.as("source_table"), nullS.as("destination_table"),
-        coalesce(col("cnt"), lit(0L)).as("vertex_count"),
-        nullL.as("edge_count"),
-        nullL.as("unique_source_count"), nullL.as("unique_destination_count"),
-        nullL.as("isolated_sources"), nullL.as("isolated_destinations"),
-        nullD.as("avg_in_degree"), nullL.as("min_in_degree"),
-        nullL.as("max_in_degree"), nullL.as("q25_in_degree"),
-        nullL.as("q50_in_degree"), nullL.as("q75_in_degree"),
-        nullD.as("avg_out_degree"), nullL.as("min_out_degree"),
-        nullL.as("max_out_degree"), nullL.as("q25_out_degree"),
-        nullL.as("q50_out_degree"), nullL.as("q75_out_degree"))
+    val tblCnt0 = vScan.groupBy("tbl", "key").agg(count(lit(1)).as("vcnt"))
+
+    // ---- driver assembly ----
+    // Everything PAST the degree histogram is provably tiny — the
+    // histogram has at most O(√E) distinct degree values per (table,
+    // side) (Σ of distinct degrees ≤ E bounds their count), the matched/
+    // row-count aggregates are one row per (table[, side]) — so the
+    // moments, exact discrete quantiles, and the 17×22 final assembly
+    // run as plain driver arithmetic on collected aggregates instead of
+    // ~10 more tiny exchanges (windows + HOF folds + pivot joins + a
+    // final sort), each of which was a scheduled AQE stage (~21 jobs →
+    // ~8; measured 2× wall on q32). The DISTRIBUTED part — the edge and
+    // vertex scans and the degree aggregation — is unchanged and scales
+    // as before.
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      ("table_name", "string"), ("is_vertex_table", "boolean"),
+      ("source_table", "string"), ("destination_table", "string"),
+      ("vertex_count", "long"), ("edge_count", "long"),
+      ("unique_source_count", "long"), ("unique_destination_count", "long"),
+      ("isolated_sources", "long"), ("isolated_destinations", "long"),
+      ("avg_in_degree", "double"), ("min_in_degree", "long"),
+      ("max_in_degree", "long"), ("q25_in_degree", "long"),
+      ("q50_in_degree", "long"), ("q75_in_degree", "long"),
+      ("avg_out_degree", "double"), ("min_out_degree", "long"),
+      ("max_out_degree", "long"), ("q25_out_degree", "long"),
+      ("q50_out_degree", "long"), ("q75_out_degree", "long"))
+      .map { case (n, t) => org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(t)) })
+    def rowsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        outSchema)
+    def vRow(tableName: String, vcnt: Long): org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row(tableName, true, null, null,
+        vcnt, null, null, null, null, null,
+        null, null, null, null, null, null,
+        null, null, null, null, null, null)
 
     // a graph may register no edge tables at all
     // (summarize_property_graph.test:50-63 `snb2`)
-    if (pg.edgeTables.isEmpty)
-      return vparts.coalesce(1).sortWithinPartitions(asc("i")).drop("i")
+    if (pg.edgeTables.isEmpty) {
+      val vcntByTbl =
+        try tblCnt0.collect()
+          .filter(r => r.getString(1) == countKeyByTable(r.getString(0)))
+          .map(r => r.getString(0) -> r.getLong(2)).toMap
+        finally vScan.unpersist()
+      return rowsDf(pg.vertexTables.map(v =>
+        vRow(v.tableName, vcntByTbl.getOrElse(v.tableName, 0L))))
+    }
 
     // ---- edge side: one unioned edge scan keyed by table ordinal ----
-    val eMeta = pg.edgeTables.zipWithIndex
-      .map { case (e, i) =>
-        val srcT = pg.vertexLabel(e.srcLabel).tableName
-        val dstT = pg.vertexLabel(e.dstLabel).tableName
-        (i, e.tableName, srcT, dstT)
-      }.toDF("i", "table_name", "source_table", "destination_table")
     val allEdges = pg.edgeTables.zipWithIndex
       .map { case (e, i) => resolver(spark, e.tableName).select(
         lit(i).as("i"),
@@ -189,45 +213,6 @@ object Introspect {
     val deg = graft.OpCaches.track(
       sided.groupBy("i", "side", "vk").agg(count(lit(1)).as("d")))
     val hist = deg.groupBy("i", "side", "d").agg(count(lit(1)).as("c"))
-    // FUSED stats: one groupBy(i) computes both sides' moments AND the
-    // exact discrete quantiles — the previous window (cumulative sums) +
-    // per-(i, side) aggregate + pivot chain was three serial exchanges
-    // of the same tiny histogram. The per-table degree histogram is ≤
-    // max-degree distinct rows, so collecting it into a sorted array and
-    // scanning it with a fold expression is driver-free, sort-free and
-    // one stage. quantile_disc semantics preserved: smallest d whose
-    // cumulative count reaches ceil(p·n).
-    def qArr(arr: Column, n: Column, p: Double): Column =
-      aggregate(arr,
-        struct(lit(0L).as("cum"), lit(null).cast("long").as("q")),
-        (acc, x) => struct(
-          (acc.getField("cum") + x.getField("c")).as("cum"),
-          coalesce(acc.getField("q"),
-            when(acc.getField("cum") + x.getField("c") >=
-              ceil(lit(p) * n), x.getField("d"))).as("q")),
-        acc => acc.getField("q"))
-    def sideAggs(side: String): Seq[Column] = Seq(
-      sum(when(col("side") === side, col("d") * col("c")))
-        .as(s"${side}_edges"),
-      sum(when(col("side") === side, col("c"))).as(s"${side}_groups"),
-      min(when(col("side") === side, col("d"))).as(s"${side}_mn"),
-      max(when(col("side") === side, col("d"))).as(s"${side}_mx"),
-      sort_array(collect_list(when(col("side") === side,
-        struct(col("d"), col("c"))))).as(s"${side}_arr"))
-    val aggsAll = sideAggs("src") ++ sideAggs("dst")
-    val statsWide = hist.groupBy("i")
-      .agg(aggsAll.head, aggsAll.tail: _*)
-      .withColumn("src_avg",
-        col("src_edges").cast("double") / col("src_groups"))
-      .withColumn("dst_avg",
-        col("dst_edges").cast("double") / col("dst_groups"))
-      .withColumn("src_q25", qArr(col("src_arr"), col("src_groups"), 0.25))
-      .withColumn("src_q50", qArr(col("src_arr"), col("src_groups"), 0.5))
-      .withColumn("src_q75", qArr(col("src_arr"), col("src_groups"), 0.75))
-      .withColumn("dst_q25", qArr(col("dst_arr"), col("dst_groups"), 0.25))
-      .withColumn("dst_q50", qArr(col("dst_arr"), col("dst_groups"), 0.5))
-      .withColumn("dst_q75", qArr(col("dst_arr"), col("dst_groups"), 0.75))
-      .drop("src_arr", "dst_arr")
     // isolated vertices per (edge table, side) WITHOUT fanning vertex
     // scans per reference: matched = |vertex rows whose key appears in
     // that side's foreign-key set (= the deg relation)|, so
@@ -243,45 +228,82 @@ object Introspect {
     val matched = vkeysAll.join(degT.select("tbl", "key", "vk", "i", "side"),
         Seq("tbl", "key", "vk"))
       .groupBy("i", "side").agg(count(lit(1)).as("matched"))
-    // vertex-row counts per distinct table — the sentinel leg of vScan
-    val tblCnt = tblCnt0
-    val isolated = sideTblDf.select("i", "side", "tbl")
-      .join(tblCnt, Seq("tbl"))
-      .join(matched, Seq("i", "side"), "left")
-      .withColumn("iso",
-        col("vcnt") - coalesce(col("matched"), lit(0L)))
-      .groupBy("i").agg(
-        sum(when(col("side") === "src", col("iso")).otherwise(0L))
-          .as("iso_src"),
-        sum(when(col("side") === "dst", col("iso")).otherwise(0L))
-          .as("iso_dst"))
-    val eparts = eMeta
-      .join(statsWide, Seq("i"), "left")
-      .join(isolated, Seq("i"), "left")
-      .select(col("i"), col("table_name"), lit(false).as("is_vertex_table"),
-        col("source_table"), col("destination_table"),
-        nullL.as("vertex_count"),
-        coalesce(col("src_edges"), lit(0L)).as("edge_count"),
-        coalesce(col("src_groups"), lit(0L)).as("unique_source_count"),
-        coalesce(col("dst_groups"), lit(0L)).as("unique_destination_count"),
-        coalesce(col("iso_src"), lit(0L)).as("isolated_sources"),
-        coalesce(col("iso_dst"), lit(0L)).as("isolated_destinations"),
-        col("dst_avg").as("avg_in_degree"), col("dst_mn").as("min_in_degree"),
-        col("dst_mx").as("max_in_degree"), col("dst_q25").as("q25_in_degree"),
-        col("dst_q50").as("q50_in_degree"), col("dst_q75").as("q75_in_degree"),
-        col("src_avg").as("avg_out_degree"),
-        col("src_mn").as("min_out_degree"),
-        col("src_mx").as("max_out_degree"),
-        col("src_q25").as("q25_out_degree"),
-        col("src_q50").as("q50_out_degree"),
-        col("src_q75").as("q75_out_degree"))
+
+    // collect the three tiny aggregates in ONE tagged union — one action,
+    // one AQE planning round (deg/vScan caches are shared by the hist and
+    // matched lineages) — and finish on the driver; the result is EAGER,
+    // so the scratch caches can be dropped here instead of waiting for
+    // the harness's post-query release
+    val nullI = lit(null).cast("int")
+    val nullS2 = lit(null).cast("string")
+    val nullL2 = lit(null).cast("long")
+    val tagged = hist.select(lit("h").as("kind"), col("i"), col("side"),
+        nullS2.as("s2"), col("d").as("a"), col("c").as("b"))
+      .unionByName(matched.select(lit("m").as("kind"), col("i"),
+        col("side"), nullS2.as("s2"), col("matched").as("a"),
+        nullL2.as("b")))
+      .unionByName(tblCnt0.select(lit("c").as("kind"), nullI.as("i"),
+        col("tbl").as("side"), col("key").as("s2"),
+        col("vcnt").as("a"), nullL2.as("b")))
+    val rows = try tagged.collect()
+      finally { deg.unpersist(); vScan.unpersist() }
+    val histBySide: Map[(Int, String), Array[(Long, Long)]] = rows
+      .filter(_.getString(0) == "h")
+      .map(r => ((r.getInt(1), r.getString(2)), (r.getLong(4), r.getLong(5))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_._1) }
+    val matchedBy: Map[(Int, String), Long] = rows
+      .filter(_.getString(0) == "m")
+      .map(r => ((r.getInt(1), r.getString(2)), r.getLong(4))).toMap
+    val vcntByTbl: Map[String, Long] = rows
+      .filter(r => r.getString(0) == "c" &&
+        r.getString(3) == countKeyByTable(r.getString(2)))
+      .map(r => r.getString(2) -> r.getLong(4)).toMap
+
+    // per-(table, side) moments + exact discrete quantiles from the
+    // sorted degree histogram: smallest d whose cumulative count reaches
+    // ceil(p·n) — DuckDB quantile_disc semantics, same math the fold
+    // expression computed distributedly
+    case class SideStats(edges: Long, groups: Long, mn: Any, mx: Any,
+      avg: Any, q25: Any, q50: Any, q75: Any)
+    def sideStats(i: Int, side: String): SideStats =
+      histBySide.get((i, side)) match {
+        case None | Some(Array()) =>
+          SideStats(0L, 0L, null, null, null, null, null, null)
+        case Some(h) =>
+          val groups = h.map(_._2).sum
+          val edges = h.map { case (d, c) => d * c }.sum
+          def q(p: Double): Any = {
+            val target = math.ceil(p * groups).toLong
+            var cum = 0L
+            var res: Any = null
+            var j = 0
+            while (res == null && j < h.length) {
+              cum += h(j)._2
+              if (cum >= target) res = Long.box(h(j)._1)
+              j += 1
+            }
+            res
+          }
+          SideStats(edges, groups, h.head._1, h.last._1,
+            edges.toDouble / groups, q(0.25), q(0.5), q(0.75))
+      }
+    val eRows = pg.edgeTables.zipWithIndex.map { case (e, i) =>
+      val srcT = pg.vertexLabel(e.srcLabel).tableName
+      val dstT = pg.vertexLabel(e.dstLabel).tableName
+      val so = sideStats(i, "src")
+      val si = sideStats(i, "dst")
+      def iso(side: String, tbl: String): Long =
+        vcntByTbl.getOrElse(tbl, 0L) - matchedBy.getOrElse((i, side), 0L)
+      org.apache.spark.sql.Row(e.tableName, false, srcT, dstT,
+        null, so.edges, so.groups, si.groups,
+        iso("src", srcT), iso("dst", dstT),
+        si.avg, si.mn, si.mx, si.q25, si.q50, si.q75,
+        so.avg, so.mn, so.mx, so.q25, so.q50, so.q75)
+    }
     // declaration order: vertex tables first, then edge tables (the
     // reference's UNION ALL of per-table CTEs)
-    // output is one row per registered table — a single partition in
-    // stable declaration order beats a range-exchange (sampling job) for
-    // a global sort of ~dozens of rows
-    vparts.unionByName(eparts).coalesce(1)
-      .sortWithinPartitions(desc("is_vertex_table"), asc("i")).drop("i")
+    rowsDf(pg.vertexTables.map(v =>
+      vRow(v.tableName, vcntByTbl.getOrElse(v.tableName, 0L))) ++ eRows)
   }
 
   /** `PRAGMA show_property_graphs` analogue. */
