@@ -98,6 +98,35 @@ object PathFinder {
     arr
   }
 
+  /** Size-gate VERDICT memo: the limit-probe executes the (usually
+    * uncached) edge-view plan, so on the distributed branch — where no
+    * edge-array memo entry ever forms — every query over the same view
+    * re-paid the probe scan. The verdict is as stable as the plan
+    * identity (a data change produces a different plan — the edgeMemo
+    * argument), and the gate threshold is part of the key because specs
+    * flip [[localMaxEdges]] to force branches. Hash-collision discipline
+    * matches edgeMemo: the 32-bit key is an index, the canonicalized
+    * plan string is the proof, misses never render it. */
+  private val gateMemo =
+    new java.util.LinkedHashMap[(Int, Long), (String, Boolean)](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Long), (String, Boolean)]): Boolean =
+        size() > 8
+    }
+
+  private def edgesUnderGate(e: DataFrame): Boolean = {
+    val key = (e.queryExecution.analyzed.semanticHash(), localMaxEdges)
+    lazy val p = planIdentity(e)
+    gateMemo.synchronized {
+      val hit = gateMemo.get(key)
+      if (hit != null && hit._1 == p) return hit._2
+    }
+    val small = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
+    gateMemo.synchronized { gateMemo.put(key, (p, small)) }
+    small
+  }
+
   private def collectEdges(edges: org.apache.spark.sql.DataFrame,
       withEid: Boolean): Array[(Long, Long, Long)] =
     memoized((edges.queryExecution.analyzed.semanticHash(),
@@ -151,7 +180,7 @@ object PathFinder {
   private def localOrElse(e: DataFrame, seeds: DataFrame)(
       local: Array[Long] => DataFrame)(
       distributed: => DataFrame): DataFrame = {
-    val eSmall = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
+    val eSmall = edgesUnderGate(e)
     // probe + collect fused: one limited collect instead of a count probe
     // followed by a second full evaluation of the seed plan (seeds are
     // often a filtered scan, not a cached view — two passes doubled it)
@@ -189,7 +218,7 @@ object PathFinder {
       distributed: DataFrame => DataFrame): DataFrame = {
     val clean = dropNullEndpoints(edges)
     val hasEid = clean.columns.contains("eid")
-    val eSmall = clean.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
+    val eSmall = edgesUnderGate(clean)
     val seedProbe = if (eSmall) probeSeeds(seeds) else None
     if (seedProbe.isDefined) {
       val arr = if (hasEid) collectEdges(clean, withEid = true)

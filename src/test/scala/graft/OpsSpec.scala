@@ -664,6 +664,21 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs(2) == expected)
   }
 
+  test("blocked bucket join: small-bucket probe takes the direct join " +
+      "(no window scaffolding); a hot bucket keeps the blocked shape") {
+    val s = init()
+    import s.implicits._
+    val rows = ((1L to 7L).map(i => (i, "A")) ++
+      Seq((10L, "B"), (11L, "B"))).toDF("id", "bucket")
+    def hasWindow(bs: Int): Boolean =
+      Dedup.blockedBucketJoin(rows, Seq("bucket"), bs)
+        .queryExecution.executedPlan.toString.contains("Window")
+    assert(!hasWindow(100),
+      "all buckets under blockSize — the probe must pick the direct join")
+    assert(hasWindow(3),
+      "a 7-member bucket over blockSize=3 must keep the blocked shape")
+  }
+
   test("simhash maxDist above the blocking guarantee is rejected") {
     val s = init()
     import s.implicits._
