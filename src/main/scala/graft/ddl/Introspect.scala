@@ -106,7 +106,7 @@ object Introspect {
       pg.vertexTables.map(_.tableName).distinct
         .map(t => t -> keysByTable.getOrElse(t, Nil).headOption
           .getOrElse("__cnt")).toMap
-    val vScan = graft.OpCaches.track(
+    val vScan = (
       pg.vertexTables.map(_.tableName).distinct.map { tbl =>
         keysByTable.getOrElse(tbl, Nil) match {
           case Seq() => resolver(spark, tbl).select(lit(tbl).as("tbl"),
@@ -163,10 +163,9 @@ object Introspect {
     // (summarize_property_graph.test:50-63 `snb2`)
     if (pg.edgeTables.isEmpty) {
       val vcntByTbl =
-        try tblCnt0.collect()
+        tblCnt0.collect()
           .filter(r => r.getString(1) == countKeyByTable(r.getString(0)))
           .map(r => r.getString(0) -> r.getLong(2)).toMap
-        finally vScan.unpersist()
       return rowsDf(pg.vertexTables.map(v =>
         vRow(v.tableName, vcntByTbl.getOrElse(v.tableName, 0L))))
     }
@@ -246,7 +245,7 @@ object Introspect {
         col("tbl").as("side"), col("key").as("s2"),
         col("vcnt").as("a"), nullL2.as("b")))
     val rows = try tagged.collect()
-      finally { deg.unpersist(); vScan.unpersist() }
+      finally deg.unpersist()
     val histBySide: Map[(Int, String), Array[(Long, Long)]] = rows
       .filter(_.getString(0) == "h")
       .map(r => ((r.getInt(1), r.getString(2)), (r.getLong(4), r.getLong(5))))

@@ -668,10 +668,35 @@ object Algorithms {
     val kept = graft.OpCaches.track(
       m.join(broadcast(hot), Seq("v"), "left_anti")
         .select(col("u").as("id"), col("v")))
-    graft.ops.Dedup.blockedBucketJoin(kept, Seq("v"), blockSize)
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("weight"))
-      .filter(col("weight") >= minWeight)
+    val joined = graft.ops.Dedup.blockedBucketJoin(kept, Seq("v"), blockSize)
+    // Pair-count aggregation, exchange-shaped for an output-sized pair
+    // stream: most generated pairs are UNIQUE, so a plain groupBy's
+    // map-side partial aggregation builds multi-million-entry hash
+    // tables that shrink ~nothing before the exchange — pure overhead
+    // ahead of a full-volume shuffle. Repartition FIRST on the pair key
+    // and aggregate once after the exchange; when both ids fit in 31
+    // bits (probed on the cached frame) the pair packs into ONE long, so
+    // the exchange carries bare 8-byte keys and the aggregation hashes
+    // primitives. Measured at the 10× point: 13.3 s (SMJ + 2-col
+    // groupBy) → ~6-8 s.
+    val idr = kept.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .first()
+    val packable = !idr.isNullAt(0) && idr.getLong(0) >= 0L &&
+      idr.getLong(1) < (1L << 31)
+    val counted =
+      if (packable)
+        joined.select(shiftleft(col("x.id"), 32)
+            .bitwiseOR(col("y.id")).as("__pk"))
+          .repartition(col("__pk"))
+          .groupBy("__pk").agg(count(lit(1)).as("weight"))
+          .select(shiftright(col("__pk"), 32).as("id_a"),
+            col("__pk").bitwiseAND(lit(0xffffffffL)).as("id_b"),
+            col("weight"))
+      else
+        joined.select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .repartition(col("id_a"), col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("weight"))
+    counted.filter(col("weight") >= minWeight)
   }
 
   /** Link-prediction scores (beyond the reference's algorithm set): for
@@ -719,11 +744,18 @@ object Algorithms {
       .join(deg.filter(col("deg") <= maxDegree)
         .select(col("v").as("n"), col("deg").as("cdeg")), Seq("n"))
       .select(col("v").as("id"), col("n"), col("cdeg"))
+    // repartition-first: the wedge stream is output-sized (mostly unique
+    // pairs — the bipartiteProjection argument), so exchange the narrow
+    // (id_a, id_b, cdeg) rows and aggregate once after, instead of a
+    // no-shrink map-side partial aggregation ahead of the same shuffle
     val pairs = graft.ops.Dedup.blockedBucketJoin(wedgeIn, Seq("n"),
         blockSize)
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.cdeg").as("__cdeg"))
+      .repartition(col("id_a"), col("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common_neighbors"),
-        sum(lit(1.0) / log(col("x.cdeg").cast("double"))).as("__aa"))
+        sum(lit(1.0) / log(col("__cdeg").cast("double"))).as("__aa"))
     val out = pairs
       .join(deg.select(col("v").as("id_a"), col("deg").as("__da")),
         Seq("id_a"))

@@ -111,7 +111,13 @@ object Dedup {
     val maxBucket = banded.groupBy(bks: _*)
       .agg(count(lit(1)).as("__c")).agg(max(col("__c"))).first()
     if (maxBucket.isNullAt(0) || maxBucket.getLong(0) <= blockSize)
-      return banded.as("x").join(banded.as("y"),
+      // SHUFFLE_HASH: Catalyst otherwise plans a sort-merge join, which
+      // sorts BOTH 2×-the-corpus legs by bucket for a join whose probe
+      // side is bounded per bucket anyway (≤ blockSize members — the
+      // probe just proved it). Hash-partitioned build tables skip both
+      // sorts; measured ~17% off the q114 wedge join at the 10× point.
+      return banded.as("x").hint("SHUFFLE_HASH").join(
+        banded.as("y").hint("SHUFFLE_HASH"),
         bucketCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
           col("x.id") < col("y.id"))
     val w = Window.partitionBy(bks: _*).orderBy(col("id"))
