@@ -535,6 +535,54 @@ case class HyperplaneSignBits(child: Expression, planes: Seq[Seq[Double]])
     copy(child = c)
 }
 
+/** The HLL per-key (register index, rank) pair fused into one digest +
+  * bit arithmetic pass — bit-identical to the declarative
+  * `pmod(conv(substr(md5(k),9,8),16,10), 2^b)` /
+  * `65-b-length(bin((hi << (32-b)) + (lo >> b)))` column pair
+  * ([[graft.ops.Sketches.hllIdxRho]]'s previous form, still replayed by
+  * every oracle from the md5 hex), which allocated a 32-char hex string,
+  * parsed two 8-char slices back to longs, and rendered a binary string
+  * per input row. Null key → null struct (the callers' select keeps the
+  * row out of the register aggregation, matching md5(null) = null
+  * propagation in the declarative form). */
+object HllHash {
+  /** @return struct(idx: long, rho: long) for the md5 of `s` under
+    *   2^b registers; bitlen via numberOfLeadingZeros = length(bin(w)). */
+  def idxRho(s: org.apache.spark.unsafe.types.UTF8String,
+      b: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val f = PortableHash.md5Fields32(s, 0)
+    val hi = f(0)
+    val lo = f(1)
+    val w = (hi << (32 - b)) + (lo >> b)
+    val rho =
+      if (w == 0L) (65 - b).toLong
+      else (65 - b).toLong - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    org.apache.spark.sql.catalyst.InternalRow(lo & ((1L << b) - 1), rho)
+  }
+}
+
+/** See [[HllHash.idxRho]]; `b` is validated by the column wrapper. */
+case class HllIdxRhoExpr(child: Expression, b: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("idx",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("rho",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "hll_idx_rho"
+
+  override def nullSafeEval(a: Any): Any =
+    HllHash.idxRho(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], b)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.HllHash.idxRho($x, $b);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Inputs must already be `array<double>` (call sites cast). */
   def vec_dot(a: Column, b: Column): Column =
@@ -554,4 +602,7 @@ object VectorFunctions {
   def bloom_stats(grams: Column, mask: Array[Long], m: Int,
       k: Int): Column =
     Bridge.column(BloomStatsExpr(Bridge.expression(grams), mask, m, k))
+  /** `key` must already be a string column (call sites cast). */
+  def hll_idx_rho(key: Column, b: Int): Column =
+    Bridge.column(HllIdxRhoExpr(Bridge.expression(key), b))
 }

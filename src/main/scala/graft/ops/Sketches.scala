@@ -202,11 +202,10 @@ object Sketches {
     * narrow exchange, mergeable across partitions/days by the same
     * `max` (union two register sets and re-aggregate).
     */
-  def hllRegisters(df: DataFrame, keyCol: Column, b: Int): DataFrame = {
-    val (idx, rho) = hllIdxRho(keyCol, b)
-    df.select(idx.as("idx"), rho.as("rho"))
+  def hllRegisters(df: DataFrame, keyCol: Column, b: Int): DataFrame =
+    df.select(hllIdxRho(keyCol, b).as("__ir"))
+      .select(col("__ir.idx").as("idx"), col("__ir.rho").as("rho"))
       .groupBy("idx").agg(max("rho").as("rho"))
-  }
 
   /** Per-GROUP HLL registers ([[hllRegisters]] keyed by a group column):
     * distinct cardinality per domain/stratum/shard — the "distinct users
@@ -214,11 +213,11 @@ object Sketches {
     * shuffle; at most groups × 2^b output rows; mergeable across
     * partitions/days by the same per-(group, idx) max. */
   def hllRegistersByGroup(df: DataFrame, groupCol: String, keyCol: Column,
-      b: Int): DataFrame = {
-    val (idx, rho) = hllIdxRho(keyCol, b)
-    df.select(col(groupCol).as("grp"), idx.as("idx"), rho.as("rho"))
+      b: Int): DataFrame =
+    df.select(col(groupCol).as("grp"), hllIdxRho(keyCol, b).as("__ir"))
+      .select(col("grp"), col("__ir.idx").as("idx"),
+        col("__ir.rho").as("rho"))
       .groupBy("grp", "idx").agg(max("rho").as("rho"))
-  }
 
   /** Per-group bias-corrected estimates from [[hllRegistersByGroup]]
     * output — the [[hllSummary]] arithmetic applied per group (same
@@ -248,21 +247,22 @@ object Sketches {
           .otherwise(col("__est_raw")), 4).as("est"))
   }
 
-  /** The per-key (register index, rank) column pair of [[hllRegisters]]
-    * — shared with the streaming twin so both compute identical
-    * registers from identical expressions. */
-  def hllIdxRho(keyCol: Column, b: Int): (Column, Column) = {
+  /** The per-key `struct(idx, rho)` column of [[hllRegisters]] — shared
+    * with the streaming twin so both compute identical registers from the
+    * identical expression. One fused digest + bit-arithmetic pass
+    * ([[graft.functions.HllIdxRhoExpr]]) — bit-identical to the previous
+    * declarative `pmod(conv(substr(md5 …)))` / `length(bin(…))` column
+    * pair (spec-pinned), which allocated a hex string, two parsed slices,
+    * and a binary string per row; every oracle still replays the values
+    * from the md5 hex. Callers materialize the struct in its OWN
+    * projection and extract the fields in a second one (the
+    * [[graft.ops.TextAnalysis.redactPii]] precedent) so the digest runs
+    * once per row. Both fields are long on both twins: the streaming
+    * register table must be schema-identical to the batch one (they
+    * union/merge downstream). */
+  def hllIdxRho(keyCol: Column, b: Int): Column = {
     require(b >= 8 && b <= 16, s"b must be in [8, 16] (got $b)")
-    val hex = md5(keyCol.cast("string"))
-    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
-    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
-    val w = shiftleft(hi, 32 - b) + shiftright(lo, b)
-    // field width is 64-b bits; rho = leading zeros + 1 = 65 - b - bitlen(w)
-    val rho = when(w === 0, lit(65 - b))
-      .otherwise(lit(65 - b) - length(bin(w)))
-    // long on both twins: the streaming register table must be
-    // schema-identical to the batch one (they union/merge downstream)
-    (pmod(lo, lit((1L << b))), rho.cast("long"))
+    graft.functions.VectorFunctions.hll_idx_rho(keyCol.cast("string"), b)
   }
 
   /** One-row HLL summary from [[hllRegisters]] output: the standard

@@ -93,9 +93,9 @@ object CorpusStreams {
   def hllRegisters(rows: DataFrame, keyCol: String, b: Int): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val (idx, rho) = Sketches.hllIdxRho(col(keyCol), b)
     rows.where(col(keyCol).isNotNull)
-      .select(idx.as("idx"), rho.as("rho"))
+      .select(Sketches.hllIdxRho(col(keyCol), b).as("__ir"))
+      .select(col("__ir.idx").as("idx"), col("__ir.rho").as("rho"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long)](

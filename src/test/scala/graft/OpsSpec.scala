@@ -782,6 +782,38 @@ class OpsSpec extends AnyFunSuite {
       s"wide sketch diverged on $offW of $vocab tokens")
   }
 
+  test("hllIdxRho fused expression: bit-identical to the declarative " +
+      "md5-hex formula every oracle replays (nulls, empties, multibyte)") {
+    val s = init()
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val data: Seq[String] = (1 to 2000).map { i =>
+      if (i % 97 == 0) null
+      else {
+        val base = Seq.fill(rnd.nextInt(40))(
+          rnd.nextPrintableChar()).mkString
+        if (i % 5 == 0) base + "é≈ÿ漢" else base
+      }
+    } ++ Seq("", "0", null)
+    val df = data.toDF("k")
+    for (b <- Seq(8, 12, 16)) {
+      val hex = md5(col("k").cast("string"))
+      val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+      val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+      val w = shiftleft(hi, 32 - b) + shiftright(lo, b)
+      val rho = when(w === 0, lit(65 - b))
+        .otherwise(lit(65 - b) - length(bin(w))).cast("long")
+      val idx = pmod(lo, lit(1L << b))
+      val bad = df
+        .select(col("k"), graft.ops.Sketches.hllIdxRho(col("k"), b).as("f"),
+          idx.as("idx"), rho.as("rho"))
+        .filter(!(col("f.idx") <=> col("idx") &&
+          col("f.rho") <=> col("rho")))
+      assert(bad.count() == 0, s"fused/declarative divergence at b=$b: " +
+        bad.take(3).mkString("; "))
+    }
+  }
+
   test("hllSummary: zero-document input yields NULL regs_md5 (the " +
       "DuckDB string_agg-over-zero-rows twin), not md5 of empty string") {
     val s = init()
