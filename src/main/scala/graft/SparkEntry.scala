@@ -708,6 +708,26 @@ object SparkEntry {
     * exactly where WCC (q16/q36) would merge everything into one
     * component. Six synchronous rounds, min-label ties; the oracle
     * replays every round. */
+  /** Weighted label propagation
+    * ([[Algorithms.weightedLabelPropagation]]): the q104 community pass
+    * with edge-strength votes — weights (src+dst) % 7 + 1 make some
+    * bridges heavier than intra-band edges, so communities differ from
+    * the unweighted run; integer-valued weights keep the round(sum, 9)
+    * vote comparison exact on both engines. The oracle replays all six
+    * rounds with the identical weighted argmax. */
+  private def q117_weighted_lpa(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("id"))
+    val bridges = Seq((1L, 2L), (7L, 8L), (13L, 14L), (19L, 20L))
+      .toDF("src", "dst")
+    val e = TradeGraph.nationNear(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .union(bridges)
+      .withColumn("w", ((col("src") + col("dst")) % 7 + 1).cast("double"))
+    Algorithms.weightedLabelPropagation(v, e, rounds = 6)
+  }
+
   private def q104_label_propagation(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("id"))
@@ -1354,6 +1374,34 @@ object SparkEntry {
       .select(col("token"), col("true_cnt"), col("est").as("est_cnt"))
   }
 
+  /** Per-group CountMin ([[Sketches.countMinSketchByGroup]]): a
+    * token-frequency sketch per document source — "heavy hitters per
+    * domain" with groups × depth × width counters and one
+    * map-side-combinable shuffle however large the corpus. The top-3
+    * tokens per source (by exact count) are point-queried against their
+    * OWN group's counters; the oracle replays every counter and
+    * estimate from the md5 bucket scheme. */
+  private def q116_countmin_by_group(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val (depth, width) = (4, 32)
+    val sketch =
+      Sketches.countMinSketchByGroup(docs, "source", "text", depth, width)
+    val truth = docs.filter(col("text").isNotNull &&
+        length(TextAnalysis.wsTrim(col("text"))) > 0)
+      .select(col("source").as("grp"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("true_cnt"))
+    val top = truth.withColumn("__rk", row_number().over(
+        Window.partitionBy("grp")
+          .orderBy(col("true_cnt").desc, col("token").asc)))
+      .filter(col("__rk") <= 3).drop("__rk")
+    Sketches.countMinEstimateByGroup(sketch, top.select("grp", "token"),
+        depth, width)
+      .join(top, Seq("grp", "token"))
+      .select(col("grp").as("source"), col("token"), col("true_cnt"),
+        col("est").as("est_cnt"))
+  }
+
   /** HyperLogLog distinct-token count ([[Sketches.hllRegisters]], b=8 →
     * 256 registers) over the corpus token stream, beside the exact
     * distinct count it approximates. The register state is
@@ -1671,6 +1719,8 @@ object SparkEntry {
     "q113_link_prediction" -> (q113_link_prediction _),
     "q114_copurchase" -> (q114_copurchase _),
     "q115_weighted_pagerank" -> (q115_weighted_pagerank _),
+    "q116_countmin_by_group" -> (q116_countmin_by_group _),
+    "q117_weighted_lpa" -> (q117_weighted_lpa _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2808,6 +2858,43 @@ object SparkEntry {
          SELECT id, lab AS community FROM l6"""
     },
 
+    // the q104 round replay with weighted argmax votes: round(sum(w), 9)
+    // before ranking on both engines (integer-valued weights -> exact)
+    "q117_weighted_lpa" -> {
+      val rounds = (1 to 6).map { t =>
+        s"""c$t AS (
+           SELECT e.dst AS id, l${t - 1}.lab AS lab,
+                  round(sum(e.w), 9) AS wv
+           FROM und e JOIN l${t - 1} ON e.src = l${t - 1}.id GROUP BY 1, 2),
+         p$t AS (
+           SELECT id, lab FROM c$t
+           QUALIFY row_number() OVER (
+             PARTITION BY id ORDER BY wv DESC, lab) = 1),
+         l$t AS (
+           SELECT l${t - 1}.id, coalesce(p$t.lab, l${t - 1}.lab) AS lab
+           FROM l${t - 1} LEFT JOIN p$t ON l${t - 1}.id = p$t.id)"""
+      }.mkString(",\n         ")
+      s"""WITH $sqlNationNear,
+         bridge(src, dst) AS (VALUES (1, 2), (7, 8), (13, 14), (19, 20)),
+         alle AS (
+           SELECT src, dst,
+                  CAST((src + dst) % 7 + 1 AS DOUBLE) AS w
+           FROM (SELECT src, dst FROM nation_near
+                 UNION ALL SELECT src, dst FROM bridge)),
+         su AS (
+           SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                  sum(w) AS w
+           FROM alle WHERE src <> dst GROUP BY 1, 2),
+         und AS (
+           SELECT a AS src, b AS dst, w FROM su
+           UNION ALL SELECT b, a, w FROM su),
+         l0 AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS id,
+                  CAST(n_nationkey AS BIGINT) AS lab FROM nation),
+         $rounds
+         SELECT id, lab AS community FROM l6"""
+    },
+
     // every step of every walk replayed: arg_min over the identical
     // md5('start:r:t:dst') strings the Spark min-struct minimizes
     "q103_random_walks" ->
@@ -3802,6 +3889,41 @@ object SparkEntry {
          SELECT top.token AS token, CAST(top.true_cnt AS BIGINT) AS true_cnt,
                 CAST(est.est AS BIGINT) AS est_cnt
          FROM top JOIN est USING (token)""",
+
+    "q116_countmin_by_group" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split_regex(
+             regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'))
+             AS token
+           FROM documents
+           WHERE text IS NOT NULL
+             AND len(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
+         truth AS (
+           SELECT source, token, count(*) AS true_cnt
+           FROM toks GROUP BY 1, 2),
+         top AS (
+           SELECT source, token, true_cnt FROM truth
+           QUALIFY row_number() OVER (
+             PARTITION BY source ORDER BY true_cnt DESC, token ASC) <= 3),
+         sk AS (
+           SELECT source, d, CAST('0x' || substr(md5(CAST(d AS VARCHAR) ||
+             ':' || token), 9, 8) AS BIGINT) % 32 AS bucket,
+             count(*) AS cnt
+           FROM toks, range(4) t(d) GROUP BY 1, 2, 3),
+         qb AS (
+           SELECT source, token, d, CAST('0x' || substr(md5(CAST(d AS
+             VARCHAR) || ':' || token), 9, 8) AS BIGINT) % 32 AS bucket
+           FROM top, range(4) t(d)),
+         est AS (
+           SELECT qb.source, qb.token, min(coalesce(sk.cnt, 0)) AS est
+           FROM qb LEFT JOIN sk ON qb.source = sk.source AND qb.d = sk.d
+             AND qb.bucket = sk.bucket
+           GROUP BY 1, 2)
+         SELECT top.source AS source, top.token AS token,
+                CAST(top.true_cnt AS BIGINT) AS true_cnt,
+                CAST(est.est AS BIGINT) AS est_cnt
+         FROM top JOIN est ON top.source = est.source
+           AND top.token = est.token""",
 
     // quantile_cont uses the same (n-1)*p interpolated rank as Spark's
     // exact percentile

@@ -1060,6 +1060,74 @@ object Algorithms {
     lab.select(col("id"), col("lab").as("community"))
   }
 
+  /** Weighted synchronous label propagation (beyond the reference's
+    * algorithm set): [[labelPropagation]] with votes weighted by edge
+    * strength — each round a vertex adopts the label maximizing
+    * Σ W(v, n) over neighbors n carrying that label, ties to the
+    * smallest label; isolated vertices keep their own. The undirected
+    * pair weight W(a, b) is the SUM of `w` over every input row between
+    * a and b in either direction (parallel edges reinforce); null/≤0
+    * weights drop at ingestion (the [[weightedPageRank]] /
+    * cheapest-path convention), self-loops never vote. Fixed round
+    * count, and vote totals round to 9 decimals BEFORE ranking (the
+    * weighted-reservoir float discipline — integer-valued weights make
+    * the comparison exact on any engine), so an SQL replay is
+    * value-exact.
+    *
+    * At scale each round is one label-to-neighbor join plus two
+    * aggregations — per-(vertex, label) weight sums combine map-side,
+    * so a hub's fan-in never concentrates in one task. Small graphs run
+    * the driver kernel under the usual gates.
+    *
+    * @return (id, community) over vertices ∪ edge endpoints
+    */
+  def weightedLabelPropagation(vertices: DataFrame, edges: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0 (got $rounds)")
+    val sp = vertices.sparkSession
+    import sp.implicits._
+    val clean = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull && col("w") > 0 && col("src") =!= col("dst"))
+    val und = clean
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum("w").as("w"))
+    val probe = PathFinder.localMaxEdges.toInt + 1
+    if (clean.limit(probe).count() <= PathFinder.localMaxEdges &&
+        vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
+      val ids = vertices.select(col("id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      val uarr = und.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      return LocalKernels.weightedLabelPropagation(ids, uarr, rounds)
+        .toSeq.toDF("id", "community")
+    }
+    val nbr = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val domain = vertices.select(col("id").cast("long").as("id"))
+      .union(nbr.select(col("src").as("id")))
+      .distinct()
+    var lab = domain.withColumn("lab", col("id"))
+      .transform(PathFinder.ckpt)
+    for (_ <- 1 to rounds) {
+      val msgs = nbr.join(lab, nbr("src") === lab("id"))
+        .select(nbr("dst").as("id"), col("lab"), nbr("w"))
+      val pick = msgs.groupBy("id", "lab")
+        .agg(round(sum("w"), 9).as("wv"))
+        .groupBy("id")
+        .agg(min(struct((-col("wv")).as("nw"), col("lab"))).as("__m"))
+        .select(col("id"), col("__m.lab").as("__new"))
+      lab = lab.join(pick, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("__new"), col("lab")).as("lab"))
+        .transform(PathFinder.ckpt)
+    }
+    nbr.unpersist()
+    lab.select(col("id"), col("lab").as("community"))
+  }
+
   /** Deterministic "random" walks (beyond the reference's algorithm
     * set): the DeepWalk/node2vec sampling pass of a graph-embedding
     * pipeline, with the randomness replaced by a portable hash so every

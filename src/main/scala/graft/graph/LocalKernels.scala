@@ -800,6 +800,51 @@ private[graph] object LocalKernels {
     verts.toArray.map(v => (v, lab(v)))
   }
 
+  /** Weighted label propagation — the
+    * [[graft.graph.Algorithms.weightedLabelPropagation]] twin. `und`
+    * carries one row per UNORDERED pair with the already-combined
+    * weight (the caller sums parallel edges); votes are weight sums per
+    * label, rounded to 9 decimals before ranking exactly like the
+    * distributed `round(sum(w), 9)` (Spark round = HALF_UP), ties to
+    * the smallest label. */
+  def weightedLabelPropagation(vertexIds: Array[Long],
+      und: Array[(Long, Long, Double)],
+      rounds: Int): Array[(Long, Long)] = {
+    val verts = mutable.LinkedHashSet[Long]()
+    vertexIds.foreach(verts += _)
+    und.foreach { case (a, b, _) => verts += a; verts += b }
+    val adj = mutable.LongMap[mutable.ArrayBuffer[(Long, Double)]]()
+    und.foreach { case (a, b, w) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += ((b, w))
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((a, w))
+    }
+    def r9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    var lab = mutable.LongMap[Long]()
+    verts.foreach(v => lab(v) = v)
+    var round = 0
+    while (round < rounds) {
+      val next = mutable.LongMap[Long]()
+      verts.foreach { v =>
+        adj.get(v) match {
+          case Some(nbrs) if nbrs.nonEmpty =>
+            val votes = mutable.LongMap[Double]()
+            nbrs.foreach { case (n, w) =>
+              votes(lab(n)) = votes.getOrElse(lab(n), 0.0) + w
+            }
+            // max rounded weight, then min label
+            next(v) = votes.toSeq
+              .map { case (l, wv) => (-r9(wv), l) }.min._2
+          case _ => next(v) = lab(v)
+        }
+      }
+      lab = next
+      round += 1
+    }
+    verts.toArray.map(v => (v, lab(v)))
+  }
+
   /** Deterministic hash-driven walks — the
     * [[graft.graph.Algorithms.deterministicWalks]] twin. Step t of walk
     * (start, r) moves to the out-neighbor d minimizing the md5 hex of

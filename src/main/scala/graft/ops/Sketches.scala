@@ -61,6 +61,59 @@ object Sketches {
       .agg(sum("__n").as("cnt"))
   }
 
+  /** Per-GROUP CountMin counter tables ([[countMinSketch]] keyed by a
+    * group column): token-frequency sketch per domain/stratum/shard —
+    * the "heavy hitters per source over 100 TB" shape. Still ONE
+    * map-side-combinable shuffle (per-(group, token) tf partials, then
+    * (grp, d, bucket) sums); at most groups × depth × width counter
+    * rows however large the corpus, and sketches for the same group
+    * from different partitions/days merge by the same sum.
+    *
+    * @return (grp, d, bucket, cnt) — sparse per group
+    */
+  def countMinSketchByGroup(df: DataFrame, groupCol: String,
+      textCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"depth must be in [1, 16] (got $depth)")
+    require(width >= 2 && width <= (1 << 30),
+      s"width must be in [2, 2^30] (got $width)")
+    val tokCounts = df
+      .filter(col(textCol).isNotNull &&
+        length(TextAnalysis.wsTrim(col(textCol))) > 0)
+      .select(col(groupCol).as("grp"),
+        explode(graft.functions.TextFunctions.tf_from_text(
+          col(textCol))).as("__e"))
+      .select(col("grp"), col("__e.t").as("token"), col("__e.tf").as("__tf"))
+      .groupBy("grp", "token").agg(sum("__tf").as("__n"))
+    tokCounts
+      .select(col("grp"), col("__n"), posexplode(array((0 until depth).map(
+        d => cmBucket(col("token"), d, width)): _*)))
+      .groupBy(col("grp"), col("pos").as("d"), col("col").as("bucket"))
+      .agg(sum("__n").as("cnt"))
+  }
+
+  /** Point-query a per-group sketch: the [[countMinEstimate]] min over
+    * the `depth` counters of the QUERY ROW'S OWN group — a token's
+    * estimate never reads another group's counters. `queries` must
+    * carry (grp, tokenCol); the sketch is groups × depth × width rows
+    * at most, so it broadcasts.
+    *
+    * @return (grp, tokenCol, est) — per-group upper bounds
+    */
+  def countMinEstimateByGroup(sketch: DataFrame, queries: DataFrame,
+      depth: Int, width: Int, tokenCol: String = "token"): DataFrame = {
+    val buckets = queries
+      .select(col("grp"), col(tokenCol),
+        posexplode(array((0 until depth).map(d =>
+          cmBucket(col(tokenCol), d, width)): _*)))
+      .select(col("grp"), col(tokenCol), col("pos").as("d"),
+        col("col").as("bucket"))
+    buckets
+      .join(broadcast(sketch), Seq("grp", "d", "bucket"), "left_outer")
+      .groupBy("grp", tokenCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Point-query the sketch: CountMin estimate (min over the `depth`
     * counters) for each row of `queries(tokenCol)`. The sketch is tiny by
     * construction, so it broadcasts; the query set stays distributed.

@@ -782,4 +782,76 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
       assert(withDist(run()) === want, s"(seed $seed dist)")
     }
   }
+
+  test("weighted label propagation: both branches match a naive " +
+      "weighted argmax; a heavy edge outvotes a count majority") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    def withDist[T](body: => T): T = {
+      val e = PathFinder.localMaxEdges
+      PathFinder.localMaxEdges = 0
+      try body finally PathFinder.localMaxEdges = e
+    }
+    def r9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def naive(vs: Seq[Long], es: Seq[(Long, Long, Double)],
+        rounds: Int): Map[Long, Long] = {
+      val und = es.filter(e => e._1 != e._2 && e._3 > 0)
+        .groupBy(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .map { case (k, g) => (k._1, k._2, g.map(_._3).sum) }.toSeq
+      val verts = (vs ++ und.flatMap(e => Seq(e._1, e._2))).distinct
+      val adj = verts.map(v => v -> (und.collect {
+        case (a, b, w) if a == v => (b, w)
+        case (a, b, w) if b == v => (a, w)
+      })).toMap
+      var lab = verts.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) lab = verts.map { v =>
+        val nbrs = adj(v)
+        if (nbrs.isEmpty) v -> lab(v)
+        else v -> nbrs.groupBy(e => lab(e._1)).toSeq
+          .map { case (l, g) => (-r9(g.map(_._2).sum), l) }.min._2
+      }.toMap
+      lab
+    }
+    for (seed <- 601L to 604L) {
+      val rnd = new scala.util.Random(seed)
+      val n = 8 + rnd.nextInt(8)
+      // quarter-integer weights: every vote sum is exactly representable,
+      // so the round-9 rank comparison cannot be order-sensitive
+      val es = for {
+        a <- 0L until n.toLong; b <- 0L until n.toLong
+        if a != b && rnd.nextDouble() < 0.2
+      } yield (a, b, (1 + rnd.nextInt(16)) / 4.0)
+      val vs = 0L until n.toLong
+      val want = naive(vs, es, 5)
+      def run() = Algorithms.weightedLabelPropagation(
+          vs.toDF("id"), es.toDF("src", "dst", "w"), rounds = 5)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(run() === want, s"(seed $seed local)")
+      assert(withDist(run()) === want, s"(seed $seed dist)")
+    }
+    // star 0-(1,2,3): unweighted LPA ties 3 labels at count 1 and takes
+    // the smallest (1); a heavy 0-3 edge makes the weighted pass pick 3
+    val star = Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 5.0))
+    val vs4 = Seq(0L, 1L, 2L, 3L)
+    val unw = Algorithms.labelPropagation(
+        vs4.toDF("id"), star.map(e => (e._1, e._2)).toDF("src", "dst"),
+        rounds = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val wgt = Algorithms.weightedLabelPropagation(
+        vs4.toDF("id"), star.toDF("src", "dst", "w"), rounds = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(unw(0L) == 1L)
+    assert(wgt(0L) == 3L)
+    // null / non-positive weights drop at ingestion: only the real edge
+    // votes remain
+    val dirty = Seq((0L, 1L, -1.0), (0L, 2L, 0.0), (0L, 3L, 2.0))
+    val cleaned = Algorithms.weightedLabelPropagation(
+        vs4.toDF("id"), dirty.toDF("src", "dst", "w"), rounds = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(cleaned(0L) == 3L && cleaned(3L) == 0L)
+    assert(cleaned(1L) == 1L && cleaned(2L) == 2L)
+  }
 }

@@ -782,6 +782,53 @@ class OpsSpec extends AnyFunSuite {
       s"wide sketch diverged on $offW of $vocab tokens")
   }
 
+  test("per-group CountMin: each group's counters equal a solo sketch " +
+      "of that group, and estimates never undercount within the group") {
+    val s = init()
+    import s.implicits._
+    val docs = Seq(
+      ("a", "x x y z"), ("a", "x y"), ("a", null),
+      ("b", "p q q"), ("b", "  "), ("b", "p p p r")
+    ).toDF("source", "text")
+    val (depth, width) = (4, 8)
+    val byGrp = graft.ops.Sketches
+      .countMinSketchByGroup(docs, "source", "text", depth, width)
+    // group isolation: the per-group counter table IS the solo sketch of
+    // that group's documents — no cross-group bleed in either direction
+    for (g <- Seq("a", "b")) {
+      val solo = graft.ops.Sketches.countMinSketch(
+          docs.filter(col("source") === g), "text", depth, width)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val grp = byGrp.filter(col("grp") === g)
+        .select("d", "bucket", "cnt")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(grp === solo, s"group $g counters diverge from solo sketch")
+    }
+    // within-group estimates are upper bounds on the true counts
+    val truth = docs.filter(col("text").isNotNull &&
+        length(graft.ops.TextAnalysis.wsTrim(col("text"))) > 0)
+      .select(col("source").as("grp"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("true_cnt"))
+    val est = graft.ops.Sketches.countMinEstimateByGroup(
+      byGrp, truth.select("grp", "token"), depth, width)
+    val joined = est.join(truth, Seq("grp", "token")).collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r =>
+      r.getAs[Long]("est") >= r.getAs[Long]("true_cnt")))
+    // 'q' only exists in group b: its group-a estimate reads group-a
+    // counters only (likely 0 at this width unless a-group tokens
+    // collide into every one of its 4 buckets)
+    val qa = graft.ops.Sketches.countMinEstimateByGroup(
+        byGrp, Seq(("a", "q")).toDF("grp", "token"), depth, width)
+      .head().getAs[Long]("est")
+    val qb = graft.ops.Sketches.countMinEstimateByGroup(
+        byGrp, Seq(("b", "q")).toDF("grp", "token"), depth, width)
+      .head().getAs[Long]("est")
+    assert(qb >= 2L)
+    assert(qa <= qb)
+  }
+
   test("hllIdxRho fused expression: bit-identical to the declarative " +
       "md5-hex formula every oracle replays (nulls, empties, multibyte)") {
     val s = init()
