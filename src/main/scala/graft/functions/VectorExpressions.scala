@@ -561,6 +561,77 @@ object HllHash {
   }
 }
 
+/** Product-quantization assignment: per-subspace L2-argmin centroid ids
+  * in ONE fused per-row loop — the projection form of the
+  * explode → broadcast-join → sum(pow) → row_number-argmin pipeline
+  * ([[graft.ops.Similarity.pqEncode]]'s previous shape, which carried
+  * N×dims×ksub rows through a join and a window per (vector, subspace)).
+  * The flattened codebook rides along as a codegen reference object
+  * (kilobytes: m×ksub×subdim doubles, laid out
+  * `(sub·ksub + cid)·subdim + pos`; absent (sub, cid) slots are NaN and
+  * can never win the strict `<` argmin). Ties take the smaller centroid
+  * id and null vector elements are skipped — both identical to the
+  * declarative form (`ORDER BY d2, centroid_id` / sum-ignores-null). */
+object PqAssign {
+  def assign(x: ArrayData, books: Array[Double], m: Int,
+      ksub: Int): ArrayData = {
+    val subdim = books.length / (m * ksub)
+    val dims = x.numElements()
+    if (dims != m * subdim)
+      throw new IllegalArgumentException(
+        s"PQ requires vector dims divisible by m=$m with subspace width " +
+          s"$subdim (expected ${m * subdim} dims, got $dims)")
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var best = 0L
+      var bestD = Double.PositiveInfinity
+      var cid = 0
+      while (cid < ksub) {
+        val base = (j * ksub + cid) * subdim
+        var d2 = 0.0
+        var p = 0
+        while (p < subdim) {
+          val xi = j * subdim + p
+          if (!x.isNullAt(xi)) {
+            val diff = x.getDouble(xi) - books(base + p)
+            d2 += diff * diff
+          }
+          p += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = cid.toLong }
+        cid += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** See [[PqAssign.assign]]; input must already be `array<double>`. */
+case class PqAssignExpr(child: Expression, books: Array[Double],
+    m: Int, ksub: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "pq_assign"
+
+  override def nullSafeEval(a: Any): Any =
+    PqAssign.assign(a.asInstanceOf[ArrayData], books, m, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.PqAssign.assign(" +
+        s"$x, $booksRef, $m, $ksub);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** See [[HllHash.idxRho]]; `b` is validated by the column wrapper. */
 case class HllIdxRhoExpr(child: Expression, b: Int)
     extends UnaryExpression {
@@ -605,4 +676,8 @@ object VectorFunctions {
   /** `key` must already be a string column (call sites cast). */
   def hll_idx_rho(key: Column, b: Int): Column =
     Bridge.column(HllIdxRhoExpr(Bridge.expression(key), b))
+  /** `vec` must already be `array<double>` (call sites cast). */
+  def pq_assign(vec: Column, books: Array[Double], m: Int,
+      ksub: Int): Column =
+    Bridge.column(PqAssignExpr(Bridge.expression(vec), books, m, ksub))
 }

@@ -418,49 +418,73 @@ object Similarity {
       .withColumn("centroid_id", pmod(col(idCol).cast("long"), lit(ksub)))
       .groupBy("sub", "centroid_id", "pos")
       .agg(round(avg("comp"), roundDecimals).as("v"))
+    // each iteration: collect the (tiny, m×ksub×subdim) codebook to the
+    // driver and fuse the assignment into the SAME pass that re-averages
+    // — codes and components come off one row, so the explode →
+    // broadcast-join → argmin-window pipeline (N×dims×ksub join rows per
+    // iteration) collapses to one projection + the unavoidable
+    // per-(sub, centroid, pos) average. Argmin ties and null-element
+    // handling identical to the declarative form (PqAssign scaladoc).
     for (_ <- 1 to iters) {
-      val flat = cents.select(col("sub"), col("centroid_id"),
-        col("pos"), col("v"))
-      val assigned = dp.join(broadcast(flat), Seq("sub", "pos"))
-        .groupBy(col(idCol), col("sub"), col("centroid_id"))
-        .agg(sum(pow(col("comp") - col("v"), 2)).as("__d2"))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col(idCol), col("sub"))
-            .orderBy(col("__d2").asc, col("centroid_id").asc)))
-        .filter(col("__rn") === 1)
-        .select(col(idCol), col("sub"), col("centroid_id"))
-      cents = dp.join(assigned, Seq(idCol, "sub"))
+      val (books, kEff, sd) = collectBooks(toVecs(cents), m)
+      cents = df
+        .select(col(vecCol).cast("array<double>").as("__v"))
+        .select(col("__v"), graft.functions.VectorFunctions.pq_assign(
+          col("__v"), books, m, kEff).as("__codes"))
+        .select(posexplode(col("__v")).as(Seq("__p", "__c")),
+          col("__codes"))
+        .select((col("__p") / sd).cast("long").as("sub"),
+          pmod(col("__p"), lit(sd)).cast("long").as("pos"),
+          element_at(col("__codes"),
+            (col("__p") / sd).cast("int") + 1).as("centroid_id"),
+          col("__c").as("comp"))
         .groupBy("sub", "centroid_id", "pos")
         .agg(round(avg("comp"), roundDecimals).as("v"))
     }
     toVecs(cents)
   }
 
+  /** Collect a [[pqTrain]] codebook to the flat driver array
+    * [[graft.functions.PqAssign]] indexes (`(sub·ksub + cid)·subdim +
+    * pos`): m×ksub×subdim doubles — kilobytes at any corpus scale, the
+    * PQ design point. Absent (sub, cid) slots (a degenerate init can
+    * mint fewer than ksub ids) stay NaN and never win the argmin. */
+  private def collectBooks(codebooks: DataFrame,
+      m: Int): (Array[Double], Int, Int) = {
+    val rows = codebooks
+      .select(col("sub").cast("long"), col("centroid_id").cast("long"),
+        col("vec"))
+      .collect()
+    require(rows.nonEmpty, "PQ codebook is empty")
+    val ksub = rows.map(_.getLong(1)).max.toInt + 1
+    val subdim = rows.head.getSeq[Double](2).length
+    val arr = Array.fill(m * ksub * subdim)(Double.NaN)
+    rows.foreach { r =>
+      val base = (r.getLong(0).toInt * ksub + r.getLong(1).toInt) * subdim
+      val v = r.getSeq[Double](2)
+      var i = 0
+      while (i < subdim) { arr(base + i) = v(i); i += 1 }
+    }
+    (arr, ksub, subdim)
+  }
+
   /** Encode each vector as its `m` nearest sub-centroid ids (L2 per
     * subspace, ties to the smaller id) — the PQ code array, `m` longs
-    * replacing `dims` floats. One broadcast of the flattened codebooks,
-    * one per-(vector, subspace) argmin; exchange pattern identical to
-    * [[pqTrain]]'s assignment step.
+    * replacing `dims` floats. The codebook is collected to the driver
+    * (m×ksub×subdim doubles — kilobytes by the PQ design point) and the
+    * whole encode is ONE codegen'd projection pass
+    * ([[graft.functions.PqAssignExpr]]): no explode, no join, no argmin
+    * window, no shuffle — at 100 TB the encode reads the vectors once
+    * and writes the codes.
     *
     * @param codebooks output of [[pqTrain]]
     * @return (idCol, codes: array<long> ordered by subspace)
     */
   def pqEncode(df: DataFrame, codebooks: DataFrame, m: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val flat = codebooks.select(col("sub"), col("centroid_id"),
-      posexplode(col("vec")).as(Seq("pos", "v")))
-    pqComponents(df, m, idCol, vecCol)
-      .join(broadcast(flat), Seq("sub", "pos"))
-      .groupBy(col(idCol), col("sub"), col("centroid_id"))
-      .agg(sum(pow(col("comp") - col("v"), 2)).as("__d2"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idCol), col("sub"))
-          .orderBy(col("__d2").asc, col("centroid_id").asc)))
-      .filter(col("__rn") === 1)
-      .groupBy(idCol)
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("centroid_id")))),
-        s => s.getField("centroid_id")).as("codes"))
+    val (books, ksub, _) = collectBooks(codebooks, m)
+    df.select(col(idCol), graft.functions.VectorFunctions.pq_assign(
+      col(vecCol).cast("array<double>"), books, m, ksub).as("codes"))
   }
 
   /** PQ approximate top-k by ASYMMETRIC DISTANCE COMPUTATION: the query
