@@ -632,6 +632,68 @@ case class PqAssignExpr(child: Expression, books: Array[Double],
     copy(child = c)
 }
 
+/** IVF / k-means assignment: the nearest-centroid id by COSINE argmax in
+  * one fused per-row loop — the projection form of
+  * `crossJoin(broadcast(centroids)) → cosine → row_number argmin window`
+  * ([[graft.ops.Similarity.ivfAssign]]'s previous shape, which sorted
+  * N×k scored rows per assignment pass). Arithmetic is bit-identical to
+  * the declarative `cosine` column: sequential dot over min(lengths),
+  * sequential squared-norm sums, `dot / (|x|·|c|)` with the zero-norm →
+  * 0.0 rule; centroids iterate in ascending id order with a strict `>`
+  * argmax, so ties keep the smallest id exactly like
+  * `ORDER BY sim DESC, centroid_id ASC`. Centroid vectors, their
+  * precomputed norms (same sequential sum), and their ids ride along as
+  * codegen reference objects — kilobytes by the IVF design point. */
+object IvfAssign {
+  def assign(x: ArrayData, cents: Array[Double], cnorms: Array[Double],
+      ids: Array[Long], dims: Int): Long = {
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    val xn = math.sqrt(s)
+    var best = 0L
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < ids.length) {
+      val base = c * dims
+      val m = math.min(n, dims)
+      var dot = 0.0
+      var p = 0
+      while (p < m) { dot += x.getDouble(p) * cents(base + p); p += 1 }
+      val d = xn * cnorms(c)
+      val sim = if (d == 0.0) 0.0 else dot / d
+      if (sim > bestSim) { bestSim = sim; best = ids(c) }
+      c += 1
+    }
+    best
+  }
+}
+
+/** See [[IvfAssign.assign]]; input must already be `array<double>`. */
+case class IvfAssignExpr(child: Expression, cents: Array[Double],
+    cnorms: Array[Double], ids: Array[Long], dims: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "ivf_assign"
+
+  override def nullSafeEval(a: Any): Any =
+    IvfAssign.assign(a.asInstanceOf[ArrayData], cents, cnorms, ids, dims)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    val normsRef = ctx.addReferenceObj("ivfNorms", cnorms, "double[]")
+    val idsRef = ctx.addReferenceObj("ivfIds", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.IvfAssign.assign(" +
+        s"$x, $centsRef, $normsRef, $idsRef, $dims);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** See [[HllHash.idxRho]]; `b` is validated by the column wrapper. */
 case class HllIdxRhoExpr(child: Expression, b: Int)
     extends UnaryExpression {
@@ -680,4 +742,9 @@ object VectorFunctions {
   def pq_assign(vec: Column, books: Array[Double], m: Int,
       ksub: Int): Column =
     Bridge.column(PqAssignExpr(Bridge.expression(vec), books, m, ksub))
+  /** `vec` must already be `array<double>` (call sites cast). */
+  def ivf_assign(vec: Column, cents: Array[Double], cnorms: Array[Double],
+      ids: Array[Long], dims: Int): Column =
+    Bridge.column(IvfAssignExpr(Bridge.expression(vec), cents, cnorms,
+      ids, dims))
 }

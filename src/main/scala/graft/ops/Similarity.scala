@@ -341,21 +341,42 @@ object Similarity {
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest of
-    * `centroids` (a small broadcast table (centroid_id, vec)), so queries
-    * only scan `nprobe` inverted lists — the classic ANN scale path.
+    * `centroids` (a small table (centroid_id, vec) — kilobytes by the
+    * IVF design point), so queries only scan `nprobe` inverted lists —
+    * the classic ANN scale path. One codegen'd projection per row.
     * @return input + `centroid_id` column
     */
   def ivfAssign(df: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = centroids.select(col("centroid_id"),
-      col("vec").cast("array<double>").as("cv"))
-    val scored = df.crossJoin(broadcast(c))
-      .withColumn("__sim", cosine(col(vecCol).cast("array<double>"), col("cv")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc,
-      col("centroid_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__sim", "__rn", "cv")
+    // centroid tables are kilobytes by contract (they broadcast in the
+    // previous crossJoin shape) — collect once and fuse the whole
+    // cosine-argmax into ONE codegen'd projection
+    // ([[graft.functions.IvfAssignExpr]]): no N×k scored rows, no
+    // per-vector argmin window sort. Arithmetic, zero-norm rule, and the
+    // smallest-id tie-break are bit-identical to the declarative form
+    // (IvfAssign scaladoc); an empty centroid table keeps the previous
+    // crossJoin-with-empty semantics (no output rows).
+    val rows = centroids
+      .select(col("centroid_id").cast("long"),
+        col("vec").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+    if (rows.isEmpty)
+      return df.withColumn("centroid_id", lit(0L)).filter(lit(false))
+    val dims = rows.head.getSeq[Double](1).length
+    val ids = rows.map(_.getLong(0))
+    val cents = new Array[Double](rows.length * dims)
+    val cnorms = new Array[Double](rows.length)
+    rows.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Double](1)
+      var s = 0.0
+      var i = 0
+      while (i < v.length && i < dims) {
+        cents(c * dims + i) = v(i); s += v(i) * v(i); i += 1
+      }
+      cnorms(c) = math.sqrt(s)
+    }
+    df.withColumn("centroid_id", graft.functions.VectorFunctions.ivf_assign(
+      col(vecCol).cast("array<double>"), cents, cnorms, ids, dims))
   }
 
   // ===========================================================================
