@@ -996,6 +996,23 @@ object SparkEntry {
         col("rank"), col("adc_cosine"))
   }
 
+  /** IVF-PQ composite ANN ([[Similarity.ivfPqTopK]]): coarse spherical
+    * k-means lists prune candidates (nprobe of numCentroids), PQ codes
+    * + a per-query ADC LUT make the in-list scan cheap — the production
+    * index shape. Everything is deterministic (rounded centroids,
+    * deterministic PQ init, smallest-id ties), so the oracle replays the
+    * ENTIRE build and search: coarse train, list assignment, probes,
+    * PQ train/encode, candidate-restricted ADC scores, final ranks. */
+  private def q118_ivfpq_ann(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    Similarity.ivfPqTopK(queries, e, k = 5, numCentroids = 8, nprobe = 3,
+        m = 2, ksub = 8, coarseIters = 1, pqIters = 1)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"),
+        col("rank"), col("adc_cosine"))
+  }
+
   private def q56_ivf_ann(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     val queries = e.filter(col("vec_id") < 20)
@@ -1721,6 +1738,7 @@ object SparkEntry {
     "q115_weighted_pagerank" -> (q115_weighted_pagerank _),
     "q116_countmin_by_group" -> (q116_countmin_by_group _),
     "q117_weighted_lpa" -> (q117_weighted_lpa _),
+    "q118_ivfpq_ann" -> (q118_ivfpq_ann _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -3745,6 +3763,119 @@ object SparkEntry {
            JOIN lut ON code.sub = lut.sub AND code.cid = lut.cid
            JOIN cn2 ON code.sub = cn2.sub AND code.cid = cn2.cid
            WHERE lut.query_id <> code.vec_id
+           GROUP BY 1, 2),
+         adc AS (
+           SELECT sc.query_id, sc.neighbor_id,
+                  CASE WHEN qn.qn * sqrt(sc.rn2) = 0 THEN 0
+                       ELSE sc.dot / (qn.qn * sqrt(sc.rn2)) END AS a
+           FROM sc JOIN qn ON sc.query_id = qn.query_id)
+         SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+                round(a, 6) AS adc_cosine
+         FROM (
+           SELECT query_id, neighbor_id, a, row_number() OVER (
+             PARTITION BY query_id ORDER BY a DESC, neighbor_id ASC) AS rn
+           FROM adc)
+         WHERE rn <= 5""",
+
+    // the q82 coarse chain + the q96 PQ chain, composed: lists prune,
+    // codes score. MATERIALIZED where a CTE is referenced down a
+    // multiplicative inlining chain (the q112 lesson — DuckDB inlines
+    // plain CTEs per reference).
+    "q118_ivfpq_ann" ->
+      """WITH emb AS MATERIALIZED (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         fd AS MATERIALIZED (
+           SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS comp
+           FROM emb),
+         k0 AS (
+           SELECT vec_id % 8 AS cid, pos, round(avg(comp), 6) AS c
+           FROM fd GROUP BY 1, 2),
+         ks AS (
+           SELECT fd.vec_id, k0.cid, sum(fd.comp * k0.c) AS dot,
+                  sqrt(sum(fd.comp * fd.comp)) AS nv,
+                  sqrt(sum(k0.c * k0.c)) AS nc
+           FROM fd JOIN k0 USING (pos) GROUP BY 1, 2),
+         ka AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY CASE WHEN nv * nc = 0 THEN 0
+                             ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
+             FROM ks) WHERE rn = 1),
+         k1 AS MATERIALIZED (
+           SELECT ka.cid, fd.pos, round(avg(fd.comp), 6) AS c
+           FROM fd JOIN ka USING (vec_id) GROUP BY 1, 2),
+         ls AS MATERIALIZED (
+           SELECT fd.vec_id, k1.cid, sum(fd.comp * k1.c) AS dot,
+                  sqrt(sum(fd.comp * fd.comp)) AS nv,
+                  sqrt(sum(k1.c * k1.c)) AS nc
+           FROM fd JOIN k1 USING (pos) GROUP BY 1, 2),
+         la AS (
+           SELECT vec_id AS neighbor_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY CASE WHEN nv * nc = 0 THEN 0
+                             ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
+             FROM ls) WHERE rn = 1),
+         pr AS (
+           SELECT vec_id AS query_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY CASE WHEN nv * nc = 0 THEN 0
+                             ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
+             FROM ls WHERE vec_id < 20) WHERE rn <= 3),
+         cand AS MATERIALIZED (
+           SELECT pr.query_id, la.neighbor_id FROM la JOIN pr USING (cid)),
+         dp AS MATERIALIZED (
+           SELECT vec_id,
+                  CAST(unnest(range(len(v))) // 32 AS BIGINT) AS sub,
+                  CAST(unnest(range(len(v))) % 32 AS BIGINT) AS pos,
+                  unnest(v) AS comp
+           FROM emb),
+         pc0 AS (
+           SELECT sub, vec_id % 8 AS cid, pos, round(avg(comp), 6) AS c
+           FROM dp GROUP BY 1, 2, 3),
+         ps1 AS (
+           SELECT dp.vec_id, dp.sub, pc0.cid,
+                  sum((dp.comp - pc0.c) * (dp.comp - pc0.c)) AS d2
+           FROM dp JOIN pc0 ON dp.sub = pc0.sub AND dp.pos = pc0.pos
+           GROUP BY 1, 2, 3),
+         pa1 AS (
+           SELECT vec_id, sub, cid FROM (
+             SELECT vec_id, sub, cid, row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) AS rn
+             FROM ps1) WHERE rn = 1),
+         pc1 AS MATERIALIZED (
+           SELECT pa1.sub, pa1.cid, dp.pos, round(avg(dp.comp), 6) AS c
+           FROM dp JOIN pa1 ON dp.vec_id = pa1.vec_id AND dp.sub = pa1.sub
+           GROUP BY 1, 2, 3),
+         ps2 AS (
+           SELECT dp.vec_id, dp.sub, pc1.cid,
+                  sum((dp.comp - pc1.c) * (dp.comp - pc1.c)) AS d2
+           FROM dp JOIN pc1 ON dp.sub = pc1.sub AND dp.pos = pc1.pos
+           GROUP BY 1, 2, 3),
+         code AS MATERIALIZED (
+           SELECT vec_id, sub, cid FROM (
+             SELECT vec_id, sub, cid, row_number() OVER (
+               PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) AS rn
+             FROM ps2) WHERE rn = 1),
+         cn2 AS (SELECT sub, cid, sum(c * c) AS cn2 FROM pc1 GROUP BY 1, 2),
+         lut AS (
+           SELECT dp.vec_id AS query_id, pc1.sub, pc1.cid,
+                  sum(dp.comp * pc1.c) AS d
+           FROM dp JOIN pc1 ON dp.sub = pc1.sub AND dp.pos = pc1.pos
+           WHERE dp.vec_id < 20 GROUP BY 1, 2, 3),
+         qn AS (
+           SELECT vec_id AS query_id, sqrt(sum(comp * comp)) AS qn
+           FROM dp WHERE vec_id < 20 GROUP BY 1),
+         sc AS (
+           SELECT cand.query_id, code.vec_id AS neighbor_id,
+                  sum(lut.d) AS dot, sum(cn2.cn2) AS rn2
+           FROM code
+           JOIN cand ON cand.neighbor_id = code.vec_id
+           JOIN lut ON lut.query_id = cand.query_id
+             AND code.sub = lut.sub AND code.cid = lut.cid
+           JOIN cn2 ON code.sub = cn2.sub AND code.cid = cn2.cid
+           WHERE cand.query_id <> code.vec_id
            GROUP BY 1, 2),
          adc AS (
            SELECT sc.query_id, sc.neighbor_id,

@@ -530,10 +530,79 @@ object Similarity {
     val codes = pqEncode(corpus, books, m, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"),
         posexplode(col("codes")).as(Seq("sub", "cid")))
-    // reconstruction norm per code array: |x̂|² = Σ_j |c_{j,code_j}|² —
-    // the squared norm is summed directly (no sqrt-then-square float
-    // artifact vs the oracle's sum(c*c)); books are m×ksub rows, the
-    // interpreted HOF is off the hot path
+    adcRank(queries, codes, books, k, m, idCol, vecCol, candidates = None)
+  }
+
+  /** IVF-PQ composite top-k — the production ANN architecture at the
+    * 100 TB store: a COARSE quantizer (spherical [[kMeans]], rounded
+    * centroids) buckets the corpus into inverted lists so each query
+    * scans only its `nprobe` nearest lists, and within those lists the
+    * scan reads PQ CODES (m longs) against the per-query ADC lookup
+    * table instead of raw vectors — candidate PRUNING from IVF times
+    * 8-32× scan BANDWIDTH from PQ ([[pqTopK]]'s scaladoc composition,
+    * realized). Fully deterministic (rounded coarse centroids,
+    * deterministic PQ init, smallest-id tie-breaks), so an independent
+    * engine replays the entire index build and search exactly.
+    *
+    * Plan: coarse train + corpus assignment are one fused projection
+    * each ([[graft.functions.IvfAssignExpr]]); PQ train/encode likewise
+    * ([[graft.functions.PqAssignExpr]]); probes rank nprobe centroids
+    * per query from a broadcast table; the ADC scan joins the
+    * (query, list) probes to the list members and scores only those
+    * candidates — the only corpus-sized exchanges are the list
+    * assignment shuffle and the final per-query top-k.
+    *
+    * @return (query_id, neighbor_id, rank, adc_cosine) — approximate;
+    *         recall gated against [[bruteForceTopK]] by the caller
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int = 16, nprobe: Int = 4, m: Int = 2, ksub: Int = 8,
+      coarseIters: Int = 1, pqIters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCentroids,
+      s"nprobe must be in [1, numCentroids] (got $nprobe of $numCentroids)")
+    val cents = kMeans(corpus, numCentroids, coarseIters, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // inverted lists: corpus vectors bucketed by nearest coarse centroid
+    val lists = ivfAssign(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+    // probe lists: nprobe nearest centroids per query (same cosine +
+    // smallest-id tie-break as the assignment)
+    val c = cents.select(col("centroid_id"),
+      col("vec").cast("array<double>").as("cvv"))
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(c))
+      .withColumn("__sim", cosine(col("qv"), col("cvv")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__sim").desc,
+          col("centroid_id").asc)))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val candidates = lists.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val books = pqTrain(corpus, m, ksub, pqIters, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqEncode(corpus, books, m, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+    adcRank(queries, codes, books, k, m, idCol, vecCol,
+      candidates = Some(candidates))
+  }
+
+  /** Shared ADC scoring + per-query top-k of [[pqTopK]] / [[ivfPqTopK]]:
+    * cosine(q, x̂) from the per-query LUT of m×ksub subspace dots and
+    * the additive reconstruction norm. With `candidates`, only the
+    * (query, neighbor) pairs in the probed inverted lists are scored —
+    * the candidate stream (not the corpus × queries product) is the
+    * joined volume. Reconstruction norm |x̂|² = Σ_j |c_{j,code_j}|² is
+    * summed directly (no sqrt-then-square float artifact vs the
+    * oracle's sum(c*c)); books are m×ksub rows, the interpreted HOF is
+    * off the hot path. */
+  private def adcRank(queries: DataFrame, codes: DataFrame,
+      books: DataFrame, k: Int, m: Int, idCol: String, vecCol: String,
+      candidates: Option[DataFrame]): DataFrame = {
     val cnorm2 = books.select(col("sub"), col("centroid_id").as("cid"),
       expr("aggregate(vec, cast(0.0 as double), (a, x) -> a + x * x)")
         .as("cn2"))
@@ -546,8 +615,12 @@ object Similarity {
       .agg(sum(col("comp") * col("v")).as("d"))
     val qn = queries.select(col(idCol).as("query_id"),
       norm(col(vecCol).cast("array<double>")).as("qn"))
-    val scored = codes
-      .join(broadcast(lut), Seq("sub", "cid"))
+    val paired = candidates match {
+      case Some(cand) => codes.join(cand, Seq("neighbor_id"))
+        .join(broadcast(lut), Seq("query_id", "sub", "cid"))
+      case None => codes.join(broadcast(lut), Seq("sub", "cid"))
+    }
+    val scored = paired
       .join(broadcast(cnorm2), Seq("sub", "cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")

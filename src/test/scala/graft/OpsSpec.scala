@@ -782,6 +782,62 @@ class OpsSpec extends AnyFunSuite {
       s"wide sketch diverged on $offW of $vocab tokens")
   }
 
+  test("IVF-PQ composite: results live in probed lists, ranks are " +
+      "contiguous, and ADC scores equal the unpruned PQ scan's") {
+    val s = init()
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val res = Similarity.ivfPqTopK(q, e, k = 5, numCentroids = 4,
+      nprobe = 2, m = 2, ksub = 8, coarseIters = 1, pqIters = 1)
+    val rows = res.collect()
+    assert(rows.nonEmpty && rows.length <= 10 * 5)
+    // ranks contiguous from 1 per query
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq ===
+        (1L to rs.length.toLong))
+    }
+    // every (query, neighbor) sits in a probed inverted list
+    val cents = Similarity.kMeans(e, k = 4, iters = 1)
+    val lists = Similarity.ivfAssign(e, cents)
+      .select(col("vec_id").as("nid"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rank-1 list membership is NOT required — only that the neighbor's
+    // list is among the query's nprobe probes; recompute them
+    val probed = {
+      import org.apache.spark.sql.expressions.Window
+      val c = cents.select(col("centroid_id"),
+        col("vec").cast("array<double>").as("cvv"))
+      q.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+        .crossJoin(broadcast(c))
+        .withColumn("__sim", Similarity.cosine(col("qv"), col("cvv")))
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+          .over(Window.partitionBy("query_id")
+            .orderBy(col("__sim").desc, col("centroid_id").asc)))
+        .filter(col("__rn") <= 2)
+        .select("query_id", "centroid_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    rows.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      assert(probed.contains((qid, lists(nid))),
+        s"neighbor $nid of query $qid outside its probed lists")
+    }
+    // ADC arithmetic is candidate-independent: scores for the pairs the
+    // composite returns must equal the unpruned PQ scan's for the same
+    // pairs (the IVF stage prunes candidates, never changes scores)
+    val full = Similarity.pqTopK(q, e, k = Int.MaxValue, m = 2, ksub = 8,
+        iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full(key) === r.getDouble(3),
+        s"ADC score diverges for $key")
+    }
+  }
+
   test("per-group CountMin: each group's counters equal a solo sketch " +
       "of that group, and estimates never undercount within the group") {
     val s = init()
