@@ -728,6 +728,27 @@ object SparkEntry {
     Algorithms.weightedLabelPropagation(v, e, rounds = 6)
   }
 
+  /** Modularity ([[Algorithms.modularity]]) of the q117 weighted-LPA
+    * communities on the same fixture — the community-quality score,
+    * per community: intra-edges, degree mass, and the Newman–Girvan
+    * contribution e_c/m − (d_c/2m)². The oracle replays the ENTIRE
+    * chain: six weighted-argmax rounds, then the modularity formula
+    * over the simple undirected graph. */
+  private def q119_modularity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("id"))
+    val bridges = Seq((1L, 2L), (7L, 8L), (13L, 14L), (19L, 20L))
+      .toDF("src", "dst")
+    val e = TradeGraph.nationNear(s, d)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .union(bridges)
+    val ew = e.withColumn("w",
+      ((col("src") + col("dst")) % 7 + 1).cast("double"))
+    val comm = Algorithms.weightedLabelPropagation(v, ew, rounds = 6)
+    Algorithms.modularity(e, comm)
+  }
+
   private def q104_label_propagation(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("id"))
@@ -1739,6 +1760,7 @@ object SparkEntry {
     "q116_countmin_by_group" -> (q116_countmin_by_group _),
     "q117_weighted_lpa" -> (q117_weighted_lpa _),
     "q118_ivfpq_ann" -> (q118_ivfpq_ann _),
+    "q119_modularity" -> (q119_modularity _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -2911,6 +2933,64 @@ object SparkEntry {
                   CAST(n_nationkey AS BIGINT) AS lab FROM nation),
          $rounds
          SELECT id, lab AS community FROM l6"""
+    },
+
+    // the q117 weighted-LPA replay extended with the Newman-Girvan
+    // formula over the simple undirected graph
+    "q119_modularity" -> {
+      val rounds = (1 to 6).map { t =>
+        s"""c$t AS (
+           SELECT e.dst AS id, l${t - 1}.lab AS lab,
+                  round(sum(e.w), 9) AS wv
+           FROM und e JOIN l${t - 1} ON e.src = l${t - 1}.id GROUP BY 1, 2),
+         p$t AS (
+           SELECT id, lab FROM c$t
+           QUALIFY row_number() OVER (
+             PARTITION BY id ORDER BY wv DESC, lab) = 1),
+         l$t AS (
+           SELECT l${t - 1}.id, coalesce(p$t.lab, l${t - 1}.lab) AS lab
+           FROM l${t - 1} LEFT JOIN p$t ON l${t - 1}.id = p$t.id)"""
+      }.mkString(",\n         ")
+      s"""WITH $sqlNationNear,
+         bridge(src, dst) AS (VALUES (1, 2), (7, 8), (13, 14), (19, 20)),
+         alle AS (
+           SELECT src, dst,
+                  CAST((src + dst) % 7 + 1 AS DOUBLE) AS w
+           FROM (SELECT src, dst FROM nation_near
+                 UNION ALL SELECT src, dst FROM bridge)),
+         su AS (
+           SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                  sum(w) AS w
+           FROM alle WHERE src <> dst GROUP BY 1, 2),
+         und AS (
+           SELECT a AS src, b AS dst, w FROM su
+           UNION ALL SELECT b, a, w FROM su),
+         l0 AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS id,
+                  CAST(n_nationkey AS BIGINT) AS lab FROM nation),
+         $rounds,
+         mm AS (SELECT count(*) AS m FROM su),
+         degs AS (
+           SELECT id, count(*) AS deg FROM (
+             SELECT a AS id FROM su UNION ALL SELECT b FROM su)
+           GROUP BY 1),
+         ec AS (
+           SELECT la.lab AS community, count(*) AS internal_edges
+           FROM su
+           JOIN l6 la ON su.a = la.id
+           JOIN l6 lb ON su.b = lb.id AND la.lab = lb.lab
+           GROUP BY 1),
+         dc AS (
+           SELECT l6.lab AS community,
+                  sum(coalesce(degs.deg, 0)) AS degree_sum
+           FROM l6 LEFT JOIN degs ON l6.id = degs.id GROUP BY 1)
+         SELECT dc.community,
+                CAST(coalesce(ec.internal_edges, 0) AS BIGINT)
+                  AS internal_edges,
+                CAST(dc.degree_sum AS BIGINT) AS degree_sum,
+                round(coalesce(ec.internal_edges, 0) / (1.0 * mm.m) -
+                  pow(dc.degree_sum / (2.0 * mm.m), 2), 6) AS contribution
+         FROM dc LEFT JOIN ec USING (community) CROSS JOIN mm"""
     },
 
     // every step of every walk replayed: arg_min over the identical

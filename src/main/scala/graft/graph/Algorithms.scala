@@ -1128,6 +1128,62 @@ object Algorithms {
     lab.select(col("id"), col("lab").as("community"))
   }
 
+  /** Newman–Girvan modularity of a community assignment (beyond the
+    * reference's algorithm set) — the quality score every community
+    * pass ([[labelPropagation]], [[weightedLabelPropagation]], WCC cuts)
+    * is judged by: per community c over the undirected SIMPLE graph,
+    * `contribution(c) = e_c/m − (d_c/(2m))²` where m = |simple
+    * undirected edges|, e_c = intra-community edges and d_c = Σ member
+    * degrees; Q = Σ contributions (the trivial one-community assignment
+    * scores exactly 0). Self-loops and duplicate/reverse edge rows
+    * collapse in the dedup; vertices carry the community table's
+    * assignment (edges whose endpoint has no assignment are not
+    * counted into any e_c).
+    *
+    * Scale shape: one dedup of the edge set (tracked cache — it feeds
+    * the scalar m, the degree aggregation, and the intra-edge join),
+    * then two map-side-combinable aggregations and one broadcast-sized
+    * join per community stat; m is the only driver scalar.
+    *
+    * @return (community, internal_edges, degree_sum, contribution)
+    */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val und = graft.OpCaches.track(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+    val m = und.count().toDouble
+    require(m > 0, "modularity needs at least one undirected simple edge")
+    val degs = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val lc = communities.select(col("id").cast("long").as("id"),
+      col("community").cast("long").as("community"))
+    val ec = und
+      .join(lc.select(col("id").as("a"), col("community").as("__ca")),
+        Seq("a"))
+      .join(lc.select(col("id").as("b"), col("community").as("__cb")),
+        Seq("b"))
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val dc = lc.join(degs, Seq("id"), "left_outer")
+      .groupBy("community")
+      .agg(sum(coalesce(col("deg"), lit(0L))).as("degree_sum"))
+    dc.join(ec, Seq("community"), "left_outer")
+      .select(col("community"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        round(coalesce(col("internal_edges"), lit(0L)).cast("double") /
+            lit(m) -
+          pow(col("degree_sum").cast("double") / lit(2.0 * m), 2), 6)
+          .as("contribution"))
+  }
+
   /** Deterministic "random" walks (beyond the reference's algorithm
     * set): the DeepWalk/node2vec sampling pass of a graph-embedding
     * pipeline, with the randomness replaced by a portable hash so every

@@ -135,6 +135,79 @@ object CorpusStreams {
     * [[EventStreams]]' watermarked dedup) — the parity spec exercises
     * exactly that composition.
     */
+  /** Per-GROUP streaming HLL registers — the incremental twin of
+    * [[Sketches.hllRegistersByGroup]] (the q110 batch shape: distinct
+    * cardinality per domain/stratum). Same idempotent per-(group,
+    * register) max merge as [[hllRegisters]], so parity holds under any
+    * reordering, rebatching and redelivery; state is bounded at
+    * groups × 2^b rows. The group key is carried AS A STRING in keyed
+    * state (cast here and in the parity comparison); null groups form
+    * their own register set exactly like the batch groupBy. */
+  def hllRegistersByGroup(rows: DataFrame, groupCol: String,
+      keyCol: String, b: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.where(col(keyCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        Sketches.hllIdxRho(col(keyCol), b).as("__ir"))
+      .select(col("grp"), col("__ir.idx").as("idx"),
+        col("__ir.rho").as("rho"))
+      .as[(String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((grp, idx), rs, state) =>
+          val prev = state.getOption.getOrElse(0L)
+          val mx = rs.foldLeft(prev)((a, r) => math.max(a, r._3))
+          if (state.exists && mx == prev) Iterator.empty
+          else { state.update(mx); Iterator((grp, idx, mx)) }
+      }
+      .toDF("grp", "idx", "rho")
+  }
+
+  /** Per-GROUP streaming CountMin counters — the incremental twin of
+    * [[Sketches.countMinSketchByGroup]] (the q116 batch shape: heavy
+    * hitters per domain). Same additive per-(group, d, bucket) state as
+    * [[cmCounters]] and the SAME exactly-once-source contract (addition
+    * is not idempotent — compose a keyed dedup in front of an
+    * at-least-once upstream); state bounded at groups × depth × width.
+    * The group key is carried as a string, like
+    * [[hllRegistersByGroup]]. */
+  def cmCountersByGroup(rows: DataFrame, groupCol: String,
+      textCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"depth must be in [1, 16] (got $depth)")
+    require(width >= 2 && width <= (1 << 30),
+      s"width must be in [2, 2^30] (got $width)")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .where(col(textCol).isNotNull &&
+        length(graft.ops.TextAnalysis.wsTrim(col(textCol))) > 0)
+      .select(col(groupCol).cast("string").as("grp"),
+        explode(graft.functions.TextFunctions.tf_from_text(
+          col(textCol))).as("__e"))
+      .select(col("grp"), col("__e.tf").cast("long").as("tf"),
+        posexplode(array((0 until depth).map(d =>
+          Sketches.cmBucket(col("__e.t"), d, width)): _*)))
+      .select(col("grp"), col("pos").cast("int").as("d"),
+        col("col").as("bucket"), col("tf"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroupsWithState[Long, (String, Int, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((grp, d, bucket), rs, state) =>
+          val add = rs.map(_._4).sum
+          if (add == 0L && state.exists) Iterator.empty
+          else {
+            val next = state.getOption.getOrElse(0L) + add
+            state.update(next)
+            Iterator((grp, d, bucket, next))
+          }
+      }
+      .toDF("grp", "d", "bucket", "cnt")
+  }
+
   def cmCounters(rows: DataFrame, textCol: String, depth: Int,
       width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16,

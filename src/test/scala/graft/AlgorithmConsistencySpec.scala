@@ -854,4 +854,29 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     assert(cleaned(0L) == 3L && cleaned(3L) == 0L)
     assert(cleaned(1L) == 1L && cleaned(2L) == 2L)
   }
+
+  test("modularity: two triangles + bridge score the textbook value; " +
+      "the one-community assignment scores exactly zero") {
+    val s = Fixture.init()
+    import s.implicits._
+    // triangles {0,1,2} and {3,4,5} joined by (2,3): m=7, each community
+    // e_c=3, d_c=7 -> contribution 3/7 - (7/14)^2 = 0.178571
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L),
+      (4L, 5L), (2L, 3L), (3L, 2L), (1L, 1L)) // dup reverse + self-loop
+    val edges = es.toDF("src", "dst")
+    val comm = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L),
+      (5L, 3L)).toDF("id", "community")
+    val rows = Algorithms.modularity(edges, comm).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(0L) === ((3L, 7L, 0.178571)))
+    assert(rows(3L) === ((3L, 7L, 0.178571)))
+    // trivial assignment: Q = m/m - (2m/2m)^2 = 0 exactly
+    val one = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(v => (v, 9L))
+      .toDF("id", "community")
+    val all = Algorithms.modularity(edges, one).collect()
+    assert(all.length == 1)
+    assert(all.head.getLong(1) == 7L && all.head.getLong(2) == 14L)
+    assert(all.head.getDouble(3) == 0.0)
+  }
 }

@@ -487,4 +487,66 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
       assert(streamSessions == batch)
     } finally q.stop()
   }
+
+  test("streaming per-group HLL and CountMin converge to their batch " +
+      "by-group twins (reordering; redelivery for the idempotent HLL)") {
+    val s = init()
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sk = graft.ops.Sketches
+    val data = (1L to 400L).map(i => (if (i % 3 == 0) "a" else "b", i))
+    val shuffled = data.sortBy { case (_, k) => k * 2654435761L % 101 }
+    val third = (shuffled.length + 2) / 3
+    val parts = shuffled.grouped(third).toSeq
+
+    // HLL by group: idempotent max merge absorbs a redelivered slice
+    val chunksH = Seq(parts(0), parts(1), parts(2) ++ parts(0).take(15))
+    val msH = MemoryStream[(String, Long)](s)
+    val regs =
+      new scala.collection.concurrent.TrieMap[(String, Long), Long]()
+    val qh = graft.streaming.CorpusStreams
+      .hllRegistersByGroup(msH.toDF().toDF("g", "k"), "g", "k", b = 8)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          regs((r.getString(0), r.getLong(1))) = r.getLong(2))
+      }.start()
+    try {
+      chunksH.foreach { c => msH.addData(c); qh.processAllAvailable() }
+    } finally qh.stop()
+    val batchRegs = sk.hllRegistersByGroup(
+        data.toDF("g", "k"), "g", col("k"), b = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Number](2).longValue()).toMap
+    assert(regs.nonEmpty && regs.toMap == batchRegs)
+
+    // CountMin by group: exactly-once source rows (additive state),
+    // reordered batches only
+    val docs = (1L to 120L).map(i =>
+      (if (i % 2 == 0) "x" else "y", s"tok${i % 7} tok${i % 11} common"))
+    val dShuffled = docs.sortBy { case (_, t) => t.hashCode * 31 + 7 }
+    val dParts = dShuffled.grouped((dShuffled.length + 2) / 3).toSeq
+    val msC = MemoryStream[(String, String)](s)
+    val counters =
+      new scala.collection.concurrent.TrieMap[(String, Int, Long), Long]()
+    val qc = graft.streaming.CorpusStreams
+      .cmCountersByGroup(msC.toDF().toDF("g", "text"), "g", "text",
+        depth = 4, width = 16)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          counters((r.getString(0), r.getInt(1), r.getLong(2))) =
+            r.getLong(3))
+      }.start()
+    try {
+      dParts.foreach { c => msC.addData(c); qc.processAllAvailable() }
+    } finally qc.stop()
+    val batchCm = sk.countMinSketchByGroup(
+        docs.toDF("g", "text"), "g", "text", depth = 4, width = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    assert(counters.nonEmpty && counters.toMap == batchCm)
+  }
 }
