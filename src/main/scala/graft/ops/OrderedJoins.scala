@@ -193,6 +193,14 @@ object OrderedJoins {
     * intervals AND many points concentrates work like any hot join key;
     * at corpus scale route such skew through
     * [[Dedup.blockedBucketJoin]]-style splitting or shrink the width.
+    *
+    * STREAMING: because the plan is a stateless bucketized equi-join,
+    * the same function runs unchanged with a STREAMING points side
+    * against a static interval table (append mode, stream-static
+    * join) — spec-pinned batch parity in SnapshotAndStreamingSpec;
+    * [[overlapJoin]] likewise with a streaming interval side (its
+    * first-shared-bucket exactly-once rule is per PAIR, so it holds
+    * within and across micro-batches).
     */
   def rangeJoinPoints(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,

@@ -549,4 +549,56 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
         r.getLong(3)).toMap
     assert(counters.nonEmpty && counters.toMap == batchCm)
   }
+
+  test("rangeJoinPoints and overlapJoin run UNCHANGED on a stream " +
+      "against static intervals - stateless bucketized equi-joins, " +
+      "batch parity in append mode") {
+    val s = init()
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val oj = graft.ops.OrderedJoins
+    val intervals = Seq((0L, 9L, "low"), (10L, 99L, "mid"),
+      (50L, 199L, "wide"), (300L, 200L, "empty"))
+      .toDF("lo", "hi", "tag")
+    // point stream vs static intervals
+    val pts = (0L to 250L by 7L).map(p => (p, s"p$p"))
+    val ms = MemoryStream[(Long, String)](s)
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = oj.rangeJoinPoints(ms.toDF().toDF("p", "name"), "p",
+        intervals, "lo", "hi", bucketWidth = 16L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(_.mkString("|")); ()
+      }.start()
+    try {
+      pts.grouped(13).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val want = oj.rangeJoinPoints(pts.toDF("p", "name"), "p",
+        intervals, "lo", "hi", bucketWidth = 16L)
+      .collect().map(_.mkString("|"))
+    assert(got.nonEmpty && got.sorted.toSeq === want.sorted.toSeq)
+
+    // interval stream vs static intervals (exactly-once first-bucket
+    // emission holds per micro-batch because it is a per-PAIR rule)
+    val ivs = (0L to 200L by 11L).map(l => (l, l + 17L, s"i$l"))
+    val ms2 = MemoryStream[(Long, Long, String)](s)
+    val got2 = scala.collection.mutable.ArrayBuffer[String]()
+    val q2 = oj.overlapJoin(ms2.toDF().toDF("alo", "ahi", "aname"),
+        "alo", "ahi", intervals, "lo", "hi", bucketWidth = 16L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2 ++= df.collect().map(_.mkString("|")); ()
+      }.start()
+    try {
+      ivs.grouped(7).foreach { c =>
+        ms2.addData(c); q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val want2 = oj.overlapJoin(ivs.toDF("alo", "ahi", "aname"),
+        "alo", "ahi", intervals, "lo", "hi", bucketWidth = 16L)
+      .collect().map(_.mkString("|"))
+    assert(got2.nonEmpty && got2.sorted.toSeq === want2.sorted.toSeq)
+  }
 }
