@@ -226,4 +226,32 @@ class PlanAuditSpec extends AnyFunSuite {
     // only doc_id + text leave the scan
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
+
+  test("fusion guards: the HLL / PQ / IVF hot paths stay fused " +
+      "expressions, not string-churn or window pipelines") {
+    val s = Fixture.init()
+    import org.apache.spark.sql.functions.col
+    // HLL registers: one digest expression, no hex conv / bin strings
+    val hll = graft.ops.Sketches.hllRegisters(
+        s.range(10).toDF("k"), col("k"), b = 8)
+      .queryExecution.executedPlan.toString
+    assert(hll.contains("hll_idx_rho"), "HLL lost the fused expression")
+    assert(!hll.contains("conv(") && !hll.contains("bin("),
+      "HLL regressed to the hex-string pipeline")
+    // PQ encode: one projection - no window, no exchange, no explode
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val books = graft.ops.Similarity.pqTrain(e, m = 2, ksub = 4, iters = 0)
+    val enc = graft.ops.Similarity.pqEncode(e, books, m = 2)
+      .queryExecution.executedPlan.toString
+    assert(enc.contains("pq_assign"), "pqEncode lost the fused expression")
+    assert(!enc.contains("Window") && !enc.contains("Exchange"),
+      "pqEncode regressed to the explode/join/window pipeline")
+    // IVF assignment: one projection - no crossJoin-scored window sort
+    val cents = graft.ops.Similarity.coarseCentroids(e, 4)
+    val asg = graft.ops.Similarity.ivfAssign(e, cents)
+      .queryExecution.executedPlan.toString
+    assert(asg.contains("ivf_assign"), "ivfAssign lost the fused expression")
+    assert(!asg.contains("Window") && !asg.contains("BroadcastNestedLoop"),
+      "ivfAssign regressed to the crossJoin + argmin-window pipeline")
+  }
 }
