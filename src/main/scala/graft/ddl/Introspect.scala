@@ -170,6 +170,16 @@ object Introspect {
         vRow(v.tableName, vcntByTbl.getOrElse(v.tableName, 0L))))
     }
 
+    // tracked cache, registered AFTER the empty-edge early return (that
+    // path consumes only the count leg, where a cache is pure overhead):
+    // cache substitution happens at action-planning time, so tblCnt0 —
+    // derived above — still reads the cached scan. This is what makes
+    // the one-scan-per-table claim true: the count leg and the
+    // vkeysAll/matched join leg are two subtrees of the single tagged
+    // collect below, and uncached each would re-scan every vertex table.
+    // Dropped in the collect's finally alongside deg.
+    graft.OpCaches.track(vScan)
+
     // ---- edge side: one unioned edge scan keyed by table ordinal ----
     val allEdges = pg.edgeTables.zipWithIndex
       .map { case (e, i) => resolver(spark, e.tableName).select(
@@ -245,7 +255,7 @@ object Introspect {
         col("tbl").as("side"), col("key").as("s2"),
         col("vcnt").as("a"), nullL2.as("b")))
     val rows = try tagged.collect()
-      finally deg.unpersist()
+      finally { deg.unpersist(); vScan.unpersist() }
     val histBySide: Map[(Int, String), Array[(Long, Long)]] = rows
       .filter(_.getString(0) == "h")
       .map(r => ((r.getInt(1), r.getString(2)), (r.getLong(4), r.getLong(5))))

@@ -17,6 +17,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * them), trimming before vs after `lower` is indistinguishable because
   * lowercasing never maps a non-whitespace edge char into this set, and
   * the digest is the same lowercase-hex md5 Spark's builtin emits.
+  *
+  * ONE documented divergence from the Java-regex composed form: Java's
+  * `$` also matches before a FINAL line terminator (\\n, \\r, U+0085,
+  * U+2028, U+2029), so `regexp_replace(text, "^\\s+|\\s+$", "")` strips
+  * ASCII whitespace that precedes a trailing U+0085/U+2028/U+2029 while
+  * this end-of-text byte scan does not (the non-ASCII terminator itself
+  * is not `\\s` and survives either way).
+  * This scan's `\\z`-anchored behavior is the one the RE2-based DuckDB
+  * oracle implements (`$` anchors at end-of-text in RE2), so the fused
+  * key agrees with the oracle exactly where the old composed form
+  * diverged from it. Pinned by the "a \\u2028" input in OpsSpec.
   */
 object NormalizedMd5 {
   private def isWs(b: Byte): Boolean =

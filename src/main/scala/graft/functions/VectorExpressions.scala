@@ -652,7 +652,12 @@ object IvfAssign {
     var i = 0
     while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
     val xn = math.sqrt(s)
-    var best = 0L
+    // ids(0) (non-empty by the caller's rows.isEmpty guard), not 0L: when
+    // every cosine is NaN (a NaN vector element poisons the dot product)
+    // the strict > never fires, and the declarative window form this
+    // replaces assigned the smallest REAL centroid id (NaN sorts first in
+    // desc order, ties by id) — ids iterate ascending, so ids(0) is it
+    var best = ids(0)
     var bestSim = Double.NegativeInfinity
     var c = 0
     while (c < ids.length) {

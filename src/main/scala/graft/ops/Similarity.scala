@@ -248,16 +248,36 @@ object Similarity {
       numCentroids: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: Option[DataFrame] = None): DataFrame = {
-    val cents = centroids
+    // tracked, not bare-persisted: the result is lazy, so release is the
+    // harness's job via graft.OpCaches.releaseAll() per query — a raw
+    // persist here outlives every query of the session. For an index
+    // that SHOULD outlive the query, use [[buildIvfIndex]].
+    val cents = graft.OpCaches.track(centroids
       .getOrElse(coarseCentroids(corpus, numCentroids, idCol, vecCol))
-      .select(col("centroid_id"), col("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = ivfAssign(corpus, cents.select(col("centroid_id"),
-      col("vec")), idCol, vecCol)
+      .select(col("centroid_id"), col("vec")))
+    searchIvfFrames(queries, cents,
+      ivfCorpusFrame(corpus, cents, idCol, vecCol), k, nprobe, idCol, vecCol)
+  }
+
+  /** The IVF corpus side: each vector tagged with its inverted list plus
+    * a precomputed norm — the frame an [[IvfIndex]] persists. */
+  private def ivfCorpusFrame(corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    ivfAssign(corpus, cents.select(col("centroid_id"), col("vec")),
+        idCol, vecCol)
       .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"), col("centroid_id"))
       .withColumn("cn", norm(col("cv")))
-    // probe lists: nprobe nearest centroids per query
+
+  /** Probe + in-list exact-cosine scan shared by [[ivfTopK]] (build
+    * inline) and [[searchIvf]] (prebuilt index): nprobe nearest
+    * centroids per query from a broadcast of the centroid table, then a
+    * centroid_id equi-join against the assigned corpus and one per-query
+    * top-k window. */
+  private def searchIvfFrames(queries: DataFrame, cents: DataFrame,
+      assigned: DataFrame, k: Int, nprobe: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be positive (got $nprobe)")
     val c = cents.select(col("centroid_id"), col("vec").as("cvv"))
     val probes = queries
       .select(col(idCol).as("query_id"),
@@ -281,6 +301,112 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  // ===========================================================================
+  // Prebuilt ANN indexes: build once, search many
+  // ===========================================================================
+  //
+  // A production 100 TB embedding store builds its index ONCE and searches
+  // it many times; [[ivfTopK]] / [[ivfPqTopK]] rebuild per call, which is
+  // the right shape for a one-shot query but charges every search the full
+  // training cost. The handles below split the two phases: `build*`
+  // persists AND materializes the index frames (training, list assignment,
+  // codebooks, codes — every corpus-sized pass), and `search*` is a pure
+  // lazy composition over them, so repeated searches pay only probe +
+  // candidate-scan + top-k. Search results are bit-identical to the
+  // corresponding one-shot operator at the same parameters (spec-pinned).
+  //
+  // OWNERSHIP: index frames are deliberately NOT OpCaches-tracked — an
+  // index outlives the query that built it BY DESIGN, so the harness's
+  // per-query releaseAll must not drop it. The handle owner calls
+  // `release()` when done (unpersist is idempotent; a released index still
+  // answers searches correctly, it just recomputes).
+
+  /** Prebuilt IVF index: `centroids` (centroid_id, vec) and the assigned
+    * `corpus` (neighbor_id, cv, cn, centroid_id), both persisted and
+    * materialized by [[buildIvfIndex]]. */
+  final case class IvfIndex(centroids: DataFrame, corpus: DataFrame) {
+    def release(): Unit = Seq(centroids, corpus).foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Exception => () }
+    }
+  }
+
+  /** Build an [[IvfIndex]] over `corpus`: coarse centroids (hash-mod
+    * [[coarseCentroids]] by default — [[ivfTopK]]'s convention; pass
+    * `centroids = Some(kMeans(...))` for trained lists) and the per-list
+    * corpus assignment, persisted + materialized. One centroid pass +
+    * one fused assignment projection over the corpus — the same work a
+    * single [[ivfTopK]] call does, paid once. */
+  def buildIvfIndex(corpus: DataFrame, numCentroids: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): IvfIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cents = centroids
+      .getOrElse(coarseCentroids(corpus, numCentroids, idCol, vecCol))
+      .select(col("centroid_id"), col("vec"))
+      .persist(lvl)
+    val assigned = ivfCorpusFrame(corpus, cents, idCol, vecCol).persist(lvl)
+    cents.count()
+    assigned.count()
+    IvfIndex(cents, assigned)
+  }
+
+  /** Search a prebuilt [[IvfIndex]]: identical semantics (and results)
+    * to [[ivfTopK]] with the index's centroids, minus the per-call
+    * build. @return (query_id, neighbor_id, rank, cosine) */
+  def searchIvf(index: IvfIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    searchIvfFrames(queries, index.centroids, index.corpus, k, nprobe,
+      idCol, vecCol)
+
+  /** Prebuilt IVF-PQ index: coarse `centroids` (centroid_id, vec),
+    * inverted `lists` (neighbor_id, centroid_id), PQ `codebooks`
+    * (sub, centroid_id, vec) and exploded `codes` (neighbor_id, sub,
+    * cid), all persisted and materialized by [[buildIvfPqIndex]]. */
+  final case class IvfPqIndex(centroids: DataFrame, lists: DataFrame,
+      codebooks: DataFrame, codes: DataFrame, m: Int, ksub: Int) {
+    def release(): Unit =
+      Seq(centroids, lists, codebooks, codes).foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Exception => () }
+      }
+  }
+
+  /** Build an [[IvfPqIndex]] over `corpus`: coarse spherical [[kMeans]]
+    * + list assignment + [[pqTrain]] + [[pqEncode]] — every corpus-sized
+    * pass of [[ivfPqTopK]] — persisted + materialized once. Search-side
+    * determinism is inherited (rounded centroids, deterministic PQ init,
+    * smallest-id ties), so [[searchIvfPq]] over this index returns
+    * exactly what a one-shot [[ivfPqTopK]] at the same parameters
+    * returns. */
+  def buildIvfPqIndex(corpus: DataFrame, numCentroids: Int = 16,
+      m: Int = 2, ksub: Int = 8, coarseIters: Int = 1, pqIters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cents = kMeans(corpus, numCentroids, coarseIters, idCol, vecCol)
+      .persist(lvl)
+    val lists = ivfAssign(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+      .persist(lvl)
+    val books = pqTrain(corpus, m, ksub, pqIters, idCol, vecCol)
+      .persist(lvl)
+    val codes = pqEncode(corpus, books, m, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+      .persist(lvl)
+    Seq(cents, lists, books, codes).foreach(_.count())
+    IvfPqIndex(cents, lists, books, codes, m, ksub)
+  }
+
+  /** Search a prebuilt [[IvfPqIndex]]: probe `nprobe` lists per query,
+    * ADC-score only the probed candidates — identical semantics (and
+    * results) to [[ivfPqTopK]] at the same parameters, minus the
+    * per-call build. @return (query_id, neighbor_id, rank, adc_cosine) */
+  def searchIvfPq(index: IvfPqIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    searchIvfPqFrames(queries, index.centroids, index.lists,
+      index.codebooks, index.codes, k, index.m, nprobe, idCol, vecCol)
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with (spherical)
@@ -319,13 +445,13 @@ object Similarity {
       else math.max(1L, (df.count() + targetBucket - 1) / targetBucket)
         .min(Int.MaxValue).toInt
     val cents = kMeans(df, kEff, iters, idCol, vecCol)
-    // persisted: consumed twice (pair search + final left join) — without
-    // it the whole k-means + assignment pipeline recomputes
-    val assigned = ivfAssign(df, cents, idCol, vecCol)
+    // tracked-persisted: consumed twice (pair search + final left join) —
+    // without it the whole k-means + assignment pipeline recomputes; the
+    // harness's per-query OpCaches.releaseAll is the unpersist
+    val assigned = graft.OpCaches.track(ivfAssign(df, cents, idCol, vecCol)
       .select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"), col("centroid_id"))
-      .withColumn("n", norm(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("n", norm(col("v"))))
     // verify-before-dedup: the distinct carries bare ids, never vectors
     val dups = Dedup.blockedBucketJoin(assigned, Seq("centroid_id"))
       .select(col("y.id").as("id"),
@@ -344,6 +470,14 @@ object Similarity {
     * `centroids` (a small table (centroid_id, vec) — kilobytes by the
     * IVF design point), so queries only scan `nprobe` inverted lists —
     * the classic ANN scale path. One codegen'd projection per row.
+    *
+    * NULL-ROW SEMANTICS (differs from the pre-fusion declarative form):
+    * a NULL-embedding row gets a NULL `centroid_id` (null-safe
+    * expression), where the old nulls-last window still assigned the
+    * smallest centroid id. NULL is the honest answer — "nearest centroid
+    * of nothing" — and downstream equi-joins on centroid_id drop such
+    * rows instead of piling them into list 0. The "bit-identical to the
+    * declarative form" claims cover non-null rows.
     * @return input + `centroid_id` column
     */
   def ivfAssign(df: DataFrame, centroids: DataFrame,
@@ -498,6 +632,13 @@ object Similarity {
     * window, no shuffle — at 100 TB the encode reads the vectors once
     * and writes the codes.
     *
+    * NULL-ROW SEMANTICS (differs from the pre-fusion declarative form):
+    * a NULL-vector row is KEPT with NULL `codes` (null-safe projection),
+    * where the old explode+groupBy dropped it entirely — a projection
+    * must not silently change the row set. Filter `codes IS NOT NULL`
+    * to recover the old contract; the "bit-identical" claims cover
+    * non-null rows.
+    *
     * @param codebooks output of [[pqTrain]]
     * @return (idCol, codes: array<long> ordered by subspace)
     */
@@ -525,8 +666,8 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int,
       ksub: Int, iters: Int = 1, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val books = pqTrain(corpus, m, ksub, iters, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = graft.OpCaches.track(
+      pqTrain(corpus, m, ksub, iters, idCol, vecCol))
     val codes = pqEncode(corpus, books, m, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"),
         posexplode(col("codes")).as(Seq("sub", "cid")))
@@ -561,11 +702,36 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1 && nprobe <= numCentroids,
       s"nprobe must be in [1, numCentroids] (got $nprobe of $numCentroids)")
-    val cents = kMeans(corpus, numCentroids, coarseIters, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tracked, not bare-persisted (OpCaches releaseAll per query) — the
+    // build-once handle for repeated searches is [[buildIvfPqIndex]]
+    val cents = graft.OpCaches.track(
+      kMeans(corpus, numCentroids, coarseIters, idCol, vecCol))
     // inverted lists: corpus vectors bucketed by nearest coarse centroid
     val lists = ivfAssign(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+    val books = graft.OpCaches.track(
+      pqTrain(corpus, m, ksub, pqIters, idCol, vecCol))
+    val codes = pqEncode(corpus, books, m, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+    searchIvfPqFrames(queries, cents, lists, books, codes, k, m, nprobe,
+      idCol, vecCol)
+  }
+
+  /** Probe + candidate ADC scan shared by [[ivfPqTopK]] (build inline)
+    * and [[searchIvfPq]] (prebuilt index).
+    *
+    * BOUNDED-BROADCAST assumption: `probes` is |queries| × nprobe narrow
+    * rows, broadcast into the list join — right for the bounded query
+    * batches this API serves (the per-query ADC LUT in [[adcRank]]
+    * broadcasts too, so the whole search path assumes it). For an
+    * unbounded query stream (~10⁸ queries) drop both broadcast hints and
+    * let the planner shuffle-join on centroid_id / (sub, cid) — the plans
+    * are hint-only, nothing else changes. */
+  private def searchIvfPqFrames(queries: DataFrame, cents: DataFrame,
+      lists: DataFrame, books: DataFrame, codes: DataFrame, k: Int,
+      m: Int, nprobe: Int, idCol: String, vecCol: String): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be positive (got $nprobe)")
     // probe lists: nprobe nearest centroids per query (same cosine +
     // smallest-id tie-break as the assignment)
     val c = cents.select(col("centroid_id"),
@@ -582,11 +748,6 @@ object Similarity {
       .select(col("query_id"), col("centroid_id"))
     val candidates = lists.join(broadcast(probes), Seq("centroid_id"))
       .select(col("query_id"), col("neighbor_id"))
-    val books = pqTrain(corpus, m, ksub, pqIters, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val codes = pqEncode(corpus, books, m, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"),
-        posexplode(col("codes")).as(Seq("sub", "cid")))
     adcRank(queries, codes, books, k, m, idCol, vecCol,
       candidates = Some(candidates))
   }

@@ -95,8 +95,16 @@ object Sketches {
   /** Point-query a per-group sketch: the [[countMinEstimate]] min over
     * the `depth` counters of the QUERY ROW'S OWN group — a token's
     * estimate never reads another group's counters. `queries` must
-    * carry (grp, tokenCol); the sketch is groups × depth × width rows
-    * at most, so it broadcasts.
+    * carry (grp, tokenCol).
+    *
+    * BOUNDED-BROADCAST assumption: the sketch is ≤ groups × depth ×
+    * width NON-ZERO counter rows — broadcastable while the group count
+    * is bounded (the sketch design point: depth×width counters replace
+    * per-token exact counts precisely because they are small). If the
+    * group count grows to where groups × depth × width rows no longer
+    * fit a broadcast (~10⁷+ groups at the 4×64 default), drop the
+    * broadcast hint below and let the planner shuffle-join on
+    * (grp, d, bucket) — the hint is the only thing that changes.
     *
     * @return (grp, tokenCol, est) — per-group upper bounds
     */

@@ -589,6 +589,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("content key anchors $ at end-of-text (RE2/DuckDB), not before a " +
+      "final U+2028 line terminator (Java regex)") {
+    val s = Fixture.init()
+    import s.implicits._
+    // Java regex `$` also matches BEFORE a trailing U+0085/U+2028/U+2029,
+    // so the composed md5(lower(regexp_replace(.., "^\\s+|\\s+$", "")))
+    // strips the ASCII space in "a \u2028"; the fused byte scan (like the
+    // RE2-based DuckDB oracle, where $ is end-of-text) keeps it. Pin the
+    // intended divergence: fused == md5(lower(untrimmed)) != composed.
+    val df = Seq((1L, "a \u2028")).toDF("id", "text")
+    val r = df.select(
+        TextAnalysis.fingerprintMd5(col("text")).as("fused"),
+        md5(lower(regexp_replace(col("text"), "^\\s+|\\s+$", "")))
+          .as("composed"),
+        md5(lower(col("text"))).as("untrimmed"))
+      .head()
+    assert(r.getString(0) == r.getString(2),
+      "fused key must keep the space before a final U+2028")
+    assert(r.getString(0) != r.getString(1),
+      "Java-regex composed form should diverge here — if this starts " +
+        "passing the JDK changed $ semantics; re-check the scaladoc")
+  }
+
   test("exact dedup: null-text docs are their own canonical, never dups") {
     val s = Fixture.init()
     import s.implicits._
@@ -1095,5 +1118,59 @@ class OpsSpec extends AnyFunSuite {
     val empty = graft.ops.Sampling.sampleQuantiles(
       Seq.empty[(Long, Long)].toDF("k", "v"), "k", "v", 0.5, Seq(0.5))
     assert(empty.count() == 0)
+  }
+
+  private def annRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSet
+
+  test("prebuilt IVF index: searches are bit-identical to one-shot " +
+      "ivfTopK and survive repeated query batches") {
+    val s = init()
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.buildIvfIndex(e, numCentroids = 8)
+    try {
+      // persisted + materialized: both frames carry a storage level
+      assert(idx.centroids.storageLevel.useMemory ||
+        idx.centroids.storageLevel.useDisk)
+      assert(idx.corpus.storageLevel.useMemory ||
+        idx.corpus.storageLevel.useDisk)
+      val q1 = e.filter(col("vec_id") < 10)
+      val q2 = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      // search-many over ONE build must equal one-shot builds per batch
+      assert(annRows(Similarity.searchIvf(idx, q1, k = 5, nprobe = 4)) ==
+        annRows(Similarity.ivfTopK(q1, e, k = 5, numCentroids = 8,
+          nprobe = 4)))
+      assert(annRows(Similarity.searchIvf(idx, q2, k = 3, nprobe = 2)) ==
+        annRows(Similarity.ivfTopK(q2, e, k = 3, numCentroids = 8,
+          nprobe = 2)))
+    } finally idx.release()
+    assert(idx.centroids.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("prebuilt IVF-PQ index: searches are bit-identical to one-shot " +
+      "ivfPqTopK; release() unpersists all four frames") {
+    val s = init()
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.buildIvfPqIndex(e, numCentroids = 8, m = 2,
+      ksub = 8, coarseIters = 1, pqIters = 1)
+    try {
+      val q1 = e.filter(col("vec_id") < 10)
+      val q2 = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      assert(annRows(Similarity.searchIvfPq(idx, q1, k = 5, nprobe = 3)) ==
+        annRows(Similarity.ivfPqTopK(q1, e, k = 5, numCentroids = 8,
+          nprobe = 3, m = 2, ksub = 8, coarseIters = 1, pqIters = 1)))
+      assert(annRows(Similarity.searchIvfPq(idx, q2, k = 4, nprobe = 2)) ==
+        annRows(Similarity.ivfPqTopK(q2, e, k = 4, numCentroids = 8,
+          nprobe = 2, m = 2, ksub = 8, coarseIters = 1, pqIters = 1)))
+    } finally idx.release()
+    Seq(idx.centroids, idx.lists, idx.codebooks, idx.codes).foreach(df =>
+      assert(df.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE))
+    // the one-shot wrappers route their internal caches through OpCaches
+    // (per-query release), never raw session-lifetime persists
+    graft.OpCaches.releaseAll()
+    assert(graft.OpCaches.trackedCount == 0)
   }
 }
