@@ -14,7 +14,15 @@ keep their selectivity instead of exploding quadratically:
   ~0.33, below the 0.7 threshold.
 - embeddings.embedding: circular shift by i components — a rotation, so
   intra-replica geometry (cosines, norms) is EXACT, while cross-replica
-  cosine decorrelates.
+  cosine decorrelates. PLUS 5 planted near-duplicates (deterministic
+  hash-seeded jitter, cosine ~0.97) of each ANN query vector
+  (vec_id < 20): with R replicas the max over ~R*2000 cross-replica
+  noise cosines grows like sqrt(2 ln n)/8 (~0.49 at 80k) and eventually
+  beats the weakest query's best REAL neighbor (~0.36), which turned
+  q56's recall-floor gate into a property of the noise tail instead of
+  the index; the planted neighbors dominate every query's exact top-5
+  at any replica count, so the gate measures the index again. Jitter is
+  pure SQL over hash(), so the generation is oracle-replayable.
 - events.ts: shifted by i*400 days, so the hour-partitioned user graph
   is 10 disjoint copies of the original.
 
@@ -94,11 +102,24 @@ gen("documents", f"""
   FROM '{src}/documents.parquet', reps""")
 
 gen("embeddings", f"""
-  SELECT vec_id + i*{OFF} AS vec_id,
-         (embedding[(i % len(embedding)) + 1:] ||
-          embedding[:(i % len(embedding))])::FLOAT[] AS embedding,
-         label
-  FROM '{src}/embeddings.parquet', reps""")
+  WITH rot AS (
+    SELECT vec_id + i*{OFF} AS vec_id,
+           (embedding[(i % len(embedding)) + 1:] ||
+            embedding[:(i % len(embedding))])::FLOAT[] AS embedding,
+           label
+    FROM '{src}/embeddings.parquet', reps),
+  anchors AS (
+    SELECT vec_id, embedding, label FROM '{src}/embeddings.parquet'
+    WHERE vec_id < 20),
+  copies AS (SELECT unnest(range(1, 6)) AS cj),
+  planted AS (
+    SELECT 9000000 + a.vec_id * 10 + c.cj AS vec_id,
+           list_transform(a.embedding, (x, j) ->
+             (x + 0.05 * ((hash(a.vec_id * 1000003 + c.cj * 8191 + j)
+                % 1000) / 500.0 - 1.0))::FLOAT)::FLOAT[] AS embedding,
+           a.label
+    FROM anchors a, copies c)
+  SELECT * FROM rot UNION ALL SELECT * FROM planted""")
 
 # events via pyarrow: DuckDB's parquet writer downgrades TIMESTAMP_NS to
 # us, but the engine contract reads ts as NANOS (nanosAsLong)
