@@ -388,10 +388,25 @@ object TextAnalysis {
     * @return input plus (n_emails, n_ips, redacted_text)
     */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    // CPU-bound per-row pass: the regex scan runs at ~15-100 MB/s per
+    // core, ~100x slower per byte than the parquet scan feeding it, so
+    // SIZE-based file splits (128 MB target) undershoot the cluster
+    // parallelism on compact inputs and starve the scan to a task or
+    // two (measured: 2.3 s of a 2.7 s wall on a one-split corpus that
+    // costs 0.3 s of single-thread regex). When the input's natural
+    // splits are below the session's parallelism, exchange the narrow
+    // rows once to spread the work; a many-file 100 TB corpus has
+    // splits >= parallelism and skips the exchange entirely. Partition
+    // count comes from the planned scan — no job runs.
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val in =
+      if (df.queryExecution.toRdd.getNumPartitions < target)
+        df.repartition(target)
+      else df
     // one fused codegen expression ([[graft.functions.PiiScanExpr]]) —
     // previously 4 independent regex projections; the struct is
     // materialized in its own projection so the scan runs ONCE per row
-    val scanned = df.withColumn("__pii",
+    val scanned = in.withColumn("__pii",
       graft.functions.PiiFunctions.pii_scan(col(textCol)))
     scanned
       .withColumn("n_emails",
