@@ -408,6 +408,36 @@ object Similarity {
     searchIvfPqFrames(queries, index.centroids, index.lists,
       index.codebooks, index.codes, k, index.m, nprobe, idCol, vecCol)
 
+  /** Persist an [[IvfPqIndex]] to `path` as four parquet tables plus a
+    * params file — the durable form of "build once": a 100 TB store
+    * trains its index in one job and every later session [[loadIvfPqIndex]]s
+    * it instead of re-reading the corpus. Everything in the index is
+    * deterministic data (rounded centroids, codes), so saved and rebuilt
+    * indexes search identically. Overwrites any index already at `path`. */
+  def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.lists.write.mode("overwrite").parquet(s"$path/lists")
+    index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    index.centroids.sparkSession.createDataFrame(
+        Seq((index.m, index.ksub))).toDF("m", "ksub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load an [[IvfPqIndex]] saved by [[saveIvfPqIndex]]: the four frames
+    * re-persist + materialize from their parquet (corpus never touched),
+    * so the handle is immediately searchable. The caller owns release(). */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = spark.read.parquet(s"$path/params").head()
+    val frames = Seq("centroids", "lists", "codebooks", "codes")
+      .map(n => spark.read.parquet(s"$path/$n").persist(lvl))
+    frames.foreach(_.count())
+    IvfPqIndex(frames(0), frames(1), frames(2), frames(3),
+      p.getInt(0), p.getInt(1))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with (spherical)
     * [[kMeans]], search for near-duplicates ONLY within a cluster, and

@@ -1173,4 +1173,29 @@ class OpsSpec extends AnyFunSuite {
     graft.OpCaches.releaseAll()
     assert(graft.OpCaches.trackedCount == 0)
   }
+
+  test("IVF-PQ index save/load round-trip: a loaded index searches " +
+      "identically without touching the corpus") {
+    val s = init()
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_idx").toString
+    val built = Similarity.buildIvfPqIndex(e, numCentroids = 8, m = 2,
+      ksub = 8)
+    try {
+      Similarity.saveIvfPqIndex(built, dir)
+      val loaded = Similarity.loadIvfPqIndex(s, dir)
+      try {
+        assert(loaded.m == 2 && loaded.ksub == 8)
+        val q = e.filter(col("vec_id") < 10)
+        assert(annRows(Similarity.searchIvfPq(loaded, q, k = 5,
+            nprobe = 3)) ==
+          annRows(Similarity.searchIvfPq(built, q, k = 5, nprobe = 3)))
+      } finally loaded.release()
+    } finally {
+      built.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
 }
