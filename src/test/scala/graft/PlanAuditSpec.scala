@@ -166,8 +166,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val s = Fixture.init()
     val p74 = SparkEntry.queries("q74_pii_redact")(s, sf)
       .queryExecution.executedPlan.toString
-    // regex counts + replacement are per-row Columns — no shuffle at all
-    assert(!p74.contains("Exchange"), p74.take(800))
+    // regex counts + replacement are per-row Columns. The ONLY allowed
+    // exchange is redactPii's deliberate round-robin spread of a
+    // CPU-bound scan whose file splits undershoot the session
+    // parallelism (NOTES item 55) — never a keyed/aggregation shuffle,
+    // and the pii_scan itself must sit ABOVE that spread so the regex
+    // work is what gets parallelized.
+    val exchanges74 =
+      "Exchange [A-Za-z]+".r.findAllIn(p74).toList.distinct
+    assert(exchanges74.isEmpty ||
+      exchanges74 == List("Exchange RoundRobinPartitioning"), p74.take(800))
+    assert(p74.indexOf("pii_scan") < p74.indexOf("FileScan"),
+      p74.take(800))
     val p73 = SparkEntry.queries("q73_decontaminate")(s, sf)
       .queryExecution.executedPlan.toString
     // the benchmark gram set rides a broadcast; the corpus never
