@@ -408,6 +408,57 @@ object Similarity {
     searchIvfPqFrames(queries, index.centroids, index.lists,
       index.codebooks, index.codes, k, index.m, nprobe, idCol, vecCol)
 
+  /** Append a vector batch to a prebuilt [[IvfIndex]] — the standard
+    * IVF maintenance contract: the coarse quantizer is FROZEN at build
+    * time (new vectors are assigned to the existing cells; retrain =
+    * rebuild when drift warrants it), so an appended index is exactly
+    * the index whose corpus frame covers old ∪ delta under the original
+    * centroids. Only the delta is scanned.
+    *
+    * CONSUMES the input handle: the returned index shares the centroid
+    * frame and owns the new corpus frame; the input's corpus frame is
+    * unpersisted here. Do not search or release the input afterwards. */
+  def appendToIvfIndex(index: IvfIndex, delta: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val merged = index.corpus
+      .unionByName(ivfCorpusFrame(delta, index.centroids, idCol, vecCol))
+      .persist(lvl)
+    merged.count()
+    index.corpus.unpersist(blocking = false)
+    IvfIndex(index.centroids, merged)
+  }
+
+  /** Append a vector batch to a prebuilt [[IvfPqIndex]]: the delta is
+    * list-assigned against the frozen coarse centroids and PQ-encoded
+    * against the frozen codebooks ([[appendToIvfIndex]]'s maintenance
+    * contract), then unioned into the lists/codes frames — only the
+    * delta is scanned, the existing corpus is never touched.
+    *
+    * CONSUMES the input handle: the returned index shares centroids +
+    * codebooks and owns the new lists/codes; the input's lists/codes
+    * are unpersisted here. Do not search or release the input
+    * afterwards. */
+  def appendToIvfPqIndex(index: IvfPqIndex, delta: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lists2 = index.lists
+      .unionByName(ivfAssign(delta, index.centroids, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col("centroid_id")))
+      .persist(lvl)
+    val codes2 = index.codes
+      .unionByName(pqEncode(delta, index.codebooks, index.m, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"),
+          posexplode(col("codes")).as(Seq("sub", "cid"))))
+      .persist(lvl)
+    lists2.count()
+    codes2.count()
+    index.lists.unpersist(blocking = false)
+    index.codes.unpersist(blocking = false)
+    IvfPqIndex(index.centroids, lists2, index.codebooks, codes2,
+      index.m, index.ksub)
+  }
+
   /** Persist an [[IvfPqIndex]] to `path` as four parquet tables plus a
     * params file — the durable form of "build once": a 100 TB store
     * trains its index in one job and every later session [[loadIvfPqIndex]]s

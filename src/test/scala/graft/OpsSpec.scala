@@ -1174,6 +1174,59 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.OpCaches.trackedCount == 0)
   }
 
+  test("appendToIvfIndex: frozen-quantizer append searches identically " +
+      "to a full build over the same centroids") {
+    val s = init()
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val half = e.filter(col("vec_id") % 2 === 0)
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val idx0 = Similarity.buildIvfIndex(half, numCentroids = 8)
+    val cents = idx0.centroids
+    val appended = Similarity.appendToIvfIndex(idx0, delta)
+    // public twin: a fresh build over the FULL corpus with the same
+    // frozen centroids must search bit-identically
+    val full = Similarity.buildIvfIndex(e, numCentroids = 8,
+      centroids = Some(cents))
+    try {
+      val q = e.filter(col("vec_id") < 10)
+      assert(annRows(Similarity.searchIvf(appended, q, k = 5)) ==
+        annRows(Similarity.searchIvf(full, q, k = 5)))
+      // delta vectors are really searchable (odd ids appear as neighbors)
+      assert(Similarity.searchIvf(appended, q, k = 5)
+        .filter(col("neighbor_id") % 2 === 1).count() > 0)
+    } finally { appended.release(); full.release() }
+  }
+
+  test("appendToIvfPqIndex: delta assigned/encoded under frozen " +
+      "quantizers; merged state equals a full re-assignment") {
+    val s = init()
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val half = e.filter(col("vec_id") % 2 === 0)
+    val delta = e.filter(col("vec_id") % 2 === 1)
+    val idx0 = Similarity.buildIvfPqIndex(half, numCentroids = 8, m = 2,
+      ksub = 8)
+    val appended = Similarity.appendToIvfPqIndex(idx0, delta)
+    try {
+      // merged lists/codes must equal re-assigning the FULL corpus under
+      // the (frozen) coarse centroids and PQ codebooks
+      val expLists = Similarity.ivfAssign(e, appended.centroids)
+        .select(col("vec_id"), col("centroid_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotLists = appended.lists.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotLists == expLists)
+      val expCodes = Similarity.pqEncode(e, appended.codebooks, m = 2)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val gotCodes = appended.codes.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(gotCodes == expCodes)
+      // and the appended index is searchable end to end
+      assert(Similarity.searchIvfPq(appended,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 3).count() == 50)
+    } finally appended.release()
+  }
+
   test("IVF-PQ index save/load round-trip: a loaded index searches " +
       "identically without touching the corpus") {
     val s = init()
