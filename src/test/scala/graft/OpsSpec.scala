@@ -1227,6 +1227,46 @@ class OpsSpec extends AnyFunSuite {
     } finally appended.release()
   }
 
+  test("redactPii spread is a no-op when the input already matches " +
+      "session parallelism") {
+    val s = init()
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val target = s.sparkContext.defaultParallelism
+    // pre-spread input (>= parallelism partitions): redactPii must add
+    // NO exchange of its own — exactly the one we created survives
+    val wide = docs.repartition(target)
+    val pWide = TextAnalysis.redactPii(wide, "text")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(pWide).length == 1, pWide.take(600))
+    // compact input (single split): exactly one round-robin spread
+    val pNarrow = TextAnalysis.redactPii(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert("Exchange RoundRobinPartitioning".r
+      .findAllIn(pNarrow).length == 1, pNarrow.take(600))
+    // and the spread never changes results (multiset equality)
+    val a = TextAnalysis.redactPii(docs, "text")
+      .select("doc_id", "n_emails", "n_ips", "redacted_text")
+      .collect().map(_.toString).sorted
+    val b = TextAnalysis.redactPii(wide, "text")
+      .select("doc_id", "n_emails", "n_ips", "redacted_text")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("searchIvfPq tolerates nprobe beyond the live list count") {
+    val s = init()
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.buildIvfPqIndex(e, numCentroids = 4, m = 2,
+      ksub = 8)
+    try {
+      // nprobe larger than the number of coarse lists degrades to an
+      // every-list scan — still queries x k rows, never an error
+      val n = Similarity.searchIvfPq(idx,
+        e.filter(col("vec_id") < 5), k = 3, nprobe = 64).count()
+      assert(n == 15, s"got $n")
+    } finally idx.release()
+  }
+
   test("IVF-PQ index save/load round-trip: a loaded index searches " +
       "identically without touching the corpus") {
     val s = init()
