@@ -175,8 +175,9 @@ object PathFinder {
     * never full counts (at 100 TB a complete pass over the edge table
     * just to pick a strategy would itself be a major job). When edges and
     * seeds both fit under the local gates, the driver-local kernel runs
-    * on collected arrays and `e` is unpersisted here; otherwise the
-    * distributed branch runs and manages `e`'s lifecycle itself. */
+    * on collected arrays (memoized in [[edgeMemo]] — no persist needed,
+    * the collect is one pass); otherwise the distributed branch runs,
+    * fetching its edge frame from the memo-owned [[sessionEdgeIndex]]. */
   private def localOrElse(e: DataFrame, seeds: DataFrame)(
       local: Array[Long] => DataFrame)(
       distributed: => DataFrame): DataFrame = {
@@ -186,10 +187,7 @@ object PathFinder {
     // often a filtered scan, not a cached view — two passes doubled it)
     val seedProbe = if (eSmall) probeSeeds(seeds) else None
     seedProbe match {
-      case Some(seedArr) =>
-        // finally: a throwing kernel (e.g. negative-cycle detection) must
-        // not leak the persisted edge set in a long-lived session
-        try local(seedArr) finally e.unpersist()
+      case Some(seedArr) => local(seedArr)
       case None => distributed
     }
   }
@@ -228,14 +226,87 @@ object PathFinder {
         }
       local(arr, seedProbe.get)
     } else {
-      val e0 = if (hasEid) clean
-        else Snapshot.denseEdgeIds(spark,
-          clean.select(col("src"), col("dst")), Seq("src", "dst"))
-      val e = e0.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"), col("eid").cast("long").as("eid"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      distributed(e)
+      // memo-owned: the distributed branch receives a frame whose cache
+      // lifecycle belongs to distEidMemo — callers must not unpersist or
+      // OpCaches-track it (see sessionEdgeIndex)
+      distributed(sessionEdgeIndex(spark, clean, "eid") {
+        val e0 = if (hasEid) clean
+          else Snapshot.denseEdgeIds(spark,
+            clean.select(col("src"), col("dst")), Seq("src", "dst"))
+        e0.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"),
+          col("eid").cast("long").as("eid"))
+      })
     }
+  }
+
+  /** Distributed twin of [[edgeMemo]]: caches the dense-eid EDGE-INDEX
+    * frame — the range-sort + zipWithIndex over the full edge set that is
+    * the expensive, input-identical prefix of every distributed path
+    * query (it cost q55 a full 4M-row sort + persist PER CALL at sf4).
+    * Entries are persisted OUTSIDE OpCaches on purpose: the harness's
+    * per-query releaseAll() tears down operator caches, but the edge
+    * index is session state, same ownership rule as the ANN index frames
+    * ([[graft.ops.Similarity]] buildIvfIndex). Bounded LRU; eviction
+    * unpersists (a dropped entry merely recomputes on next use). Key =
+    * 32-bit semanticHash as an INDEX, canonicalized plan string as PROOF
+    * (edgeMemo's collision discipline — misses never render the plan). */
+  private val distEidMemoMax = 4
+  private val distEidMemo =
+    new java.util.LinkedHashMap[(Int, String), (String, DataFrame)](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          en: java.util.Map.Entry[(Int, String), (String, DataFrame)])
+          : Boolean = {
+        val evict = size() > distEidMemoMax
+        if (evict) en.getValue._2.unpersist(false)
+        evict
+      }
+    }
+
+  /** Memo-owned SESSION EDGE INDEX for the distributed path kernels —
+    * the distributed CSR. `build` shapes the columns (dense-eid
+    * synthesis, casts); the index hash-partitions by `src` and sorts
+    * within partitions, so every per-level frontier×e join clusters on
+    * the cached partitioning + ordering and shuffles only the (small)
+    * frontier, never the edge set (without this the per-level SMJ
+    * re-exchanged + re-sorted all 4M edges PER LEVEL — the q55 sf4
+    * wall). Entries persist OUTSIDE OpCaches on purpose: the harness's
+    * per-query releaseAll() tears down operator caches, but the edge
+    * index is session state, same ownership rule as the ANN index frames
+    * ([[graft.ops.Similarity]] buildIvfIndex) — build once, traverse
+    * many. Bounded LRU; eviction unpersists (a dropped entry merely
+    * recomputes). Key = (32-bit semanticHash of the PRE-BUILD input,
+    * variant) as an INDEX, canonicalized plan string as PROOF (edgeMemo's
+    * collision discipline — misses never render the plan). Keying on the
+    * pre-build input matters: builds that synthesize eids create a new
+    * RDD-backed plan per call, which would never hit. */
+  /** Count of session edge-index BUILDS (memo misses) — spec hook
+    * guarding the build-once contract. */
+  @volatile private[graft] var distEidBuilds: Long = 0L
+
+  private def sessionEdgeIndex(spark: SparkSession, clean: DataFrame,
+      variant: String)(build: => DataFrame): DataFrame = {
+    val key = (clean.queryExecution.analyzed.semanticHash(), variant)
+    lazy val p = planIdentity(clean)
+    distEidMemo.synchronized {
+      val hit = distEidMemo.get(key)
+      if (hit != null && hit._1 == p) return hit._2
+    }
+    distEidBuilds += 1
+    val e = build
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
+      .sortWithinPartitions("src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    distEidMemo.synchronized { distEidMemo.put(key, (p, e)) }
+    e
+  }
+
+  /** Spec hook: drop every cached session edge-index frame. */
+  private[graft] def clearDistEidMemo(): Unit = distEidMemo.synchronized {
+    val it = distEidMemo.values().iterator()
+    while (it.hasNext) it.next()._2.unpersist(false)
+    distEidMemo.clear()
   }
 
   /** Driver-side twin of [[Snapshot.denseEdgeIds]] for already-collected
@@ -279,24 +350,24 @@ object PathFinder {
     * optimization for IC13-shaped queries. */
   def bfsDistances(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
       maxDepth: Option[Long], targets: Option[DataFrame]): DataFrame = {
-    val e = dropNullEndpoints(edges.select(col("src"), col("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    localOrElse(e, seeds) { seedArr =>
+    val clean = dropNullEndpoints(edges.select(col("src"), col("dst")))
+    localOrElse(clean, seeds) { seedArr =>
       import spark.implicits._
       LocalKernels.bfsDistances(
-        collectEdges(e, withEid = false), seedArr,
+        collectEdges(clean, withEid = false), seedArr,
         maxDepth.getOrElse(Long.MaxValue),
         targets.map(t => collectSeeds(t.select(col(t.columns.head)
           .as("id"))).toSet))
         .toSeq.toDF("src", "dst", "dist")
     } {
+    // memo-owned distributed CSR (see sessionEdgeIndex) — never
+    // unpersisted here
+    val e = sessionEdgeIndex(spark, clean, "pair")(clean)
     targets match {
       case Some(t) =>
-        val res = bidirectionalDistances(spark, e, seeds,
+        bidirectionalDistances(spark, e, seeds,
           t.select(col(t.columns.head).cast("long").as("id")),
           maxDepth.getOrElse(Long.MaxValue))
-        e.unpersist()
-        res
       case None =>
         // seen is a UNION of per-level checkpointed frontiers — never
         // re-materialized per level (the old per-level
@@ -340,12 +411,9 @@ object PathFinder {
             frontier = fresh
           }
         }
-        // non-fused: every level is already materialized, the edge cache
-        // has served its purpose. Fused: the result is still LAZY — e
-        // must stay cached until the caller materializes, so hand it to
-        // the tracked registry (same storage level ⇒ re-persist no-op)
-        // for the harness to release after the query.
-        if (fused) graft.OpCaches.track(e) else e.unpersist()
+        // e is memo-owned (sessionEdgeIndex): its cache outlives this
+        // call by design — fused lazy results stay valid, and repeat
+        // queries over the same edge view skip the index build
         seen
     }
     }
@@ -559,10 +627,9 @@ object PathFinder {
                 s => array(s.getField("pv"), s.getField("pe")))),
               array(col("dst"))).as("path")))
       }
-    val out = (zero ++ reconstructed).reduceOption(_ union _)
+    // e is memo-owned (distEidFrame) — no unpersist here
+    (zero ++ reconstructed).reduceOption(_ union _)
       .getOrElse(seedPaths.limit(0)) // schema-correct empty result
-    e.unpersist()
-    out
   }
 
   /** Enumerate ALL mode-valid paths — one output row PER PATH (multiplicity
@@ -684,10 +751,9 @@ object PathFinder {
     val out = emitted.reduceOption(_ union _).getOrElse(
       frontier.select(col("src"), col("v").as("dst"), lit(0L).as("dist"),
         col("path")).limit(0))
-    // fused results are lazy — the edge cache must outlive this call
-    // (released by the harness via OpCaches); non-fused levels are all
-    // materialized already
-    if (fused) graft.OpCaches.track(e) else e.unpersist()
+    // e is memo-owned (distEidFrame): its cache outlives this call BY
+    // DESIGN — fused lazy results stay valid, and repeat queries over
+    // the same edge view skip the index build entirely
     out
     }
   }
@@ -798,10 +864,9 @@ object PathFinder {
         }
         done.toSeq
       }
-    val out = (zero ++ reconstructed).reduceOption(_ union _)
+    // e is memo-owned (distEidFrame) — no unpersist here
+    (zero ++ reconstructed).reduceOption(_ union _)
       .getOrElse(seedPaths.limit(0))
-    e.unpersist()
-    out
     }
   }
 
@@ -843,17 +908,19 @@ object PathFinder {
     // unusable, not free — the local kernel would read it as 0.0 while the
     // distributed min-struct would sort its null cost FIRST, so the two
     // strategies would silently diverge on the same input
-    val e = dropNullEndpoints(edges.select(col("src"), col("dst"), col("w")))
+    val clean = dropNullEndpoints(
+      edges.select(col("src"), col("dst"), col("w")))
       .filter(col("w").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    localOrElse(e, seeds) { seedArr =>
-      val earr = e.select(col("src").cast("long"), col("dst").cast("long"),
-        col("w").cast("double")).collect()
+    localOrElse(clean, seeds) { seedArr =>
+      val earr = clean.select(col("src").cast("long"),
+        col("dst").cast("long"), col("w").cast("double")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       import spark.implicits._
       LocalKernels.cheapestPaths(earr, seedArr).toSeq
         .toDF("src", "dst", "cost")
     } {
+    // memo-owned distributed CSR (see sessionEdgeIndex)
+    val e = sessionEdgeIndex(spark, clean, "wpair")(clean)
     var dist = seeds.select(col("id").as("src"), col("id").as("dst"),
       lit(0.0).cast("double").as("cost")).distinct().transform(graft.graph.PathFinder.ckpt)
     var changed = true
@@ -878,7 +945,6 @@ object PathFinder {
       changed = !improved
       dist = next
     }
-    e.unpersist()
     if (changed)
       throw GraphAnalysisException(
         s"cheapest-path did not converge within $maxRounds rounds " +
@@ -907,21 +973,27 @@ object PathFinder {
       seeds: DataFrame): DataFrame = {
     // see cheapestPaths: null weights dropped so both strategies agree
     val clean = dropNullEndpoints(edges).filter(col("w").isNotNull)
-    val e0 = if (clean.columns.contains("eid")) clean
-      else Snapshot.denseEdgeIds(spark,
-        clean.select(col("src"), col("dst"), col("w")), Seq("src", "dst"))
-    val e = e0.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("w").cast("double").as("w"),
-      col("eid").cast("long").as("eid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    localOrElse(e, seeds) { seedArr =>
-      val earr = e.select("src", "dst", "eid", "w").collect()
+    // the dense-eid synthesis is shared by both branches so the id
+    // assignment (and thus the (cost, hops, pv, pe) tie-break) cannot
+    // drift between the local collect and the distributed relaxation
+    def buildE: DataFrame = {
+      val e0 = if (clean.columns.contains("eid")) clean
+        else Snapshot.denseEdgeIds(spark,
+          clean.select(col("src"), col("dst"), col("w")), Seq("src", "dst"))
+      e0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("double").as("w"),
+        col("eid").cast("long").as("eid"))
+    }
+    localOrElse(clean, seeds) { seedArr =>
+      val earr = buildE.select("src", "dst", "eid", "w").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       import spark.implicits._
       LocalKernels.cheapestRoutes(earr, seedArr).toSeq
         .map(t => (t._1, t._2, t._3, t._4.toSeq))
         .toDF("src", "dst", "cost", "path")
     } {
+    // memo-owned distributed CSR (see sessionEdgeIndex)
+    val e = sessionEdgeIndex(spark, clean, "weid")(buildE)
     // ---- distributed relaxation: narrow rows only ----
     var dist = seeds.select(col("id").cast("long").as("src")).distinct()
       .select(col("src"), col("src").as("dst"),
@@ -957,12 +1029,10 @@ object PathFinder {
         .isEmpty
       dist = next
     }
-    if (changed) {
-      e.unpersist()
+    if (changed)
       throw GraphAnalysisException(
         s"cheapest-route did not converge within $maxRounds rounds " +
           "(negative cycle, or a longer chain than supported)")
-    }
     // ---- backtrack: extend suffixes leftward through the parent tree ----
     // dist is already localCheckpoint'd — block-manager-resident for the
     // repeated per-level joins; a persist on top would just leak
@@ -990,9 +1060,8 @@ object PathFinder {
           concat(array(col("p.pv"), col("p.pe")), col("a.suf")).as("suf"))
         .transform(graft.graph.PathFinder.ckpt)
     }
-    val out = done.reduce(_ union _)
-    e.unpersist()
-    out
+    // e is memo-owned (sessionEdgeIndex) — no unpersist here
+    done.reduce(_ union _)
     }
   }
 

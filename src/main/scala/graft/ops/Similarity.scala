@@ -459,29 +459,85 @@ object Similarity {
       index.m, index.ksub)
   }
 
+  /** Commit-marker discipline for the index persistences: the manifest
+    * (which also carries the params) is DELETED before any data dir is
+    * touched and re-written LAST, so a crash anywhere mid-save leaves a
+    * manifest-less directory that the loaders refuse — never a torn
+    * index (e.g. new codebooks with old codes) searching with wrong
+    * scores. */
+  private def deleteManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private def requireManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, kind: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no $kind index manifest at $path — the directory is empty, " +
+        "torn by a crashed save, or not an index; refusing to load")
+  }
+
+  /** Persist an [[IvfIndex]] to `path` as two parquet tables plus a
+    * manifest — the plain-IVF twin of [[saveIvfPqIndex]] (same durable
+    * "build once" shape, same commit-marker discipline). Overwrites any
+    * index already at `path`. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.centroids.sparkSession
+    deleteManifest(spark, path)
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.corpus.write.mode("overwrite").parquet(s"$path/corpus")
+    spark.createDataFrame(Seq(Tuple1("ivf"))).toDF("kind")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Load an [[IvfIndex]] saved by [[saveIvfIndex]]: both frames
+    * re-persist + materialize from their parquet, so the handle is
+    * immediately searchable — [[searchIvf]] over a loaded index returns
+    * exactly what the saved index returned. Refuses a path without a
+    * manifest (torn or foreign directory). The caller owns release(). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    requireManifest(spark, path, "IVF")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val frames = Seq("centroids", "corpus")
+      .map(n => spark.read.parquet(s"$path/$n").persist(lvl))
+    frames.foreach(_.count())
+    IvfIndex(frames(0), frames(1))
+  }
+
   /** Persist an [[IvfPqIndex]] to `path` as four parquet tables plus a
-    * params file — the durable form of "build once": a 100 TB store
-    * trains its index in one job and every later session [[loadIvfPqIndex]]s
-    * it instead of re-reading the corpus. Everything in the index is
-    * deterministic data (rounded centroids, codes), so saved and rebuilt
-    * indexes search identically. Overwrites any index already at `path`. */
+    * manifest carrying (m, ksub) — the durable form of "build once": a
+    * 100 TB store trains its index in one job and every later session
+    * [[loadIvfPqIndex]]s it instead of re-reading the corpus. Everything
+    * in the index is deterministic data (rounded centroids, codes), so
+    * saved and rebuilt indexes search identically. The manifest is
+    * written LAST (and deleted first), so a crashed save can never be
+    * loaded as a torn index. Overwrites any index already at `path`. */
   def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.centroids.sparkSession
+    deleteManifest(spark, path)
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     index.lists.write.mode("overwrite").parquet(s"$path/lists")
     index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
     index.codes.write.mode("overwrite").parquet(s"$path/codes")
-    index.centroids.sparkSession.createDataFrame(
+    spark.createDataFrame(
         Seq((index.m, index.ksub))).toDF("m", "ksub")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
   }
 
   /** Load an [[IvfPqIndex]] saved by [[saveIvfPqIndex]]: the four frames
     * re-persist + materialize from their parquet (corpus never touched),
-    * so the handle is immediately searchable. The caller owns release(). */
+    * so the handle is immediately searchable. Refuses a path without a
+    * manifest (torn or foreign directory). The caller owns release(). */
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqIndex = {
+    requireManifest(spark, path, "IVF-PQ")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val p = spark.read.parquet(s"$path/params").head()
+    val p = spark.read.parquet(s"$path/manifest").head()
     val frames = Seq("centroids", "lists", "codebooks", "codes")
       .map(n => spark.read.parquet(s"$path/$n").persist(lvl))
     frames.foreach(_.count())

@@ -396,13 +396,33 @@ object TextAnalysis {
     // costs 0.3 s of single-thread regex). When the input's natural
     // splits are below the session's parallelism, exchange the narrow
     // rows once to spread the work; a many-file 100 TB corpus has
-    // splits >= parallelism and skips the exchange entirely. Partition
-    // count comes from the planned scan — no job runs.
+    // splits >= parallelism and skips the exchange entirely.
+    //
+    // Probing the split count must not RUN anything: under AQE,
+    // `toRdd` on a plan containing an exchange materializes every
+    // upstream query stage at graph-construction time, and that work
+    // is not reused by the later action. So: a plan with a shuffle is
+    // already spread to session parallelism (skip); a broadcast-only
+    // plan derives the stream side's splits from the leaf scans (no
+    // execution); only an exchange-free plan — where toRdd provably
+    // runs no job — uses the direct probe.
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val in =
-      if (df.queryExecution.toRdd.getNumPartitions < target)
-        df.repartition(target)
-      else df
+    val plan = df.queryExecution.sparkPlan
+    val plannedSplits: Option[Int] =
+      if (plan.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]))
+        None
+      else if (plan.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.Exchange]))
+        Some(plan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.execute().getNumPartitions // leaf scan: builds the RDD, no job
+        }.sum)
+      else Some(df.queryExecution.toRdd.getNumPartitions)
+    val in = plannedSplits match {
+      case Some(n) if n > 0 && n < target => df.repartition(target)
+      case _ => df
+    }
     // one fused codegen expression ([[graft.functions.PiiScanExpr]]) —
     // previously 4 independent regex projections; the struct is
     // materialized in its own projection so the scan runs ONCE per row

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.ops.{Sampling, Sketches}
+import graft.ops.{Sampling, Similarity, Sketches}
 
 /** Streaming corpus-curation operators — the incremental twins of the
   * batch ops in [[graft.ops]]. Like [[EventStreams]], every operator is a
@@ -260,5 +260,89 @@ object CorpusStreams {
           else { state.update(true); Iterator(pos) }
       }
       .toDF("pos")
+  }
+
+  /** Streaming ANN search over a prebuilt [[Similarity.IvfIndex]] — the
+    * stream-of-queries twin of [[Similarity.searchIvf]]. The batch path
+    * ranks probes and results with windows, which don't stream; this
+    * reformulation is stateless until the final per-query top-k:
+    *
+    *  1. probe selection is PER-ROW — the coarse centroid table is tiny
+    *     and already materialized (one bounded collect, the broadcast-
+    *     gram doctrine), so each query row sorts a literal centroid
+    *     array by (cosine desc, centroid_id asc) and keeps `nprobe`;
+    *  2. candidates come from a stateless stream-static equi-join on
+    *     `centroid_id` against the index's corpus frame, scored with the
+    *     same [[Similarity.cosinePre]] arithmetic as the batch path;
+    *  3. the per-query top-k is keyed state (flatMapGroupsWithState,
+    *     Update mode): state = current k best (cosine, neighbor_id)
+    *     pairs, merged idempotently — re-delivered rows carry identical
+    *     deterministic scores, so retries and batching can't change the
+    *     result (the [[weightedReservoir]] contract).
+    *
+    * Emits a query's full refreshed top-k whenever a batch changes it:
+    * (query_id, neighbor_id, rank, cosine) — same columns, rounding and
+    * tie-break as the batch operator.
+    *
+    * @param queries streaming frame carrying `idCol` (castable to long)
+    *                and `vecCol` (castable to array&lt;double&gt;)
+    */
+  def searchIvf(index: Similarity.IvfIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    require(nprobe >= 1, s"nprobe must be positive (got $nprobe)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // bounded collect: numCentroids rows (the index's coarse table)
+    val centArr = index.centroids
+      .select(col("centroid_id").cast("long"),
+        col("vec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    val cents = typedLit(centArr)
+    val probed = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .where(col("query_id").isNotNull && col("qv").isNotNull)
+      // per-row probe rank: sort struct(-sim, cid) ascending = sim desc,
+      // centroid_id asc — the batch window's exact ordering
+      .withColumn("__probes", slice(array_sort(transform(cents, c =>
+        struct((-Similarity.cosine(col("qv"), c.getField("_2")))
+          .as("negsim"), c.getField("_1").as("cid")))), 1, nprobe))
+      .select(col("query_id"), col("qv"),
+        explode(col("__probes").getField("cid")).as("centroid_id"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+    val scored = probed
+      .join(index.corpus, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        Similarity.cosinePre(col("qv"), col("cv"), col("qn"), col("cn"))
+          .as("cosine"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      .as[(Long, Double, Long)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Double, Long)],
+          (Long, Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Double, Long)],
+            state: GroupState[List[(Double, Long)]]) =>
+          val prev = state.getOption.getOrElse(Nil)
+          val merged = (prev ++ rows.map(r => (r._2, r._3)))
+            .distinct
+            .sortBy { case (cos, nid) => (-cos, nid) }
+            .take(k)
+          if (merged == prev) Iterator.empty
+          else {
+            state.update(merged)
+            merged.iterator.zipWithIndex.map { case ((cos, nid), i) =>
+              (qid, nid, (i + 1).toLong,
+                BigDecimal(cos).setScale(6,
+                  BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+          }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "cosine")
   }
 }

@@ -1291,4 +1291,56 @@ class OpsSpec extends AnyFunSuite {
         new java.io.File(dir))
     }
   }
+
+  test("IVF index save/load round-trip: a loaded index searches " +
+      "identically; a manifest-less (torn) path refuses to load") {
+    val s = init()
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString
+    val built = Similarity.buildIvfIndex(e, numCentroids = 8)
+    try {
+      Similarity.saveIvfIndex(built, dir)
+      val loaded = Similarity.loadIvfIndex(s, dir)
+      try {
+        val q = e.filter(col("vec_id") < 10)
+        assert(annRows(Similarity.searchIvf(loaded, q, k = 5,
+            nprobe = 3)) ==
+          annRows(Similarity.searchIvf(built, q, k = 5, nprobe = 3)))
+      } finally loaded.release()
+      // torn-save simulation: a crash before the manifest write leaves
+      // data dirs but no commit marker — the loader must refuse, not
+      // serve a possibly-inconsistent index
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/manifest"))
+      val err = intercept[IllegalArgumentException](
+        Similarity.loadIvfIndex(s, dir))
+      assert(err.getMessage.contains("manifest"))
+    } finally {
+      built.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
+  test("IVF-PQ loader refuses a manifest-less (torn) save") {
+    val s = init()
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_torn").toString
+    val built = Similarity.buildIvfPqIndex(e, numCentroids = 4, m = 2,
+      ksub = 8)
+    try {
+      Similarity.saveIvfPqIndex(built, dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/manifest"))
+      val err = intercept[IllegalArgumentException](
+        Similarity.loadIvfPqIndex(s, dir))
+      assert(err.getMessage.contains("manifest"))
+    } finally {
+      built.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
 }

@@ -38,6 +38,15 @@ object PerfProbe55 {
       .queryExecution.toRdd.count())
     time("q55 second")(SparkEntry.queries("q55_user_kshortest")(s, d)
       .queryExecution.toRdd.count())
+    // bench shape: operator caches die with the query (Bench releaseAll)
+    // but the session-scoped edge-index memo survives — this is the
+    // number the BENCH reps actually see
+    OpCaches.releaseAll()
+    time("q55 bench-shape")(SparkEntry.queries("q55_user_kshortest")(s, d)
+      .queryExecution.toRdd.count())
+    OpCaches.releaseAll()
+    time("q35 bench-shape")(SparkEntry.queries("q35_user_bfs")(s, d)
+      .queryExecution.toRdd.count())
     time("q36 wcc")(SparkEntry.queries("q36_user_wcc")(s, d)
       .queryExecution.toRdd.count())
     time("q83 tri")(SparkEntry.queries("q83_triangles")(s, d)

@@ -24,8 +24,11 @@ object PerfProbe74 {
     // driver-side corpus slice: single-thread component costs
     val texts = docs.select("text").filter(col("text").isNotNull)
       .limit(20000).collect().map(_.getString(0))
-    val bytes = texts.map(_.length.toLong).sum
-    println(s"corpus slice: ${texts.length} docs, $bytes chars")
+    // UTF-8 byte total (not UTF-16 char count) so MB/s is labeled right
+    // for non-ASCII text
+    val bytes = texts.map(
+      _.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong).sum
+    println(s"corpus slice: ${texts.length} docs, $bytes utf8 bytes")
     def mbps(name: String)(f: String => Unit): Unit = {
       f(texts(0)) // JIT warm
       var i = 0

@@ -264,4 +264,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!asg.contains("Window") && !asg.contains("BroadcastNestedLoop"),
       "ivfAssign regressed to the crossJoin + argmin-window pipeline")
   }
+
+  test("distributed path kernels build the session edge index ONCE per " +
+      "edge view: repeat queries hit the memo (build-once contract)") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    val g0 = PathFinder.localMaxEdges
+    PathFinder.localMaxEdges = 0 // force the distributed branch
+    PathFinder.clearDistEidMemo()
+    try {
+      // branching cyclic graph so k-shortest has real work at every level
+      val edges = (for (i <- 0L until 40L; j <- Seq(1L, 3L, 7L))
+        yield (i, (i + j) % 40L)).toDF("src", "dst")
+      val seeds = Seq(0L, 5L).toDF("id")
+      val before = PathFinder.distEidBuilds
+      val r1 = PathFinder.kShortestPaths(s, edges, seeds, 1L, Some(2L),
+        graft.pgq.PathMode.Walk, k = 2)
+        .collect().map(_.mkString("|")).sorted.toSeq
+      assert(PathFinder.distEidBuilds == before + 1,
+        "cold call must build the index exactly once")
+      graft.OpCaches.releaseAll() // bench shape: operator caches die
+      val r2 = PathFinder.kShortestPaths(s, edges, seeds, 1L, Some(2L),
+        graft.pgq.PathMode.Walk, k = 2)
+        .collect().map(_.mkString("|")).sorted.toSeq
+      assert(PathFinder.distEidBuilds == before + 1,
+        "warm call re-built the session edge index — memo regressed")
+      assert(r1 == r2, "memo-served index changed the results")
+      // a DIFFERENT edge view must not serve the cached index
+      val edges2 = (for (i <- 0L until 40L; j <- Seq(1L, 3L, 7L))
+        yield (i, (i + j) % 40L)).toDF("src", "dst")
+        .filter($"src" =!= 39L)
+      PathFinder.bfsDistances(s, edges2, seeds, Some(2L)).collect()
+      assert(PathFinder.distEidBuilds == before + 2,
+        "a different edge view must build its own index")
+    } finally {
+      PathFinder.localMaxEdges = g0
+      PathFinder.clearDistEidMemo()
+      graft.OpCaches.releaseAll()
+    }
+  }
 }

@@ -101,6 +101,16 @@ gen("documents", f"""
          END AS n_chars
   FROM '{src}/documents.parquet', reps""")
 
+# Planted ids live at 9_000_000 + vec_id*10 + cj; rotated replica ids at
+# vec_id + i*OFF. Disjointness relies on max(src vec_id)*10 staying under
+# OFF and the planted band staying below OFF — assert both instead of
+# assuming the base corpus stays small.
+_max_vec = con.sql(
+    f"SELECT max(vec_id) FROM '{src}/embeddings.parquet'").fetchone()[0]
+assert 9_000_000 + _max_vec * 10 + 5 < OFF and _max_vec < 9_000_000 // 10, (
+    f"planted vec_id scheme collides: max base vec_id {_max_vec} too "
+    f"large for the 9M+id*10+cj band / {OFF} replica offset")
+
 gen("embeddings", f"""
   WITH rot AS (
     SELECT vec_id + i*{OFF} AS vec_id,
