@@ -839,7 +839,9 @@ object SparkEntry {
 
   private def q22_text_stats(s: SparkSession, d: String): DataFrame = {
     val txt = col("text")
-    t(s, d, "documents").select(col("doc_id"),
+    // tokenizer+langid are CPU-bound per-row passes — spread a compact
+    // scan (5x at sf1 on a 2-split corpus, NOTES round-11)
+    TextAnalysis.spreadCompactScan(t(s, d, "documents")).select(col("doc_id"),
       TextAnalysis.tokenCount(txt).as("n_tokens"),
       round(TextAnalysis.punctRatio(txt), 6).as("punct_ratio"),
       round(TextAnalysis.stopwordRatio(txt), 6).as("stopword_ratio"),
@@ -851,7 +853,9 @@ object SparkEntry {
     * splits approximate byte-pair segmentation without a vocab). Pure
     * codegen'd column expressions — no UDF in the scan path. */
   private def q60_subword_tokens(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(col("doc_id"),
+    // subword segmentation is the most CPU-bound per-row pass in the
+    // text family — spread a compact scan (6x at sf1, NOTES round-11)
+    TextAnalysis.spreadCompactScan(t(s, d, "documents")).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"),
       TextAnalysis.subwordCount(col("text")).as("n_subwords"))
 

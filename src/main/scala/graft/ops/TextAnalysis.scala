@@ -111,7 +111,8 @@ object TextAnalysis {
     // explicit isNull branch the `when` condition is null, `__arr` is null,
     // and the row's chunk count would hinge on greatest() skipping nulls —
     // an artifact, not a contract
-    df.withColumn("__arr", when(col(textCol).isNull ||
+    spreadCompactScan(df) // tokenize+slice is CPU-bound (3x at sf1 starved)
+      .withColumn("__arr", when(col(textCol).isNull ||
         length(wsTrim(col(textCol))) === 0,
         array().cast("array<string>")).otherwise(tokens(col(textCol))))
       .withColumn("chunk_idx", explode(sequence(lit(0L),
@@ -198,8 +199,9 @@ object TextAnalysis {
     // one fused pass ([[graft.functions.RepetitionStatsExpr]]): every
     // metric here is per-DOCUMENT — including the most-frequent-2-gram,
     // which previously rode an explode + two (id, gram) aggregations —
-    // so the whole operator is exchange-free
-    val scanned = df.select(col(idCol),
+    // so the operator's only possible exchange is the starvation spread
+    // (3.3x at sf1 on a 2-split corpus)
+    val scanned = spreadCompactScan(df).select(col(idCol),
       graft.functions.RepetitionFunctions.repetition_stats(
         coalesce(col(textCol), lit(""))).as("__rep"))
     scanned.select(col(idCol),
@@ -379,33 +381,27 @@ object TextAnalysis {
     * redaction pass prefers false positives over leaks). */
   val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** PII scrubbing — per-row codegen'd regex counts + global
-    * replacement, no shuffle anywhere: emails → `[EMAIL]`, IPv4 →
-    * `[IP]`. Counts are emitted alongside the redacted text so a
-    * pipeline can filter or audit on PII density. Null text stays null
-    * (nothing to scrub), counts 0.
+  /** Starvation guard for CPU-bound per-row text passes: these run at
+    * ~15-100 MB/s per core, ~100x slower per byte than the parquet scan
+    * feeding them, so SIZE-based file splits (128 MB target) undershoot
+    * the cluster parallelism on compact inputs and starve the pass to a
+    * task or two (measured on q74: 2.3 s of a 2.7 s wall on a one-split
+    * corpus that costs 0.3 s of single-thread regex; the same trap cost
+    * q22 5x, q60 6x, q63 3x, q71 3.3x at sf1 — NOTES round-11). When
+    * the input's natural splits are below the session's parallelism,
+    * exchange the narrow rows ONCE (round-robin, never keyed) to spread
+    * the work; a many-file 100 TB corpus has splits >= parallelism and
+    * skips the exchange entirely.
     *
-    * @return input plus (n_emails, n_ips, redacted_text)
-    */
-  def redactPii(df: DataFrame, textCol: String): DataFrame = {
-    // CPU-bound per-row pass: the regex scan runs at ~15-100 MB/s per
-    // core, ~100x slower per byte than the parquet scan feeding it, so
-    // SIZE-based file splits (128 MB target) undershoot the cluster
-    // parallelism on compact inputs and starve the scan to a task or
-    // two (measured: 2.3 s of a 2.7 s wall on a one-split corpus that
-    // costs 0.3 s of single-thread regex). When the input's natural
-    // splits are below the session's parallelism, exchange the narrow
-    // rows once to spread the work; a many-file 100 TB corpus has
-    // splits >= parallelism and skips the exchange entirely.
-    //
-    // Probing the split count must not RUN anything: under AQE,
-    // `toRdd` on a plan containing an exchange materializes every
-    // upstream query stage at graph-construction time, and that work
-    // is not reused by the later action. So: a plan with a shuffle is
-    // already spread to session parallelism (skip); a broadcast-only
-    // plan derives the stream side's splits from the leaf scans (no
-    // execution); only an exchange-free plan — where toRdd provably
-    // runs no job — uses the direct probe.
+    * Probing the split count must not RUN anything: under AQE, `toRdd`
+    * on a plan containing an exchange materializes every upstream query
+    * stage at graph-construction time, and that work is not reused by
+    * the later action. So: a plan with a shuffle is already spread to
+    * session parallelism (skip); a broadcast-only plan derives the
+    * stream side's splits from the leaf scans (no execution); only an
+    * exchange-free plan — where toRdd provably runs no job — uses the
+    * direct probe. */
+  def spreadCompactScan(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val plan = df.queryExecution.sparkPlan
     val plannedSplits: Option[Int] =
@@ -419,10 +415,23 @@ object TextAnalysis {
             f.execute().getNumPartitions // leaf scan: builds the RDD, no job
         }.sum)
       else Some(df.queryExecution.toRdd.getNumPartitions)
-    val in = plannedSplits match {
-      case Some(n) if n > 0 && n < target => df.repartition(target)
+    plannedSplits match {
+      case Some(n) if n > 0 && n < target =>
+        df.repartition(target)
       case _ => df
     }
+  }
+
+  /** PII scrubbing — per-row codegen'd regex counts + global
+    * replacement, no shuffle anywhere: emails → `[EMAIL]`, IPv4 →
+    * `[IP]`. Counts are emitted alongside the redacted text so a
+    * pipeline can filter or audit on PII density. Null text stays null
+    * (nothing to scrub), counts 0.
+    *
+    * @return input plus (n_emails, n_ips, redacted_text)
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val in = spreadCompactScan(df)
     // one fused codegen expression ([[graft.functions.PiiScanExpr]]) —
     // previously 4 independent regex projections; the struct is
     // materialized in its own projection so the scan runs ONCE per row

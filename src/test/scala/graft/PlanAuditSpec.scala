@@ -137,28 +137,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning"))
   }
 
-  test("chunking (q63) is exchange-free: pure scan-side projection") {
+  /** The only exchange a per-row text pass may carry is the deliberate
+    * round-robin starvation spread of a compact scan (NOTES items 55,
+    * round-11 sweep) — never a keyed/aggregation shuffle. */
+  private def roundRobinOnly(plan: String): Unit = {
+    val exchanges = "Exchange [A-Za-z]+".r.findAllIn(plan).toList.distinct
+    assert(exchanges.isEmpty ||
+      exchanges == List("Exchange RoundRobinPartitioning"), plan.take(800))
+  }
+
+  test("chunking (q63): scan-side projection; only the round-robin " +
+      "starvation spread may exchange") {
     val s = Fixture.init()
     val plan = SparkEntry.queries("q63_chunk_windows")(s, sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan.take(800))
+    roundRobinOnly(plan)
     assert(plan.contains("Generate explode")) // chunk fan-out in the scan stage
   }
 
-  test("c4 flags (q72) and repetition stats (q71) are exchange-free") {
+  test("c4 flags (q72) exchange-free; repetition (q71), text stats " +
+      "(q22), subword (q60) allow only the round-robin spread") {
     val s = Fixture.init()
     val p72 = SparkEntry.queries("q72_c4_filters")(s, sf)
       .queryExecution.executedPlan.toString
     // every C4 signal is a per-row Column — any exchange means a
-    // line-level metric regressed into an aggregation
+    // line-level metric regressed into an aggregation; q72's pass is
+    // cheap (0.9 s at sf4, like q23's measured-NEGATIVE spread), so it
+    // stays exchange-free entirely
     assert(!p72.contains("Exchange"), p72.take(800))
     val p71 = SparkEntry.queries("q71_repetition")(s, sf)
       .queryExecution.executedPlan.toString
     // RepetitionStatsExpr computes every Gopher metric (incl. the
     // top-2-gram fraction) per document in one fused byte-scan pass —
     // the former (doc, gram) count + window + join-back shuffle is gone
-    assert(!p71.contains("Exchange"), p71.take(800))
+    roundRobinOnly(p71)
     assert(p71.contains("repetition_stats"))
+    roundRobinOnly(SparkEntry.queries("q22_text_stats")(s, sf)
+      .queryExecution.executedPlan.toString)
+    roundRobinOnly(SparkEntry.queries("q60_subword_tokens")(s, sf)
+      .queryExecution.executedPlan.toString)
   }
 
   test("pii redaction (q74) exchange-free; decontamination (q73) and " +
