@@ -38,7 +38,10 @@ object Bench {
       import org.apache.spark.sql.functions.col
       val ue = TradeGraph.userEdges(spark, sfDir)
       val seed1 = spark.range(1).select(col("id"))
-      graph.PathFinder.bfsDistances(spark, ue, seed1, Some(0L))
+      // depth 1 (not 0): a 0-level BFS never joins the edge frame, so
+      // the session edge index would be memoized but never MATERIALIZED
+      // and the first measured query would pay the build
+      graph.PathFinder.bfsDistances(spark, ue, seed1, Some(1L))
         .queryExecution.toRdd.count()
       graph.PathFinder.kShortestPaths(spark, ue, seed1, 0L, Some(1L),
         pgq.PathMode.Walk, k = 1).queryExecution.toRdd.count()

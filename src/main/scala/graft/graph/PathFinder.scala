@@ -287,7 +287,11 @@ object PathFinder {
 
   private def sessionEdgeIndex(spark: SparkSession, clean: DataFrame,
       variant: String)(build: => DataFrame): DataFrame = {
-    val key = (clean.queryExecution.analyzed.semanticHash(), variant)
+    // the session identity is part of the key (unlike edgeMemo's plain
+    // arrays, a cached FRAME dies with its session — a later session
+    // with an identical plan must rebuild, not receive a dead handle)
+    val key = (clean.queryExecution.analyzed.semanticHash(),
+      variant + "@" + System.identityHashCode(spark))
     lazy val p = planIdentity(clean)
     distEidMemo.synchronized {
       val hit = distEidMemo.get(key)
