@@ -250,7 +250,9 @@ object TextAnalysis {
     val bGrams = benchmark
       .select(explode(wordNgrams(col(textCol), n)).as("__g")).distinct()
       .withColumn("__hit", lit(1L))
-    corpus
+    // corpus-side ngram explode is CPU-bound (2.2x at sf1 starved); the
+    // benchmark side stays as-is — it collapses into a broadcast
+    spreadCompactScan(corpus)
       .select(col(idCol),
         explode_outer(array_distinct(wordNgrams(col(textCol), n))).as("__g"))
       .join(broadcast(bGrams), Seq("__g"), "left")
@@ -302,8 +304,10 @@ object TextAnalysis {
     // mask, per-document counts emitted directly — EXCHANGE-FREE on the
     // corpus side (the declarative hex/conv + explode + groupBy form
     // benched 7.6 s warm at the 10x point; q73's exact join is 3.0 s —
-    // this form matches it while never materializing the gram strings)
-    corpus.select(col(idCol),
+    // this form matches it while never materializing the gram strings);
+    // the fused pass is CPU-bound, so a compact scan gets the spread
+    // (2x at sf1, NOTES round-11)
+    spreadCompactScan(corpus).select(col(idCol),
         graft.functions.VectorFunctions.bloom_stats(
           array_distinct(wordNgrams(col(textCol), n)), words, m, k)
           .as("__bs"))
@@ -346,8 +350,10 @@ object TextAnalysis {
     require(minDocs >= 2, "minDocs must be >= 2 (a span is duplicated " +
       "when it appears in at least two documents)")
     import org.apache.spark.sql.expressions.Window
-    // posexplode_outer keeps gram-less documents (null pos/gram row)
-    val g = df.select(col(idCol),
+    // posexplode_outer keeps gram-less documents (null pos/gram row);
+    // the tokenize+explode scan stage is CPU-bound — spread a compact
+    // input (1.8x at sf1 on a 2-split corpus, NOTES round-11)
+    val g = spreadCompactScan(df).select(col(idCol),
       posexplode_outer(wordNgrams(col(textCol), n)).as(Seq("__pos", "__g")))
     val pd = g.filter(col("__g").isNotNull)
       .select(col(idCol), col("__g")).distinct()
@@ -638,8 +644,9 @@ object TextAnalysis {
           .fromString(r.getString(0)), r.getLong(1))
       }
     // two stacked projections: `ids` is a non-cheap expression referenced
-    // three times, so CollapseProject keeps it computed ONCE
-    df.select(col(idCol),
+    // three times, so CollapseProject keeps it computed ONCE; the
+    // tokenize+lookup pass is CPU-bound (1.3x at sf1 starved)
+    spreadCompactScan(df).select(col(idCol),
         graft.functions.TextFunctions.token_ids(
           coalesce(col(textCol), lit("")), vmap, oovId).as("ids"))
       .select(col(idCol),
