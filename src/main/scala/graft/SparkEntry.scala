@@ -4418,21 +4418,65 @@ object SparkEntry {
     // SemDeDup at the derived k (ceil(n / 1e4) = 1 at oracle scale):
     // one cluster ⇒ centroid_id ≡ 0 and the dedup rule is the exact
     // pairwise search, zero-norm guarded like Spark's cosinePre
+    // Replays semanticDedup EXACTLY at any scale: k derived as
+    // ceil(n / 10000) (the operator's targetBucket rule), the 1-iter
+    // spherical k-means in the q82 oracle's style (id-mod init, rounded
+    // centroids, cosine-argmax assignment with smallest-cid ties), then
+    // the min-id duplicate rule WITHIN each cluster — the SemDeDup
+    // contract, which deliberately diverges from all-pairs once k > 1.
     "q87_semdedup" ->
       """WITH emb AS (
            SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
+         params AS (
+           SELECT CAST(ceil(count(*) / 10000.0) AS BIGINT) AS k FROM emb),
+         dp AS (
+           SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS comp
+           FROM emb),
+         c0 AS (
+           SELECT vec_id % (SELECT k FROM params) AS cid, pos,
+                  round(avg(comp), 6) AS c
+           FROM dp GROUP BY 1, 2),
+         s1 AS (
+           SELECT dp.vec_id, c0.cid, sum(dp.comp * c0.c) AS dot,
+                  sqrt(sum(dp.comp * dp.comp)) AS nv,
+                  sqrt(sum(c0.c * c0.c)) AS nc
+           FROM dp JOIN c0 USING (pos) GROUP BY 1, 2),
+         a1 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY CASE WHEN nv * nc = 0 THEN 0
+                             ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
+             FROM s1) WHERE rn = 1),
+         c1 AS (
+           SELECT a1.cid, dp.pos, round(avg(dp.comp), 6) AS c
+           FROM dp JOIN a1 USING (vec_id) GROUP BY 1, 2),
+         s2 AS (
+           SELECT dp.vec_id, c1.cid, sum(dp.comp * c1.c) AS dot,
+                  sqrt(sum(dp.comp * dp.comp)) AS nv,
+                  sqrt(sum(c1.c * c1.c)) AS nc
+           FROM dp JOIN c1 USING (pos) GROUP BY 1, 2),
+         a2 AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY CASE WHEN nv * nc = 0 THEN 0
+                             ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
+             FROM s2) WHERE rn = 1),
          dups AS (
            SELECT DISTINCT b.vec_id AS vec_id
-           FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+           FROM emb a JOIN a2 ca ON a.vec_id = ca.vec_id
+                JOIN a2 cb ON ca.cid = cb.cid
+                JOIN emb b ON b.vec_id = cb.vec_id
+                          AND a.vec_id < b.vec_id
            WHERE CASE WHEN list_dot_product(a.v, a.v) = 0
                         OR list_dot_product(b.v, b.v) = 0 THEN 0
                       ELSE list_cosine_similarity(a.v, b.v) END >= 0.35)
          SELECT e.vec_id,
-           CAST(0 AS BIGINT) AS centroid_id,
+           CAST(a2.cid AS BIGINT) AS centroid_id,
            (d.vec_id IS NOT NULL) AS is_duplicate
-         FROM emb e LEFT JOIN dups d ON e.vec_id = d.vec_id""",
+         FROM emb e JOIN a2 ON e.vec_id = a2.vec_id
+         LEFT JOIN dups d ON e.vec_id = d.vec_id""",
 
     // A-ES weighted reservoir: the exact per-language top-10 of
     // round(u^(1/n_chars), 9) with u = the shared md5 hash unit — the
