@@ -4424,6 +4424,19 @@ object SparkEntry {
     // centroids, cosine-argmax assignment with smallest-cid ties), then
     // the min-id duplicate rule WITHIN each cluster — the SemDeDup
     // contract, which deliberately diverges from all-pairs once k > 1.
+    // Pair-search shape (round 11): the assignment pre-attaches a
+    // pre-NORMALIZED fixed-size DOUBLE[64] vector (anv) and the pair
+    // scan is ONE self-join on cid whose matches stream straight into
+    // a single SIMD array_inner_product — five list walks per pair
+    // became one, and DuckDB can no longer misplace the 6.7e7-row pair
+    // relation as a hash-join BUILD side (the 4-relation form built a
+    // ~40 GB payload hash table off a 20100-row cardinality estimate
+    // and ran >900 s at sf1; this form runs ~55 s sf1 / ~150 s sf4).
+    // Semantics unchanged: cosine(a,b) = dot(a/|a|, b/|b|) in double,
+    // and a zero-norm side makes the guarded cosine 0 < threshold, so
+    // dropping zero-norm rows from anv (NOT from a2/the output) is the
+    // same rule. Verified identical to the list_cosine_similarity form
+    // at sf0.01 and sf0.1.
     "q87_semdedup" ->
       """WITH emb AS (
            SELECT vec_id,
@@ -4463,15 +4476,18 @@ object SparkEntry {
                ORDER BY CASE WHEN nv * nc = 0 THEN 0
                              ELSE dot / (nv * nc) END DESC, cid ASC) AS rn
              FROM s2) WHERE rn = 1),
+         anv AS (
+           SELECT a2.vec_id, a2.cid,
+                  CAST(list_transform(e.v, x ->
+                    x / sqrt(list_dot_product(e.v, e.v)))
+                    AS DOUBLE[64]) AS nv
+           FROM a2 JOIN emb e ON a2.vec_id = e.vec_id
+           WHERE list_dot_product(e.v, e.v) > 0),
          dups AS (
-           SELECT DISTINCT b.vec_id AS vec_id
-           FROM emb a JOIN a2 ca ON a.vec_id = ca.vec_id
-                JOIN a2 cb ON ca.cid = cb.cid
-                JOIN emb b ON b.vec_id = cb.vec_id
-                          AND a.vec_id < b.vec_id
-           WHERE CASE WHEN list_dot_product(a.v, a.v) = 0
-                        OR list_dot_product(b.v, b.v) = 0 THEN 0
-                      ELSE list_cosine_similarity(a.v, b.v) END >= 0.35)
+           SELECT DISTINCT cb.vec_id AS vec_id
+           FROM anv ca JOIN anv cb
+             ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
+           WHERE array_inner_product(ca.nv, cb.nv) >= 0.35)
          SELECT e.vec_id,
            CAST(a2.cid AS BIGINT) AS centroid_id,
            (d.vec_id IS NOT NULL) AS is_duplicate

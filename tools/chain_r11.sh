@@ -56,7 +56,7 @@ echo "duck sf0.1 exit=$? $(date +%H:%M:%S)" >> $ST
 SUB_SF1=$(echo $SUBSET | tr ',' '\n' | grep -v -E '^q102_fuzzy_join$' | paste -sd,)
 python3 tools/bench_duckdb_subset.py /tmp/sf1gen $OUT/vsf1 $SUB_SF1 600 > $OUT/duck_sf1.json 2> $OUT/duck_sf1.err
 echo "duck sf1 exit=$? $(date +%H:%M:%S)" >> $ST
-SUB_SF4=$(echo $SUBSET | tr ',' '\n' | grep -v -E '^q102_fuzzy_join$|^q36_user_wcc$|^q87_semdedup$' | paste -sd,)
+SUB_SF4=$(echo $SUBSET | tr ',' '\n' | grep -v -E '^q102_fuzzy_join$|^q36_user_wcc$' | paste -sd,)
 python3 tools/bench_duckdb_subset.py /tmp/sf4gen $OUT/vsf4 $SUB_SF4 600 > $OUT/duck_sf4.json 2> $OUT/duck_sf4.err
 echo "duck sf4 exit=$? $(date +%H:%M:%S)" >> $ST
 
