@@ -896,6 +896,14 @@ object SparkEntry {
     Sampling.sampleQuantiles(t(s, d, "documents"), "doc_id", "n_chars",
       rate = 0.2, probs = Seq(0.25, 0.5, 0.75, 0.9))
 
+  /** Exact full-column quantiles ([[Sampling.exactQuantiles]]): the
+    * no-sampling companion to q109 — distributed rank via one range
+    * exchange + per-partition offsets, no single-partition window
+    * anywhere in the plan. The oracle replays the rank arithmetic. */
+  private def q120_exact_quantiles(s: SparkSession, d: String): DataFrame =
+    Sampling.exactQuantiles(t(s, d, "documents"), "n_chars",
+      probs = Seq(0.1, 0.5, 0.9, 0.99))
+
   private def q23_fingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"),
       TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
@@ -1765,6 +1773,7 @@ object SparkEntry {
     "q117_weighted_lpa" -> (q117_weighted_lpa _),
     "q118_ivfpq_ann" -> (q118_ivfpq_ann _),
     "q119_modularity" -> (q119_modularity _),
+    "q120_exact_quantiles" -> (q120_exact_quantiles _),
     "q69_prefix_trail_k" -> (q69_prefix_trail_k _),
     "q70_prefix_acyclic_all" -> (q70_prefix_acyclic_all _),
     "q11_varlen" -> (q11_varlen _),
@@ -4303,6 +4312,19 @@ object SparkEntry {
              AS est,
            ex.exact_distinct
          FROM est0 JOIN ex ON est0.grp = ex.grp""",
+
+    // exact full-column quantile_disc ranks (no sample draw)
+    "q120_exact_quantiles" ->
+      """WITH r AS (
+           SELECT CAST(n_chars AS DOUBLE) AS v,
+                  row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE)) AS rn,
+                  count(*) OVER () AS n
+           FROM documents WHERE n_chars IS NOT NULL)
+         SELECT p.prob, r.v AS value, r.n AS n_total
+         FROM (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                      (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+           p(prob)
+         JOIN r ON CAST(ceil(p.prob * r.n) AS BIGINT) = r.rn""",
 
     // the deterministic md5 draw + quantile_disc ranks, replayed
     "q109_sample_quantiles" ->

@@ -215,4 +215,77 @@ object Sampling {
     val b = hashBucket(col(keyCol))
     (df.filter(b >= testPct), df.filter(b < testPct))
   }
+
+  /** EXACT distributed quantiles over the full column — `quantile_disc`
+    * semantics (value at rank ceil(p·n)) with NO sampling and NO
+    * single-partition rank window: a range exchange spreads the sort
+    * across the cluster, per-partition counts come back as one tiny
+    * row per partition, and one narrow cached pass emits the values at
+    * the target global ranks (global rank = partition offset + local
+    * position). The only data-sized movement is the single range
+    * shuffle of the value column — the 100 TB shape, where
+    * [[sampleQuantiles]]'s one-partition sort over the sample would
+    * not survive an unbounded column.
+    *
+    * Deterministic under ties: the value AT a rank is the rank-th
+    * smallest element of the value multiset regardless of how equal
+    * values are ordered, and Spark's range partitioner maps a given
+    * key to exactly one partition.
+    *
+    * @param numPartitions width of the range exchange; 0 = session
+    *                      default parallelism
+    * @return (prob, value, n_total) — one row per probability; empty
+    *         when the column has no non-null values
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
+      numPartitions: Int = 0): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      "probs must be in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    // globally sorted: range-partitioned across `parts`, sorted within
+    // each; __pid is stable across the two passes below via the cache
+    val sorted = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+      .repartitionByRange(parts, col("__v"))
+      .sortWithinPartitions("__v")
+      .select(col("__v"), spark_partition_id().as("__pid"))
+    val cached = graft.OpCaches.track(sorted)
+    // pass 1: one count row per partition (bounded collect: `parts` rows)
+    val counts = cached.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    if (n == 0L) {
+      Seq.empty[(Double, Double, Long)].toDF("prob", "value", "n_total")
+    } else {
+      val offsets = counts.map(_._2).scanLeft(0L)(_ + _).init
+      // each target rank lands in exactly one partition; translate to
+      // that partition's local 1-based position
+      val localTargets: Map[Int, Seq[(Long, Double)]] = probs
+        .map(p => math.ceil(p * n).toLong.max(1L) -> p)
+        .flatMap { case (rank, p) =>
+          counts.zip(offsets).collectFirst {
+            case ((pid, c), off) if rank > off && rank <= off + c =>
+              pid -> (rank - off, p)
+          }
+        }
+        .groupBy(_._1).map { case (pid, v) => pid -> v.map(_._2) }
+      val bTargets = spark.sparkContext.broadcast(localTargets)
+      // pass 2: narrow scan of the cached sorted frame; each partition
+      // walks a local counter and emits only its target positions
+      cached.as[(Double, Int)].mapPartitions { it =>
+        var local = 0L
+        it.flatMap { case (v, pid) =>
+          local += 1
+          val here = local
+          bTargets.value.getOrElse(pid, Nil)
+            .collect { case (idx, p) if idx == here => (p, v) }
+        }
+      }.toDF("prob", "value")
+        .withColumn("n_total", lit(n))
+        .orderBy("prob")
+    }
+  }
 }

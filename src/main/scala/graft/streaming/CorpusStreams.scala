@@ -345,4 +345,121 @@ object CorpusStreams {
       }
       .toDF("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  /** Streaming ANN search over a prebuilt [[Similarity.IvfPqIndex]] —
+    * the IVF-PQ companion of [[searchIvf]]. The probe ranking and the
+    * keyed top-k state are the same shapes; the ADC score is computed
+    * per candidate row from bounded driver-side literals (the coarse
+    * centroids and the m×ksub codebook — index metadata, never the
+    * corpus): d_j = dot(q_j, book[j][code_j]) and the reconstruction
+    * norm Σ|book[j][code_j]|², exactly [[Similarity.searchIvfPq]]'s
+    * LUT decomposition. A query row's candidate rows are generated
+    * atomically within its micro-batch (stream-static joins against the
+    * index's persisted lists/codes frames), so every (query, neighbor)
+    * group arrives with all m sub-scores and redelivery merges
+    * idempotently — the [[searchIvf]] contract.
+    *
+    * Emits a query's full refreshed top-k whenever a batch changes it:
+    * (query_id, neighbor_id, rank, adc_cosine) — same columns, rounding
+    * and tie-break as the batch operator.
+    */
+  def searchIvfPq(index: Similarity.IvfPqIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    require(nprobe >= 1, s"nprobe must be positive (got $nprobe)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // bounded collects: numCentroids rows + m×ksub codebook rows
+    val centArr = index.centroids
+      .select(col("centroid_id").cast("long"),
+        col("vec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    val bookArr = index.codebooks
+      .select(col("sub").cast("long"), col("centroid_id").cast("long"),
+        col("vec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2),
+        r.getSeq[Double](2).map(x => x * x).sum))
+      .toSeq
+    val dsubs = bookArr.map(_._3.length).distinct
+    require(dsubs.length == 1,
+      s"codebook subspace widths differ: $dsubs")
+    val dsub = dsubs.head
+    val m = index.m
+    val cents = typedLit(centArr)
+    val books = typedLit(bookArr)
+    val probed = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .where(col("query_id").isNotNull && col("qv").isNotNull)
+      // the batch pqComponents contract: dims must split into m equal
+      // subspaces (checked at execution — lengths live in the data)
+      .withColumn("qv", when(coalesce(assert_true(
+          size(col("qv")) === lit(m * dsub),
+          concat(lit(s"PQ requires vector dims = m*dsub = ${m * dsub}, " +
+            "got "), size(col("qv")))).cast("int"), lit(0)) === 0,
+        col("qv")))
+      .withColumn("__probes", slice(array_sort(transform(cents, c =>
+        struct((-Similarity.cosine(col("qv"), c.getField("_2")))
+          .as("negsim"), c.getField("_1").as("cid")))), 1, nprobe))
+      .select(col("query_id"), col("qv"),
+        explode(col("__probes").getField("cid")).as("centroid_id"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+    // candidate rows: probed lists, then the per-sub PQ codes — one row
+    // per (query, neighbor, sub), complete within the query's batch
+    val candidates = probed
+      .join(index.lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(index.codes, Seq("neighbor_id"))
+    // per-row LUT terms from the codebook literal: the entry whose
+    // (sub, cid) matches this code row
+    val entry = element_at(filter(books, b =>
+      b.getField("_1") === col("sub") && b.getField("_2") === col("cid")), 1)
+    val scored = candidates
+      .withColumn("__d", Similarity.dot(
+        slice(col("qv"), (col("sub") * dsub + 1).cast("int"), lit(dsub)),
+        entry.getField("_3")))
+      .withColumn("__cn2", entry.getField("_4"))
+      .select(col("query_id"), col("neighbor_id").cast("long"),
+        col("sub").cast("long"), col("__d"), col("__cn2"), col("qn"))
+      .as[(Long, Long, Long, Double, Double, Double)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Double, Long)],
+          (Long, Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Long, Double, Double,
+            Double)], state: GroupState[List[(Double, Long)]]) =>
+          // assemble per-neighbor ADC from the m sub rows; duplicates
+          // from redelivery collapse in the (sub -> term) map.
+          // iterator, NOT Map.map: equal ADC scores are common under
+          // coarse codebooks and must not collapse by key
+          val byNeighbor = rows.toSeq.groupBy(_._2).iterator.map {
+            case (nid, rs) =>
+              val terms = rs.map(r => r._3 -> (r._4, r._5)).toMap
+              val dot = terms.valuesIterator.map(_._1).sum
+              val rn2 = terms.valuesIterator.map(_._2).sum
+              val qn = rs.head._6
+              val denom = qn * math.sqrt(rn2)
+              (if (denom == 0.0) 0.0 else dot / denom, nid)
+          }.toList
+          val prev = state.getOption.getOrElse(Nil)
+          val merged = (prev ++ byNeighbor)
+            .distinct
+            .sortBy { case (adc, nid) => (-adc, nid) }
+            .take(k)
+          if (merged == prev) Iterator.empty
+          else {
+            state.update(merged)
+            merged.iterator.zipWithIndex.map { case ((adc, nid), i) =>
+              (qid, nid, (i + 1).toLong,
+                BigDecimal(adc).setScale(6,
+                  BigDecimal.RoundingMode.HALF_UP).toDouble)
+            }
+          }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "adc_cosine")
+  }
 }

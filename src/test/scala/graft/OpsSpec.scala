@@ -1120,6 +1120,40 @@ class OpsSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("exactQuantiles: distributed quantile_disc ranks match a local " +
+      "sort under ties and skew; rate=1.0 sampleQuantiles parity") {
+    val s = init()
+    import s.implicits._
+    // duplicates + a heavy tie block, ranked across 7 range partitions
+    val vals = (1L to 300L).map(i => (i * 61L) % 97L) ++ Seq.fill(50)(7L)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("k", "v")
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 1.0)
+    val got = graft.ops.Sampling.exactQuantiles(rows, "v", probs,
+        numPartitions = 7)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      .toList.sortBy(_._1)
+    val sortedVals = vals.map(_.toDouble).sorted
+    def qd(p: Double) = sortedVals(math.ceil(p * sortedVals.length).toInt - 1)
+    assert(got.map(_._1) == probs)
+    assert(got.map(_._2) == probs.map(qd))
+    assert(got.forall(_._3 == vals.length))
+    // the sampled op at rate 1.0 sees the identical multiset: same ranks
+    val sampled = graft.ops.Sampling
+      .sampleQuantiles(rows, "k", "v", 1.0, probs)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      .toList.sortBy(_._1)
+    assert(sampled == got.map(t => (t._1, t._2)))
+    // nulls ignored; empty column yields no rows
+    val withNulls = Seq[(Long, java.lang.Long)]((1L, null), (2L, 5L))
+      .toDF("k", "v")
+    val one = graft.ops.Sampling.exactQuantiles(withNulls, "v", Seq(0.5))
+      .collect().map(r => (r.getDouble(1), r.getLong(2))).toList
+    assert(one == List((5.0, 1L)))
+    assert(graft.ops.Sampling.exactQuantiles(
+      Seq.empty[(Long, Long)].toDF("k", "v"), "v", Seq(0.5)).count() == 0)
+  }
+
   private def annRows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
       r.getDouble(3))).toSet

@@ -137,6 +137,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning"))
   }
 
+  test("exact quantiles (q120): no window and no single-partition " +
+      "funnel anywhere — the global rank is range exchange + offsets") {
+    val s = Fixture.init()
+    val plan = SparkEntry.queries("q120_exact_quantiles")(s, sf)
+      .queryExecution.executedPlan.toString
+    // the naive form is a no-partition Window (one task sorts the
+    // whole column); the distributed form never materializes a rank
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+  }
+
   /** The only exchange a per-row text pass may carry is the deliberate
     * round-robin starvation spread of a compact scan (NOTES items 55,
     * round-11 sweep) — never a keyed/aggregation shuffle. */

@@ -648,4 +648,50 @@ class SnapshotAndStreamingSpec extends AnyFunSuite {
       }
     } finally index.release()
   }
+
+  test("streaming ANN search over a prebuilt IVF-PQ index matches batch " +
+      "searchIvfPq under chunking and redelivery") {
+    val s = init()
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Row
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = graft.ops.Similarity.buildIvfPqIndex(emb,
+      numCentroids = 8, m = 2, ksub = 8, coarseIters = 1, pqIters = 1)
+    try {
+      val queries = emb.filter(col("vec_id") < 12)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val parts = queries.grouped((queries.length + 2) / 3).toSeq
+      val chunks = Seq(parts(0), parts(1),
+        parts.drop(2).flatten.toArray ++ parts(0).take(2))
+      val ms = MemoryStream[(Long, Seq[Double])](s)
+      val latest =
+        new scala.collection.concurrent.TrieMap[Long, Set[(Long, Long, Double)]]()
+      val q = graft.streaming.CorpusStreams.searchIvfPq(index,
+          ms.toDF().toDF("vec_id", "embedding"), k = 5, nprobe = 3)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+            latest(qid) = rows.map((r: Row) =>
+              (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+          }
+        }.start()
+      try {
+        chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      } finally q.stop()
+      val batch = graft.ops.Similarity.searchIvfPq(index,
+          emb.filter(col("vec_id") < 12), k = 5, nprobe = 3)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (qid, rows) => qid -> rows.map(r =>
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet }
+      assert(latest.nonEmpty && latest.keySet == batch.keySet)
+      batch.foreach { case (qid, want) =>
+        assert(latest(qid) == want, s"query $qid diverged from batch")
+      }
+    } finally index.release()
+  }
 }
