@@ -934,4 +934,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"),
         round(col("adc_cosine"), 6).as("adc_cosine"))
   }
+
+  /** Recall@k report for an approximate ANN result against a
+    * ground-truth result — the standard index-quality measurement run
+    * after a build or an append (e.g. `recallAtK(searchIvf(idx, q, k),
+    * bruteForceTopK(q, corpus, k), k)`). Both inputs are ANN result
+    * frames carrying (query_id, neighbor_id, rank); per query,
+    * recall = |approx top-k ∩ exact top-k| / |exact top-k| — the
+    * denominator is the TRUTH size (≤ k on small corpora), so a
+    * perfect search scores 1.0 regardless of corpus size. Queries
+    * absent from `approx` (or pruned to nothing) score 0.0; queries
+    * absent from `exact` are not scored (no truth, no claim).
+    *
+    * Plan shape: two filters, one equi-join on (query_id, neighbor_id),
+    * two map-side-combinable aggregates — no collect, no window; both
+    * inputs stay distributed at any query-batch size.
+    *
+    * @return (query_id, hits, n_exact, recall) — one row per query in
+    *         `exact`, recall rounded to 6 places
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"))
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"))
+    val truth = e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val hits = a.join(e, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    truth.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("n_exact"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_exact"), 6).as("recall"))
+  }
 }

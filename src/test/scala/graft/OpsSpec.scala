@@ -1158,6 +1158,40 @@ class OpsSpec extends AnyFunSuite {
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
       r.getDouble(3))).toSet
 
+  test("recallAtK: hits over truth size per query; missing queries " +
+      "score 0; all-lists IVF probe recalls 1.0 exactly") {
+    val s = init()
+    import s.implicits._
+    // hand-built: q1 perfect, q2 half, q3 absent from approx, q4 has
+    // no truth row and must not be scored
+    val approx = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L),
+      (2L, 99L, 2L), (4L, 40L, 1L)).toDF("query_id", "neighbor_id", "rank")
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L),
+      (2L, 21L, 2L), (3L, 30L, 1L)).toDF("query_id", "neighbor_id", "rank")
+    val got = graft.ops.Similarity.recallAtK(approx, exact, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toList.sortBy(_._1)
+    assert(got == List((1L, 2L, 2L, 1.0), (2L, 1L, 2L, 0.5),
+      (3L, 0L, 1L, 0.0)))
+    // beyond-rank-k rows are ignored on both sides
+    val k1 = graft.ops.Similarity.recallAtK(approx, exact, k = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toList.sortBy(_._1)
+    assert(k1 == List((1L, 1.0), (2L, 1.0), (3L, 0.0)))
+    // integration: probing EVERY list is exhaustive search, so recall
+    // against brute force is exactly 1.0 for every query
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = graft.ops.Similarity.buildIvfIndex(emb, numCentroids = 8)
+    try {
+      val q = emb.filter(col("vec_id") < 10)
+      val rep = graft.ops.Similarity.recallAtK(
+        graft.ops.Similarity.searchIvf(idx, q, k = 5, nprobe = 8),
+        graft.ops.Similarity.bruteForceTopK(q, emb, k = 5), k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(3)))
+      assert(rep.length == 10 && rep.forall(_._2 == 1.0), rep.toList)
+    } finally idx.release()
+  }
+
   test("prebuilt IVF index: searches are bit-identical to one-shot " +
       "ivfTopK and survive repeated query batches") {
     val s = init()
