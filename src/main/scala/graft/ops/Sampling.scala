@@ -182,7 +182,8 @@ object Sampling {
     * is `rate`-bounded by construction, which is the caller's knob
     * (rate ≈ 10⁵/corpus keeps the sort trivial at any scale). Exactly
     * reproducible by any engine with md5 — the oracle replays the draw
-    * and the ranks.
+    * and the ranks. For quantiles over an UNBOUNDED column (no sample),
+    * use [[exactQuantiles]] — distributed rank, no one-partition sort.
     *
     * @return (prob, value, n_sample) — one row per probability; empty
     *         when the sample is empty

@@ -1144,6 +1144,14 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
       .toList.sortBy(_._1)
     assert(sampled == got.map(t => (t._1, t._2)))
+    // the global rank is partition-count independent
+    for (p <- Seq(1, 3, 32)) {
+      val alt = graft.ops.Sampling.exactQuantiles(rows, "v", probs,
+          numPartitions = p)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+        .toList.sortBy(_._1)
+      assert(alt == got, s"numPartitions=$p diverged")
+    }
     // nulls ignored; empty column yields no rows
     val withNulls = Seq[(Long, java.lang.Long)]((1L, null), (2L, 5L))
       .toDF("k", "v")
