@@ -459,6 +459,40 @@ object Similarity {
       index.m, index.ksub)
   }
 
+  /** Compact a chained-append [[IvfIndex]]: every [[appendToIvfIndex]]
+    * deepens the corpus frame's union lineage by one level, and every
+    * later search re-plans that whole union. Compaction rewrites the
+    * corpus as ONE flat materialized frame (eager `localCheckpoint` —
+    * lineage cut, rows and partitioning unchanged), so a high-frequency
+    * append loop stays O(1) per search instead of O(appends). Searches
+    * over the compacted index are bit-identical (spec-pinned). For
+    * DURABLE compaction — survives executor loss — use
+    * [[saveIvfIndex]]/[[loadIvfIndex]] instead: the parquet round-trip
+    * flattens lineage too and is the production checkpoint.
+    *
+    * CONSUMES the input handle ([[appendToIvfIndex]]'s contract): the
+    * returned index shares the centroid frame and owns the flat corpus;
+    * the input's corpus frame is unpersisted here. */
+  def compactIvfIndex(index: IvfIndex): IvfIndex = {
+    val flat = index.corpus.localCheckpoint(true)
+    index.corpus.unpersist(blocking = false)
+    IvfIndex(index.centroids, flat)
+  }
+
+  /** Compact a chained-append [[IvfPqIndex]] — [[compactIvfIndex]] for
+    * the composite index: the lists and codes frames (the two that
+    * [[appendToIvfPqIndex]] unions into) are flattened; centroids and
+    * codebooks are frozen at build time and shared as-is. CONSUMES the
+    * input handle. */
+  def compactIvfPqIndex(index: IvfPqIndex): IvfPqIndex = {
+    val lists = index.lists.localCheckpoint(true)
+    val codes = index.codes.localCheckpoint(true)
+    index.lists.unpersist(blocking = false)
+    index.codes.unpersist(blocking = false)
+    IvfPqIndex(index.centroids, lists, index.codebooks, codes,
+      index.m, index.ksub)
+  }
+
   /** Commit-marker discipline for the index persistences: the manifest
     * (which also carries the params) is DELETED before any data dir is
     * touched and re-written LAST, so a crash anywhere mid-save leaves a

@@ -1273,6 +1273,42 @@ class OpsSpec extends AnyFunSuite {
     } finally { appended.release(); full.release() }
   }
 
+  test("compactIvf(Pq)Index: chained appends flatten to a union-free " +
+      "plan and search bit-identically") {
+    val s = init()
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    // IVF: two appends, then compact
+    val thirds = (0 to 2).map(i => e.filter(col("vec_id") % 3 === i))
+    val idx = Similarity.appendToIvfIndex(
+      Similarity.appendToIvfIndex(
+        Similarity.buildIvfIndex(thirds(0), numCentroids = 8),
+        thirds(1)), thirds(2))
+    val want = annRows(Similarity.searchIvf(idx, q, k = 5))
+    assert(idx.corpus.queryExecution.executedPlan.toString
+      .contains("Union"))
+    val flat = Similarity.compactIvfIndex(idx)
+    try {
+      assert(!flat.corpus.queryExecution.executedPlan.toString
+        .contains("Union"))
+      assert(annRows(Similarity.searchIvf(flat, q, k = 5)) == want)
+    } finally flat.release()
+    // IVF-PQ: one append, then compact
+    val pq0 = Similarity.buildIvfPqIndex(thirds(0).union(thirds(1)),
+      numCentroids = 8, m = 2, ksub = 8, coarseIters = 1, pqIters = 1)
+    val pq = Similarity.appendToIvfPqIndex(pq0, thirds(2))
+    val wantPq = annRows(Similarity.searchIvfPq(pq, q, k = 5, nprobe = 3))
+    val flatPq = Similarity.compactIvfPqIndex(pq)
+    try {
+      assert(!flatPq.lists.queryExecution.executedPlan.toString
+        .contains("Union"))
+      assert(!flatPq.codes.queryExecution.executedPlan.toString
+        .contains("Union"))
+      assert(annRows(Similarity.searchIvfPq(flatPq, q, k = 5,
+        nprobe = 3)) == wantPq)
+    } finally flatPq.release()
+  }
+
   test("appendToIvfPqIndex: delta assigned/encoded under frozen " +
       "quantizers; merged state equals a full re-assignment") {
     val s = init()
