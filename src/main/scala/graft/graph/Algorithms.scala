@@ -730,6 +730,21 @@ object Algorithms {
       blockSize: Int = 1024): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2 (got $maxDegree)")
     require(blockSize >= 2, s"blockSize must be >= 2 (got $blockSize)")
+    // the standard family size gate (kTruss/betweenness pattern): small
+    // graphs answer from the driver kernel instead of paying the blocked
+    // wedge join's 4+ exchanges (measured 1.6-1.9 s FLAT on a 25-vertex
+    // graph at every sf — pure stage floor, not compute)
+    val sp = edges.sparkSession
+    import sp.implicits._
+    val probe = PathFinder.localMaxEdges.toInt + 1
+    val pre = PathFinder.lookupEdgePairs(edges)
+    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
+        edges.limit(probe).count() <= PathFinder.localMaxEdges)) {
+      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
+      return LocalKernels.linkPredictionScores(earr, maxDegree).toSeq
+        .toDF("id_a", "id_b", "common_neighbors", "jaccard",
+          "adamic_adar", "is_edge")
+    }
     // ONE definition of "undirected simple neighbors" shared with the
     // triangle/LCC family; a tracked cache because four consumers read
     // it (degrees, both wedge sides, the is_edge flag) and the lazy

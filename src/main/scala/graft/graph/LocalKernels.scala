@@ -882,4 +882,54 @@ private[graph] object LocalKernels {
     }
     out.toArray
   }
+
+  /** Link-prediction features — the
+    * [[graft.graph.Algorithms.linkPredictionScores]] twin. Same
+    * semantics as the distributed wedge join: undirected simple
+    * neighbors (self-loops dropped, parallel edges collapsed), wedge
+    * centers restricted to degree ≤ maxDegree, one (a, b) pair with
+    * a < b per shared center; Jaccard denominators keep FULL degrees;
+    * doubles rounded to 6 decimals with the distributed `round(x, 6)`
+    * rule (BigDecimal HALF_UP). */
+  def linkPredictionScores(edges: Array[(Long, Long)], maxDegree: Long)
+      : Array[(Long, Long, Long, Double, Double, Boolean)] = {
+    val adj = mutable.LongMap[mutable.SortedSet[Long]]()
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, mutable.SortedSet.empty[Long]) += b
+        adj.getOrElseUpdate(b, mutable.SortedSet.empty[Long]) += a
+      }
+    }
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // pair -> (common-neighbor count, Σ 1/ln deg(center))
+    val acc = mutable.HashMap[(Long, Long), (Long, Double)]()
+    adj.foreach { case (c, nbrs) =>
+      val d = nbrs.size
+      if (d >= 2 && d <= maxDegree) {
+        val inv = 1.0 / math.log(d.toDouble)
+        val arr = nbrs.toArray // ascending — SortedSet
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            val k = (arr(i), arr(j))
+            val prev = acc.getOrElse(k, (0L, 0.0))
+            acc(k) = (prev._1 + 1L, prev._2 + inv)
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    acc.iterator.map { case ((a, b), (cn, aa)) =>
+      val da = adj(a).size.toLong
+      val db = adj(b).size.toLong
+      (a, b, cn,
+        r6(cn.toDouble / (da + db - cn).toDouble),
+        r6(aa),
+        adj(a).contains(b))
+    }.toArray
+  }
 }

@@ -319,8 +319,12 @@ object Similarity {
   // OWNERSHIP: index frames are deliberately NOT OpCaches-tracked — an
   // index outlives the query that built it BY DESIGN, so the harness's
   // per-query releaseAll must not drop it. The handle owner calls
-  // `release()` when done (unpersist is idempotent; a released index still
-  // answers searches correctly, it just recomputes).
+  // `release()` when done. For a built/appended index release is a plain
+  // uncache (idempotent; the index still answers searches, it just
+  // recomputes). For a COMPACTED index release also frees the checkpoint
+  // blocks backing the flattened frames — their lineage was truncated,
+  // so a compacted index must not be searched after release; the durable
+  // alternative is [[saveIvfIndex]]/[[loadIvfIndex]].
 
   /** Prebuilt IVF index: `centroids` (centroid_id, vec) and the assigned
     * `corpus` (neighbor_id, cv, cn, centroid_id), both persisted and
@@ -328,6 +332,8 @@ object Similarity {
   final case class IvfIndex(centroids: DataFrame, corpus: DataFrame) {
     def release(): Unit = Seq(centroids, corpus).foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Exception => () }
+      // frees compacted frames' checkpoint blocks (no-op otherwise)
+      org.apache.spark.sql.graft.CleanCheckpoint.releaseCheckpoint(df)
     }
   }
 
@@ -369,6 +375,8 @@ object Similarity {
     def release(): Unit =
       Seq(centroids, lists, codebooks, codes).foreach { df =>
         try df.unpersist(blocking = false) catch { case _: Exception => () }
+        // frees compacted frames' checkpoint blocks (no-op otherwise)
+        org.apache.spark.sql.graft.CleanCheckpoint.releaseCheckpoint(df)
       }
   }
 
@@ -462,10 +470,15 @@ object Similarity {
   /** Compact a chained-append [[IvfIndex]]: every [[appendToIvfIndex]]
     * deepens the corpus frame's union lineage by one level, and every
     * later search re-plans that whole union. Compaction rewrites the
-    * corpus as ONE flat materialized frame (eager `localCheckpoint` —
-    * lineage cut, rows and partitioning unchanged), so a high-frequency
-    * append loop stays O(1) per search instead of O(appends). Searches
-    * over the compacted index are bit-identical (spec-pinned). For
+    * corpus as ONE flat materialized frame (eager clean local
+    * checkpoint — lineage cut, rows and partitioning unchanged; the
+    * CLEAN variant matters because a raw `localCheckpoint` snapshots
+    * stale pre-projection constraints into the LogicalRDD, and a later
+    * [[appendToIvfIndex]] re-unions the frame — the documented
+    * `UnionBase.rewriteConstraints` "key not found" hazard), so a
+    * high-frequency append loop stays O(1) per search instead of
+    * O(appends). Searches over the compacted index are bit-identical
+    * (spec-pinned), and compact → append → search keeps working. For
     * DURABLE compaction — survives executor loss — use
     * [[saveIvfIndex]]/[[loadIvfIndex]] instead: the parquet round-trip
     * flattens lineage too and is the production checkpoint.
@@ -474,7 +487,8 @@ object Similarity {
     * returned index shares the centroid frame and owns the flat corpus;
     * the input's corpus frame is unpersisted here. */
   def compactIvfIndex(index: IvfIndex): IvfIndex = {
-    val flat = index.corpus.localCheckpoint(true)
+    val flat = org.apache.spark.sql.graft.CleanCheckpoint
+      .cleanLocalCheckpoint(index.corpus)
     index.corpus.unpersist(blocking = false)
     IvfIndex(index.centroids, flat)
   }
@@ -485,8 +499,9 @@ object Similarity {
     * codebooks are frozen at build time and shared as-is. CONSUMES the
     * input handle. */
   def compactIvfPqIndex(index: IvfPqIndex): IvfPqIndex = {
-    val lists = index.lists.localCheckpoint(true)
-    val codes = index.codes.localCheckpoint(true)
+    val ck = org.apache.spark.sql.graft.CleanCheckpoint
+    val lists = ck.cleanLocalCheckpoint(index.lists)
+    val codes = ck.cleanLocalCheckpoint(index.codes)
     index.lists.unpersist(blocking = false)
     index.codes.unpersist(blocking = false)
     IvfPqIndex(index.centroids, lists, index.codebooks, codes,
@@ -989,12 +1004,18 @@ object Similarity {
     */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive (got $k)")
+    // dropDuplicates guards arbitrary caller frames: a duplicated
+    // (query_id, neighbor_id) row on either side would multiply join
+    // matches and push recall past 1.0; the dedup is one
+    // map-side-combinable pass, noise next to the join it protects
     val a = approx.filter(col("rank") <= k)
       .select(col("query_id").cast("long"),
         col("neighbor_id").cast("long"))
+      .dropDuplicates("query_id", "neighbor_id")
     val e = exact.filter(col("rank") <= k)
       .select(col("query_id").cast("long"),
         col("neighbor_id").cast("long"))
+      .dropDuplicates("query_id", "neighbor_id")
     val truth = e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
     val hits = a.join(e, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("hits"))

@@ -406,7 +406,18 @@ object TextAnalysis {
     * session parallelism (skip); a broadcast-only plan derives the
     * stream side's splits from the leaf scans (no execution); only an
     * exchange-free plan — where toRdd provably runs no job — uses the
-    * direct probe. */
+    * direct probe.
+    *
+    * The spread is additionally SIZE-gated on the leaf scans' total
+    * file bytes: below `spark.graft.spread.minScanBytes` (default 3 MB
+    * compressed) the per-row pass finishes in well under a second on a
+    * single core, so the one-time exchange costs more than the
+    * starvation it cures (measured at sf0.1, documents.parquet 0.6 MB:
+    * q94 +1.5 s, q73 +0.4 s, q108 +0.5 s from the ungated spread; at
+    * sf1, 6.8 MB, the spread wins 2-6x — any threshold in [1.5, 5] MB
+    * separates the measured points with wide margin). Inputs with no
+    * file-scan leaf (in-memory test frames) have unknown bytes and keep
+    * the pure split-count behavior. */
   def spreadCompactScan(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val plan = df.queryExecution.sparkPlan
@@ -423,7 +434,15 @@ object TextAnalysis {
       else Some(df.queryExecution.toRdd.getNumPartitions)
     plannedSplits match {
       case Some(n) if n > 0 && n < target =>
-        df.repartition(target)
+        val minBytes = df.sparkSession.conf
+          .get("spark.graft.spread.minScanBytes", (3L * 1024 * 1024).toString)
+          .toLong
+        val scanBytes = plan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.sizeInBytes // file-index metadata, no job
+        }
+        if (scanBytes.nonEmpty && scanBytes.sum < minBytes) df
+        else df.repartition(target)
       case _ => df
     }
   }

@@ -47,4 +47,21 @@ object CleanCheckpoint {
       case _ => ck
     }
   }
+
+  /** Free the storage behind a [[cleanLocalCheckpoint]]'d frame:
+    * `Dataset.unpersist` looks the frame up in the cache manager, finds
+    * no entry for a LogicalRDD-backed plan, and silently no-ops — the
+    * checkpoint blocks then linger until the RDD is GC'd. This
+    * unpersists the underlying RDD directly. No-op on frames that are
+    * not checkpoint-backed, so callers can apply it unconditionally
+    * alongside `unpersist`. NOTE: a released checkpoint frame cannot be
+    * recomputed (lineage was truncated) — release only when the frame
+    * will not be read again. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: LogicalRDD =>
+        try lr.rdd.unpersist(blocking = false)
+        catch { case _: Exception => () }
+      case _ => ()
+    }
 }

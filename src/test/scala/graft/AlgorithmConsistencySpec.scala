@@ -694,12 +694,47 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
   test("OpCaches: tracked operator caches release on demand") {
     val s = Fixture.init()
     import s.implicits._
+    import graft.graph.PathFinder
     graft.OpCaches.releaseAll()
     val es = (for (i <- 0L to 5L; j <- 0L to 5L if i < j) yield (i, j))
-    Algorithms.linkPredictionScores(es.toDF("src", "dst")).count()
+    // force the distributed branch — only it forms the tracked cache
+    // (the size-gated local kernel never touches OpCaches)
+    val e0 = PathFinder.localMaxEdges
+    PathFinder.localMaxEdges = 0
+    try Algorithms.linkPredictionScores(es.toDF("src", "dst")).count()
+    finally PathFinder.localMaxEdges = e0
     assert(graft.OpCaches.trackedCount >= 1)
     graft.OpCaches.releaseAll()
     assert(graft.OpCaches.trackedCount == 0)
+  }
+
+  test("link prediction: distributed wedge join and local kernel agree " +
+      "exactly (rounded doubles included)") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    def withDist[T](body: => T): T = {
+      val e = PathFinder.localMaxEdges
+      PathFinder.localMaxEdges = 0
+      try body finally PathFinder.localMaxEdges = e
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    for (seed <- Seq(711L, 712L)) {
+      val (_, es) = randomGraph(seed)
+      val df = es.toDF("src", "dst")
+      val local = snap(Algorithms.linkPredictionScores(df))
+      val dist = withDist(snap(Algorithms.linkPredictionScores(df)))
+      assert(local == dist, s"(seed $seed)")
+      // the capped variants must agree too (centers over the cap drop)
+      val localCap = snap(Algorithms.linkPredictionScores(df,
+        maxDegree = 4L))
+      val distCap = withDist(snap(Algorithms.linkPredictionScores(df,
+        maxDegree = 4L)))
+      assert(localCap == distCap, s"(seed $seed capped)")
+    }
   }
 
   test("link-prediction scores match brute-force neighborhood math on " +

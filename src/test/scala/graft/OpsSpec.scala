@@ -1186,6 +1186,14 @@ class OpsSpec extends AnyFunSuite {
     val k1 = graft.ops.Similarity.recallAtK(approx, exact, k = 1)
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toList.sortBy(_._1)
     assert(k1 == List((1L, 1.0), (2L, 1.0), (3L, 0.0)))
+    // duplicate (query_id, neighbor_id) rows on either side must not
+    // multiply join matches (recall can never exceed 1.0)
+    val dup = graft.ops.Similarity.recallAtK(
+      approx.union(approx), exact.union(exact), k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toList.sortBy(_._1)
+    assert(dup == got.toList.sortBy(_._1), dup)
     // integration: probing EVERY list is exhaustive search, so recall
     // against brute force is exactly 1.0 for every query
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -1288,11 +1296,24 @@ class OpsSpec extends AnyFunSuite {
     assert(idx.corpus.queryExecution.executedPlan.toString
       .contains("Union"))
     val flat = Similarity.compactIvfIndex(idx)
+    assert(!flat.corpus.queryExecution.executedPlan.toString
+      .contains("Union"))
+    assert(annRows(Similarity.searchIvf(flat, q, k = 5)) == want)
+    // append AFTER compact: the compact loop's whole point is
+    // compact → append → search; a raw localCheckpoint here would trip
+    // UnionBase.rewriteConstraints ("key not found") when the appended
+    // union embeds the checkpointed frame (the CleanCheckpoint hazard)
+    val e4 = e.withColumn("vec_id", col("vec_id") + 100000L)
+      .filter(col("vec_id") % 7 === 0)
+    val reAppended = Similarity.appendToIvfIndex(flat, e4)
     try {
-      assert(!flat.corpus.queryExecution.executedPlan.toString
-        .contains("Union"))
-      assert(annRows(Similarity.searchIvf(flat, q, k = 5)) == want)
-    } finally flat.release()
+      val twin = Similarity.buildIvfIndex(
+        thirds.reduce(_ union _).unionByName(e4), numCentroids = 8,
+        centroids = Some(reAppended.centroids))
+      assert(annRows(Similarity.searchIvf(reAppended, q, k = 5)) ==
+        annRows(Similarity.searchIvf(twin, q, k = 5)))
+      twin.release()
+    } finally reAppended.release()
     // IVF-PQ: one append, then compact
     val pq0 = Similarity.buildIvfPqIndex(thirds(0).union(thirds(1)),
       numCentroids = 8, m = 2, ksub = 8, coarseIters = 1, pqIters = 1)
@@ -1307,6 +1328,23 @@ class OpsSpec extends AnyFunSuite {
       assert(annRows(Similarity.searchIvfPq(flatPq, q, k = 5,
         nprobe = 3)) == wantPq)
     } finally flatPq.release()
+  }
+
+  test("release() on a compacted index frees its checkpoint blocks " +
+      "(plain Dataset.unpersist is a silent no-op on LogicalRDD frames)") {
+    val s = init()
+    val e = s.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.appendToIvfIndex(
+      Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+        numCentroids = 8),
+      e.filter(col("vec_id") % 2 === 1))
+    val flat = Similarity.compactIvfIndex(idx)
+    assert(flat.corpus.count() > 0)
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    flat.release()
+    val after = s.sparkContext.getPersistentRDDs.keySet
+    assert((before -- after).nonEmpty,
+      "release must drop the checkpoint RDD from the persistent-RDD map")
   }
 
   test("appendToIvfPqIndex: delta assigned/encoded under frozen " +
@@ -1340,7 +1378,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("redactPii spread is a no-op when the input already matches " +
-      "session parallelism") {
+      "session parallelism OR the scan is under the byte gate") {
     val s = init()
     val docs = s.read.parquet(s"$sf/documents.parquet")
     val target = s.sparkContext.defaultParallelism
@@ -1350,19 +1388,29 @@ class OpsSpec extends AnyFunSuite {
     val pWide = TextAnalysis.redactPii(wide, "text")
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(pWide).length == 1, pWide.take(600))
-    // compact input (single split): exactly one round-robin spread
-    val pNarrow = TextAnalysis.redactPii(docs, "text")
+    // compact input UNDER the byte gate (sf0.001 documents is far below
+    // the 3 MB default): the per-row pass is sub-second on one core, so
+    // the exchange would cost more than the starvation it cures — no-op
+    val pTiny = TextAnalysis.redactPii(docs, "text")
       .queryExecution.executedPlan.toString
-    assert("Exchange RoundRobinPartitioning".r
-      .findAllIn(pNarrow).length == 1, pNarrow.take(600))
-    // and the spread never changes results (multiset equality)
-    val a = TextAnalysis.redactPii(docs, "text")
-      .select("doc_id", "n_emails", "n_ips", "redacted_text")
-      .collect().map(_.toString).sorted
-    val b = TextAnalysis.redactPii(wide, "text")
-      .select("doc_id", "n_emails", "n_ips", "redacted_text")
-      .collect().map(_.toString).sorted
-    assert(a.sameElements(b))
+    assert(!pTiny.contains("Exchange"), pTiny.take(600))
+    // compact input OVER the gate (threshold floored for the test):
+    // exactly one round-robin spread
+    s.conf.set("spark.graft.spread.minScanBytes", "1")
+    try {
+      val pNarrow = TextAnalysis.redactPii(docs, "text")
+        .queryExecution.executedPlan.toString
+      assert("Exchange RoundRobinPartitioning".r
+        .findAllIn(pNarrow).length == 1, pNarrow.take(600))
+      // and the spread never changes results (multiset equality)
+      val a = TextAnalysis.redactPii(docs, "text")
+        .select("doc_id", "n_emails", "n_ips", "redacted_text")
+        .collect().map(_.toString).sorted
+      val b = TextAnalysis.redactPii(wide, "text")
+        .select("doc_id", "n_emails", "n_ips", "redacted_text")
+        .collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+    } finally s.conf.unset("spark.graft.spread.minScanBytes")
   }
 
   test("searchIvfPq tolerates nprobe beyond the live list count") {
