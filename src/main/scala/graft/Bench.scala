@@ -14,6 +14,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // experiment hook: semicolon-separated k=v runtime confs (e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.graft.edgeIndex.rowsPerPartition=1")
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     // warmup: JVM/codegen/parquet-listing costs land here, not on the
     // first measured query
     try {

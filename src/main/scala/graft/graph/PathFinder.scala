@@ -298,8 +298,25 @@ object PathFinder {
       if (hit != null && hit._1 == p) return hit._2
     }
     distEidBuilds += 1
-    val e = build
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
+    val built = build
+    // Size the index to the DATA, not the session width: a
+    // session-width index (numShufflePartitions partitions) makes EVERY
+    // per-level frontier join a session-width stage, so a ≤50-seed
+    // depth-2 BFS pays 32 tasks × levels × stages of pure scheduling
+    // (measured: q35 sf4 2.6-2.7 s at 32 partitions vs 1.7-2.1 s at 4 —
+    // ProbeQ35). One count at build time (the edge view is typically
+    // already cached) sizes partitions at ~1M edges (~16 MB) each,
+    // floored at 4 for level parallelism and capped at the session
+    // width — a 100 TB edge set still gets the full cluster width.
+    val rowsPer = spark.conf
+      .get("spark.graft.edgeIndex.rowsPerPartition", (1L << 20).toString)
+      .toLong
+    val confParts = spark.sessionState.conf.numShufflePartitions
+    val n = built.count()
+    val parts = math.max(math.min(confParts, 4),
+      math.min(confParts.toLong, (n + rowsPer - 1) / rowsPer).toInt)
+    val e = built
+      .repartition(parts, col("src"))
       .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     distEidMemo.synchronized { distEidMemo.put(key, (p, e)) }

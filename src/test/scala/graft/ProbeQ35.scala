@@ -36,5 +36,10 @@ class ProbeQ35 extends AnyFunSuite {
       SparkEntry.queries("q35_user_bfs")(s, sfDir)
         .queryExecution.toRdd.count())
     OpCaches.releaseAll()
+    // final adaptive plan of the measured query — what actually ran
+    val qe = SparkEntry.queries("q35_user_bfs")(s, sfDir).queryExecution
+    qe.toRdd.count()
+    println("PROBE35 PLAN:\n" + qe.executedPlan.toString.take(6000))
+    OpCaches.releaseAll()
   }
 }
