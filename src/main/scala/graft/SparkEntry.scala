@@ -1587,17 +1587,21 @@ object SparkEntry {
     * click picks the EARLIEST following purchase within 2 h per user —
     * the mirrored scan of q100, against DuckDB's native forward ASOF. */
   private def q106_asof_forward(s: SparkSession, d: String): DataFrame = {
+    // self-asof (q100's shape, mirrored): clicks and purchases are rows
+    // of ONE events frame, so the two-sided operator's second scan and
+    // the purchases-side groupBy dedup are pure overhead — the self
+    // variant is one scan + one shuffle, and its payload-struct-max tie
+    // rule IS the "max(event_id) per purchase instant" dedup
     val ev = events(s, d).withColumn("ms", expr("ts DIV 1000000"))
-    val clicks = ev.filter(col("event_type") === "click")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ms"), col("event_type"), col("event_id"))
+    OrderedJoins.asofSelfJoinForward(ev, Seq("user_id"), "ms",
+        isRight = col("event_type") === "purchase",
+        rightPayload = Seq("ms" -> "p_ms", "event_id" -> "purchase_event"),
+        tolerance = Some(7200000L))
+      .filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_event"),
-        col("ms").as("c_ms"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("ms").as("p_ms"))
-      .agg(max("event_id").as("purchase_event"))
-    OrderedJoins.asofJoinForward(clicks, purchases, Seq("user_id"),
-        "c_ms", "p_ms", tolerance = Some(7200000L))
-      .select(col("user_id"), col("click_event"), col("purchase_event"),
-        (col("p_ms") - col("c_ms")).as("lead_ms"))
+        col("purchase_event"), (col("p_ms") - col("ms")).as("lead_ms"))
   }
 
   /** Keyless interval-overlap join ([[graft.ops.OrderedJoins.overlapJoin]]):

@@ -178,12 +178,13 @@ object Sampling {
     * keep rows with `hashUnit(key) < rate` (the same engine-portable
     * draw every sampler here uses), then take `sorted[ceil(p·n)−1]` per
     * requested probability (the SUMMARIZE `quantile_disc` convention).
-    * The single-partition rank window runs on the SAMPLE only — its size
-    * is `rate`-bounded by construction, which is the caller's knob
-    * (rate ≈ 10⁵/corpus keeps the sort trivial at any scale). Exactly
-    * reproducible by any engine with md5 — the oracle replays the draw
-    * and the ranks. For quantiles over an UNBOUNDED column (no sample),
-    * use [[exactQuantiles]] — distributed rank, no one-partition sort.
+    * The ranks run on [[exactQuantiles]]'s distributed range-exchange
+    * machinery — no single-partition rank window anywhere, so the plan
+    * is clean even when a caller passes a rate that under-samples less
+    * than expected. The sample keeps the cost `rate`-bounded (the
+    * caller's knob: rate ≈ 10⁵/corpus keeps the ranks trivial at any
+    * scale). Exactly reproducible by any engine with md5 — the oracle
+    * replays the draw and the ranks.
     *
     * @return (prob, value, n_sample) — one row per probability; empty
     *         when the sample is empty
@@ -191,22 +192,11 @@ object Sampling {
   def sampleQuantiles(df: DataFrame, keyCol: String, valueCol: String,
       rate: Double, probs: Seq[Double]): DataFrame = {
     require(rate > 0.0 && rate <= 1.0, s"rate must be in (0, 1] (got $rate)")
-    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
-      "probs must be in (0, 1]")
-    val spark = df.sparkSession
-    import spark.implicits._
     val sample = df
       .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
         hashUnit(col(keyCol)) < lit(rate))
-      .select(col(valueCol).cast("double").as("__v"))
-    val w = Window.orderBy(col("__v"))
-    val ranked = sample.select(col("__v"),
-      row_number().over(w).as("__r"),
-      count(lit(1)).over(Window.partitionBy()).as("__n"))
-    val probsDf = probs.toDF("prob")
-    ranked.join(broadcast(probsDf),
-        ceil(col("prob") * col("__n")).cast("long") === col("__r"))
-      .select(col("prob"), col("__v").as("value"), col("__n").as("n_sample"))
+    exactQuantiles(sample, valueCol, probs)
+      .withColumnRenamed("n_total", "n_sample")
   }
 
   def trainTestSplit(df: DataFrame, keyCol: String, testPct: Int)
