@@ -78,7 +78,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val dist = graph.PathFinder.localMaxEdges == 0L
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","force_dist":$dist}""")
+    // self-diagnosis for anomalous runs (the r11 driver run recorded a
+    // 22 s q56 that two exact-convention reproductions put at 1.5-1.8 s):
+    // total JVM GC time separates box/memory-pressure noise from a real
+    // plan regression without needing the box state back
+    import scala.jdk.CollectionConverters._
+    val gcMs = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","force_dist":$dist,"gc_ms":$gcMs}""")
     spark.stop()
   }
 }
