@@ -192,12 +192,35 @@ object PathFinder {
     }
   }
 
+  /** Seed-probe memo (gateMemo's discipline): the probe is a real
+    * driver job per call, and seed frames are often compiled subplans
+    * that repeat verbatim across a query's quantifier splits AND across
+    * repeated queries — q93's warm compile paid ~0.5 s of identical
+    * seed probes per call. Key = (semanticHash, gate) as index,
+    * canonicalized plan as proof; kernels never mutate the shared
+    * array (`.distinct.sorted` copies). */
+  private val seedMemo =
+    new java.util.LinkedHashMap[(Int, Long), (String, Option[Array[Long]])](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Long),
+            (String, Option[Array[Long]])]): Boolean = size() > 8
+    }
+
   /** One `limit(localMaxSeeds+1)` collect: Some(ids) when under the gate,
     * None (→ distributed) otherwise. */
   private def probeSeeds(seeds: DataFrame): Option[Array[Long]] = {
+    val key = (seeds.queryExecution.analyzed.semanticHash(), localMaxSeeds)
+    lazy val p = planIdentity(seeds)
+    seedMemo.synchronized {
+      val hit = seedMemo.get(key)
+      if (hit != null && hit._1 == p) return hit._2
+    }
     val arr = seeds.select(col("id").cast("long"))
       .limit(localMaxSeeds.toInt + 1).collect().map(_.getLong(0))
-    if (arr.length <= localMaxSeeds) Some(arr) else None
+    val res = if (arr.length <= localMaxSeeds) Some(arr) else None
+    seedMemo.synchronized { seedMemo.put(key, (p, res)) }
+    res
   }
 
   /** Gate + edge-IDENTITY provisioning for the path kernels: the local

@@ -195,7 +195,12 @@ object Sampling {
     val sample = df
       .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
         hashUnit(col(keyCol)) < lit(rate))
-    exactQuantiles(sample, valueCol, probs)
+    // the sample fits one task by CONTRACT (rate is the caller's bound),
+    // so a session-width range exchange is pure stage overhead
+    // (measured: 0.3 → 1.4 s at sf0.1); width 1 skips the range-bounds
+    // sampling job and sorts the sample in a single task — the same
+    // work the contract already promises is trivial
+    exactQuantiles(sample, valueCol, probs, numPartitions = 1)
       .withColumnRenamed("n_total", "n_sample")
   }
 
