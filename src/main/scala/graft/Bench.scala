@@ -15,11 +15,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // experiment hook: semicolon-separated k=v runtime confs (e.g.
-    // SPARK_GRAFT_EXTRA_CONF="spark.graft.edgeIndex.rowsPerPartition=1")
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
+    // SPARK_GRAFT_EXTRA_CONF="spark.graft.edgeIndex.rowsPerPartition=1").
+    // The applied string is echoed into the JSON line so a certified
+    // artifact can never silently carry a non-default conf, and a
+    // non-runtime-settable key warns instead of aborting the run.
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+    extraConf.foreach(_.split(";")
       .filter(_.contains("=")).foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        try spark.conf.set(k, v)
+        catch { case e: Throwable =>
+          System.err.println(s"WARN: extra conf $k=$v not applied: $e") }
       })
     // warmup: JVM/codegen/parquet-listing costs land here, not on the
     // first measured query
@@ -77,6 +83,34 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // q56's one-shot row replays the FULL index build per call (its
+    // oracle demands it); the shape users actually run is build-once /
+    // search-many. Report that split BESIDE the one-shot row, in the
+    // same artifact at every SF: one timed IVF build + one timed
+    // 20-query search batch against the prebuilt index (q56's exact
+    // search parameters — k 5, nprobe 4 of 16 lists). Outside
+    // `queries`/`value` so totals stay comparable across rounds.
+    val annSplit =
+      if (results.exists(_._1 == "q56_ivf_ann")) {
+        try {
+          import org.apache.spark.sql.functions.col
+          val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          val t0 = System.nanoTime()
+          val idx = ops.Similarity.buildIvfIndex(e)
+          val build = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          ops.Similarity.searchIvf(idx,
+            e.filter(col("vec_id") < 20L), k = 5, nprobe = 4)
+            .queryExecution.toRdd.count()
+          val search = (System.nanoTime() - t1) / 1e9
+          idx.release()
+          s""","ann_split":{"ivf_build":$build,"ivf_search":$search}"""
+        } catch { case _: Throwable => "" }
+        finally OpCaches.releaseAll()
+      } else ""
+    val confTag = extraConf
+      .map(c => s""","extra_conf":"${c.replace("\"", "'")}"""")
+      .getOrElse("")
     val dist = graph.PathFinder.localMaxEdges == 0L
     // self-diagnosis for anomalous runs (the r11 driver run recorded a
     // 22 s q56 that two exact-convention reproductions put at 1.5-1.8 s):
@@ -86,7 +120,7 @@ object Bench {
     val gcMs = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","force_dist":$dist,"gc_ms":$gcMs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","force_dist":$dist,"gc_ms":$gcMs$annSplit$confTag}""")
     spark.stop()
   }
 }

@@ -75,7 +75,13 @@ object GraphTableCompiler {
       tag: String)(build: => DataFrame): DataFrame = {
     val key = (System.identityHashCode(spark),
       base.queryExecution.analyzed.semanticHash(), tag)
-    lazy val p = base.queryExecution.analyzed.canonicalized.toString
+    // proof = canonicalized plan + data-snapshot token
+    // (PathFinder.planIdentity's discipline): same-path re-reads after a
+    // file append/overwrite canonicalize identically, so without the
+    // token the memo would serve stale persisted mappings — wrong
+    // results, not a perf miss
+    lazy val p = base.queryExecution.analyzed.canonicalized.toString +
+      "#tok=" + PathFinder.dataSnapshotToken(base)
     idMapMemo.synchronized {
       val hit = idMapMemo.get(key)
       if (hit != null && hit._1 == p) return hit._2
@@ -83,8 +89,20 @@ object GraphTableCompiler {
     idMapBuilds += 1
     val built = build
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    idMapMemo.synchronized { idMapMemo.put(key, (p, built)) }
-    built
+    // put under the lock with a re-check: the loser of a concurrent
+    // build race — or an entry displaced by a hash collision with a
+    // different proof — must be unpersisted here, because
+    // removeEldestEntry only fires on size-eviction and the displaced
+    // frame would otherwise stay cached for the session
+    idMapMemo.synchronized {
+      val hit = idMapMemo.get(key)
+      if (hit != null && hit._1 == p) { built.unpersist(false); hit._2 }
+      else {
+        val prev = idMapMemo.put(key, (p, built))
+        if (prev != null) prev._2.unpersist(false)
+        built
+      }
+    }
   }
 
   private final case class Binding(alias: String, isVertex: Boolean,
@@ -291,13 +309,15 @@ object GraphTableCompiler {
 
     def requireUniqueKeys(vt: VertexTable, keys: Seq[String]): Unit = {
       val df = resolver(spark, vt.tableName)
-      // session-wide memo keyed by the analyzed plan — a data change
-      // produces a different plan (new scan/checkpoint), so verdicts
-      // can't go stale, and repeated queries over the same tables skip
+      // session-wide memo keyed by the analyzed plan + data-snapshot
+      // token (file listings canonicalize by root path, so the token —
+      // not the plan — is what moves when files are appended/overwritten
+      // in place), and repeated queries over the same tables skip
       // the probe job entirely (it cost ~0.3 s of local-mode job
       // overhead PER QUERY on the composite-path bench set)
       val k = (df.queryExecution.analyzed.semanticHash(),
-        keys.map(_.toLowerCase).mkString(","))
+        PathFinder.dataSnapshotToken(df) + ":" +
+          keys.map(_.toLowerCase).mkString(","))
       val dup = GraphTableCompiler.uniqueKeyVerdicts.synchronized {
         GraphTableCompiler.uniqueKeyVerdicts.get(k)
       } match {

@@ -49,14 +49,9 @@ object Algorithms {
     // small graphs: run the exact same iteration on driver arrays (the
     // reference's in-memory-kernel strategy, size-gated — see LocalKernels)
     if (nReal <= PathFinder.localMaxSeeds * 16) {
-      // limit-probe, not a full count (see PathFinder strategy gates)
-      val eSmall = edges.limit(PathFinder.localMaxEdges.toInt + 1)
-        .count() <= PathFinder.localMaxEdges
-      if (eSmall) {
+      // shared gate+collect (memoized probe, null-endpoint-safe)
+      PathFinder.localEdgePairs(edges).foreach { earr =>
         val ids = v.select(col("id").cast("long")).collect().map(_.getLong(0))
-        val earr = edges.select(col("src").cast("long"),
-          col("dst").cast("long")).collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
         v.unpersist()
         val res = LocalKernels.pageRank(ids, earr, damping, tol, maxIter,
           fixedIter, phantomNodes)
@@ -135,13 +130,12 @@ object Algorithms {
     // limit-probes, not full counts — see PathFinder strategy gates; a
     // kernel-memo hit answers the gate and the collect without a job)
     val probe = PathFinder.localMaxEdges.toInt + 1
-    val pre = PathFinder.lookupEdgePairs(edges)
-    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
-        edges.limit(probe).count() <= PathFinder.localMaxEdges)) {
+    val preArr = PathFinder.localEdgePairs(edges)
+    if (preArr.isDefined) {
       if (vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
         val ids = vertices.select(col("id").cast("long")).distinct()
           .collect().map(_.getLong(0))
-        val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
+        val earr = preArr.get
         val sp = vertices.sparkSession
         import sp.implicits._
         return LocalKernels.wcc(ids, earr).toSeq.toDF("id", "component")
@@ -220,14 +214,12 @@ object Algorithms {
     val sp = vertices.sparkSession
     import sp.implicits._
     val probe = PathFinder.localMaxEdges.toInt + 1
-    val pre = PathFinder.lookupEdgePairs(edges)
-    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
-        edges.limit(probe).count() <= PathFinder.localMaxEdges) &&
+    val preArr = PathFinder.localEdgePairs(edges)
+    if (preArr.isDefined &&
         vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
       val ids = vertices.select(col("id").cast("long")).distinct()
         .collect().map(_.getLong(0))
-      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
-      return LocalKernels.scc(ids, earr).toSeq.toDF("id", "component")
+      return LocalKernels.scc(ids, preArr.get).toSeq.toDF("id", "component")
     }
     // self-loops never change SCC membership; dedup once up front
     val e0 = edges.select(col("src").cast("long").as("src"),
@@ -403,14 +395,8 @@ object Algorithms {
     * memory, at which point the degree-ordered wedge join takes over —
     * the same two-strategy contract as WCC/SCC/PageRank. */
   private def localTriangles(edges: DataFrame)
-      : Option[Array[(Long, Long, Long)]] = {
-    val probe = PathFinder.localMaxEdges.toInt + 1
-    val pre = PathFinder.lookupEdgePairs(edges)
-    if (!pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
-        edges.limit(probe).count() <= PathFinder.localMaxEdges)) return None
-    val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
-    Some(LocalKernels.triangles(earr))
-  }
+      : Option[Array[(Long, Long, Long)]] =
+    PathFinder.localEdgePairs(edges).map(LocalKernels.triangles)
 
   /** Local clustering coefficient — reference semantics
     * (`local_clustering_coefficient.cpp:11-72`): over the *deduplicated
@@ -511,16 +497,14 @@ object Algorithms {
     val sp = vertices.sparkSession
     import sp.implicits._
     val probe = PathFinder.localMaxEdges.toInt + 1
-    val pre = PathFinder.lookupEdgePairs(edges)
-    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
-        edges.limit(probe).count() <= PathFinder.localMaxEdges) &&
+    val preArr = PathFinder.localEdgePairs(edges)
+    if (preArr.isDefined &&
         vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
       val ids = vertices.select(col("id").cast("long")).distinct()
         .collect().map(_.getLong(0))
-      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
       val seedArr = seeds.select(col("id").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSet
-      return LocalKernels.personalizedPageRank(ids, earr, seedArr,
+      return LocalKernels.personalizedPageRank(ids, preArr.get, seedArr,
         damping, iters).toSeq.toDF("id", "ppr")
     }
     val e = edges.select(col("src").cast("long").as("src"),
@@ -736,11 +720,7 @@ object Algorithms {
     // graph at every sf — pure stage floor, not compute)
     val sp = edges.sparkSession
     import sp.implicits._
-    val probe = PathFinder.localMaxEdges.toInt + 1
-    val pre = PathFinder.lookupEdgePairs(edges)
-    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
-        edges.limit(probe).count() <= PathFinder.localMaxEdges)) {
-      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
+    PathFinder.localEdgePairs(edges).foreach { earr =>
       return LocalKernels.linkPredictionScores(earr, maxDegree).toSeq
         .toDF("id_a", "id_b", "common_neighbors", "jaccard",
           "adamic_adar", "is_edge")
@@ -809,11 +789,7 @@ object Algorithms {
     require(k >= 3, s"k must be >= 3 (got $k)")
     val sp = edges.sparkSession
     import sp.implicits._
-    val probe = PathFinder.localMaxEdges.toInt + 1
-    val pre = PathFinder.lookupEdgePairs(edges)
-    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
-        edges.limit(probe).count() <= PathFinder.localMaxEdges)) {
-      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
+    PathFinder.localEdgePairs(edges).foreach { earr =>
       return LocalKernels.kTruss(earr, k).toSeq.toDF("src", "dst")
     }
     val need = k - 2
@@ -939,17 +915,15 @@ object Algorithms {
     val sp = vertices.sparkSession
     import sp.implicits._
     val probe = PathFinder.localMaxEdges.toInt + 1
-    val pre = PathFinder.lookupEdgePairs(edges)
+    val preArr = PathFinder.localEdgePairs(edges)
     val srcDf = sources.getOrElse(vertices)
       .select(col("id").cast("long").as("id")).distinct()
-    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
-        edges.limit(probe).count() <= PathFinder.localMaxEdges) &&
+    if (preArr.isDefined &&
         srcDf.limit(probe).count() <= PathFinder.localMaxEdges) {
       val ids = vertices.select(col("id").cast("long")).distinct()
         .collect().map(_.getLong(0))
-      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
       val sArr = srcDf.collect().map(_.getLong(0))
-      return LocalKernels.betweenness(ids, earr, sArr)
+      return LocalKernels.betweenness(ids, preArr.get, sArr)
         .toSeq.toDF("id", "betweenness")
     }
     val e = edges.select(col("src").cast("long").as("src"),
@@ -1036,14 +1010,12 @@ object Algorithms {
     val sp = vertices.sparkSession
     import sp.implicits._
     val probe = PathFinder.localMaxEdges.toInt + 1
-    val pre = PathFinder.lookupEdgePairs(edges)
-    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
-        edges.limit(probe).count() <= PathFinder.localMaxEdges) &&
+    val preArr = PathFinder.localEdgePairs(edges)
+    if (preArr.isDefined &&
         vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
       val ids = vertices.select(col("id").cast("long")).distinct()
         .collect().map(_.getLong(0))
-      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
-      return LocalKernels.labelPropagation(ids, earr, rounds)
+      return LocalKernels.labelPropagation(ids, preArr.get, rounds)
         .toSeq.toDF("id", "community")
     }
     val und = edges.select(col("src").cast("long").as("src"),
@@ -1222,13 +1194,9 @@ object Algorithms {
     require(steps >= 0, s"steps must be >= 0")
     val sp = starts.sparkSession
     import sp.implicits._
-    val probe = PathFinder.localMaxEdges.toInt + 1
-    val pre = PathFinder.lookupEdgePairs(edges)
-    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
-        edges.limit(probe).count() <= PathFinder.localMaxEdges)) {
+    PathFinder.localEdgePairs(edges).foreach { earr =>
       val sArr = starts.select(col("id").cast("long")).distinct()
         .collect().map(_.getLong(0))
-      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
       return LocalKernels.deterministicWalks(earr, sArr, walksPerStart, steps)
         .toSeq.toDF("start", "r", "cur", "path")
     }
@@ -1278,14 +1246,12 @@ object Algorithms {
     val sp = vertices.sparkSession
     import sp.implicits._
     val probe = PathFinder.localMaxEdges.toInt + 1
-    val pre = PathFinder.lookupEdgePairs(edges)
-    if (pre.map(_.length <= PathFinder.localMaxEdges).getOrElse(
-        edges.limit(probe).count() <= PathFinder.localMaxEdges) &&
+    val preArr = PathFinder.localEdgePairs(edges)
+    if (preArr.isDefined &&
         vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
       val ids = vertices.select(col("id").cast("long")).distinct()
         .collect().map(_.getLong(0))
-      val earr = pre.getOrElse(PathFinder.collectEdgePairs(edges))
-      return LocalKernels.kCore(ids, earr, k).toSeq.toDF("id", "in_core")
+      return LocalKernels.kCore(ids, preArr.get, k).toSeq.toDF("id", "in_core")
     }
     // undirected simple view (canonical pair per edge, then both
     // orientations for degree counting)

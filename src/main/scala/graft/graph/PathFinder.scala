@@ -82,9 +82,63 @@ object PathFinder {
     * semantically equal. O(plan-size) string render: callers pass it
     * BY NAME so a memo miss (the common case on first contact) never
     * pays for the render — it is evaluated only to validate a hash hit
-    * or to store alongside a freshly built entry. */
-  private def planIdentity(edges: org.apache.spark.sql.DataFrame): String =
-    edges.queryExecution.analyzed.canonicalized.toString
+    * or to store alongside a freshly built entry.
+    *
+    * The canonicalized string alone is NOT enough for session-lived
+    * memos: Spark compares file relations by their root paths, so a
+    * re-read of the same directory after files were appended or
+    * overwritten canonicalizes identically and would validate a stale
+    * entry (stale collected arrays / id mappings = wrong results, not a
+    * perf miss). [[dataSnapshotToken]] folds the LISTED FILES
+    * (path, length, mtime) of every file-source leaf into the proof, so
+    * the moment Spark's file index sees new data (fresh read or
+    * `refreshByPath`) every memo keyed on the plan misses and rebuilds. */
+  private[graft] def planIdentity(edges: org.apache.spark.sql.DataFrame)
+      : String =
+    edges.queryExecution.analyzed.canonicalized.toString +
+      "#tok=" + dataSnapshotToken(edges)
+
+  /** Order-independent fold of (path, length, modificationTime) over the
+    * file listings of every file-source scan leaf — the data-snapshot
+    * component of [[planIdentity]]. Driver cost is a loop over the file
+    * index's already-materialized listing (the same statuses Spark walked
+    * to plan the scan); non-file leaves (local relations, RDD-backed
+    * checkpoints) contribute nothing — their canonicalized form already
+    * changes with the data. Best-effort by construction: an unreadable
+    * index contributes a constant, which can only cause a memo MISS
+    * (rebuild), never a stale hit. */
+  private[graft] def dataSnapshotToken(df: org.apache.spark.sql.DataFrame)
+      : Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def fold(files: Iterator[(String, Long, Long)]): Long =
+      files.map { case (p, len, mt) =>
+        var h = p.hashCode.toLong * 0x9E3779B97F4A7C15L
+        h ^= java.lang.Long.rotateLeft(len, 17)
+        h ^ java.lang.Long.rotateLeft(mt, 41)
+      }.foldLeft(0L)(_ + _)
+    df.queryExecution.analyzed.collectLeaves().map { leaf =>
+      try leaf match {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fold(fs.location.listFiles(Nil, Nil).iterator
+              .flatMap(_.files.iterator)
+              .map(f => (f.getPath.toString, f.getLen,
+                f.getModificationTime)))
+          case _ => 0L
+        }
+        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          v2.table match {
+            case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+              fold(ft.fileIndex.listFiles(Nil, Nil).iterator
+                .flatMap(_.files.iterator)
+                .map(f => (f.getPath.toString, f.getLen,
+                  f.getModificationTime)))
+            case _ => 0L
+          }
+        case _ => 0L
+      } catch { case _: Throwable => 1L }
+    }.sum
+  }
 
   private def memoized(key: (Int, String), plan: => String)(
       build: => Array[(Long, Long, Long)]): Array[(Long, Long, Long)] = {
@@ -159,6 +213,27 @@ object PathFinder {
   private[graph] def collectEdgePairs(edges: org.apache.spark.sql.DataFrame)
       : Array[(Long, Long)] =
     collectEdges(edges, withEid = false).map(t => (t._1, t._2))
+
+  /** THE shared gate+collect for the driver-local kernel family
+    * ([[Algorithms]]): one definition so the strategies can't diverge.
+    * Null endpoints are dropped BEFORE the probe/collect — the
+    * distributed branches drop them implicitly (equi-join semantics)
+    * while a local collect would crash on Row.getLong(null) — and the
+    * size gate answers from the kernel memo when possible (no job),
+    * else the memoized limit-probe. Keying on the CLEANED plan also
+    * lets the algorithm family share memo slots with the path kernels,
+    * which always collect through [[dropNullEndpoints]].
+    *
+    * @return Some(pairs) ⇒ run the local kernel on the array;
+    *         None ⇒ take the distributed branch */
+  private[graft] def localEdgePairs(edges: DataFrame)
+      : Option[Array[(Long, Long)]] = {
+    val clean = dropNullEndpoints(edges)
+    val pre = lookupEdgePairs(clean)
+    if (pre.map(_.length <= localMaxEdges).getOrElse(edgesUnderGate(clean)))
+      Some(pre.getOrElse(collectEdgePairs(clean)))
+    else None
+  }
 
   private def collectSeeds(seeds: org.apache.spark.sql.DataFrame): Array[Long] =
     seeds.select(col("id").cast("long")).collect().map(_.getLong(0))
@@ -342,8 +417,19 @@ object PathFinder {
       .repartition(parts, col("src"))
       .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    distEidMemo.synchronized { distEidMemo.put(key, (p, e)) }
-    e
+    // put under the lock with a re-check: a concurrent build of the same
+    // key (or a 32-bit collision replacing a different-proof entry) must
+    // unpersist whichever frame loses, or the displaced cache blocks
+    // leak for the session — removeEldestEntry only fires on size.
+    distEidMemo.synchronized {
+      val hit = distEidMemo.get(key)
+      if (hit != null && hit._1 == p) { e.unpersist(false); hit._2 }
+      else {
+        val prev = distEidMemo.put(key, (p, e))
+        if (prev != null) prev._2.unpersist(false)
+        e
+      }
+    }
   }
 
   /** Spec hook: drop every cached session edge-index frame. */
@@ -351,6 +437,18 @@ object PathFinder {
     val it = distEidMemo.values().iterator()
     while (it.hasNext) it.next()._2.unpersist(false)
     distEidMemo.clear()
+  }
+
+  /** Spec/refresh hook: drop every memoized probe verdict and collected
+    * array (seed probes, gate verdicts, edge arrays). The data-snapshot
+    * token in [[planIdentity]] already invalidates these when the
+    * underlying FILES change; this hook covers sources the token cannot
+    * see (e.g. an external system mutating data behind an unchanged
+    * listing). */
+  private[graft] def clearProbeMemos(): Unit = {
+    seedMemo.synchronized(seedMemo.clear())
+    gateMemo.synchronized(gateMemo.clear())
+    edgeMemo.synchronized(edgeMemo.clear())
   }
 
   /** Driver-side twin of [[Snapshot.denseEdgeIds]] for already-collected

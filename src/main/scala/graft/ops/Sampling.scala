@@ -239,6 +239,32 @@ object Sampling {
       "probs must be in (0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
+    // THE standard size gate (PathFinder strategy-gate discipline): a
+    // fused limit-probe + collect — one early-terminating job — answers
+    // whether the column fits a driver sort. Under the gate the whole
+    // range-exchange + cache + two-pass machinery is pure stage floor
+    // (~1 s of jobs for a 0.02 s local sort at sf0.1); over it the
+    // probe is a bounded prefix scan, trivial next to the exchange.
+    // `spark.graft.quantiles.localMaxRows` = 0 forces distributed
+    // (plan-guard specs); output is rank-identical by the parity spec.
+    val localMax = spark.conf
+      .get("spark.graft.quantiles.localMaxRows", "2000000").toLong
+    if (localMax > 0 && localMax <= Int.MaxValue - 1) {
+      val probed = df.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("double").as("__v"))
+        .limit(localMax.toInt + 1).collect()
+      if (probed.length <= localMax) {
+        val sorted = probed.map(_.getDouble(0)).sorted
+        val n = sorted.length.toLong
+        return if (n == 0L)
+          Seq.empty[(Double, Double, Long)].toDF("prob", "value", "n_total")
+        else probs.sorted
+          .map(p => (p, sorted((math.ceil(p * n).toLong.max(1L) - 1).toInt),
+            n))
+          .toDF("prob", "value", "n_total")
+      }
+      // over the gate: fall through — the prefix collect is discarded
+    }
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
     // globally sorted: range-partitioned across `parts`, sorted within

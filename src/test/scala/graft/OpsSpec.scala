@@ -1121,7 +1121,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("exactQuantiles: distributed quantile_disc ranks match a local " +
-      "sort under ties and skew; rate=1.0 sampleQuantiles parity") {
+      "sort under ties and skew; local-branch and rate=1.0 parity") {
     val s = init()
     import s.implicits._
     // duplicates + a heavy tie block, ranked across 7 range partitions
@@ -1129,30 +1129,49 @@ class OpsSpec extends AnyFunSuite {
     val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("k", "v")
     val probs = Seq(0.01, 0.25, 0.5, 0.75, 1.0)
-    val got = graft.ops.Sampling.exactQuantiles(rows, "v", probs,
-        numPartitions = 7)
-      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
-      .toList.sortBy(_._1)
+    // force the DISTRIBUTED branch (the default gate would answer this
+    // small fixture from the driver sort)
+    s.conf.set("spark.graft.quantiles.localMaxRows", "0")
+    val got = try {
+      val got = graft.ops.Sampling.exactQuantiles(rows, "v", probs,
+          numPartitions = 7)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+        .toList.sortBy(_._1)
+      // the global rank is partition-count independent
+      for (p <- Seq(1, 3, 32)) {
+        val alt = graft.ops.Sampling.exactQuantiles(rows, "v", probs,
+            numPartitions = p)
+          .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+          .toList.sortBy(_._1)
+        assert(alt == got, s"numPartitions=$p diverged")
+      }
+      got
+    } finally s.conf.unset("spark.graft.quantiles.localMaxRows")
     val sortedVals = vals.map(_.toDouble).sorted
     def qd(p: Double) = sortedVals(math.ceil(p * sortedVals.length).toInt - 1)
     assert(got.map(_._1) == probs)
     assert(got.map(_._2) == probs.map(qd))
     assert(got.forall(_._3 == vals.length))
+    // the size-gated LOCAL branch (default gate) is rank-identical
+    val local = graft.ops.Sampling.exactQuantiles(rows, "v", probs)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      .toList.sortBy(_._1)
+    assert(local == got, "local branch diverged from distributed")
+    // a gate SMALLER than the column still answers distributed, exactly
+    s.conf.set("spark.graft.quantiles.localMaxRows", "10")
+    try {
+      val over = graft.ops.Sampling.exactQuantiles(rows, "v", probs)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+        .toList.sortBy(_._1)
+      assert(over == got, "over-gate fallthrough diverged")
+    } finally s.conf.unset("spark.graft.quantiles.localMaxRows")
     // the sampled op at rate 1.0 sees the identical multiset: same ranks
     val sampled = graft.ops.Sampling
       .sampleQuantiles(rows, "k", "v", 1.0, probs)
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
       .toList.sortBy(_._1)
     assert(sampled == got.map(t => (t._1, t._2)))
-    // the global rank is partition-count independent
-    for (p <- Seq(1, 3, 32)) {
-      val alt = graft.ops.Sampling.exactQuantiles(rows, "v", probs,
-          numPartitions = p)
-        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
-        .toList.sortBy(_._1)
-      assert(alt == got, s"numPartitions=$p diverged")
-    }
-    // nulls ignored; empty column yields no rows
+    // nulls ignored; empty column yields no rows (both branches)
     val withNulls = Seq[(Long, java.lang.Long)]((1L, null), (2L, 5L))
       .toDF("k", "v")
     val one = graft.ops.Sampling.exactQuantiles(withNulls, "v", Seq(0.5))
@@ -1160,6 +1179,10 @@ class OpsSpec extends AnyFunSuite {
     assert(one == List((5.0, 1L)))
     assert(graft.ops.Sampling.exactQuantiles(
       Seq.empty[(Long, Long)].toDF("k", "v"), "v", Seq(0.5)).count() == 0)
+    s.conf.set("spark.graft.quantiles.localMaxRows", "0")
+    try assert(graft.ops.Sampling.exactQuantiles(
+      Seq.empty[(Long, Long)].toDF("k", "v"), "v", Seq(0.5)).count() == 0)
+    finally s.conf.unset("spark.graft.quantiles.localMaxRows")
   }
 
   private def annRows(df: org.apache.spark.sql.DataFrame) =
@@ -1340,10 +1363,19 @@ class OpsSpec extends AnyFunSuite {
       e.filter(col("vec_id") % 2 === 1))
     val flat = Similarity.compactIvfIndex(idx)
     assert(flat.corpus.count() > 0)
-    val before = s.sparkContext.getPersistentRDDs.keySet
+    // pin the SPECIFIC checkpoint RDD id: asserting only that release()
+    // removed *something* would pass even if releaseCheckpoint were a
+    // no-op, because release() also unpersists the ordinary cached
+    // centroids frame
+    val ckptId = flat.corpus.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      case other => fail(s"compacted corpus is not checkpoint-backed: " +
+        s"${other.getClass.getSimpleName}")
+    }
+    assert(s.sparkContext.getPersistentRDDs.contains(ckptId),
+      "checkpoint RDD must be persisted before release")
     flat.release()
-    val after = s.sparkContext.getPersistentRDDs.keySet
-    assert((before -- after).nonEmpty,
+    assert(!s.sparkContext.getPersistentRDDs.contains(ckptId),
       "release must drop the checkpoint RDD from the persistent-RDD map")
   }
 

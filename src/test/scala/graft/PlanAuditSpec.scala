@@ -140,12 +140,17 @@ class PlanAuditSpec extends AnyFunSuite {
   test("exact quantiles (q120): no window and no single-partition " +
       "funnel anywhere — the global rank is range exchange + offsets") {
     val s = Fixture.init()
-    val plan = SparkEntry.queries("q120_exact_quantiles")(s, sf)
-      .queryExecution.executedPlan.toString
-    // the naive form is a no-partition Window (one task sorts the
-    // whole column); the distributed form never materializes a rank
-    assert(!plan.contains("Window"), plan.take(800))
-    assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+    // default gate answers the fixture from the driver sort; the guard
+    // is about the DISTRIBUTED plan, so force that branch
+    s.conf.set("spark.graft.quantiles.localMaxRows", "0")
+    try {
+      val plan = SparkEntry.queries("q120_exact_quantiles")(s, sf)
+        .queryExecution.executedPlan.toString
+      // the naive form is a no-partition Window (one task sorts the
+      // whole column); the distributed form never materializes a rank
+      assert(!plan.contains("Window"), plan.take(800))
+      assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+    } finally s.conf.unset("spark.graft.quantiles.localMaxRows")
   }
 
   /** The only exchange a per-row text pass may carry is the deliberate
@@ -291,6 +296,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(asg.contains("ivf_assign"), "ivfAssign lost the fused expression")
     assert(!asg.contains("Window") && !asg.contains("BroadcastNestedLoop"),
       "ivfAssign regressed to the crossJoin + argmin-window pipeline")
+  }
+
+  test("memo staleness: overwriting the files behind a same-path re-read " +
+      "invalidates every plan-keyed memo (data-snapshot token)") {
+    val s = Fixture.init()
+    import s.implicits._
+    import graft.graph.PathFinder
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap")
+    val path = dir.resolve("edges").toString
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .write.mode("overwrite").parquet(path)
+    def edges = s.read.parquet(path)
+    val verts = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val t1 = PathFinder.dataSnapshotToken(edges)
+    // populate the kernel edge memo through the local WCC branch
+    val r1 = graft.graph.Algorithms.weaklyConnectedComponents(verts, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r1(1L) == r1(2L) && r1(2L) == r1(3L) && r1(4L) != r1(5L))
+    // overwrite IN PLACE: the re-read canonicalizes identically (file
+    // relations compare by root path), so only the snapshot token can
+    // tell the memos the data moved
+    Seq((4L, 5L)).toDF("src", "dst").write.mode("overwrite").parquet(path)
+    s.catalog.refreshByPath(path)
+    val t2 = PathFinder.dataSnapshotToken(edges)
+    assert(t1 != t2, "snapshot token must move with the file listing")
+    val r2 = graft.graph.Algorithms.weaklyConnectedComponents(verts, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r2(4L) == r2(5L) && r2(1L) != r2(2L),
+      "stale memo served the old edge array after a data overwrite")
   }
 
   test("distributed path kernels build the session edge index ONCE per " +
