@@ -65,6 +65,52 @@ object GraphTableCompiler {
     val it = idMapMemo.values().iterator()
     while (it.hasNext) it.next()._2.unpersist(false)
     idMapMemo.clear()
+    localMapMemo.synchronized(localMapMemo.clear())
+  }
+
+  /** Session memo of COLLECTED (`__from` → `__to`) bijection maps for
+    * the size-gated local translation path — Some(map) under the gate,
+    * None (= use the distributed join pipeline) over it. Keyed/proved
+    * like [[idMapMemo]] (semanticHash index, canonicalized plan +
+    * data-snapshot token proof). Entries are plain driver maps bounded
+    * by the gate, so eviction needs no unpersist. */
+  private val localMapMemo =
+    new java.util.LinkedHashMap[(Int, Int), (String, Option[Map[Long, Long]])](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int),
+            (String, Option[Map[Long, Long]])]): Boolean = size() > 16
+    }
+
+  /** Count of local-map COLLECTS (memo misses) — spec hook. */
+  @volatile private[graft] var localMapBuilds: Long = 0L
+
+  /** Size-gated driver collect of a two-long-column bijection frame:
+    * Some(map) when the pair set fits
+    * `spark.graft.compiler.localMapMaxRows` (0 disables the local
+    * path), else None. A fused limit-probe + collect, memoized for the
+    * session — repeated compiles (and the quantifier splits within one
+    * compile) pay ZERO jobs after the first. */
+  private def localPairMap(spark: SparkSession, m: DataFrame)
+      : Option[Map[Long, Long]] = {
+    val gate = spark.conf
+      .get("spark.graft.compiler.localMapMaxRows", "65536").toLong
+    if (gate <= 0 || gate > Int.MaxValue - 1) return None
+    val key = (System.identityHashCode(spark),
+      m.queryExecution.analyzed.semanticHash())
+    lazy val p = m.queryExecution.analyzed.canonicalized.toString +
+      "#tok=" + PathFinder.dataSnapshotToken(m) + "#gate=" + gate
+    localMapMemo.synchronized {
+      val hit = localMapMemo.get(key)
+      if (hit != null && hit._1 == p) return hit._2
+    }
+    localMapBuilds += 1
+    val rows = m.limit(gate.toInt + 1).collect()
+    val res = if (rows.length <= gate)
+      Some(rows.iterator.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    else None
+    localMapMemo.synchronized { localMapMemo.put(key, (p, res)) }
+    res
   }
 
   /** Count of id-map BUILDS (memo misses) — spec hook for the
@@ -489,7 +535,35 @@ object GraphTableCompiler {
       * Empty arrays survive (left join-back + coalesce); ids missing
       * from the map keep their value (cannot happen for table rows —
       * defensive only). */
-    def translateIdArray(df: DataFrame, c: String, m: DataFrame): DataFrame = {
+    /** Literal-map projection form of the array translations: when the
+      * bijection fits the local gate ([[localPairMap]]) the whole
+      * translate collapses to one codegen'd transform over a map
+      * literal — zero joins, zero exchanges, no per-split job fan-out
+      * (the join pipeline cost q93 ~2 s of driver plan-building plus
+      * several tiny shuffle stages PER quantifier split on a 25-row
+      * graph). Null arrays become empty arrays, ids missing from the
+      * map keep their value — the join pipeline's exact semantics. */
+    def translateLocal(df: DataFrame, c: String, m: Map[Long, Long],
+        vertexSlotsOnly: Boolean): DataFrame = {
+      val ml = typedLit(m)
+      val trans =
+        if (vertexSlotsOnly)
+          transform(col(c), (x, i) =>
+            when(i % 2 === 0, coalesce(element_at(ml, x), x)).otherwise(x))
+        else
+          transform(col(c), x => coalesce(element_at(ml, x), x))
+      df.withColumn(c,
+        coalesce(trans, typedLit(Array.empty[Long])).cast("array<bigint>"))
+    }
+
+    def translateIdArray(df: DataFrame, c: String, m: DataFrame): DataFrame =
+      localPairMap(spark, m) match {
+        case Some(lm) => translateLocal(df, c, lm, vertexSlotsOnly = false)
+        case None => translateIdArrayJoin(df, c, m)
+      }
+
+    def translateIdArrayJoin(df: DataFrame, c: String, m: DataFrame)
+        : DataFrame = {
       val pos = df.select(col(c).as("__parr")).distinct()
         .select(col("__parr"),
           posexplode_outer(col("__parr")).as(Seq("__pos", "__el")))
@@ -511,6 +585,13 @@ object GraphTableCompiler {
       * untouched (an edge id must never accidentally match a vertex
       * `__from` value). */
     def translateVertexSlots(df: DataFrame, c: String,
+        m: DataFrame): DataFrame =
+      localPairMap(spark, m) match {
+        case Some(lm) => translateLocal(df, c, lm, vertexSlotsOnly = true)
+        case None => translateVertexSlotsJoin(df, c, m)
+      }
+
+    def translateVertexSlotsJoin(df: DataFrame, c: String,
         m: DataFrame): DataFrame = {
       val pos = df.select(col(c).as("__parr")).distinct()
         .select(col("__parr"),
