@@ -640,18 +640,78 @@ object Algorithms {
     require(minWeight >= 1, s"minWeight must be >= 1 (got $minWeight)")
     require(maxKeyDegree >= 2, s"maxKeyDegree must be >= 2")
     require(blockSize >= 2, s"blockSize must be >= 2 (got $blockSize)")
-    val m = memberships.select(col("u").cast("long").as("u"),
+    val sp2 = memberships.sparkSession
+    import sp2.implicits._
+    val m0 = memberships.select(col("u").cast("long").as("u"),
         col("v").cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
-      .distinct()
-    val hot = m.groupBy("v").agg(count(lit(1)).as("__d"))
-      .filter(col("__d") > maxKeyDegree).select("v")
-    // tracked cache: the dedup + hot-key pipeline feeds both blocked
-    // self-join legs; the lazy result can't release it, so the harness
-    // does via [[graft.OpCaches.releaseAll]] (Verify/Bench per query).
+    // Size-gated local strategy (the LocalKernels doctrine): the pair
+    // stream is output-sized — mostly unique pairs, so neither partial
+    // aggregation nor any exact prefilter shrinks it before the exchange
+    // (NOTES item 54) — which makes the distributed floor ~Σd(d−1)/2
+    // packed longs through one full shuffle plus the DISTINCT shuffle
+    // that feeds it. When the RAW membership stream fits the driver
+    // (fused limit-probe + collect, the standard gate idiom), a parallel
+    // in-memory kernel absorbs distinct + degree cap + pair counting
+    // into two driver sorts with ZERO exchanges — the strategy DuckDB's
+    // in-memory aggregate wins with at the 10× point. Gates:
+    // spark.graft.copurchase.localMaxRows bounds the collect (default
+    // 16M rows) and spark.graft.copurchase.localMaxPairs (default 120M
+    // packed longs ≈ 1 GB + sort workspace; 0 forces distributed)
+    // bounds the pair array — the kernel knows the EXACT volume from
+    // the degree histogram before committing memory and returns None
+    // over the gate (fall through to the distributed branch).
+    val maxPairs = sp2.conf
+      .get("spark.graft.copurchase.localMaxPairs", "120000000").toLong
+    val maxRows = sp2.conf
+      .get("spark.graft.copurchase.localMaxRows", "16000000").toLong
+    if (maxPairs > 0 && maxRows > 0 && maxRows <= Int.MaxValue - 1) {
+      // decide with ONE exchange-free scan (count + id ranges as partial
+      // aggs) — a limit-probe would route the whole join through
+      // CollectLimitExec's incremental single-task job ladder. The
+      // membership pipeline is cached for JUST this attempt so the
+      // decide pass and the packed collect share one evaluation; on
+      // fall-through it unpersists before the distributed plan builds,
+      // leaving that branch's storage footprint untouched.
+      val m0c = m0.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val st = m0c.agg(count(lit(1)).as("n"), min("u").as("ulo"),
+          max("u").as("uhi"), min("v").as("vlo"), max("v").as("vhi"))
+          .first()
+        if (st.getLong(0) == 0L)
+          return Seq.empty[(Long, Long, Long)].toDF("id_a", "id_b", "weight")
+        val packable = st.getLong(1) >= 0L && st.getLong(2) < (1L << 31) &&
+          st.getLong(3) >= 0L && st.getLong(4) < (1L << 31)
+        if (st.getLong(0) <= maxRows && packable) {
+          val packed = m0c
+            .select(shiftleft(col("v"), 32).bitwiseOR(col("u")).as("__pk"))
+            .as[Long].collect()
+          LocalKernels.copurchaseCounts(packed, minWeight, maxKeyDegree,
+            maxPairs).foreach { res =>
+            return res.toSeq.toDF("id_a", "id_b", "weight")
+          }
+        }
+      } finally m0c.unpersist(false)
+    }
+    val m = m0.distinct()
+    // with an unbounded cap the hot-key frame is provably empty — skip
+    // it, or the anti-join's broadcast side re-evaluates the whole
+    // join+distinct pipeline just to find nothing
     val kept = graft.OpCaches.track(
-      m.join(broadcast(hot), Seq("v"), "left_anti")
-        .select(col("u").as("id"), col("v")))
+      if (maxKeyDegree == Long.MaxValue) m.select(col("u").as("id"), col("v"))
+      else {
+        val hot = m.groupBy("v").agg(count(lit(1)).as("__d"))
+          .filter(col("__d") > maxKeyDegree).select("v")
+        // tracked cache: the dedup + hot-key pipeline feeds both blocked
+        // self-join legs; the lazy result can't release it, so the
+        // harness does via [[graft.OpCaches.releaseAll]].
+        m.join(broadcast(hot), Seq("v"), "left_anti")
+          .select(col("u").as("id"), col("v"))
+      })
+    val idr = kept.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .first()
+    val packable = !idr.isNullAt(0) && idr.getLong(0) >= 0L &&
+      idr.getLong(1) < (1L << 31)
     val joined = graft.ops.Dedup.blockedBucketJoin(kept, Seq("v"), blockSize)
     // Pair-count aggregation, exchange-shaped for an output-sized pair
     // stream: most generated pairs are UNIQUE, so a plain groupBy's
@@ -663,10 +723,6 @@ object Algorithms {
     // the exchange carries bare 8-byte keys and the aggregation hashes
     // primitives. Measured at the 10× point: 13.3 s (SMJ + 2-col
     // groupBy) → ~6-8 s.
-    val idr = kept.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
-      .first()
-    val packable = !idr.isNullAt(0) && idr.getLong(0) >= 0L &&
-      idr.getLong(1) < (1L << 31)
     val counted =
       if (packable)
         joined.select(shiftleft(col("x.id"), 32)

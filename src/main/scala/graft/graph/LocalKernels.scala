@@ -891,6 +891,97 @@ private[graph] object LocalKernels {
     * a < b per shared center; Jaccard denominators keep FULL degrees;
     * doubles rounded to 6 decimals with the distributed `round(x, 6)`
     * rule (BigDecimal HALF_UP). */
+  /** Parallel co-purchase (bipartite-projection) pair counting over a
+    * PACKED raw membership array — `v << 32 | u`, both ids in [0, 2^31),
+    * the same 31-bit packability contract the distributed branch probes.
+    * The in-memory analogue of the full distributed pipeline: one sort
+    * clusters the v-groups (u ascending within each) AND absorbs the
+    * DISTINCT step (in-place dedup of the sorted stream) and the hot-key
+    * degree cap (over-cap groups skipped); every kept group's triangular
+    * pairs write into DISJOINT ranges of one exactly-sized long array
+    * (prefix offsets — no synchronization), a parallel sort clusters
+    * equal pairs, and a run-length scan emits weights. The EXACT pair
+    * volume is known from the degree histogram before any pair memory is
+    * committed — None (fall back to the distributed branch) when it
+    * exceeds `maxPairs`. `u_i < u_j` holds by the in-group sort — the
+    * blockedBucketJoin pair convention. Mutates its input (sort+dedup
+    * scratch); callers hand over a throwaway collect.
+    *
+    * @return Some((id_a, id_b, weight) with weight >= minWeight), or
+    *         None when the pair volume exceeds the gate
+    */
+  def copurchaseCounts(packedRaw: Array[Long], minWeight: Long,
+      maxKeyDegree: Long, maxPairs: Long)
+      : Option[Array[(Long, Long, Long)]] = {
+    if (packedRaw.isEmpty) return Some(Array.empty)
+    java.util.Arrays.parallelSort(packedRaw)
+    // in-place dedup of the sorted stream — the operator's DISTINCT
+    // (u, v) step, absorbed into the sort the kernel needs anyway, so
+    // the caller can hand over the RAW membership stream without paying
+    // a distributed distinct shuffle first
+    var n = 1
+    var r = 1
+    while (r < packedRaw.length) {
+      if (packedRaw(r) != packedRaw(n - 1)) { packedRaw(n) = packedRaw(r); n += 1 }
+      r += 1
+    }
+    val packed = packedRaw
+    // group boundaries (v = high 32 bits changes); groups over the
+    // degree cap are excluded wholesale — the hot-key anti-join's
+    // semantics on the distinct stream
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]
+    var i = 0
+    var curV = Long.MinValue
+    while (i < n) {
+      val v = packed(i) >>> 32
+      if (v != curV) { starts += i; curV = v }
+      i += 1
+    }
+    starts += n
+    val g0 = starts.toArray
+    val keptGroups = (0 until g0.length - 1)
+      .filter(gi => (g0(gi + 1) - g0(gi)).toLong <= maxKeyDegree).toArray
+    val nGroups = keptGroups.length
+    // exact pair offsets per kept group — also the pair-volume gate
+    val off = new Array[Long](nGroups + 1)
+    i = 0
+    while (i < nGroups) {
+      val d = (g0(keptGroups(i) + 1) - g0(keptGroups(i))).toLong
+      off(i + 1) = off(i) + d * (d - 1) / 2
+      i += 1
+    }
+    val total = off(nGroups)
+    if (total > maxPairs || total > Int.MaxValue - 8) return None
+    val pairs = new Array[Long](total.toInt)
+    java.util.stream.IntStream.range(0, nGroups).parallel().forEach { ki =>
+      val gi = keptGroups(ki)
+      var w = off(ki).toInt
+      var a = g0(gi)
+      val end = g0(gi + 1)
+      while (a < end) {
+        val ua = packed(a) & 0xffffffffL
+        var b = a + 1
+        while (b < end) {
+          pairs(w) = (ua << 32) | (packed(b) & 0xffffffffL)
+          w += 1
+          b += 1
+        }
+        a += 1
+      }
+    }
+    java.util.Arrays.parallelSort(pairs)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]
+    i = 0
+    while (i < pairs.length) {
+      var j = i + 1
+      while (j < pairs.length && pairs(j) == pairs(i)) j += 1
+      if ((j - i).toLong >= minWeight)
+        out += ((pairs(i) >>> 32, pairs(i) & 0xffffffffL, (j - i).toLong))
+      i = j
+    }
+    Some(out.toArray)
+  }
+
   def linkPredictionScores(edges: Array[(Long, Long)], maxDegree: Long)
       : Array[(Long, Long, Long, Double, Double, Boolean)] = {
     val adj = mutable.LongMap[mutable.SortedSet[Long]]()

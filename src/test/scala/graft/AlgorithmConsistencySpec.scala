@@ -612,6 +612,14 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     val got = Algorithms.bipartiteProjection(ms.toDF("u", "v"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
+    // the size-gated LOCAL kernel (default on this fixture) must match
+    // the distributed blocked-join branch exactly
+    s.conf.set("spark.graft.copurchase.localMaxPairs", "0")
+    val gotDist = try Algorithms.bipartiteProjection(ms.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    finally s.conf.unset("spark.graft.copurchase.localMaxPairs")
+    assert(gotDist == got, "local kernel diverged from distributed branch")
     val dm = ms.distinct
     val byV = dm.groupBy(_._2).map { case (v, xs) => v -> xs.map(_._1) }
     def brute(vs: Iterable[Seq[Long]]): Map[(Long, Long), Long] =
@@ -646,12 +654,18 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     val ms = (0L until 60L).map(u => (u, 999L)) ++
       (for (u <- 0L until 20L; v <- 0L until 5L if (u + v) % 3 == 0)
         yield (u, v))
+    // force the distributed branch — the blocked join is what this test
+    // audits, and the local kernel would answer the fixture first
+    s.conf.set("spark.graft.copurchase.localMaxPairs", "0")
     def run(bs: Int) = Algorithms.bipartiteProjection(ms.toDF("u", "v"),
         blockSize = bs)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
-    val fine = run(8)
-    assert(fine == run(1024), "blocked split must be exactly-once")
+    val fine = try {
+      val fine = run(8)
+      assert(fine == run(1024), "blocked split must be exactly-once")
+      fine
+    } finally s.conf.unset("spark.graft.copurchase.localMaxPairs")
     // the hot key alone contributes C(60,2) = 1770 pairs of weight >= 1
     assert(fine.size >= 1770)
     assert(fine((0L, 1L)) >= 1L)

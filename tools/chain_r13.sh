@@ -1,0 +1,78 @@
+#!/bin/sh
+# Round-13 certification chain — one coherent chain at a single HEAD.
+# Timed runs are strictly serial; untimed oracle compares run at the end.
+# Status lines append to /tmp/chain_r13.status (now with cumulative
+# /proc/stat steal so contention windows are attributable post hoc —
+# the r12 lesson).
+# Prereq: /tmp/sf1gen (gen_scale 10) and /tmp/sf4gen (gen_scale 40).
+set -x
+cd /root/repo
+ST=/tmp/chain_r13.status
+OUT=/tmp/chain_r13
+mkdir -p $OUT
+SUBSET=q100_asof_join,q101_range_join,q102_fuzzy_join,q106_asof_forward,q107_overlap_join,q108_token_ids,q109_sample_quantiles,q110_hll_by_group,q111_temporal_reachability,q112_ktruss,q113_link_prediction,q114_copurchase,q115_weighted_pagerank,q116_countmin_by_group,q117_weighted_lpa,q118_ivfpq_ann,q119_modularity,q120_exact_quantiles,q17_lcc,q18_dedup_exact,q19_dedup_jaccard,q1_agg,q20_dedup_minhash,q21_dedup_simhash,q22_text_stats,q27_sim_lsh,q32_summarize_pg,q35_user_bfs,q36_user_wcc,q3_window,q42_match_3hop_big,q43_tfidf,q44_ngram_freq,q55_user_kshortest,q56_ivf_ann,q62_sequence_pack,q71_repetition,q72_c4_filters,q73_decontaminate,q74_pii_redact,q75_mixture_sample,q78_corpus_profile,q79_line_dedup,q80_unigram_logprob,q83_triangles,q85_scc,q87_semdedup,q92_mixed_space_path,q93_cross_space_acyclic,q94_duplicated_spans,q95_bloom_decontaminate,q96_pq_ann
+HEAD=$(git rev-parse --short HEAD)
+steal() { awk '/^cpu /{print $9}' /proc/stat; }
+echo "chain start head=$HEAD steal=$(steal) $(date +%H:%M:%S)" >> $ST
+
+# 1. full suite
+sbt -batch test > $OUT/test.log 2>&1
+echo "suite exit=$? $(grep 'Total number of tests run' $OUT/test.log | tail -1) steal=$(steal) $(date +%H:%M:%S)" >> $ST
+
+# 2. verify dumps (untimed)
+rm -rf $OUT/v001 $OUT/v01 $OUT/vsf1 $OUT/vsf4
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT/v001" > $OUT/v001.log 2>&1
+echo "verify sf0.01 exit=$? $(date +%H:%M:%S)" >> $ST
+sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT/v01" > $OUT/v01.log 2>&1
+echo "verify sf0.1 exit=$? $(date +%H:%M:%S)" >> $ST
+sbt -batch "runMain graft.Verify /tmp/sf1gen $OUT/vsf1 $SUBSET" > $OUT/vsf1.log 2>&1
+echo "verify sf1 subset exit=$? $(date +%H:%M:%S)" >> $ST
+sbt -batch "runMain graft.Verify /tmp/sf4gen $OUT/vsf4 $SUBSET" > $OUT/vsf4.log 2>&1
+echo "verify sf4 subset exit=$? steal=$(steal) $(date +%H:%M:%S)" >> $ST
+
+# 3. TIMED: spark benches, 3 fresh-JVM runs each
+for i in 1 2 3; do
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch 'runMain graft.Bench' 2>&1 | grep -o '{"metric".*}' >> $OUT/bench_sf01.jsonl
+  echo "bench sf0.1 run $i done steal=$(steal) $(date +%H:%M:%S)" >> $ST
+done
+for i in 1 2 3; do
+  SPARK_GRAFT_SF_DIR=/tmp/sf1gen SPARK_GRAFT_BENCH_ONLY=$SUBSET sbt -batch 'runMain graft.Bench' 2>&1 | grep -o '{"metric".*}' >> $OUT/bench_sf1.jsonl
+  echo "bench sf1 run $i done steal=$(steal) $(date +%H:%M:%S)" >> $ST
+done
+for i in 1 2 3; do
+  SPARK_GRAFT_SF_DIR=/tmp/sf4gen SPARK_GRAFT_BENCH_ONLY=$SUBSET sbt -batch 'runMain graft.Bench' 2>&1 | grep -o '{"metric".*}' >> $OUT/bench_sf4.jsonl
+  echo "bench sf4 run $i done steal=$(steal) $(date +%H:%M:%S)" >> $ST
+done
+
+# 4. TIMED: BenchAnn, 3 runs per SF
+for sf in /root/testdata/sf0.1 /tmp/sf1gen /tmp/sf4gen; do
+  for i in 1 2 3; do
+    SPARK_GRAFT_SF_DIR=$sf sbt -batch 'runMain graft.BenchAnn' 2>&1 | grep -o '{"metric".*}' >> $OUT/bench_ann.jsonl
+    echo "benchann $sf run $i done steal=$(steal) $(date +%H:%M:%S)" >> $ST
+  done
+done
+
+# 5. TIMED: DuckDB twins (3-run medians; prior = r11 committed for the
+# mover flag — r12's artifacts were lost with /tmp)
+python3 tools/bench_duckdb.py /root/testdata/sf0.1 $OUT/v01 3 DUCKDB_BASELINE_r11.json > $OUT/duck_sf01.json 2> $OUT/duck_sf01.err
+echo "duck sf0.1 exit=$? steal=$(steal) $(date +%H:%M:%S)" >> $ST
+# known >600s oracles are proved by the compare step below and merged
+# into the artifacts as timeouts — re-burning them here is pure waste
+SUB_SF1=$(echo $SUBSET | tr ',' '\n' | grep -v -E '^q102_fuzzy_join$' | paste -sd,)
+python3 tools/bench_duckdb_subset.py /tmp/sf1gen $OUT/vsf1 $SUB_SF1 600 > $OUT/duck_sf1.json 2> $OUT/duck_sf1.err
+echo "duck sf1 exit=$? steal=$(steal) $(date +%H:%M:%S)" >> $ST
+SUB_SF4=$(echo $SUBSET | tr ',' '\n' | grep -v -E '^q102_fuzzy_join$|^q36_user_wcc$' | paste -sd,)
+python3 tools/bench_duckdb_subset.py /tmp/sf4gen $OUT/vsf4 $SUB_SF4 600 > $OUT/duck_sf4.json 2> $OUT/duck_sf4.err
+echo "duck sf4 exit=$? steal=$(steal) $(date +%H:%M:%S)" >> $ST
+
+# 6. UNTIMED: oracle compares (serial; the scale ones burn their proofs)
+python3 tools/compare_oracle.py /root/testdata/sf0.01 $OUT/v001 > $OUT/cmp001.txt 2>&1
+echo "compare sf0.01 exit=$? $(tail -1 $OUT/cmp001.txt) $(date +%H:%M:%S)" >> $ST
+python3 tools/compare_oracle.py /root/testdata/sf0.1 $OUT/v01 > $OUT/cmp01.txt 2>&1
+echo "compare sf0.1 exit=$? $(tail -1 $OUT/cmp01.txt) $(date +%H:%M:%S)" >> $ST
+python3 tools/compare_oracle_subset.py /tmp/sf1gen $OUT/vsf1 $SUBSET 600 > $OUT/cmpsf1.txt 2>&1
+echo "compare sf1 exit=$? $(tail -1 $OUT/cmpsf1.txt) $(date +%H:%M:%S)" >> $ST
+python3 tools/compare_oracle_subset.py /tmp/sf4gen $OUT/vsf4 $SUBSET 600 > $OUT/cmpsf4.txt 2>&1
+echo "compare sf4 exit=$? $(tail -1 $OUT/cmpsf4.txt) $(date +%H:%M:%S)" >> $ST
+
+echo "chain DONE steal=$(steal) $(date +%H:%M:%S)" >> $ST
