@@ -98,14 +98,23 @@ object Bench {
           val t0 = System.nanoTime()
           val idx = ops.Similarity.buildIvfIndex(e)
           val build = (System.nanoTime() - t0) / 1e9
-          val t1 = System.nanoTime()
-          ops.Similarity.searchIvf(idx,
-            e.filter(col("vec_id") < 20L), k = 5, nprobe = 4)
-            .queryExecution.toRdd.count()
-          val search = (System.nanoTime() - t1) / 1e9
-          idx.release()
-          s""","ann_split":{"ivf_build":$build,"ivf_search":$search}"""
-        } catch { case _: Throwable => "" }
+          // the index's persisted frames are not OpCaches-tracked, so a
+          // failed search must still release them — own try/finally
+          try {
+            val t1 = System.nanoTime()
+            ops.Similarity.searchIvf(idx,
+              e.filter(col("vec_id") < 20L), k = 5, nprobe = 4)
+              .queryExecution.toRdd.count()
+            val search = (System.nanoTime() - t1) / 1e9
+            s""","ann_split":{"ivf_build":$build,"ivf_search":$search}"""
+          } finally idx.release()
+        } catch {
+          // a missing ann_split field in the artifact must be
+          // attributable, not silent
+          case t: Throwable =>
+            System.err.println(s"WARN ann_split failed: $t")
+            ""
+        }
         finally OpCaches.releaseAll()
       } else ""
     val confTag = extraConf

@@ -106,9 +106,16 @@ object GraphTableCompiler {
     }
     localMapBuilds += 1
     val rows = m.limit(gate.toInt + 1).collect()
-    val res = if (rows.length <= gate)
-      Some(rows.iterator.map(r => r.getLong(0) -> r.getLong(1)).toMap)
-    else None
+    // Bijection contract, asserted at collect time: a null key/value
+    // would unbox to 0L (a spurious 0 -> x mapping the join branch's
+    // null-never-matches semantics would not emit), and a duplicate
+    // __from would silently collapse to one entry where the join branch
+    // emits both matches. Either defect → fall back to the join path.
+    val res = if (rows.length <= gate && rows.forall(r =>
+        !r.isNullAt(0) && !r.isNullAt(1))) {
+      val built = rows.iterator.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (built.size == rows.length) Some(built) else None
+    } else None
     localMapMemo.synchronized { localMapMemo.put(key, (p, res)) }
     res
   }
@@ -535,23 +542,31 @@ object GraphTableCompiler {
       * Empty arrays survive (left join-back + coalesce); ids missing
       * from the map keep their value (cannot happen for table rows —
       * defensive only). */
-    /** Literal-map projection form of the array translations: when the
+    /** Local-map projection form of the array translations: when the
       * bijection fits the local gate ([[localPairMap]]) the whole
-      * translate collapses to one codegen'd transform over a map
-      * literal — zero joins, zero exchanges, no per-split job fan-out
-      * (the join pipeline cost q93 ~2 s of driver plan-building plus
-      * several tiny shuffle stages PER quantifier split on a 25-row
-      * graph). Null arrays become empty arrays, ids missing from the
-      * map keep their value — the join pipeline's exact semantics. */
+      * translate collapses to one codegen'd transform over an O(1)
+      * hash-probe expression — zero joins, zero exchanges, no per-split
+      * job fan-out (the join pipeline cost q93 ~2 s of driver
+      * plan-building plus several tiny shuffle stages PER quantifier
+      * split on a 25-row graph). The map rides the expression as an
+      * opaque [[graft.functions.LongLongMap]] reference, NOT a MapType
+      * literal: `element_at` on a map literal is a linear scan per slot
+      * (65k comparisons worst-case at the default gate) and the literal
+      * itself made plan canonicalization O(map). Null arrays become
+      * empty arrays, ids missing from the map keep their value — the
+      * join pipeline's exact semantics. */
     def translateLocal(df: DataFrame, c: String, m: Map[Long, Long],
         vertexSlotsOnly: Boolean): DataFrame = {
-      val ml = typedLit(m)
+      import org.apache.spark.sql.graftbridge.Bridge
+      val table = new graft.functions.LongLongMap(m)
+      def look(x: Column): Column = Bridge.column(
+        graft.functions.LongMapLookupOrSelf(Bridge.expression(x), table))
       val trans =
         if (vertexSlotsOnly)
           transform(col(c), (x, i) =>
-            when(i % 2 === 0, coalesce(element_at(ml, x), x)).otherwise(x))
+            when(i % 2 === 0, look(x)).otherwise(x))
         else
-          transform(col(c), x => coalesce(element_at(ml, x), x))
+          transform(col(c), x => look(x))
       df.withColumn(c,
         coalesce(trans, typedLit(Array.empty[Long])).cast("array<bigint>"))
     }

@@ -105,8 +105,17 @@ object PathFinder {
     * to plan the scan); non-file leaves (local relations, RDD-backed
     * checkpoints) contribute nothing — their canonicalized form already
     * changes with the data. Best-effort by construction: an unreadable
-    * index contributes a constant, which can only cause a memo MISS
-    * (rebuild), never a stale hit. */
+    * index contributes a FRESH salt from a monotonic counter, so every
+    * token computed over a failing leaf differs from every previous
+    * one — a failure genuinely forces a memo miss (rebuild), never a
+    * stale hit. */
+  /** Monotonic salt for [[dataSnapshotToken]]'s failure path: a leaf
+    * whose file index cannot be read contributes a NEVER-REPEATING value
+    * instead of a constant, so a consistently-failing leaf still
+    * invalidates (rather than silently re-validating) any memo entry
+    * built over it. */
+  private val tokenFailSalt = new java.util.concurrent.atomic.AtomicLong(1L)
+
   private[graft] def dataSnapshotToken(df: org.apache.spark.sql.DataFrame)
       : Long = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -136,7 +145,7 @@ object PathFinder {
             case _ => 0L
           }
         case _ => 0L
-      } catch { case _: Throwable => 1L }
+      } catch { case _: Throwable => tokenFailSalt.incrementAndGet() }
     }.sum
   }
 
@@ -450,6 +459,13 @@ object PathFinder {
     gateMemo.synchronized(gateMemo.clear())
     edgeMemo.synchronized(edgeMemo.clear())
   }
+
+  /** Spec hook: combined entry count of the probe memos, so
+    * [[clearProbeMemos]]'s contract (everything dropped) is assertable. */
+  private[graft] def probeMemoEntries: Int =
+    seedMemo.synchronized(seedMemo.size()) +
+      gateMemo.synchronized(gateMemo.size()) +
+      edgeMemo.synchronized(edgeMemo.size())
 
   /** Driver-side twin of [[Snapshot.denseEdgeIds]] for already-collected
     * pairs: stable (src, dst) sort, index = id. */

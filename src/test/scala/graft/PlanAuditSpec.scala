@@ -325,6 +325,17 @@ class PlanAuditSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(r2(4L) == r2(5L) && r2(1L) != r2(2L),
       "stale memo served the old edge array after a data overwrite")
+    // the explicit refresh hook drops every probe memo — the escape
+    // hatch for sources the snapshot token cannot see (an external
+    // system mutating data behind an unchanged listing)
+    assert(PathFinder.probeMemoEntries > 0,
+      "the WCC runs above should have populated a probe memo")
+    PathFinder.clearProbeMemos()
+    assert(PathFinder.probeMemoEntries == 0,
+      "clearProbeMemos must drop every seed/gate/edge memo entry")
+    val r3 = graft.graph.Algorithms.weaklyConnectedComponents(verts, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r3 == r2, "cold rebuild after clearProbeMemos changed results")
   }
 
   test("distributed path kernels build the session edge index ONCE per " +
