@@ -203,6 +203,41 @@ object GraphTableCompiler {
     val bindings = scala.collection.mutable.LinkedHashMap[String, Binding]()
     // pathVar -> path column name, for path column functions (A14)
     val pathCols = scala.collection.mutable.Map[String, String]()
+    // varName(lowercased) -> plan alias, for vertex bindings FUSED into
+    // their adjacent edge's frame (identity self-join elimination): the
+    // variable has no aliased frame of its own, so every qualified
+    // reference `v.prop` in WHERE/COLUMNS must be rewritten to the
+    // carrying edge's alias
+    val fusedAliases = scala.collection.mutable.Map[String, String]()
+
+    /** `expr(sql)` with fused-binding qualifiers rewritten: any
+      * `v.prop` where `v` is a fused vertex variable becomes
+      * `edgeAlias.prop`. A no-op (plain `expr`) while nothing is fused —
+      * the overwhelmingly common case. */
+    def rexpr(sql: String): Column =
+      if (fusedAliases.isEmpty) expr(sql)
+      else {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        val parsed =
+          try spark.sessionState.sqlParser.parseExpression(sql)
+          catch { case _: Exception => return expr(sql) }
+        val rewritten = parsed.transform {
+          case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
+              fusedAliases.contains(ua.nameParts.head.toLowerCase) =>
+            UnresolvedAttribute(
+              fusedAliases(ua.nameParts.head.toLowerCase) +: ua.nameParts.tail)
+        }
+        org.apache.spark.sql.graftbridge.Bridge.column(rewritten)
+      }
+
+    /** The VERTEX binding answering for plan alias `a`: normally the
+      * binding named `a` (alias == name), but a vertex fused into an edge
+      * frame answers for the EDGE's alias — prefer it over the edge's own
+      * binding so mode filters compare vertex row identity. */
+    def vertexBindingAt(a: String): Binding =
+      bindings.get(a).filter(_.isVertex).getOrElse(
+        bindings.values.find(b => b.isVertex && b.alias == a)
+          .getOrElse(bindings(a)))
 
     def freshName(prefix: String): String = {
       anonCounter += 1; s"__${prefix}$anonCounter"
@@ -281,7 +316,9 @@ object GraphTableCompiler {
       * same way — grammar permits omission, pgq.gram:54-63). */
     def bindVertex(vp: VertexPattern,
         joinCond: Option[String => Column],
-        hint: Option[String] = None): String = {
+        hint: Option[String] = None,
+        fuse: Option[(String, String, Seq[String], Seq[String])] = None)
+        : String = {
       val name = vp.varName.getOrElse(freshName("v"))
       bindings.get(name) match {
         case Some(b) =>
@@ -297,7 +334,7 @@ object GraphTableCompiler {
             plan = subLabelFilter(plan, vt.subLabels, vt.discriminator,
               Some(l), vt.tableName, qualifier = Some(b.alias))
           }
-          vp.where.foreach(w => plan = plan.filter(expr(w)))
+          vp.where.foreach(w => plan = plan.filter(rexpr(w)))
           b.alias
         case None =>
           // label-less vertex: the adjacent edge's endpoint table, or the
@@ -308,16 +345,50 @@ object GraphTableCompiler {
               s"Vertex '$name' needs a label (no adjacent edge determines " +
                 "it and multiple vertex tables are registered)"))
           val vt = pg.vertexLabel(label)
-          var df = vertexDF(vt, vp.label).alias(name)
-          vp.where.foreach(w => df = df.filter(expr(w)))
-          bindings(name) = Binding(name, isVertex = true, vt.tableName,
-            vt.keyCols)
-          plan = (plan, joinCond) match {
-            case (null, _)      => df
-            case (p, Some(c))   => p.join(df, c(name), "inner")
-            case (p, None)      => p.crossJoin(df)
+          // Identity self-join fusion: when the adjacent edge's endpoint
+          // columns ARE this vertex's key columns on the SAME table
+          // (`orders.o_orderkey = orders.o_orderkey`) and the key is
+          // unique (memoized probe), the join is the identity — serve
+          // the vertex from the edge's own row instead of re-scanning
+          // the table and self-joining. DuckDB's optimizer recovers this
+          // from the reference's cross-join soup (SURVEY §4); Spark has
+          // no self-join elimination, so the compiler must not emit it.
+          // Qualified references `v.prop` rewrite to the edge alias
+          // through [[rexpr]]/[[fusedAliases]].
+          val fusible = fuse.exists { case (_, eTable, eKeys, eRefKeys) =>
+            spark.conf.get("spark.graft.compiler.fuseIdentityJoins", "true")
+              .toBoolean &&
+            plan != null && vt.tableName == eTable &&
+            eKeys.map(_.toLowerCase) == eRefKeys.map(_.toLowerCase) &&
+            eRefKeys.map(_.toLowerCase) == vt.keyCols.map(_.toLowerCase) &&
+            !hasDuplicateKeys(vt, vt.keyCols)
           }
-          name
+          if (fusible) {
+            val eAlias = fuse.get._1
+            bindings(name) = Binding(eAlias, isVertex = true, vt.tableName,
+              vt.keyCols)
+            fusedAliases(name.toLowerCase) = eAlias
+            // identity-join null semantics: a null endpoint key matches
+            // no vertex row (same column on both sides of the eliminated
+            // equality)
+            vt.keyCols.foreach(k => plan = plan.filter(
+              col(s"$eAlias.`${k.replace("`", "``")}`").isNotNull))
+            plan = subLabelFilter(plan, vt.subLabels, vt.discriminator,
+              vp.label, vt.tableName, qualifier = Some(eAlias))
+            vp.where.foreach(w => plan = plan.filter(rexpr(w)))
+            eAlias
+          } else {
+            var df = vertexDF(vt, vp.label).alias(name)
+            vp.where.foreach(w => df = df.filter(expr(w)))
+            bindings(name) = Binding(name, isVertex = true, vt.tableName,
+              vt.keyCols)
+            plan = (plan, joinCond) match {
+              case (null, _)      => df
+              case (p, Some(c))   => p.join(df, c(name), "inner")
+              case (p, None)      => p.crossJoin(df)
+            }
+            name
+          }
       }
     }
 
@@ -360,7 +431,13 @@ object GraphTableCompiler {
             s"column (found $other)")
       }
 
-    def requireUniqueKeys(vt: VertexTable, keys: Seq[String]): Unit = {
+    def requireUniqueKeys(vt: VertexTable, keys: Seq[String]): Unit =
+      if (hasDuplicateKeys(vt, keys)) throw GraphAnalysisException(
+        "Non-existent/non-unique vertices detected. Make sure all " +
+          "vertices referred by edge tables exist and are unique for " +
+          "path-finding queries")
+
+    def hasDuplicateKeys(vt: VertexTable, keys: Seq[String]): Boolean = {
       val df = resolver(spark, vt.tableName)
       // session-wide memo keyed by the analyzed plan + data-snapshot
       // token (file listings canonicalize by root path, so the token —
@@ -385,10 +462,7 @@ object GraphTableCompiler {
           d
         case v => v.booleanValue()
       }
-      if (dup) throw GraphAnalysisException(
-        "Non-existent/non-unique vertices detected. Make sure all " +
-          "vertices referred by edge tables exist and are unique for " +
-          "path-finding queries")
+      dup
     }
 
     def numericKey(vt: VertexTable, key: String): Boolean =
@@ -793,7 +867,8 @@ object GraphTableCompiler {
             i <- vPos.indices; j <- (i + 1) until vPos.length
             if !(p.mode == PathMode.Simple && i == 0 && j == vPos.length - 1)
           } {
-            val (bi, bj) = (bindings(vPos(i)), bindings(vPos(j)))
+            val (bi, bj) =
+              (vertexBindingAt(vPos(i)), vertexBindingAt(vPos(j)))
             if (bi.table == bj.table) {
               // both aliases carry FULL rows of the shared table, so row
               // identity can be compared on either declaration's key set
@@ -817,7 +892,7 @@ object GraphTableCompiler {
           }
           for {
             s <- segs; v <- vPos
-            if bindings(v).table == s.vtTable
+            if vertexBindingAt(v).table == s.vtTable
           } {
             val vId =
               if (s.keyNumeric) col(s"$v.${s.refKeys.head}").cast("long")
@@ -883,7 +958,7 @@ object GraphTableCompiler {
           // SIMPLE: the endpoints may coincide (closed path)
           if !(p.mode == PathMode.Simple && i == 0 && j == vPos.length - 1)
         } {
-          val (bi, bj) = (bindings(vPos(i)), bindings(vPos(j)))
+          val (bi, bj) = (vertexBindingAt(vPos(i)), vertexBindingAt(vPos(j)))
           if (bi.table == bj.table) {
             // different key DECLARATIONS over one table still identify
             // the same rows: compare on one declaration's key set (both
@@ -1200,7 +1275,7 @@ object GraphTableCompiler {
           }
         } else {
           val (bAlias, eAlias, et) = bindFixedEdgeEx(ep, vp, prevV,
-            withEid = p.mode == PathMode.Trail)
+            withEid = p.mode == PathMode.Trail, allowFuse = true)
           modeEdgePos += ((eAlias, et))
           prevV = bAlias
         }
@@ -1449,7 +1524,8 @@ object GraphTableCompiler {
       * `withEid` attaches the synthetic dense edge id (`__geid`) when the
       * table declares no edgeIdCol — named-path hops only. */
     def bindFixedEdgeEx(ep: EdgePattern, vp: VertexPattern,
-        aAlias: String, withEid: Boolean = false)
+        aAlias: String, withEid: Boolean = false,
+        allowFuse: Boolean = false)
         : (String, String, EdgeTable) = {
       val eName = ep.varName.getOrElse(freshName("e"))
       val et = resolveEdge(eName, ep.label)
@@ -1488,7 +1564,18 @@ object GraphTableCompiler {
         case EdgeDirection.Left => et.srcLabel
         case _                  => et.dstLabel
       }
-      val bAlias = bindVertex(vp, Some(condB), Some(bHint))
+      // identity-fusion candidate for the far vertex: the edge's b-side
+      // endpoint/reference keys (never for Undirected — its view swaps
+      // key columns, so the edge row is not the vertex row)
+      val fuseInfo =
+        if (allowFuse && ep.direction != EdgeDirection.Undirected)
+          Some((eName, et.tableName,
+            if (ep.direction == EdgeDirection.Left) et.srcKeys
+            else et.dstKeys,
+            if (ep.direction == EdgeDirection.Left) et.srcRefKeys
+            else et.dstRefKeys))
+        else None
+      val bAlias = bindVertex(vp, Some(condB), Some(bHint), fuseInfo)
 
       // Bidirectional `<-[e]->`: additionally join a second copy of the edge
       // table in the reverse direction (reference `EdgeTypeLeftRight`
@@ -1901,7 +1988,7 @@ object GraphTableCompiler {
     // path column functions are legal in WHERE too (reference rewrites them
     // wherever they appear, match.cpp:731-788)
     spec.where.foreach(w =>
-      plan = plan.filter(expr(rewritePathFunctions(w, pathCols.toMap))))
+      plan = plan.filter(rexpr(rewritePathFunctions(w, pathCols.toMap))))
 
     // COLUMNS projection (reference match.cpp:1011-1087): star expansion,
     // path column functions, aliased expressions.
@@ -1924,20 +2011,22 @@ object GraphTableCompiler {
       // through a star — DuckDB hides rowid from `*` too
       bindings.find(_._1.equalsIgnoreCase(alias)).map(_._2) match {
         case Some(b) if b.isVertex =>
+          // qualify through the binding's PLAN alias — a fused vertex
+          // has no frame of its own, its columns live on the edge alias
           pg.vertexTables.find(_.tableName == b.table) match {
             case Some(vt) if vt.properties.nonEmpty =>
-              vt.properties.map(c => col(s"$alias.${bq(c)}"))
+              vt.properties.map(c => col(s"${b.alias}.${bq(c)}"))
             case _ => resolver(spark, b.table).columns.toSeq
               .filterNot(_.startsWith("__"))
-              .map(c => col(s"$alias.${bq(c)}"))
+              .map(c => col(s"${b.alias}.${bq(c)}"))
           }
         case Some(b) =>
           pg.edgeTables.find(_.tableName == b.table) match {
             case Some(et) if et.properties.nonEmpty =>
-              et.properties.map(c => col(s"$alias.${bq(c)}"))
+              et.properties.map(c => col(s"${b.alias}.${bq(c)}"))
             case _ => resolver(spark, b.table).columns.toSeq
               .filterNot(_.startsWith("__"))
-              .map(c => col(s"$alias.${bq(c)}"))
+              .map(c => col(s"${b.alias}.${bq(c)}"))
           }
         case None => Seq(col(s"$alias.*"))
       }
@@ -1964,7 +2053,7 @@ object GraphTableCompiler {
           Seq(struct(starCols(s): _*).as(n) -> Some(n))
         case s =>
           val rewritten = rewritePathFunctions(s, pathCols.toMap)
-          val c = expr(rewritten)
+          val c = rexpr(rewritten)
           val name = cs.alias.orElse {
             // `a.prop` / `prop`: the output name is the trailing
             // identifier, which is what downstream SQL references
