@@ -58,6 +58,17 @@ object Bench {
         .queryExecution.toRdd.count()
       graph.PathFinder.kShortestPaths(spark, ue, seed1, 0L, Some(1L),
         pgq.PathMode.Walk, k = 1).queryExecution.toRdd.count()
+      // window/sort first-use costs (exec class loading + JIT): the
+      // alphabetically-first measured query is q100's as-of window, which
+      // otherwise pays ~2-3 s of plan-agnostic warmup its twin never sees
+      // (probe: q100 first-run 4.0 s vs steady-state 1.0 s at sf4 with a
+      // fully warm page cache)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.sum
+      spark.range(64).toDF("id")
+        .withColumn("r", sum("id").over(
+          Window.partitionBy(col("id") % 4).orderBy("id")))
+        .queryExecution.toRdd.count()
     } catch { case _: Throwable => () }
     finally OpCaches.releaseAll()
     // optional comma-separated subset (e.g. the data-scaling queries for
