@@ -1638,10 +1638,12 @@ object SparkEntry {
     val e = TradeGraph.userTemporalEdges(s, d)
     val seeds = TradeGraph.events(s, d)
       .select(col("user_id").as("id")).filter(col("id") < 20).distinct()
-    val minRow = e.agg(min("ts")).head()
-    // empty temporal graph → empty result, not an NPE on the null min
-    val start = if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
-    Algorithms.earliestArrival(e, seeds, start, maxHops = 4)
+    // start = min(ts) derived inside the kernel's own probe/collect —
+    // the separate agg(min).head() was a third full evaluation of the
+    // temporal view per call; result-identical (earliestArrivalFromMin
+    // scaladoc: arrivals are edge timestamps, any start ≤ min(usable ts)
+    // admits the same chains; empty graph → empty result either way)
+    Algorithms.earliestArrivalFromMin(e, seeds, maxHops = 4)
   }
 
   /** Batched BFS over the skewed user graph: distances ≤ 2 from 50 seeds —

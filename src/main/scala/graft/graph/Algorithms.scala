@@ -127,14 +127,11 @@ object Algorithms {
   def weaklyConnectedComponents(vertices: DataFrame,
       edges: DataFrame): DataFrame = {
     // small-graph strategy: union-find on driver arrays (size-gated by
-    // limit-probes, not full counts — see PathFinder strategy gates; a
-    // kernel-memo hit answers the gate and the collect without a job)
-    val probe = PathFinder.localMaxEdges.toInt + 1
+    // FUSED limit-probes, not count-then-collect — see PathFinder
+    // strategy gates; a kernel-memo hit answers gate and collect jobless)
     val preArr = PathFinder.localEdgePairs(edges)
     if (preArr.isDefined) {
-      if (vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
-        val ids = vertices.select(col("id").cast("long")).distinct()
-          .collect().map(_.getLong(0))
+      PathFinder.probeVertexIds(vertices).foreach { ids =>
         val earr = preArr.get
         val sp = vertices.sparkSession
         import sp.implicits._
@@ -213,13 +210,11 @@ object Algorithms {
       edges: DataFrame): DataFrame = {
     val sp = vertices.sparkSession
     import sp.implicits._
-    val probe = PathFinder.localMaxEdges.toInt + 1
     val preArr = PathFinder.localEdgePairs(edges)
-    if (preArr.isDefined &&
-        vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
-      val ids = vertices.select(col("id").cast("long")).distinct()
-        .collect().map(_.getLong(0))
-      return LocalKernels.scc(ids, preArr.get).toSeq.toDF("id", "component")
+    if (preArr.isDefined) {
+      PathFinder.probeVertexIds(vertices).foreach { ids =>
+        return LocalKernels.scc(ids, preArr.get).toSeq.toDF("id", "component")
+      }
     }
     // self-loops never change SCC membership; dedup once up front
     val e0 = edges.select(col("src").cast("long").as("src"),
@@ -496,16 +491,14 @@ object Algorithms {
       iters: Int = 30): DataFrame = {
     val sp = vertices.sparkSession
     import sp.implicits._
-    val probe = PathFinder.localMaxEdges.toInt + 1
     val preArr = PathFinder.localEdgePairs(edges)
-    if (preArr.isDefined &&
-        vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
-      val ids = vertices.select(col("id").cast("long")).distinct()
-        .collect().map(_.getLong(0))
-      val seedArr = seeds.select(col("id").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      return LocalKernels.personalizedPageRank(ids, preArr.get, seedArr,
-        damping, iters).toSeq.toDF("id", "ppr")
+    if (preArr.isDefined) {
+      PathFinder.probeVertexIds(vertices).foreach { ids =>
+        val seedArr = seeds.select(col("id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        return LocalKernels.personalizedPageRank(ids, preArr.get, seedArr,
+          damping, iters).toSeq.toDF("id", "ppr")
+      }
     }
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -572,14 +565,16 @@ object Algorithms {
         col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull && col("w") > 0)
-    if (clean.limit(probe).count() <= PathFinder.localMaxEdges &&
-        vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
-      val ids = vertices.select(col("id").cast("long")).distinct()
-        .collect().map(_.getLong(0))
-      val earr = clean.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      return LocalKernels.weightedPageRank(ids, earr, damping, iters)
-        .toSeq.toDF("id", "rank")
+    // fused gate+collect: under the gate the probe rows ARE the kernel
+    // input (one job; the count-then-collect form evaluated clean twice)
+    val eProbe = clean.limit(probe).collect()
+    if (eProbe.length <= PathFinder.localMaxEdges) {
+      PathFinder.probeVertexIds(vertices).foreach { ids =>
+        val earr = eProbe
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        return LocalKernels.weightedPageRank(ids, earr, damping, iters)
+          .toSeq.toDF("id", "rank")
+      }
     }
     val e = clean.persist(StorageLevel.MEMORY_AND_DISK)
     val domain = vertices.select(col("id").cast("long").as("id"))
@@ -898,7 +893,24 @@ object Algorithms {
     *         rows excluded)
     */
   def earliestArrival(edges: DataFrame, seeds: DataFrame, startTs: Long,
-      maxHops: Int = 16): DataFrame = {
+      maxHops: Int = 16): DataFrame =
+    earliestArrivalImpl(edges, seeds, Some(startTs), maxHops)
+
+  /** [[earliestArrival]] with `startTs = min(ts)` over the usable edges,
+    * derived INSIDE the strategy branches — the caller's separate
+    * `agg(min).head()` was one more full evaluation of the (often
+    * parse-heavy) temporal edge view before the kernel's own probe and
+    * collect. Result-identical to `earliestArrival(e, s, minTs)` for the
+    * global minimum over ANY superset of the usable edges: every arrival
+    * value in the output is an edge timestamp (never `startTs` itself),
+    * and any start ≤ min(usable ts) admits exactly the same first-hop
+    * edges, hence the same temporal chains. */
+  def earliestArrivalFromMin(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 16): DataFrame =
+    earliestArrivalImpl(edges, seeds, None, maxHops)
+
+  private def earliestArrivalImpl(edges: DataFrame, seeds: DataFrame,
+      startTsOpt: Option[Long], maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 128,
       s"maxHops must be in [1, 128] (got $maxHops)")
     val sp = edges.sparkSession
@@ -908,14 +920,22 @@ object Algorithms {
         col("dst").cast("long").as("dst"), col("ts").cast("long").as("ts"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("ts").isNotNull)
-    if (clean.limit(probe).count() <= PathFinder.localMaxEdges &&
-        seeds.limit(probe).count() <= PathFinder.localMaxEdges) {
-      val earr = clean.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val sArr = seeds.select(col("id").cast("long")).distinct()
-        .collect().map(_.getLong(0))
-      return LocalKernels.earliestArrival(earr, sArr, startTs, maxHops)
-        .toSeq.toDF("src", "dst", "arrival")
+    // fused gate + collect (one limited job, same bound the local kernel
+    // accepts): under-gate the probe rows ARE the kernel input — the
+    // count-then-collect form evaluated the temporal view twice
+    val eProbe = clean.limit(probe).collect()
+    if (eProbe.length <= PathFinder.localMaxEdges) {
+      PathFinder.probeVertexIds(seeds).foreach { sArr =>
+        val earr = eProbe.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val start = startTsOpt.getOrElse(
+          if (earr.isEmpty) 0L else earr.iterator.map(_._3).min)
+        return LocalKernels.earliestArrival(earr, sArr, start, maxHops)
+          .toSeq.toDF("src", "dst", "arrival")
+      }
+    }
+    val startTs = startTsOpt.getOrElse {
+      val minRow = clean.agg(min("ts")).head()
+      if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
     }
     val e = clean.persist(StorageLevel.MEMORY_AND_DISK)
     var arr = seeds.select(col("id").cast("long").as("s")).distinct()
@@ -970,17 +990,17 @@ object Algorithms {
       sources: Option[DataFrame] = None): DataFrame = {
     val sp = vertices.sparkSession
     import sp.implicits._
-    val probe = PathFinder.localMaxEdges.toInt + 1
     val preArr = PathFinder.localEdgePairs(edges)
     val srcDf = sources.getOrElse(vertices)
       .select(col("id").cast("long").as("id")).distinct()
-    if (preArr.isDefined &&
-        srcDf.limit(probe).count() <= PathFinder.localMaxEdges) {
-      val ids = vertices.select(col("id").cast("long")).distinct()
-        .collect().map(_.getLong(0))
-      val sArr = srcDf.collect().map(_.getLong(0))
-      return LocalKernels.betweenness(ids, preArr.get, sArr)
-        .toSeq.toDF("id", "betweenness")
+    if (preArr.isDefined) {
+      // fused: the source probe IS the source collect (same gate)
+      PathFinder.probeVertexIds(srcDf).foreach { sArr =>
+        val ids = vertices.select(col("id").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        return LocalKernels.betweenness(ids, preArr.get, sArr)
+          .toSeq.toDF("id", "betweenness")
+      }
     }
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -1065,14 +1085,12 @@ object Algorithms {
     require(rounds >= 0, s"rounds must be >= 0 (got $rounds)")
     val sp = vertices.sparkSession
     import sp.implicits._
-    val probe = PathFinder.localMaxEdges.toInt + 1
     val preArr = PathFinder.localEdgePairs(edges)
-    if (preArr.isDefined &&
-        vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
-      val ids = vertices.select(col("id").cast("long")).distinct()
-        .collect().map(_.getLong(0))
-      return LocalKernels.labelPropagation(ids, preArr.get, rounds)
-        .toSeq.toDF("id", "community")
+    if (preArr.isDefined) {
+      PathFinder.probeVertexIds(vertices).foreach { ids =>
+        return LocalKernels.labelPropagation(ids, preArr.get, rounds)
+          .toSeq.toDF("id", "community")
+      }
     }
     val und = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -1137,15 +1155,20 @@ object Algorithms {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"))
       .groupBy("a", "b").agg(sum("w").as("w"))
+    // fused gate+collect on und — the frame the kernel actually consumes
+    // (the old gate counted CLEAN and then collected und: two more full
+    // evaluations; gating |und| ≤ the edge gate is more permissive than
+    // |clean| but equally bounded, and both strategies agree by the
+    // kernel-consistency contract)
     val probe = PathFinder.localMaxEdges.toInt + 1
-    if (clean.limit(probe).count() <= PathFinder.localMaxEdges &&
-        vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
-      val ids = vertices.select(col("id").cast("long")).distinct()
-        .collect().map(_.getLong(0))
-      val uarr = und.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      return LocalKernels.weightedLabelPropagation(ids, uarr, rounds)
-        .toSeq.toDF("id", "community")
+    val undProbe = und.limit(probe).collect()
+    if (undProbe.length <= PathFinder.localMaxEdges) {
+      PathFinder.probeVertexIds(vertices).foreach { ids =>
+        val uarr = undProbe
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        return LocalKernels.weightedLabelPropagation(ids, uarr, rounds)
+          .toSeq.toDF("id", "community")
+      }
     }
     val nbr = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
@@ -1301,13 +1324,12 @@ object Algorithms {
     require(k >= 1, s"k must be positive (got $k)")
     val sp = vertices.sparkSession
     import sp.implicits._
-    val probe = PathFinder.localMaxEdges.toInt + 1
     val preArr = PathFinder.localEdgePairs(edges)
-    if (preArr.isDefined &&
-        vertices.limit(probe).count() <= PathFinder.localMaxEdges) {
-      val ids = vertices.select(col("id").cast("long")).distinct()
-        .collect().map(_.getLong(0))
-      return LocalKernels.kCore(ids, preArr.get, k).toSeq.toDF("id", "in_core")
+    if (preArr.isDefined) {
+      PathFinder.probeVertexIds(vertices).foreach { ids =>
+        return LocalKernels.kCore(ids, preArr.get, k)
+          .toSeq.toDF("id", "in_core")
+      }
     }
     // undirected simple view (canonical pair per edge, then both
     // orientations for degree counting)

@@ -178,16 +178,48 @@ object PathFinder {
         size() > 8
     }
 
-  private def edgesUnderGate(e: DataFrame): Boolean = {
-    val key = (e.queryExecution.analyzed.semanticHash(), localMaxEdges)
+  /** Fused size gate + collect: ONE `limit(gate+1)` job answers the gate
+    * AND, when under it, IS the memoized edge collect. The previous
+    * count-probe evaluated the full edge plan just to learn the verdict,
+    * and the under-gate collect then evaluated it AGAIN — 2× the scan on
+    * every under-gate first touch (parse-heavy views like the
+    * user-interaction graph paid ~0.3-0.5 s twice). An over-gate probe
+    * hauls ≤ gate+1 narrow rows to the driver once per view per session
+    * (the same bound the local kernels already accept for their collect;
+    * with the gates forced to 0 — FORCE_DIST / production posture — the
+    * probe is `limit(1)`). Verdicts land in [[gateMemo]], under-gate
+    * arrays in [[edgeMemo]]'s usual slot so [[collectEdges]] hits memo. */
+  private def probeEdgesFused(e: DataFrame, withEid: Boolean)
+      : Option[Array[(Long, Long, Long)]] = {
+    val slot = if (withEid) "eid" else "raw"
+    val key = (e.queryExecution.analyzed.semanticHash(), slot)
     lazy val p = planIdentity(e)
-    gateMemo.synchronized {
-      val hit = gateMemo.get(key)
-      if (hit != null && hit._1 == p) return hit._2
+    edgeMemo.synchronized {
+      val hit = edgeMemo.get(key)
+      if (hit != null && hit._1 == p && hit._2.length <= localMaxEdges)
+        return Some(hit._2)
     }
-    val small = e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges
-    gateMemo.synchronized { gateMemo.put(key, (p, small)) }
-    small
+    val gateKey = (key._1, localMaxEdges)
+    gateMemo.synchronized {
+      val hit = gateMemo.get(gateKey)
+      if (hit != null && hit._1 == p && !hit._2) return None
+    }
+    val probe =
+      (if (withEid)
+        e.select(col("src").cast("long"), col("dst").cast("long"),
+          col("eid").cast("long"))
+      else e.select(col("src").cast("long"), col("dst").cast("long")))
+        .limit(localMaxEdges.toInt + 1).collect()
+    val small = probe.length <= localMaxEdges
+    gateMemo.synchronized { gateMemo.put(gateKey, (p, small)) }
+    if (!small) None
+    else {
+      val arr =
+        if (withEid) probe.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        else probe.map(r => (r.getLong(0), r.getLong(1), 0L))
+      edgeMemo.synchronized { edgeMemo.put(key, (p, arr)) }
+      Some(arr)
+    }
   }
 
   private def collectEdges(edges: org.apache.spark.sql.DataFrame,
@@ -202,20 +234,6 @@ object PathFinder {
         edges.select(col("src").cast("long"), col("dst").cast("long"))
           .collect().map(r => (r.getLong(0), r.getLong(1), 0L))
     }
-
-  /** Memo probe for the algorithm kernels (WCC/SCC/triangles): a hit
-    * answers BOTH the size gate (array length) and the collect itself, so
-    * a graph-family query sequence over one edge view pays one probe and
-    * one collect for the whole session instead of two jobs per query. */
-  private[graph] def lookupEdgePairs(edges: org.apache.spark.sql.DataFrame)
-      : Option[Array[(Long, Long)]] = {
-    val key = (edges.queryExecution.analyzed.semanticHash(), "raw")
-    val hit = edgeMemo.synchronized(edgeMemo.get(key))
-    // render the plan identity only to VALIDATE a hash hit — misses
-    // (the common case) skip the O(plan-size) string entirely
-    Option(hit).filter(_._1 == planIdentity(edges))
-      .map(_._2.map(t => (t._1, t._2)))
-  }
 
   /** Memoized (src, dst) collect sharing the kernel memo's "raw" slot —
     * call only under a size gate. */
@@ -236,16 +254,28 @@ object PathFinder {
     * @return Some(pairs) ⇒ run the local kernel on the array;
     *         None ⇒ take the distributed branch */
   private[graft] def localEdgePairs(edges: DataFrame)
-      : Option[Array[(Long, Long)]] = {
-    val clean = dropNullEndpoints(edges)
-    val pre = lookupEdgePairs(clean)
-    if (pre.map(_.length <= localMaxEdges).getOrElse(edgesUnderGate(clean)))
-      Some(pre.getOrElse(collectEdgePairs(clean)))
-    else None
-  }
+      : Option[Array[(Long, Long)]] =
+    probeEdgesFused(dropNullEndpoints(edges), withEid = false)
+      .map(_.map(t => (t._1, t._2)))
 
   private def collectSeeds(seeds: org.apache.spark.sql.DataFrame): Array[Long] =
     seeds.select(col("id").cast("long")).collect().map(_.getLong(0))
+
+  /** Fused vertex-side gate + collect for the algorithm wrappers (the
+    * [[probeSeeds]] pattern at the EDGE gate): Some(distinct ids) when
+    * the distinct-id count is under [[localMaxEdges]], None otherwise —
+    * ONE limited job instead of a count probe plus a second full
+    * evaluation of the (often derived: events→distinct users) vertex
+    * frame. Gating on the DISTINCT count is more permissive than the
+    * raw-row gate it replaces but equally bounded: the collect never
+    * hauls more than gate+1 ids, and both strategies compute the same
+    * result by the kernel-consistency contract. */
+  private[graft] def probeVertexIds(vertices: DataFrame)
+      : Option[Array[Long]] = {
+    val ids = vertices.select(col("id").cast("long")).distinct()
+      .limit(localMaxEdges.toInt + 1).collect()
+    if (ids.length <= localMaxEdges) Some(ids.map(_.getLong(0))) else None
+  }
 
   /** Null endpoints can never join (SQL semantics already drop them in
     * every fixed-hop pattern); the kernels drop them at ingestion so both
@@ -265,7 +295,11 @@ object PathFinder {
   private def localOrElse(e: DataFrame, seeds: DataFrame)(
       local: Array[Long] => DataFrame)(
       distributed: => DataFrame): DataFrame = {
-    val eSmall = edgesUnderGate(e)
+    // fused: the gate probe doubles as the (src, dst) collect the local
+    // closures read back through [[collectEdges]]'s memo — weighted
+    // closures that collect wider shapes still pay their own collect,
+    // which is the same two evaluations they always paid, never more
+    val eSmall = probeEdgesFused(e, withEid = false).isDefined
     // probe + collect fused: one limited collect instead of a count probe
     // followed by a second full evaluation of the seed plan (seeds are
     // often a filtered scan, not a cached view — two passes doubled it)
@@ -323,7 +357,7 @@ object PathFinder {
       distributed: DataFrame => DataFrame): DataFrame = {
     val clean = dropNullEndpoints(edges)
     val hasEid = clean.columns.contains("eid")
-    val eSmall = edgesUnderGate(clean)
+    val eSmall = probeEdgesFused(clean, withEid = hasEid).isDefined
     val seedProbe = if (eSmall) probeSeeds(seeds) else None
     if (seedProbe.isDefined) {
       val arr = if (hasEid) collectEdges(clean, withEid = true)

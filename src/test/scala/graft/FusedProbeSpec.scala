@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{Algorithms, PathFinder}
+
+/** Round-14 optimization invariants: the fused edge gate+collect
+  * (one limited job answers the gate AND is the memoized collect) and
+  * the min-derived earliest-arrival start.
+  *
+  * The equivalence claims these tests pin:
+  *  - localEdgePairs returns the COMPLETE cleaned edge multiset when
+  *    under the gate (the limit(gate+1) probe truncates only over-gate
+  *    inputs, which return None), and None when over;
+  *  - earliestArrivalFromMin == earliestArrival(minTs) even when the
+  *    global min ts rides a null-endpoint row (any start ≤ min usable
+  *    ts admits the same temporal chains — arrivals are edge
+  *    timestamps, never startTs itself);
+  *  - an empty temporal graph yields an empty result, not an NPE.
+  */
+class FusedProbeSpec extends AnyFunSuite {
+
+  test("localEdgePairs under gate returns the complete cleaned multiset") {
+    val s = Fixture.init()
+    import s.implicits._
+    val edges = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 3L), (1L, 2L), // duplicate must survive
+      (null, 9L), (9L, null)        // null endpoints dropped pre-gate
+    ).toDF("src", "dst")
+    val got = PathFinder.localEdgePairs(edges)
+    assert(got.isDefined)
+    assert(got.get.sorted.toSeq == Seq((1L, 2L), (1L, 2L), (2L, 3L)))
+  }
+
+  test("localEdgePairs over gate returns None; restored gate collects") {
+    val s = Fixture.init()
+    import s.implicits._
+    val edges = (1L to 50L).map(i => (i, i + 1)).toDF("src", "dst")
+    val saved = PathFinder.localMaxEdges
+    try {
+      PathFinder.localMaxEdges = 10L
+      PathFinder.clearProbeMemos()
+      assert(PathFinder.localEdgePairs(edges).isEmpty)
+      PathFinder.localMaxEdges = saved
+      PathFinder.clearProbeMemos()
+      val got = PathFinder.localEdgePairs(edges)
+      assert(got.isDefined && got.get.length == 50)
+    } finally {
+      PathFinder.localMaxEdges = saved
+      PathFinder.clearProbeMemos()
+    }
+  }
+
+  test("a memoized under-gate array does not answer a lowered gate") {
+    val s = Fixture.init()
+    import s.implicits._
+    val edges = (1L to 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val saved = PathFinder.localMaxEdges
+    try {
+      PathFinder.clearProbeMemos()
+      assert(PathFinder.localEdgePairs(edges).isDefined) // memoize 20 rows
+      PathFinder.localMaxEdges = 5L
+      assert(PathFinder.localEdgePairs(edges).isEmpty,
+        "memo hit must respect the CURRENT gate, not the one it was built under")
+    } finally {
+      PathFinder.localMaxEdges = saved
+      PathFinder.clearProbeMemos()
+    }
+  }
+
+  test("earliestArrivalFromMin == earliestArrival(minTs), null-row min included") {
+    val s = Fixture.init()
+    import s.implicits._
+    // the GLOBAL min ts (5) rides a null-src row the kernels drop; the
+    // usable min is 10 — both starts must produce identical results
+    val edges = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (null, 1L, 5L),
+      (1L, 2L, 10L), (2L, 3L, 20L), (3L, 4L, 15L), // 15 < 20: not traversable after 2→3
+      (1L, 5L, 30L)
+    ).toDF("src", "dst", "ts")
+    val seeds = Seq(1L).toDF("id")
+    def sortRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+    val viaMin = sortRows(Algorithms.earliestArrival(edges, seeds, 5L, 4))
+    val viaAuto = sortRows(Algorithms.earliestArrivalFromMin(edges, seeds, 4))
+    assert(viaAuto == viaMin)
+    assert(viaAuto == Seq((1L, 2L, 10L), (1L, 3L, 20L), (1L, 5L, 30L)))
+  }
+
+  test("earliestArrivalFromMin on an empty graph is empty") {
+    val s = Fixture.init()
+    import s.implicits._
+    val edges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "ts")
+    val seeds = Seq(1L, 2L).toDF("id")
+    assert(Algorithms.earliestArrivalFromMin(edges, seeds, 4).count() == 0L)
+  }
+}
