@@ -560,15 +560,15 @@ object Algorithms {
       damping: Double = 0.85, iters: Int = 30): DataFrame = {
     val sp = vertices.sparkSession
     import sp.implicits._
-    val probe = PathFinder.localMaxEdges.toInt + 1
     val clean = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull && col("w") > 0)
-    // fused gate+collect: under the gate the probe rows ARE the kernel
-    // input (one job; the count-then-collect form evaluated clean twice)
-    val eProbe = clean.limit(probe).collect()
-    if (eProbe.length <= PathFinder.localMaxEdges) {
+    // two-tier fused gate+collect: under the gate the probe rows ARE
+    // the kernel input (one job; the count-then-collect form evaluated
+    // clean twice, and an uncapped fused probe hauled gate-sized rows
+    // per call on over-gate views)
+    PathFinder.probeRowsUnderGate(clean).foreach { eProbe =>
       PathFinder.probeVertexIds(vertices).foreach { ids =>
         val earr = eProbe
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -915,16 +915,15 @@ object Algorithms {
       s"maxHops must be in [1, 128] (got $maxHops)")
     val sp = edges.sparkSession
     import sp.implicits._
-    val probe = PathFinder.localMaxEdges.toInt + 1
     val clean = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("ts").cast("long").as("ts"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("ts").isNotNull)
-    // fused gate + collect (one limited job, same bound the local kernel
-    // accepts): under-gate the probe rows ARE the kernel input — the
-    // count-then-collect form evaluated the temporal view twice
-    val eProbe = clean.limit(probe).collect()
-    if (eProbe.length <= PathFinder.localMaxEdges) {
+    // two-tier fused gate + collect (one limited job, same bound the
+    // local kernel accepts): under-gate the probe rows ARE the kernel
+    // input — the count-then-collect form evaluated the temporal view
+    // twice, an uncapped fused probe hauled gate-sized rows over-gate
+    PathFinder.probeRowsUnderGate(clean).foreach { eProbe =>
       PathFinder.probeVertexIds(seeds).foreach { sArr =>
         val earr = eProbe.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         val start = startTsOpt.getOrElse(
@@ -1155,14 +1154,12 @@ object Algorithms {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"))
       .groupBy("a", "b").agg(sum("w").as("w"))
-    // fused gate+collect on und — the frame the kernel actually consumes
-    // (the old gate counted CLEAN and then collected und: two more full
-    // evaluations; gating |und| ≤ the edge gate is more permissive than
-    // |clean| but equally bounded, and both strategies agree by the
-    // kernel-consistency contract)
-    val probe = PathFinder.localMaxEdges.toInt + 1
-    val undProbe = und.limit(probe).collect()
-    if (undProbe.length <= PathFinder.localMaxEdges) {
+    // two-tier fused gate+collect on und — the frame the kernel actually
+    // consumes (the old gate counted CLEAN and then collected und: two
+    // more full evaluations; gating |und| ≤ the edge gate is more
+    // permissive than |clean| but equally bounded, and both strategies
+    // agree by the kernel-consistency contract)
+    PathFinder.probeRowsUnderGate(und).foreach { undProbe =>
       PathFinder.probeVertexIds(vertices).foreach { ids =>
         val uarr = undProbe
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

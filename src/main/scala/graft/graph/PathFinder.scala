@@ -189,6 +189,31 @@ object PathFinder {
     * with the gates forced to 0 — FORCE_DIST / production posture — the
     * probe is `limit(1)`). Verdicts land in [[gateMemo]], under-gate
     * arrays in [[edgeMemo]]'s usual slot so [[collectEdges]] hits memo. */
+  /** Row cap for the FUSED tier of the probe+collect strategy gates: a
+    * probe may speculatively haul at most this many narrow rows to the
+    * driver. Views bigger than the cap fall back to the legacy
+    * count-then-collect shape — without the cap, an OVER-GATE view
+    * (sf4's 4M-edge user graph) shipped gate+1 rows to the driver per
+    * probe just to learn "distributed", where the count probe ships one
+    * long. Under FORCE_DIST (gates = 0) both tiers are `limit(1)`. */
+  private[graft] val fusedProbeCap = 262144L
+
+  /** Two-tier fused probe for ANY kernel-input frame: ONE limited
+    * collect when the frame is small (Some(rows) IS the complete frame
+    * — the common local-twin case), legacy count-then-collect between
+    * the fuse cap and the gate, None over the gate with no gate-sized
+    * driver haul. */
+  private[graft] def probeRowsUnderGate(df: DataFrame)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    val cap = math.min(fusedProbeCap, localMaxEdges)
+    val head = df.limit(cap.toInt + 1).collect()
+    if (head.length <= cap) Some(head)
+    else if (cap >= localMaxEdges) None // cap == gate: over-gate proven
+    else if (df.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges)
+      Some(df.collect())
+    else None
+  }
+
   private def probeEdgesFused(e: DataFrame, withEid: Boolean)
       : Option[Array[(Long, Long, Long)]] = {
     val slot = if (withEid) "eid" else "raw"
@@ -204,21 +229,18 @@ object PathFinder {
       val hit = gateMemo.get(gateKey)
       if (hit != null && hit._1 == p && !hit._2) return None
     }
-    val probe =
-      (if (withEid)
+    val probe = probeRowsUnderGate(
+      if (withEid)
         e.select(col("src").cast("long"), col("dst").cast("long"),
           col("eid").cast("long"))
       else e.select(col("src").cast("long"), col("dst").cast("long")))
-        .limit(localMaxEdges.toInt + 1).collect()
-    val small = probe.length <= localMaxEdges
-    gateMemo.synchronized { gateMemo.put(gateKey, (p, small)) }
-    if (!small) None
-    else {
+    gateMemo.synchronized { gateMemo.put(gateKey, (p, probe.isDefined)) }
+    probe.map { rows =>
       val arr =
-        if (withEid) probe.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        else probe.map(r => (r.getLong(0), r.getLong(1), 0L))
+        if (withEid) rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        else rows.map(r => (r.getLong(0), r.getLong(1), 0L))
       edgeMemo.synchronized { edgeMemo.put(key, (p, arr)) }
-      Some(arr)
+      arr
     }
   }
 
@@ -271,11 +293,9 @@ object PathFinder {
     * hauls more than gate+1 ids, and both strategies compute the same
     * result by the kernel-consistency contract. */
   private[graft] def probeVertexIds(vertices: DataFrame)
-      : Option[Array[Long]] = {
-    val ids = vertices.select(col("id").cast("long")).distinct()
-      .limit(localMaxEdges.toInt + 1).collect()
-    if (ids.length <= localMaxEdges) Some(ids.map(_.getLong(0))) else None
-  }
+      : Option[Array[Long]] =
+    probeRowsUnderGate(vertices.select(col("id").cast("long")).distinct())
+      .map(_.map(_.getLong(0)))
 
   /** Null endpoints can never join (SQL semantics already drop them in
     * every fixed-hop pattern); the kernels drop them at ingestion so both

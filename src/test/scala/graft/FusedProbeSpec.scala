@@ -68,6 +68,28 @@ class FusedProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("mid-tier probe (cap < rows <= gate) still returns the complete frame") {
+    val s = Fixture.init()
+    import org.apache.spark.sql.functions._
+    // 300k rows: above the 262144 fuse cap, below the 2M gate — the
+    // legacy count-then-collect tier must return ALL rows, not a prefix
+    val n = 300000L
+    val edges = s.range(n).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val got = PathFinder.localEdgePairs(edges)
+    assert(got.isDefined && got.get.length == n,
+      s"mid-tier collect must be complete (got ${got.map(_.length)})")
+    // and over-gate stays None with the same input under a lowered gate
+    val saved = PathFinder.localMaxEdges
+    try {
+      PathFinder.localMaxEdges = n - 1
+      PathFinder.clearProbeMemos()
+      assert(PathFinder.localEdgePairs(edges).isEmpty)
+    } finally {
+      PathFinder.localMaxEdges = saved
+      PathFinder.clearProbeMemos()
+    }
+  }
+
   test("earliestArrivalFromMin == earliestArrival(minTs), null-row min included") {
     val s = Fixture.init()
     import s.implicits._
