@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON from the tail of stdout;
+// sbt's "[success] Total time ..." banner otherwise prints AFTER the
+// forked run's output and becomes the last line (BENCH_r01..r14 all
+// have parsed:null). Suppress the banner only when a bench data dir is
+// set so compile/test output is untouched.
+Global / showSuccess := sys.env.get("SPARK_GRAFT_SF_DIR").isEmpty
+// sbt's default LoggedOutput prefixes every forked-run stdout line with
+// "[info] ", which breaks strict JSON parsing of the bench line; pass
+// the forked process's streams through untouched instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

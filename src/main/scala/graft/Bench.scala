@@ -102,7 +102,15 @@ object Bench {
       // plausible-looking wall time
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // r14-verdict item 1: the driver parses the bench JSON from the
+    // tail of stdout; at full Double precision the 120-query line ran
+    // ~4.5 KB and was truncated out of the capture window every round
+    // (BENCH_r13/r14 parsed:null). Round per-query seconds to 3
+    // decimals (1 ms — below run-to-run noise) so the whole line stays
+    // ~3.3 KB. Locale.ROOT keeps the decimal point a '.' everywhere.
+    def f3(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // q56's one-shot row replays the FULL index build per call (its
@@ -128,7 +136,7 @@ object Bench {
               e.filter(col("vec_id") < 20L), k = 5, nprobe = 4)
               .queryExecution.toRdd.count()
             val search = (System.nanoTime() - t1) / 1e9
-            s""","ann_split":{"ivf_build":$build,"ivf_search":$search}"""
+            s""","ann_split":{"ivf_build":${f3(build)},"ivf_search":${f3(search)}}"""
           } finally idx.release()
         } catch {
           // a missing ann_split field in the artifact must be
@@ -151,7 +159,12 @@ object Bench {
     val gcMs = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","force_dist":$dist,"gc_ms":$gcMs$annSplit$confTag}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","force_dist":$dist,"gc_ms":$gcMs$annSplit$confTag}"""
+    // the JSON must be the LAST stdout line (build.sbt suppresses sbt's
+    // trailing "[success]" banner for bench runs); print after
+    // spark.stop() so no shutdown logging can land behind it
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -17,9 +17,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * shipping cost profile as the map literal it replaces.
   */
 final class LongLongMap(m: Map[Long, Long]) extends Serializable {
+  // size captured as a plain field so the boxed source Map is NOT
+  // retained (a constructor param referenced only here would otherwise
+  // become a field and ship with every task closure alongside the
+  // open-addressed arrays, doubling the serialized weight)
+  val size: Int = m.size
   private val cap: Int = {
     var c = 4
-    while (c < m.size * 2) c <<= 1
+    while (c < size * 2) c <<= 1
     c
   }
   private val mask = cap - 1
@@ -41,8 +46,6 @@ final class LongLongMap(m: Map[Long, Long]) extends Serializable {
       ks(i) = k; vs(i) = v
     }
   }
-
-  def size: Int = m.size
 
   /** Mapped value when the key is present, the key itself otherwise —
     * exactly `coalesce(element_at(mapLit, x), x)`. */

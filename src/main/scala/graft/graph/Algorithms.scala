@@ -568,7 +568,7 @@ object Algorithms {
     // the kernel input (one job; the count-then-collect form evaluated
     // clean twice, and an uncapped fused probe hauled gate-sized rows
     // per call on over-gate views)
-    PathFinder.probeRowsUnderGate(clean).foreach { eProbe =>
+    PathFinder.probeRowsUnderGateMemo(clean).foreach { eProbe =>
       PathFinder.probeVertexIds(vertices).foreach { ids =>
         val earr = eProbe
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -923,7 +923,7 @@ object Algorithms {
     // local kernel accepts): under-gate the probe rows ARE the kernel
     // input — the count-then-collect form evaluated the temporal view
     // twice, an uncapped fused probe hauled gate-sized rows over-gate
-    PathFinder.probeRowsUnderGate(clean).foreach { eProbe =>
+    PathFinder.probeRowsUnderGateMemo(clean).foreach { eProbe =>
       PathFinder.probeVertexIds(seeds).foreach { sArr =>
         val earr = eProbe.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         val start = startTsOpt.getOrElse(
@@ -1159,7 +1159,7 @@ object Algorithms {
     // more full evaluations; gating |und| ≤ the edge gate is more
     // permissive than |clean| but equally bounded, and both strategies
     // agree by the kernel-consistency contract)
-    PathFinder.probeRowsUnderGate(und).foreach { undProbe =>
+    PathFinder.probeRowsUnderGateMemo(und).foreach { undProbe =>
       PathFinder.probeVertexIds(vertices).foreach { ids =>
         val uarr = undProbe
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

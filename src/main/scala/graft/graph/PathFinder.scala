@@ -209,9 +209,49 @@ object PathFinder {
     val head = df.limit(cap.toInt + 1).collect()
     if (head.length <= cap) Some(head)
     else if (cap >= localMaxEdges) None // cap == gate: over-gate proven
-    else if (df.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges)
-      Some(df.collect())
-    else None
+    else {
+      // mid-tier (cap < rows ≤ gate): the collect is LIMIT-bounded too,
+      // so a nondeterministic frame or a data change between the count
+      // and the collect can never haul more than gate+1 rows to the
+      // driver — the same hard bound tier 1 has
+      val full = df.limit(localMaxEdges.toInt + 1).collect()
+      if (full.length <= localMaxEdges) Some(full) else None
+    }
+  }
+
+  /** Row-probe memo (seedMemo's discipline) for the direct
+    * [[probeRowsUnderGate]] callers (weighted PR / wLPA / earliest
+    * arrival edge frames, [[probeVertexIds]]): without it, a frame that
+    * passes its own gate while the OTHER side's gate then fails re-hauls
+    * up to cap+1 rows to the driver on EVERY call. Tier-1 positives
+    * (≤ fusedProbeCap rows) and all negative verdicts are memoized;
+    * mid-tier positives (cap < rows ≤ gate) are returned uncached — they
+    * are too heavy to pin (up to 2M Row objects) and that tier keeps its
+    * pre-existing per-call cost. Key = (semanticHash, gate) as index,
+    * canonicalized plan string as proof; callers never mutate the shared
+    * array (they `.map` it). */
+  private val rowProbeMemo =
+    new java.util.LinkedHashMap[(Int, Long),
+        (String, Option[Array[org.apache.spark.sql.Row]])](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Long),
+            (String, Option[Array[org.apache.spark.sql.Row]])]): Boolean =
+        size() > 4
+    }
+
+  private[graft] def probeRowsUnderGateMemo(df: DataFrame)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    val key = (df.queryExecution.analyzed.semanticHash(), localMaxEdges)
+    lazy val p = planIdentity(df)
+    rowProbeMemo.synchronized {
+      val hit = rowProbeMemo.get(key)
+      if (hit != null && hit._1 == p) return hit._2
+    }
+    val res = probeRowsUnderGate(df)
+    if (res.forall(_.length <= fusedProbeCap))
+      rowProbeMemo.synchronized { rowProbeMemo.put(key, (p, res)) }
+    res
   }
 
   private def probeEdgesFused(e: DataFrame, withEid: Boolean)
@@ -294,7 +334,7 @@ object PathFinder {
     * result by the kernel-consistency contract. */
   private[graft] def probeVertexIds(vertices: DataFrame)
       : Option[Array[Long]] =
-    probeRowsUnderGate(vertices.select(col("id").cast("long")).distinct())
+    probeRowsUnderGateMemo(vertices.select(col("id").cast("long")).distinct())
       .map(_.map(_.getLong(0)))
 
   /** Null endpoints can never join (SQL semantics already drop them in
@@ -512,6 +552,7 @@ object PathFinder {
     seedMemo.synchronized(seedMemo.clear())
     gateMemo.synchronized(gateMemo.clear())
     edgeMemo.synchronized(edgeMemo.clear())
+    rowProbeMemo.synchronized(rowProbeMemo.clear())
   }
 
   /** Spec hook: combined entry count of the probe memos, so
@@ -519,7 +560,8 @@ object PathFinder {
   private[graft] def probeMemoEntries: Int =
     seedMemo.synchronized(seedMemo.size()) +
       gateMemo.synchronized(gateMemo.size()) +
-      edgeMemo.synchronized(edgeMemo.size())
+      edgeMemo.synchronized(edgeMemo.size()) +
+      rowProbeMemo.synchronized(rowProbeMemo.size())
 
   /** Driver-side twin of [[Snapshot.denseEdgeIds]] for already-collected
     * pairs: stable (src, dst) sort, index = id. */

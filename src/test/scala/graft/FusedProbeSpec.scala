@@ -110,6 +110,70 @@ class FusedProbeSpec extends AnyFunSuite {
     assert(viaAuto == Seq((1L, 2L, 10L), (1L, 3L, 20L), (1L, 5L, 30L)))
   }
 
+  test("duplicate-heavy vertices (raw rows > gate, distinct ids ≤ gate): " +
+      "local == forced-distributed") {
+    val s = Fixture.init()
+    import s.implicits._
+    // 40 raw vertex rows, 4 distinct ids, gate 8: the distinct-id gate
+    // admits the LOCAL kernel where the replaced raw-row gate forced
+    // distributed — the newly-admitted shape must agree with the
+    // distributed branch (kernel-consistency contract, pinned here
+    // without the scale harness)
+    val vertices = (1L to 40L).map(i => i % 4 + 1).toDF("id")
+    val edges = Seq((1L, 2L, 2.0), (2L, 3L, 1.0), (3L, 4L, 3.0),
+      (4L, 1L, 1.0), (1L, 3L, 2.0)).toDF("src", "dst", "w")
+    def run(): Seq[(Long, Double)] =
+      Algorithms.weightedPageRank(vertices, edges, 0.85, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val saved = PathFinder.localMaxEdges
+    try {
+      PathFinder.localMaxEdges = 8L // raw 40 > 8, distinct 4 ≤ 8 → local
+      PathFinder.clearProbeMemos()
+      val local = run()
+      PathFinder.localMaxEdges = 0L // FORCE_DIST posture
+      PathFinder.clearProbeMemos()
+      val dist = run()
+      assert(local.map(_._1) == dist.map(_._1))
+      local.zip(dist).foreach { case ((id, l), (_, d)) =>
+        assert(math.abs(l - d) <= 1e-9 * math.max(1.0, math.abs(d)),
+          s"rank diverged for id=$id: local=$l dist=$d")
+      }
+    } finally {
+      PathFinder.localMaxEdges = saved
+      PathFinder.clearProbeMemos()
+    }
+  }
+
+  test("wLPA |und| gate (raw clean > gate, aggregated und ≤ gate): " +
+      "local == forced-distributed") {
+    val s = Fixture.init()
+    import s.implicits._
+    // 30 parallel-edge rows collapse to 3 undirected pairs; gate 8
+    // admits the local kernel on |und| where the replaced |clean| gate
+    // forced distributed
+    val edges = (1L to 30L).map { i =>
+      val (a, b) = (i % 3 + 1, (i % 3 + 1) % 4 + 1)
+      (a, b, 1.0)
+    }.toDF("src", "dst", "w")
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    def run(): Seq[(Long, Long)] =
+      Algorithms.weightedLabelPropagation(vertices, edges, 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val saved = PathFinder.localMaxEdges
+    try {
+      PathFinder.localMaxEdges = 8L // raw 30 > 8, |und| 3 ≤ 8 → local
+      PathFinder.clearProbeMemos()
+      val local = run()
+      PathFinder.localMaxEdges = 0L
+      PathFinder.clearProbeMemos()
+      val dist = run()
+      assert(local == dist)
+    } finally {
+      PathFinder.localMaxEdges = saved
+      PathFinder.clearProbeMemos()
+    }
+  }
+
   test("earliestArrivalFromMin on an empty graph is empty") {
     val s = Fixture.init()
     import s.implicits._
