@@ -17,6 +17,7 @@ run / fork := true
 // have parsed:null). Suppress the banner only when a bench data dir is
 // set so compile/test output is untouched.
 Global / showSuccess := sys.env.get("SPARK_GRAFT_SF_DIR").isEmpty
+Global / excludeLintKeys += showSuccess
 // sbt's default LoggedOutput prefixes every forked-run stdout line with
 // "[info] ", which breaks strict JSON parsing of the bench line; pass
 // the forked process's streams through untouched instead.

@@ -198,6 +198,89 @@ object GraphTableCompiler {
 
     var plan: DataFrame = null
     var anonCounter = 0
+
+    // --- Compile-time broadcast-side choice (r15; guide §3.1/§3.2) ---
+    // Catalyst's non-CBO size estimate for a JOIN node is the product of
+    // its children, so an accumulated chain like customer⋈orders is never
+    // estimated small enough to broadcast against the next big table: the
+    // join plans as sort-merge and AQE converts it mid-query — after the
+    // big side's map stage already wrote its shuffle. The compiler knows
+    // more than Catalyst here: every chain join binds a fresh base table
+    // on key equality, so the Σ of the bound tables' ON-DISK footer bytes
+    // is a sound size signal for the accumulated side WHILE row counts
+    // provably cannot multiply (tracked below). When a side's footprint
+    // is under `spark.graft.compiler.broadcastFootprintMaxBytes`
+    // (default 64 MB on disk — far under the guide's "few hundred MB is
+    // fine" and Spark's 8 GB broadcast cap), hint THAT side. The decision
+    // input is the data's actual footprint, never a tuned constant: at
+    // production scale no side qualifies and plans are unchanged. 0
+    // disables.
+    val broadcastMax = spark.conf.get(
+      "spark.graft.compiler.broadcastFootprintMaxBytes",
+      (64L * 1024 * 1024).toString).toLong
+    // Σ on-disk bytes of the tables joined into `plan`; -1 = unknown or
+    // poisoned (kernel frames, cross joins, possible row multiplication,
+    // or simply grown past broadcastMax — no future plan-side hint, so
+    // stop paying for bound upkeep, including its uniqueness probes).
+    // LAZY with force-once caching: the uniqueness probes that certify
+    // row preservation run only when a LATER join actually consults the
+    // bound — a terminal hop never pays for probes that only matter to
+    // hops that never come.
+    object footprintState {
+      var planFootprintEval: () => Long = () => -1L
+      var chainUniqueEval: () => Boolean = () => false
+    }
+    def planFootprint: Long = {
+      val v = footprintState.planFootprintEval()
+      footprintState.planFootprintEval = () => v
+      v
+    }
+    def setPlanFootprint(v: Long): Unit =
+      footprintState.planFootprintEval = () => v
+    // every current plan row is a DISTINCT row of the last-bound vertex's
+    // table — the precondition under which the NEXT edge join cannot
+    // multiply rows beyond that edge's own row count
+    def chainUnique: Boolean = {
+      val v = footprintState.chainUniqueEval()
+      footprintState.chainUniqueEval = () => v
+      v
+    }
+    def setChainUnique(v: Boolean): Unit =
+      footprintState.chainUniqueEval = () => v
+    def chainUniqueLazy(f: () => Boolean): Unit =
+      footprintState.chainUniqueEval = f
+
+    def tableFootprintBytes(tableName: String): Long =
+      if (broadcastMax <= 0) -1L
+      else graft.graph.PathFinder.relationFootprintBytes(
+        resolver(spark, tableName))
+
+    /** Emit `plan ⋈ df` with a broadcast hint on whichever side's
+      * footprint bound qualifies (smaller side preferred); leaves
+      * `planFootprint` untouched — callers advance or poison it with
+      * the join's multiplicity knowledge. */
+    def sizedJoin(df: DataFrame, cond: Column, dfBytes: Long): Unit = {
+      val pB = planFootprint
+      val hintPlan = broadcastMax > 0 && pB >= 0 && pB <= broadcastMax &&
+        (dfBytes < 0 || pB <= dfBytes)
+      val hintDf = !hintPlan && broadcastMax > 0 && dfBytes >= 0 &&
+        dfBytes <= broadcastMax
+      plan = (if (hintPlan) broadcast(plan) else plan)
+        .join(if (hintDf) broadcast(df) else df, cond, "inner")
+    }
+
+    /** Advance the footprint bound past a join that added `addBytes` of
+      * table data; `preserved` (lazy — usually a memoized uniqueness
+      * probe) certifies the join could not multiply plan rows. Deferred:
+      * `preserved` is forced only if a later join consults the bound. */
+    def advanceFootprint(addBytes: Long, preserved: => Boolean): Unit = {
+      val base = planFootprint // forced already by the sizedJoin decision
+      footprintState.planFootprintEval = () =>
+        if (base < 0 || addBytes < 0) -1L
+        else if (base + addBytes > broadcastMax) -1L
+        else if (preserved) base + addBytes
+        else -1L
+    }
     // varName -> binding (shared across comma-separated patterns, reference
     // match.cpp:982-989)
     val bindings = scala.collection.mutable.LinkedHashMap[String, Binding]()
@@ -317,7 +400,8 @@ object GraphTableCompiler {
     def bindVertex(vp: VertexPattern,
         joinCond: Option[String => Column],
         hint: Option[String] = None,
-        fuse: Option[(String, String, Seq[String], Seq[String])] = None)
+        fuse: Option[(String, String, Seq[String], Seq[String])] = None,
+        boundRefKeys: Option[Seq[String]] = None)
         : String = {
       val name = vp.varName.getOrElse(freshName("v"))
       bindings.get(name) match {
@@ -382,10 +466,25 @@ object GraphTableCompiler {
             vp.where.foreach(w => df = df.filter(expr(w)))
             bindings(name) = Binding(name, isVertex = true, vt.tableName,
               vt.keyCols)
-            plan = (plan, joinCond) match {
-              case (null, _)      => df
-              case (p, Some(c))   => p.join(df, c(name), "inner")
-              case (p, None)      => p.crossJoin(df)
+            val vBytes = tableFootprintBytes(vt.tableName)
+            (plan, joinCond) match {
+              case (null, _) =>
+                // chain head: one plan row per (distinct) table row
+                setPlanFootprint(
+                  if (vBytes >= 0 && vBytes <= broadcastMax) vBytes else -1L)
+                setChainUnique(true)
+                plan = df
+              case (_, Some(c)) =>
+                // vertex joined on its declared reference keys: rows
+                // preserved iff those keys are unique on the table
+                // (memoized probe, forced only while the bound is live)
+                sizedJoin(df, c(name), vBytes)
+                advanceFootprint(vBytes, boundRefKeys.exists(ks =>
+                  !hasDuplicateKeysTable(vt.tableName, ks)))
+              case (_, None) =>
+                plan = plan.crossJoin(df)
+                setPlanFootprint(-1L)
+                setChainUnique(false)
             }
             name
           }
@@ -437,8 +536,12 @@ object GraphTableCompiler {
           "vertices referred by edge tables exist and are unique for " +
           "path-finding queries")
 
-    def hasDuplicateKeys(vt: VertexTable, keys: Seq[String]): Boolean = {
-      val df = resolver(spark, vt.tableName)
+    def hasDuplicateKeys(vt: VertexTable, keys: Seq[String]): Boolean =
+      hasDuplicateKeysTable(vt.tableName, keys)
+
+    def hasDuplicateKeysTable(tableName: String, keys: Seq[String])
+        : Boolean = {
+      val df = resolver(spark, tableName)
       // session-wide memo keyed by the analyzed plan + data-snapshot
       // token (file listings canonicalize by root path, so the token —
       // not the plan — is what moves when files are appended/overwritten
@@ -587,6 +690,8 @@ object GraphTableCompiler {
         plan = plan.join(
           ids.select(col("__raw"), col("__rowid").as(c)),
           keyStruct(keys, Some(alias)) === col("__raw")).drop("__raw")
+        setPlanFootprint(-1L) // derived mapping frame: size unknown
+        setChainUnique(false)
         c
       })
 
@@ -1545,13 +1650,25 @@ object GraphTableCompiler {
       ep.where.foreach(w => eDF = eDF.filter(expr(w)))
 
       // join edge to the already-bound vertex a
-      val condA: Column = ep.direction match {
+      val (condA: Column, aRefKeys: Seq[String]) = ep.direction match {
         case EdgeDirection.Left =>
-          keysEq(eName, et.dstKeys, aAlias, et.dstRefKeys)
+          (keysEq(eName, et.dstKeys, aAlias, et.dstRefKeys), et.dstRefKeys)
         case _ => // Right / Undirected / Both: a is the source side
-          keysEq(eName, et.srcKeys, aAlias, et.srcRefKeys)
+          (keysEq(eName, et.srcKeys, aAlias, et.srcRefKeys), et.srcRefKeys)
       }
-      plan = plan.join(eDF, condA, "inner")
+      // broadcast-side choice + footprint upkeep: the edge join cannot
+      // multiply plan rows iff every plan row is a distinct a-table row
+      // (chainUnique) and the a-table is unique on the joined ref keys
+      val eBytes = ep.direction match {
+        case EdgeDirection.Right | EdgeDirection.Left =>
+          tableFootprintBytes(et.tableName)
+        case _ => -1L // undirected/both views double/semi-join the table
+      }
+      sizedJoin(eDF, condA, eBytes)
+      advanceFootprint(eBytes, chainUnique && {
+        val aTable = vertexBindingAt(aAlias).table
+        !hasDuplicateKeysTable(aTable, aRefKeys)
+      })
 
       // join vertex b with the edge's other side
       val condB: String => Column = ep.direction match {
@@ -1575,7 +1692,23 @@ object GraphTableCompiler {
             if (ep.direction == EdgeDirection.Left) et.srcRefKeys
             else et.dstRefKeys))
         else None
-      val bAlias = bindVertex(vp, Some(condB), Some(bHint), fuseInfo)
+      val bRefKeys = ep.direction match {
+        case EdgeDirection.Left => et.srcRefKeys
+        case _                  => et.dstRefKeys
+      }
+      val bAlias = bindVertex(vp, Some(condB), Some(bHint), fuseInfo,
+        boundRefKeys = Some(bRefKeys))
+      // the NEXT hop's join key is b's: plan rows stay distinct b-table
+      // rows only when this edge's far-endpoint columns are unique on
+      // the edge table (no fan-in) — the probe defers until a later hop
+      // actually consults the bound (a terminal hop never pays it)
+      chainUniqueLazy(() => {
+        val bEdgeKeys = ep.direction match {
+          case EdgeDirection.Left => et.srcKeys
+          case _                  => et.dstKeys
+        }
+        !hasDuplicateKeysTable(et.tableName, bEdgeKeys)
+      })
 
       // Bidirectional `<-[e]->`: additionally join a second copy of the edge
       // table in the reverse direction (reference `EdgeTypeLeftRight`
@@ -1591,6 +1724,8 @@ object GraphTableCompiler {
         val cond = keysEq(e2, et.srcKeys, bAlias, et.srcRefKeys) &&
           keysEq(e2, et.dstKeys, aAlias, et.dstRefKeys)
         plan = plan.join(e2DF, cond, "inner")
+        setPlanFootprint(-1L) // parallel reverse edges can multiply rows
+        setChainUnique(false)
       }
       (bAlias, eName, et)
     }
@@ -1732,6 +1867,12 @@ object GraphTableCompiler {
       // non-numeric keys (set in the rowid branch below): identity
       // elsewhere
       var surrogatize: DataFrame => DataFrame = identity
+      // kernel-frame byte accounting for the join-back broadcast hint:
+      // extra bytes the fromRowid/surrogatize wrappers can add on top of
+      // the kernel output (rowid attaches are unique-key joins bounded
+      // by the mapping, itself bounded by its table's footprint); -1 =
+      // unknown, never hint
+      var joinedExtraBytes = 0L
       val (edgeList, seedList, fromRowid) =
         if (keyIsNumeric) {
           (edges.select(Seq(col(aEdgeKeys.head).cast("long").as("src"),
@@ -1794,9 +1935,18 @@ object GraphTableCompiler {
             // COMBINED column translates once, after ranking/filters
             registerPendingSurrogate(ids, aRefKeys.length,
               aVt.tableName, aRefKeys)
-          } else if (exposing)
+          } else if (exposing) {
             surrogatize = df => surrogatizeArrayCol(df, "path", ids,
               aRefKeys.length)
+            joinedExtraBytes = -1L // translation shape unaccounted
+          }
+          // the two rowid attaches are unique-key joins: rows preserved,
+          // bytes bounded by the mapping (≤ its table's footprint) each
+          if (joinedExtraBytes >= 0L) {
+            val idsBound = tableFootprintBytes(aVt.tableName)
+            joinedExtraBytes =
+              if (idsBound >= 0L) 2L * idsBound else -1L
+          }
           (e, sd, (df: DataFrame) => df
             .join(ids.select(col("__raw").as("__rawsrc"),
               col("__rowid").as("src")), Seq("src"))
@@ -1835,6 +1985,14 @@ object GraphTableCompiler {
               aRefKeys.length)))
         }
       }
+      // byte size of the raw kernel frame when it is a driver-local
+      // relation (the LOCAL kernel branch): feeds the join-back
+      // broadcast hint below; a distributed kernel result reads -1
+      var kernelFrameBytes = -1L
+      def sizedKernel(kf: DataFrame): DataFrame = {
+        kernelFrameBytes = graft.graph.PathFinder.localRelationBytes(kf)
+        kf
+      }
       val joined =
         if (isEnum || isAllShortest || kOpt.isDefined) {
           // one row PER PATH (multiplicity semantics). Under ANY SHORTEST
@@ -1851,21 +2009,22 @@ object GraphTableCompiler {
             else p.mode
           val paths = surrogatize(
             if (isEnum)
-              fromRowid(PathFinder.enumerateModePaths(spark, edgeList,
-                seedList, q.lower, q.upper, segMode))
+              fromRowid(sizedKernel(PathFinder.enumerateModePaths(spark,
+                edgeList, seedList, q.lower, q.upper, segMode)))
             else if (kOpt.isDefined)
-              fromRowid(PathFinder.kShortestPaths(spark, edgeList,
-                seedList, q.lower, q.upper, p.mode, kOpt.get))
+              fromRowid(sizedKernel(PathFinder.kShortestPaths(spark,
+                edgeList, seedList, q.lower, q.upper, p.mode, kOpt.get)))
             else
-              fromRowid(PathFinder.allShortestPaths(spark, edgeList,
-                seedList, q.lower, q.upper)))
+              fromRowid(sizedKernel(PathFinder.allShortestPaths(spark,
+                edgeList, seedList, q.lower, q.upper))))
           paths.select(Seq(col("src").as("__psrc"),
             col("dst").as("__pdst"),
             col("dist").as(freshName("dist"))) ++
             segColOpt.map(c => col("path").as(c)).toSeq: _*)
         } else if (needPath) {
-          val paths = surrogatize(fromRowid(PathFinder.shortestPaths(
-            spark, edgeList, seedList, q.lower, q.upper)))
+          val paths = surrogatize(fromRowid(sizedKernel(
+            PathFinder.shortestPaths(
+              spark, edgeList, seedList, q.lower, q.upper))))
           paths.select(col("src").as("__psrc"), col("dst").as("__pdst"),
             col("path").as(segColOpt.get),
             col("dist").as(freshName("dist")))
@@ -1890,8 +2049,8 @@ object GraphTableCompiler {
                 case _: org.apache.spark.sql.AnalysisException => None
               }
             } else None
-          fromRowid(PathFinder.bfsDistances(spark, edgeList, seedList,
-            q.upper, targetsOpt)
+          fromRowid(sizedKernel(PathFinder.bfsDistances(spark, edgeList,
+            seedList, q.upper, targetsOpt))
             .filter(col("dist") >= q.lower &&
               q.upper.map(u => col("dist") <= u).getOrElse(lit(true))))
             .select(col("src").as("__psrc"), col("dst").as("__pdst"),
@@ -1902,7 +2061,22 @@ object GraphTableCompiler {
         if (keyIsNumeric)
           col(s"$aAlias.${aRefKeys.head}").cast("long") === col("__psrc")
         else keyStruct(aRefKeys, Some(aAlias)) === col("__psrc")
-      plan = plan.join(joined, srcCond, "inner")
+      // join-back broadcast hint: a LOCAL kernel's result frame (plus
+      // its bounded rowid attaches) under the footprint gate is hinted
+      // as the build side — without it Catalyst's product estimate
+      // plans TWO shuffle exchanges + sort-merge between, say, two
+      // 100-row segment frames (the q93 ladder's only SMJ). Distributed
+      // kernel frames read -1 and keep today's plan.
+      val joinedBytes =
+        if (kernelFrameBytes >= 0L && joinedExtraBytes >= 0L)
+          kernelFrameBytes + joinedExtraBytes else -1L
+      plan =
+        if (broadcastMax > 0 && joinedBytes >= 0L &&
+            joinedBytes <= broadcastMax)
+          plan.join(broadcast(joined), srcCond, "inner")
+        else plan.join(joined, srcCond, "inner")
+      setPlanFootprint(-1L) // kernel frame: rows may multiply downstream
+      setChainUnique(false)
       val bAlias = bindVertex(vp, Some(b =>
         if (keyIsNumeric)
           col(s"$b.${bRefKeys.head}").cast("long") === col("__pdst")

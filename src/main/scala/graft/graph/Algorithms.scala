@@ -628,6 +628,28 @@ object Algorithms {
     * (10⁴ bounds a key to ~5·10⁷ pairs). `minWeight` prunes the long
     * tail after counting.
     *
+    * Distributed KERNEL branch (round 15, guide §1.2/§2.3): when both
+    * id spaces fit 31 bits, the whole distributed plan above is
+    * replaced by two exchanges of bare packed longs plus streaming
+    * per-partition kernels — hash-partition the raw memberships by v
+    * and Tungsten-sort within partitions (the global DISTINCT collapses
+    * to a consecutive-dup skip, because every copy of a (u, v) row
+    * lands in v's partition), stream each v-group's d(d−1)/2 ordered
+    * pairs from a per-group member buffer (memory O(max degree), not
+    * O(pairs)), then hash-partition the pair stream by pair and count
+    * RUNS of the sorted stream instead of hash-aggregating ~all-unique
+    * keys (the r14 plan's hash table held one entry per pair — pure
+    * spill pressure at 360M pairs). Exchange volume is identical to the
+    * r14 plan's floor (the pair stream itself, NOTES 54); what changes
+    * is per-task work: no Catalyst join row machinery, no
+    * multi-million-entry aggregation hash maps, no block windows.
+    * A hot key's d²/2 pair CPU lands in one task here (the blocked
+    * join spread it) — acceptable because the member buffer is only
+    * O(d) bytes and a degree so hot that d²/2 pairs straggle is already
+    * an infeasible OUTPUT the degree cap exists for. Conf kill switch:
+    * `spark.graft.copurchase.distKernel` (default true); non-packable
+    * ids keep the r14 blocked-join plan.
+    *
     * @return (id_a, id_b, weight) with id_a < id_b
     */
   def bipartiteProjection(memberships: DataFrame, minWeight: Long = 1L,
@@ -660,6 +682,7 @@ object Algorithms {
       .get("spark.graft.copurchase.localMaxPairs", "120000000").toLong
     val maxRows = sp2.conf
       .get("spark.graft.copurchase.localMaxRows", "16000000").toLong
+    var packableDist: Option[Boolean] = None
     if (maxPairs > 0 && maxRows > 0 && maxRows <= Int.MaxValue - 1) {
       // decide with ONE exchange-free scan (count + id ranges as partial
       // aggs) — a limit-probe would route the whole join through
@@ -677,6 +700,7 @@ object Algorithms {
           return Seq.empty[(Long, Long, Long)].toDF("id_a", "id_b", "weight")
         val packable = st.getLong(1) >= 0L && st.getLong(2) < (1L << 31) &&
           st.getLong(3) >= 0L && st.getLong(4) < (1L << 31)
+        packableDist = Some(packable)
         if (st.getLong(0) <= maxRows && packable) {
           val packed = m0c
             .select(shiftleft(col("v"), 32).bitwiseOR(col("u")).as("__pk"))
@@ -687,6 +711,34 @@ object Algorithms {
           }
         }
       } finally m0c.unpersist(false)
+    }
+    // distributed KERNEL branch (scaladoc above): two bare packed-long
+    // exchanges + streaming per-partition kernels when both id spaces
+    // pack into 31 bits. Partition counts stay AQE/conf-derived
+    // (repartition without an explicit N), never a local constant.
+    if (sp2.conf.get("spark.graft.copurchase.distKernel", "true").toBoolean) {
+      val packable = packableDist.getOrElse {
+        val st = m0.agg(min("u").as("ulo"), max("u").as("uhi"),
+          min("v").as("vlo"), max("v").as("vhi")).first()
+        !st.isNullAt(0) && st.getLong(0) >= 0L && st.getLong(1) < (1L << 31) &&
+          st.getLong(2) >= 0L && st.getLong(3) < (1L << 31)
+      }
+      if (packable) {
+        val capDeg = maxKeyDegree
+        val minW = minWeight
+        // pk ≥ 0 (both halves are 31-bit), so arithmetic shiftright on
+        // the partitioning expression is the v value
+        val byV = m0
+          .select(shiftleft(col("v"), 32).bitwiseOR(col("u")).as("pk"))
+          .repartition(shiftright(col("pk"), 32))
+          .sortWithinPartitions("pk").as[Long]
+        val pairs = byV.mapPartitions(it =>
+          Algorithms.copurchasePairsStream(it, capDeg))
+        return pairs.repartition(col("value"))
+          .sortWithinPartitions("value")
+          .mapPartitions(it => Algorithms.packedRunCounts(it, minW))
+          .toDF("id_a", "id_b", "weight")
+      }
     }
     val m = m0.distinct()
     // with an unbounded cap the hot-key frame is provably empty — skip
@@ -732,6 +784,104 @@ object Algorithms {
           .repartition(col("id_a"), col("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("weight"))
     counted.filter(col("weight") >= minWeight)
+  }
+
+  /** Streaming pair emission over a v-sorted packed `(v<<32 | u)`
+    * iterator — the per-partition generation kernel of
+    * [[bipartiteProjection]]'s distributed branch. Consecutive-dup skip
+    * IS the global DISTINCT (every copy of a (u, v) row hash-lands in
+    * v's partition); groups over the degree cap drop wholesale (the
+    * operator's output-bound semantics); each surviving group's
+    * d(d−1)/2 ordered pairs (a < b — members ascend within a group)
+    * stream lazily from an O(degree) member buffer. */
+  private[graph] def copurchasePairsStream(it: Iterator[Long],
+      maxKeyDegree: Long): Iterator[Long] = new Iterator[Long] {
+    private var members = new Array[Long](64)
+    private var m = 0
+    private var i = 0
+    private var j = 1
+    private var pending = 0L
+    private var hasPending = false
+
+    private def append(u: Long): Unit = {
+      if (m == members.length)
+        members = java.util.Arrays.copyOf(members, m << 1)
+      members(m) = u
+      m += 1
+    }
+
+    private def readGroup(): Unit = {
+      var cur = if (hasPending) pending else it.next()
+      hasPending = false
+      val v = cur >>> 32
+      m = 0
+      append(cur & 0xffffffffL)
+      var done = false
+      while (!done && it.hasNext) {
+        val x = it.next()
+        if ((x >>> 32) == v) {
+          if (x != cur) { append(x & 0xffffffffL); cur = x }
+        } else { pending = x; hasPending = true; done = true }
+      }
+      if (m.toLong > maxKeyDegree) m = 0 // capped group: drop wholesale
+      i = 0
+      j = 1
+    }
+
+    override def hasNext: Boolean = {
+      while (i >= m - 1 && (hasPending || it.hasNext)) readGroup()
+      i < m - 1
+    }
+
+    override def next(): Long = {
+      if (!hasNext) throw new NoSuchElementException("pair stream drained")
+      val p = (members(i) << 32) | members(j)
+      j += 1
+      if (j >= m) { i += 1; j = i + 1 }
+      p
+    }
+  }
+
+  /** Run-length counts over a sorted packed-pair iterator with the
+    * minWeight filter applied in-stream — the final aggregation of
+    * [[bipartiteProjection]]'s distributed branch without a hash map
+    * (the pair stream is ~all-unique keys: a hash aggregate holds one
+    * entry per pair, pure spill pressure). O(1) memory. */
+  private[graph] def packedRunCounts(it: Iterator[Long], minWeight: Long)
+      : Iterator[(Long, Long, Long)] = new Iterator[(Long, Long, Long)] {
+    private var pending = 0L
+    private var hasPending = false
+    private var out: (Long, Long, Long) = _
+    private var hasOut = false
+
+    private def advance(): Unit = {
+      hasOut = false
+      while (!hasOut && (hasPending || it.hasNext)) {
+        val p = if (hasPending) pending else it.next()
+        hasPending = false
+        var c = 1L
+        var done = false
+        while (!done && it.hasNext) {
+          val x = it.next()
+          if (x == p) c += 1
+          else { pending = x; hasPending = true; done = true }
+        }
+        if (c >= minWeight) {
+          out = (p >>> 32, p & 0xffffffffL, c)
+          hasOut = true
+        }
+      }
+    }
+    advance()
+
+    override def hasNext: Boolean = hasOut
+
+    override def next(): (Long, Long, Long) = {
+      if (!hasOut) throw new NoSuchElementException("run stream drained")
+      val r = out
+      advance()
+      r
+    }
   }
 
   /** Link-prediction scores (beyond the reference's algorithm set): for

@@ -149,6 +149,58 @@ object PathFinder {
     }.sum
   }
 
+  /** Total on-disk bytes behind a frame's file-source scan leaves, or
+    * -1 when ANY leaf is not a file relation (an unknown size must
+    * never look small). Same already-materialized file listings
+    * [[dataSnapshotToken]] walks — no Spark job. The MATCH compiler's
+    * compile-time broadcast-side choice reads this: the decision input
+    * is the actual data footprint, so it scales itself out of the way
+    * (at 100 TB nothing qualifies). */
+  private[graft] def relationFootprintBytes(
+      df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    var total = 0L
+    var ok = true
+    df.queryExecution.analyzed.collectLeaves().foreach { leaf =>
+      try leaf match {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.listFiles(Nil, Nil)
+              .foreach(_.files.foreach(f => total += f.getLen))
+          case _ => ok = false
+        }
+        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          v2.table match {
+            case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+              ft.fileIndex.listFiles(Nil, Nil)
+                .foreach(_.files.foreach(f => total += f.getLen))
+            case _ => ok = false
+          }
+        case _ => ok = false
+      } catch { case _: Throwable => ok = false }
+    }
+    if (ok) total else -1L
+  }
+
+  /** Exact-ish byte size of a frame whose every leaf is a driver-local
+    * relation (the LOCAL kernel branches' output shape), or -1 when any
+    * leaf is anything else — a distributed kernel result must never
+    * look small. No job: LocalRelation statistics come from the rows
+    * already on the driver. */
+  private[graft] def localRelationBytes(
+      df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    var total = BigInt(0)
+    var ok = true
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lp: LocalRelation =>
+        try total += lp.stats.sizeInBytes
+        catch { case _: Throwable => ok = false }
+      case _ => ok = false
+    }
+    if (ok && total <= Long.MaxValue) total.toLong else -1L
+  }
+
   private def memoized(key: (Int, String), plan: => String)(
       build: => Array[(Long, Long, Long)]): Array[(Long, Long, Long)] = {
     lazy val p = plan

@@ -613,13 +613,24 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
     // the size-gated LOCAL kernel (default on this fixture) must match
-    // the distributed blocked-join branch exactly
+    // BOTH distributed branches exactly: the packed streaming kernel
+    // (distKernel, the default) and the r14 blocked-join plan
     s.conf.set("spark.graft.copurchase.localMaxPairs", "0")
     val gotDist = try Algorithms.bipartiteProjection(ms.toDF("u", "v"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
     finally s.conf.unset("spark.graft.copurchase.localMaxPairs")
-    assert(gotDist == got, "local kernel diverged from distributed branch")
+    assert(gotDist == got, "local kernel diverged from distributed kernel")
+    s.conf.set("spark.graft.copurchase.localMaxPairs", "0")
+    s.conf.set("spark.graft.copurchase.distKernel", "false")
+    val gotJoin = try Algorithms.bipartiteProjection(ms.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    finally {
+      s.conf.unset("spark.graft.copurchase.localMaxPairs")
+      s.conf.unset("spark.graft.copurchase.distKernel")
+    }
+    assert(gotJoin == got, "blocked-join branch diverged from kernels")
     val dm = ms.distinct
     val byV = dm.groupBy(_._2).map { case (v, xs) => v -> xs.map(_._1) }
     def brute(vs: Iterable[Seq[Long]]): Map[(Long, Long), Long] =
@@ -637,6 +648,14 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
       .toMap
     val keptV = byV.filter(_._2.size <= 3)
     assert(capped == brute(keptV.values.map(_.sorted)))
+    // the distributed streaming kernel applies the cap per group too
+    s.conf.set("spark.graft.copurchase.localMaxPairs", "0")
+    val cappedDist = try Algorithms.bipartiteProjection(ms.toDF("u", "v"),
+        maxKeyDegree = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    finally s.conf.unset("spark.graft.copurchase.localMaxPairs")
+    assert(cappedDist == capped, "distKernel cap diverged from local cap")
     // minWeight prunes the tail exactly
     val pruned = Algorithms.bipartiteProjection(ms.toDF("u", "v"),
         minWeight = 2L)
@@ -654,9 +673,11 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     val ms = (0L until 60L).map(u => (u, 999L)) ++
       (for (u <- 0L until 20L; v <- 0L until 5L if (u + v) % 3 == 0)
         yield (u, v))
-    // force the distributed branch — the blocked join is what this test
-    // audits, and the local kernel would answer the fixture first
+    // force the distributed BLOCKED-JOIN branch — that join is what this
+    // test audits: the local kernel would answer the fixture first, and
+    // the packed streaming kernel (distKernel) would answer it second
     s.conf.set("spark.graft.copurchase.localMaxPairs", "0")
+    s.conf.set("spark.graft.copurchase.distKernel", "false")
     def run(bs: Int) = Algorithms.bipartiteProjection(ms.toDF("u", "v"),
         blockSize = bs)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
@@ -664,8 +685,15 @@ class AlgorithmConsistencySpec extends AnyFunSuite {
     val fine = try {
       val fine = run(8)
       assert(fine == run(1024), "blocked split must be exactly-once")
+      // and the packed streaming kernel must agree on the hot-key fixture
+      s.conf.unset("spark.graft.copurchase.distKernel")
+      assert(run(1024) == fine,
+        "distKernel diverged from blocked join on the hot-key fixture")
       fine
-    } finally s.conf.unset("spark.graft.copurchase.localMaxPairs")
+    } finally {
+      s.conf.unset("spark.graft.copurchase.localMaxPairs")
+      s.conf.unset("spark.graft.copurchase.distKernel")
+    }
     // the hot key alone contributes C(60,2) = 1770 pairs of weight >= 1
     assert(fine.size >= 1770)
     assert(fine((0L, 1L)) >= 1L)
