@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Assemble the round-15 measurement artifacts from a (possibly still
+running) chain_r15.sh output directory. Re-runnable after every leg —
+writes whatever is available and skips the rest.
+
+Medians: per-query median across fresh-JVM runs; headline = median of
+run totals.
+
+Usage: assemble_r15.py [chainOutDir] [head]
+Writes BENCH_LOCAL_r15.json, BENCH_SF1_r15.json, BENCH_SF1_C8_r15.json,
+BENCH_SF4_r15.json, DUCKDB_BASELINE_r15.json, CORRECTNESS_CHAIN_r15.json,
+CORRECTNESS_SCALE_r15.json, STEAL_r15.json into the repo root.
+"""
+import json, os, re, statistics, sys
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/chain_r15"
+head = sys.argv[2] if len(sys.argv) > 2 else "unknown"
+
+NOTE = ("Round-15 medians at the round-closing head (driver-parseable "
+        "bench JSON: 3-decimal per-query seconds, unprefixed final stdout "
+        "line, warmup_sec field; streaming packed-long distributed "
+        "co-purchase kernel; compile-time broadcast-side choice from "
+        "parquet footprints incl. LOCAL kernel join-back frames; memoized "
+        "row probes; 3-hop MATCH-compile warmup), fresh JVM per run, "
+        "toRdd materialization. steal.jsonl logs /proc/stat steal per "
+        "leg. DuckDB sf0.1 twins are 3-rep in-process medians "
+        "(bench_duckdb.py). Full sf1/sf4 twin re-burns skipped this "
+        "round: data and box identical to the committed DUCKDB_SF1_r14 / "
+        "DUCKDB_SF4_r14, which remain the slope denominators; the "
+        "branch-changed queries (q42/q92/q93/q114) were value-certified "
+        "at sf1 AND sf4 this round (CORRECTNESS_SCALE_r15). q88's twin "
+        "is a closed-form feature prediction - exclude from ratios.")
+
+
+def bench(jsonl, dst, expected):
+    if not os.path.exists(jsonl):
+        print(f"{dst}: SKIPPED ({jsonl} missing)")
+        return
+    runs = [json.loads(l) for l in open(jsonl) if l.strip()]
+    if not runs:
+        print(f"{dst}: SKIPPED (empty)")
+        return
+    qs = {}
+    for r in runs:
+        for k, v in r.get("queries", {}).items():
+            qs.setdefault(k, []).append(v)
+    med = {k: round(statistics.median(v), 3) for k, v in sorted(qs.items())}
+    doc = {
+        "head": head, "note": NOTE, "n_runs": len(runs),
+        "expected_runs": expected,
+        "totals": [r.get("value") for r in runs],
+        "total_median": round(statistics.median(
+            [r.get("value", 0.0) for r in runs]), 3),
+        "gc_ms": [r.get("gc_ms") for r in runs],
+        "warmup_sec": [r.get("warmup_sec") for r in runs],
+        "ann_split": [r.get("ann_split") for r in runs],
+        "sf": runs[0].get("sf"),
+        "medians": med,
+        "runs": runs,
+    }
+    json.dump(doc, open(dst, "w"), indent=1)
+    print(f"{dst}: {len(runs)} runs, total_median={doc['total_median']}")
+
+
+bench(f"{out}/bench01.jsonl", "BENCH_LOCAL_r15.json", 3)
+bench(f"{out}/benchsf1.jsonl", "BENCH_SF1_r15.json", 3)
+bench(f"{out}/benchsf1_c8.jsonl", "BENCH_SF1_C8_r15.json", 1)
+bench(f"{out}/benchsf4.jsonl", "BENCH_SF4_r15.json", 2)
+
+if os.path.exists(f"{out}/duck01.json"):
+    try:
+        duck = json.load(open(f"{out}/duck01.json"))
+        duck["head"] = head
+        duck["note"] = NOTE
+        json.dump(duck, open("DUCKDB_BASELINE_r15.json", "w"), indent=1)
+        print("DUCKDB_BASELINE_r15.json written")
+    except Exception as e:
+        print(f"DUCKDB_BASELINE_r15.json: SKIPPED ({e})")
+
+chain = {"head": head, "note": NOTE}
+for tag, f in [("sf0.01", "cmp001.txt"), ("sf0.1", "cmp01.txt")]:
+    p = f"{out}/{f}"
+    if os.path.exists(p):
+        txt = open(p).read()
+        m = re.search(r"PASS \((\d+)\):", txt)
+        n = re.search(r"FAIL \((\d+)\):", txt)
+        chain[tag] = {"pass": int(m.group(1)) if m else None,
+                      "fail": int(n.group(1)) if n else None}
+if len(chain) > 2:
+    json.dump(chain, open("CORRECTNESS_CHAIN_r15.json", "w"), indent=1)
+    print(f"CORRECTNESS_CHAIN_r15.json: {chain}")
+
+scale = {"head": head, "note": NOTE,
+         "changed_queries": "q42,q92,q93,q114 (branch-changed this round)"}
+for tag, f in [("sf1", "cmpsf1.txt"), ("sf4", "cmpsf4.txt")]:
+    p = f"{out}/{f}"
+    if os.path.exists(p):
+        scale[tag] = open(p).read().strip().splitlines()[-12:]
+if len(scale) > 2:
+    json.dump(scale, open("CORRECTNESS_SCALE_r15.json", "w"), indent=1)
+    print("CORRECTNESS_SCALE_r15.json written")
+
+if os.path.exists(f"{out}/steal.jsonl"):
+    legs = [json.loads(l) for l in open(f"{out}/steal.jsonl") if l.strip()]
+    json.dump({"head": head, "legs": legs}, open("STEAL_r15.json", "w"),
+              indent=1)
+    print(f"STEAL_r15.json: {len(legs)} legs")
