@@ -249,22 +249,30 @@ object GraphTableCompiler {
       footprintState.chainUniqueEval = () => v
     def chainUniqueLazy(f: () => Boolean): Unit =
       footprintState.chainUniqueEval = f
+    /** The CURRENT chainUnique thunk — capture at join-emission time so
+      * a preserved-thunk forced hops later reads the flag of ITS epoch,
+      * not whatever a later hop installed. */
+    def chainUniqueThunk: () => Boolean = footprintState.chainUniqueEval
 
     def tableFootprintBytes(tableName: String): Long =
       if (broadcastMax <= 0) -1L
       else graft.graph.PathFinder.relationFootprintBytes(
         resolver(spark, tableName))
 
-    /** Emit `plan ⋈ df` with a broadcast hint on whichever side's
-      * footprint bound qualifies (smaller side preferred); leaves
-      * `planFootprint` untouched — callers advance or poison it with
-      * the join's multiplicity knowledge. */
+    /** Emit `plan ⋈ df` with a broadcast hint on a side whose footprint
+      * bound qualifies. The LEAF side is preferred when it qualifies:
+      * hinting a base table needs no uniqueness probes, so the
+      * accumulated bound (and the probe jobs that keep it sound) is
+      * forced ONLY when the incoming table is too big to broadcast —
+      * i.e. exactly when the plan-side hint is the one that can save a
+      * big-side shuffle. Callers advance or poison the bound with the
+      * join's multiplicity knowledge. */
     def sizedJoin(df: DataFrame, cond: Column, dfBytes: Long): Unit = {
-      val pB = planFootprint
-      val hintPlan = broadcastMax > 0 && pB >= 0 && pB <= broadcastMax &&
-        (dfBytes < 0 || pB <= dfBytes)
-      val hintDf = !hintPlan && broadcastMax > 0 && dfBytes >= 0 &&
-        dfBytes <= broadcastMax
+      val hintDf = broadcastMax > 0 && dfBytes >= 0 && dfBytes <= broadcastMax
+      val hintPlan = !hintDf && broadcastMax > 0 && {
+        val pB = planFootprint // forces the bound (and its lazy probes)
+        pB >= 0 && pB <= broadcastMax
+      }
       plan = (if (hintPlan) broadcast(plan) else plan)
         .join(if (hintDf) broadcast(df) else df, cond, "inner")
     }
@@ -274,12 +282,18 @@ object GraphTableCompiler {
       * probe) certifies the join could not multiply plan rows. Deferred:
       * `preserved` is forced only if a later join consults the bound. */
     def advanceFootprint(addBytes: Long, preserved: => Boolean): Unit = {
-      val base = planFootprint // forced already by the sizedJoin decision
-      footprintState.planFootprintEval = () =>
+      // capture the PREVIOUS thunk, never force here: the whole chain of
+      // bounds (and their uniqueness probes) evaluates only if a later
+      // join actually consults it, and the force-once caching collapses
+      // the chain after the first consult
+      val prev = footprintState.planFootprintEval
+      footprintState.planFootprintEval = () => {
+        val base = prev()
         if (base < 0 || addBytes < 0) -1L
         else if (base + addBytes > broadcastMax) -1L
         else if (preserved) base + addBytes
         else -1L
+      }
     }
     // varName -> binding (shared across comma-separated patterns, reference
     // match.cpp:982-989)
@@ -1665,7 +1679,8 @@ object GraphTableCompiler {
         case _ => -1L // undirected/both views double/semi-join the table
       }
       sizedJoin(eDF, condA, eBytes)
-      advanceFootprint(eBytes, chainUnique && {
+      val chainUniqueHere = chainUniqueThunk // this hop's epoch
+      advanceFootprint(eBytes, chainUniqueHere() && {
         val aTable = vertexBindingAt(aAlias).table
         !hasDuplicateKeysTable(aTable, aRefKeys)
       })

@@ -96,7 +96,7 @@ for tag, f in [("sf1", "cmpsf1.txt"), ("sf4", "cmpsf4.txt")]:
     p = f"{out}/{f}"
     if os.path.exists(p):
         scale[tag] = open(p).read().strip().splitlines()[-12:]
-if len(scale) > 2:
+if len(scale) > 3:
     json.dump(scale, open("CORRECTNESS_SCALE_r15.json", "w"), indent=1)
     print("CORRECTNESS_SCALE_r15.json written")
 
